@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (read-time compaction view over the
+events changelog — the reference sink's core query semantics) at
+sf0.001.
+
+``queries()`` — every implemented operator from SURVEY.md §2 as
+``(spark, sf_dir) -> DataFrame``.
+
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
+genuinely approximate / non-SQL ops, which get rows-only checks).
 """
 
 from __future__ import annotations
@@ -13,26 +17,52 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pgsink_spark.operators import dedup as _dedup
+from pgsink_spark.operators import relational as _rel
+from pgsink_spark.operators import similarity as _sim
+from pgsink_spark.operators import text as _text
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: most-recent-row compaction view (SURVEY §2 A16)."""
+    return _rel.QUERIES["a16_compaction_view"](spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    queries.update(_rel.QUERIES)
+    oracles.update(_rel.ORACLES)
+
+    for mod in (_dedup, _sim, _text):
+        oracles.update(mod.ORACLES)
+
+    queries["dedup_exact"] = _dedup.dedup_exact
+    queries["dedup_ngram_jaccard"] = _dedup.dedup_ngram_jaccard
+    queries["dedup_minhash_lsh"] = _dedup.dedup_minhash_lsh
+    queries["dedup_simhash"] = _dedup.dedup_simhash
+    queries["dedup_simhash_pairs"] = _dedup.dedup_simhash_pairs
+
+    queries["d20_similarity_topk"] = _sim.d20_similarity_topk
+    queries["ann_bruteforce_topk"] = _sim.ann_bruteforce_topk
+    queries["ann_ivf_topk"] = _sim.ann_ivf_topk  # approximate → rows-only
+    queries["dedup_embedding_pairs"] = _sim.dedup_embedding_pairs
+
+    queries["text_lang_id"] = _text.text_lang_id
+    queries["text_quality_score"] = _text.text_quality_score
+    queries["text_token_count"] = _text.text_token_count
+    queries["text_fingerprint"] = _text.text_fingerprint
+
+    return queries, oracles
+
+
+def queries() -> dict[str, QueryFn]:
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qs, oracles = _registry()
+    return {k: v for k, v in oracles.items() if k in qs}

@@ -1,0 +1,869 @@
+"""SURVEY.md §2.E relational oracle corpus, Spark-first.
+
+Each operator is a function ``(spark, sf_dir) -> DataFrame`` written in
+the DataFrame API (Catalyst optimizes: pushdown, pruning, join
+selection); ``ORACLES`` holds the equivalent DuckDB SQL over the same
+parquet fixtures. Column aliases match exactly on both sides — the
+driver's compare sorts columns by name before hashing.
+
+Determinism rules used throughout (SURVEY.md §2.E):
+- every LIMIT query carries a total ORDER BY (ties broken by a key);
+- floating aggregates go through CAST(... AS DECIMAL(18,4)) so the sum
+  is exact and engine-order-independent, then ROUND and a final CAST TO
+  DOUBLE so both engines hash identical float64 values;
+- averages are computed as exact-decimal-sum / count in both engines
+  (Spark's decimal AVG and DuckDB's double AVG would otherwise round
+  differently).
+
+Reference parity notes cite /root/reference file:line per operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pgsink_spark.sources.fixtures import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dec(c) -> Column:
+    """Exact decimal image of a float column (order-independent sums)."""
+    return F.col(c).cast("decimal(18,4)") if isinstance(c, str) else c.cast("decimal(18,4)")
+
+
+def rnd(c: Column, scale: int = 2) -> Column:
+    """Round a decimal and surface it as float64 (identical in DuckDB)."""
+    return F.round(c, scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# 2.A/2.B pipeline + control-plane relational operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a5_keyset_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS tp
+    FROM orders WHERE o_orderkey > 100
+    ORDER BY o_orderkey LIMIT 100
+    """,
+)
+def a5_keyset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-paginated import scan: WHERE pk > cursor ORDER BY pk LIMIT n.
+
+    Parity: pkg/imports/import.go:209-223 (cursor batch). The pk
+    predicate reaches the parquet scan as a PushedFilter; LIMIT becomes
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey") > 100)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            rnd(dec("o_totalprice"), 2).alias("tp"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "a16_compaction_view",
+    """
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type,
+             CAST(ROUND(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE) AS value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def a16_compaction_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-recent-row read-time compaction (the sink's dedup view).
+
+    Parity: pkg/sinks/bigquery/schema_builders.go:115-161 — row_number
+    over (pk) ordered by timestamp desc, keep rn=1. Window partitions by
+    the pk so it shuffles once on the key and scales linearly.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            rnd(dec("value"), 2).alias("value"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "a3_total_order",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 20
+    """,
+)
+def a3_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog total order by (lsn, sequence) ≈ (ts, event_id).
+
+    Parity: pkg/subscription/sequence.go:24-52 — ordering contract.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_id", "user_id", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(20)
+    )
+
+
+@query(
+    "a17_claim_predicate",
+    """
+    SELECT event_id FROM events
+    WHERE props IS NOT NULL AND (value < 1 OR ts > TIMESTAMP '2024-01-01')
+    ORDER BY (props IS NULL) DESC, event_id LIMIT 1
+    """,
+)
+def a17_claim_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-job claim predicate shape: boolean filter + null-aware order.
+
+    Parity: pkg/imports/worker.go:165-187 (FOR UPDATE SKIP LOCKED claim).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(
+            F.col("props").isNotNull()
+            & (
+                (F.col("value") < 1)
+                | (F.col("ts") > F.expr("timestamp_ntz'2024-01-01 00:00:00'"))
+            )
+        )
+        .orderBy(F.col("props").isNull().desc(), F.col("event_id"))
+        .select("event_id")
+        .limit(1)
+    )
+
+
+@query(
+    "b5_anti_join_diff",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+)
+def b5_anti_join_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tables.Diff / reconciliation set difference as a left-anti join
+    (customers with no finalized orders — non-empty at every SF).
+
+    Parity: pkg/changelog/table.go:17-26; pkg/subscription/manager.go:132.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "b1_filter_limit",
+    """
+    SELECT r_regionkey, r_name FROM region WHERE r_name = 'ASIA'
+    ORDER BY r_regionkey LIMIT 1
+    """,
+)
+def b1_filter_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-publication lookup: equality filter + LIMIT 1.
+
+    Parity: pkg/subscription/publication.go:68-89.
+    """
+    region = load_table(spark, sf_dir, "region")
+    return (
+        region.where(F.col("r_name") == "ASIA")
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+        .limit(1)
+    )
+
+
+@query(
+    "b2_inner_join",
+    """
+    SELECT r_name, n_name FROM region JOIN nation ON n_regionkey = r_regionkey
+    ORDER BY r_name, n_name
+    """,
+)
+def b2_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join (publication ⋈ publication_tables).
+
+    Parity: pkg/subscription/publication.go:146-160. Catalyst broadcasts
+    the 5-row region side automatically.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "b3_left_join_inlist",
+    """
+    SELECT n_name, c_custkey, o_orderkey
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    LEFT JOIN orders ON o_custkey = c_custkey
+    WHERE n_name IN ('NATION_3','NATION_7')
+    ORDER BY n_name, c_custkey, o_orderkey NULLS FIRST LIMIT 500
+    """,
+)
+def b3_left_join_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join with left outer + IN-list (GET /api/tables listing).
+
+    Parity: api/tables.go:111-147.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        nation.where(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .select("n_name", "c_custkey", "o_orderkey")
+        .orderBy(
+            F.col("n_name").asc(),
+            F.col("c_custkey").asc(),
+            F.col("o_orderkey").asc_nulls_first(),
+        )
+        .limit(500)
+    )
+
+
+@query(
+    "b4_latest_per_key",
+    """
+    SELECT o_custkey, o_orderkey FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+      FROM orders) t WHERE rn = 1 ORDER BY o_custkey
+    """,
+)
+def b4_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest import job per table (max-by via ranking window).
+
+    Parity: api/tables.go:65-97, 151-175 (Go-side group + latest pick).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "b6_semi_join",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def b6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tables.Includes membership as a left-semi join.
+
+    Parity: pkg/changelog/table.go:28-36.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "b7_include_exclude",
+    """
+    SELECT p_partkey, p_brand FROM part
+    WHERE p_brand NOT IN ('Brand#4') AND p_type LIKE '%AR%'
+    ORDER BY p_partkey
+    """,
+)
+def b7_include_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Include/exclude list filtering (publication manager).
+
+    Parity: pkg/subscription/manager.go:148-191.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.where(
+            ~F.col("p_brand").isin("Brand#4") & F.col("p_type").like("%AR%")
+        )
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "b8_array_agg",
+    """
+    SELECT n_regionkey, LIST_SORT(LIST(n_name)) AS names
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def b8_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg of PK column names (canonical sorted array).
+
+    Parity: pkg/imports/import.go:243-249.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "b11_scalar_fns",
+    "SELECT LEAST(CAST(3.0 AS DOUBLE), POW(2,3)) AS a, GREATEST(1,2) AS b",
+)
+def b11_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: least/pow/greatest.
+
+    Parity: pkg/imports/worker.go:147-161 (backoff arithmetic).
+    """
+    return spark.range(1).select(
+        F.least(F.lit(3.0), F.pow(F.lit(2), F.lit(3))).alias("a"),
+        F.greatest(F.lit(1), F.lit(2)).alias("b"),
+    )
+
+
+@query(
+    "b12_arith_update",
+    """
+    SELECT event_id, CAST(ROUND(CAST(value AS DECIMAL(18,4)) + 1, 2) AS DOUBLE)
+           AS value_plus
+    FROM events ORDER BY event_id LIMIT 10
+    """,
+)
+def b12_arith_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE SET x = x + n arithmetic semantics (as a projection).
+
+    Parity: pkg/imports/importer.go:143-157 (rows_processed_total += n).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id", rnd(dec("value") + 1, 2).alias("value_plus")
+        )
+        .orderBy("event_id")
+        .limit(10)
+    )
+
+
+@query("b13_count", "SELECT COUNT(*) AS cnt FROM lineitem")
+def b13_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count (pg_class.reltuples approximation → exact count).
+
+    Parity: api/tables.go:122.
+    """
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.D standard analytics surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d1_filter_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def d1_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicates; both reach the parquet scan as
+    PushedFilters + a 4-column ReadSchema (see plans/checks.py test)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "d2_join_agg_topk",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS rev
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 20
+    """,
+)
+def d2_join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-ish join + hash agg + top-k. The status filter is pushed
+    below the join; the agg runs partial/final around one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.where(F.col("o_orderstatus") == "O")
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            rnd(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            ).alias("rev")
+        )
+        .orderBy(F.col("rev").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "d2b_broadcast_join",
+    """
+    SELECT r_name, n_name FROM region JOIN nation ON n_regionkey = r_regionkey
+    ORDER BY r_name, n_name
+    """,
+)
+def d2b_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as b2 with an explicit broadcast hint on the dim side
+    (plan-level distinction; plans/checks.py asserts BroadcastHashJoin)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "d3_outer_join_agg",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS cnt
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey ORDER BY cnt DESC, c_custkey LIMIT 100
+    """,
+)
+def d3_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, orders.o_custkey == li.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("c_custkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "d4_range_join",
+    """
+    SELECT s_suppkey, c_custkey FROM supplier
+    JOIN customer ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+    ORDER BY s_suppkey, c_custkey LIMIT 200
+    """,
+)
+def d4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: equi key + inequality residual — Spark keeps the
+    equi part hashable and applies the range as a join residual."""
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        sup.join(
+            cust,
+            (sup.s_nationkey == cust.c_nationkey)
+            & (sup.s_acctbal < cust.c_acctbal),
+        )
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+        .limit(200)
+    )
+
+
+@query(
+    "d5_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base,
+           CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                      / COUNT(*), 4) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS cnt
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def d5_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (partial+final hash agg, one shuffle on a
+    2-column low-cardinality key). avg is exact-decimal-sum / count so
+    both engines produce the identical float64."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            F.col("l_shipdate") <= F.expr("timestamp_ntz'1998-09-02 00:00:00'")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum(dec("l_quantity")), 2).alias("sum_qty"),
+            rnd(F.sum(dec("l_extendedprice")), 2).alias("sum_base"),
+            F.round(
+                F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 4
+            )
+            .cast("double")
+            .alias("avg_disc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "d6_count_distinct",
+    "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
+)
+def d6_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(F.countDistinct("o_custkey").alias("n"))
+
+
+@query(
+    "d7_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def d7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "d8_rank_topk",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) rnk
+      FROM orders) t WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey
+    """,
+)
+def d8_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+@query(
+    "d9_lag_lead",
+    """
+    SELECT event_id, user_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events ORDER BY user_id, ts, event_id LIMIT 200
+    """,
+)
+def d9_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev", F.lag("event_type").over(w))
+        .select("event_id", "user_id", "prev")
+        .orderBy("user_id", "ts", "event_id")
+        .limit(200)
+    )
+
+
+@query(
+    "d10_running_sum",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                      OVER (ORDER BY o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS run
+    FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+)
+def d10_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec running sum. NOTE: an unpartitioned running window is a
+    single-task operator by definition; kept to oracle semantics here,
+    flagged as a scale anti-pattern (bench uses partitioned windows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            rnd(F.sum(dec("o_totalprice")).over(w), 2).alias("run"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "d11_topk_order",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+    """,
+)
+def d11_topk_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .select("l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@query(
+    "d12_intersect",
+    """
+    SELECT k FROM ((SELECT c_nationkey AS k FROM customer)
+                   INTERSECT (SELECT s_nationkey FROM supplier)) t
+    ORDER BY k
+    """,
+)
+def d12_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    return cust.intersect(sup).orderBy("k")
+
+
+@query(
+    "d13_string_fns",
+    """
+    SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 5)) AS s,
+           REGEXP_EXTRACT(p_type, '([A-Z]+)$', 1) AS t
+    FROM part ORDER BY p_partkey LIMIT 100
+    """,
+)
+def d13_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 5)).alias("s"),
+            F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("t"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "d14_date_trunc",
+    """
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m, COUNT(*) AS cnt
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def d14_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("m")
+    )
+
+
+@query(
+    "d15_array_fns",
+    """
+    SELECT vec_id, LEN(embedding) AS n,
+           CAST(CAST(embedding[1] AS DECIMAL(18,4)) AS DOUBLE) AS e0
+    FROM embeddings ORDER BY vec_id LIMIT 50
+    """,
+)
+def d15_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("n"),
+            F.col("embedding")[0].cast("decimal(18,4)").cast("double").alias("e0"),
+        )
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+@query(
+    "d16_json_fns",
+    """
+    SELECT event_id, json_extract_string(props, '$.k') AS v
+    FROM events ORDER BY event_id LIMIT 50
+    """,
+)
+def d16_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id", F.get_json_object("props", "$.k").alias("v")
+        )
+        .orderBy("event_id")
+        .limit(50)
+    )
+
+
+@query(
+    "d17_tumbling_window",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS w, event_type, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def d17_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregation (batch-equivalent of the streaming
+    window; streaming variant in streaming/windows.py uses window())."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            rnd(F.sum(dec("value")), 2).alias("sum_value"),
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+@query(
+    "d18_distinct_dedup",
+    "SELECT COUNT(*) AS cnt FROM (SELECT DISTINCT event_id FROM events) t",
+)
+def d18_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_id")
+        .dropDuplicates(["event_id"])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "d19_udf_parity",
+    "SELECT doc_id, LENGTH(text) AS n FROM documents ORDER BY doc_id LIMIT 100",
+)
+def d19_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF surface, checked against the built-in
+    LENGTH (the UDF is the demonstration; the contract is parity)."""
+    from pgsink_spark.functions.udfs import str_len
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", str_len("text").alias("n"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "d21_text_group",
+    """
+    SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def d21_text_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars")
+        )
+        .orderBy("lang")
+    )

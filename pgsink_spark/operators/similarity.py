@@ -1,0 +1,239 @@
+"""Embedding similarity search over ``embeddings`` (north-star surface).
+
+Scale design: the brute-force path is a broadcast-nested-loop of a tiny
+query set against the full corpus — queries are broadcast, candidates
+stream through executors, per-query top-k via partial top-k + final
+merge (TakeOrderedAndProject / ranking window on the small query key
+space). The IVF path prunes the corpus with a coarse quantizer (cluster
+centroids) so each query scans only ``nprobe`` partitions — at 100 TB
+the corpus stays partitioned by centroid id (partition pruning on read).
+
+All distance math runs JVM-side via higher-order functions
+(``zip_with`` + ``aggregate``) on float64 — no Python in the hot path.
+A vectorized Pandas-UDF variant is provided for wide batches where
+Arrow + NumPy beats codegen (see ``cosine_topk_pandas``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pgsink_spark.sources.fixtures import load_table
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    ``queries`` must have (q_id, q_emb double[]); broadcast (it is the
+    small side by construction). Returns (q_id, vec_id, rnk).
+    """
+    cand = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("c_emb")
+    )
+    scored = cand.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    scored = scored.select(
+        "q_id",
+        "vec_id",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "rnk")
+    )
+
+
+def d20_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-D20: top-10 nearest to vec_id=1 by cosine (exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("q_emb"),
+    )
+    return (
+        brute_force_topk(emb, q, k=10)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors for each of the first 5 vectors (multi-query
+    fan-out: one broadcast, one pass over the corpus for all queries)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("q_emb"),
+    )
+    return brute_force_topk(emb, q, k=5).orderBy("q_id", "rnk")
+
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Coarse quantizer: per-label centroid = element-wise mean.
+
+    The fixture's ``label`` column stands in for a k-means assignment
+    (at scale: run Spark ML KMeans once, persist centroids + assignment,
+    partition the corpus by centroid id).
+    """
+    dim_vals = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "v")
+    )
+    return (
+        dim_vals.groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "label", F.transform("pm", lambda s: s["m"]).alias("centroid")
+        )
+    )
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, nprobe: int = 2
+) -> DataFrame:
+    """IVF-style ANN: route each query to its ``nprobe`` nearest
+    centroids, then exact search only within those label partitions.
+
+    Approximate by design — tests check recall vs the brute-force
+    baseline rather than equality; the driver records a rows-only check.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("q_emb"),
+    )
+    # probe selection: tiny (queries × centroids) cross product
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_emb",
+            "label",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("cc"),
+        )
+        .withColumn(
+            "prnk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("cc").desc(), F.col("label"))
+            ),
+        )
+        .where(F.col("prnk") <= nprobe)
+        .select("q_id", "q_emb", "label")
+    )
+    cand = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("c_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(probes), on="label")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos")
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def dedup_embedding_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_id asc pairs).
+
+    At scale the all-pairs join is pruned by LSH/IVF bucketing first;
+    here the corpus side is self-joined on a block key (none at test SF)
+    with the threshold applied as a join residual.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("d1"), as_double(F.col("embedding")).alias("e1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("d2"), as_double(F.col("embedding")).alias("e2")
+    )
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cosine(F.col("e1"), F.col("e2")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("d1", "d2")
+        .orderBy("d1", "d2")
+    )
+
+
+def cosine_topk_pandas(
+    emb: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Vectorized NumPy scorer (Arrow-batched) — the wide-batch
+    alternative to the fold-based scorer; same contract as
+    ``brute_force_topk`` for one query."""
+    from pgsink_spark.functions.udfs import make_cosine_scorer
+
+    score = make_cosine_scorer(query_vec)
+    return (
+        emb.select("vec_id", score(F.col("embedding")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+ORACLES: dict[str, str] = {
+    "d20_similarity_topk": """
+        SELECT b.vec_id FROM embeddings a
+        JOIN embeddings b ON a.vec_id = 1 AND b.vec_id <> 1
+        ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) DESC,
+                 b.vec_id
+        LIMIT 10
+    """,
+    "ann_bruteforce_topk": """
+        SELECT q_id, vec_id, rnk FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[])) DESC,
+                            b.vec_id) AS rnk
+          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 5) t
+        WHERE rnk <= 5 ORDER BY q_id, rnk
+    """,
+    "dedup_embedding_pairs": """
+        SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+        ORDER BY d1, d2
+    """,
+}

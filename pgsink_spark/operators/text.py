@@ -1,0 +1,168 @@
+"""Text analysis over ``documents`` (north-star surface).
+
+Everything here is built-in-function arithmetic (JVM-side, codegen'd):
+no Python UDFs in any hot path. Each operator has a DuckDB oracle with
+identical arithmetic so results hash-match.
+
+- language-ID: marker-token frequency heuristic (decision chain);
+- quality score: length / punctuation / stopword-ratio features;
+- token counting: whitespace tokens + a BPE-ish regex segmentation;
+- fingerprinting: min-hash over word-5-gram shingles (winnowing-lite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsink_spark.sources.fixtures import load_table
+
+# marker stopwords per language, counted as ' tok ' substrings
+_MARKERS = {"en": "the", "fr": "le", "de": "der", "es": "el", "zh": "de"}
+
+_TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _substr_count(text: Column, sub: str) -> Column:
+    """Occurrences of a literal substring — pure length arithmetic so the
+    DuckDB oracle can reproduce it exactly."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit(""))))
+        / len(sub)
+    ).cast("bigint")
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-frequency language ID. Deterministic decision chain:
+    first language (fr→de→es order) whose padded-marker count strictly
+    beats 'the' wins, else 'en'."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    counts = {
+        lang: _substr_count(padded, f" {tok} ")
+        for lang, tok in _MARKERS.items()
+        if lang != "zh"
+    }
+    pred = (
+        F.when(counts["fr"] > counts["en"], "fr")
+        .when(counts["de"] > counts["en"], "de")
+        .when(counts["es"] > counts["en"], "es")
+        .otherwise("en")
+    )
+    return docs.select("doc_id", pred.alias("pred_lang")).orderBy("doc_id")
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + a composite score, all exact arithmetic:
+    n_words, stop_ratio ('the' frequency), mean word length."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.lower(F.col("text"))
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_words = F.size(F.split(text, " ")).cast("bigint")
+    n_stop = _substr_count(padded, " the ")
+    mean_wlen = (F.length(text) - (n_words - 1)) / n_words
+    # No final ROUND: Spark's BigDecimal HALF_UP and DuckDB's
+    # multiply-then-rint round() disagree on boundary doubles; the
+    # unrounded float64 pipeline is bit-identical in both engines.
+    score = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(n_stop / n_words * 5.0, F.lit(1.0))) * 0.3
+        + F.least(mean_wlen / 8.0, F.lit(1.0)) * 0.2
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        score.alias("quality"),
+    ).orderBy("doc_id")
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex segment count."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(text, " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{_TOKEN_REGEX}', 0)"))
+        .cast("bigint")
+        .alias("re_tokens"),
+    ).orderBy("doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite doc fingerprint: lexicographic min of md5 over
+    word-5-gram shingles (shift-invariant to local edits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    ).where(F.size("w") >= 5)
+    idx = ", ".join(f"w[i+{j}]" for j in range(5))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(0, size(w)-5), i -> concat_ws(' ', {idx}))")
+        ).alias("shingle"),
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("shingle"))).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+def _duck_count(sub: str) -> str:
+    pad = "concat(' ', lower(text), ' ')"
+    return (
+        f"CAST((len({pad}) - len(replace({pad}, ' {sub} ', ''))) / {len(sub) + 2}"
+        " AS BIGINT)"
+    )
+
+
+ORACLES: dict[str, str] = {
+    "text_lang_id": f"""
+        SELECT doc_id,
+               CASE WHEN {_duck_count('le')} > {_duck_count('the')} THEN 'fr'
+                    WHEN {_duck_count('der')} > {_duck_count('the')} THEN 'de'
+                    WHEN {_duck_count('el')} > {_duck_count('the')} THEN 'es'
+                    ELSE 'en' END AS pred_lang
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality_score": f"""
+        WITH feat AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+                 {_duck_count('the')} AS n_stop,
+                 len(lower(text)) AS n_chars
+          FROM documents
+        )
+        SELECT doc_id, n_words, n_stop,
+               CAST(least(n_words / 100.0, 1.0) * 0.5
+                 + (1.0 - least(n_stop * 1.0 / n_words * 5.0, 1.0)) * 0.3
+                 + least((n_chars - (n_words - 1)) * 1.0 / n_words / 8.0, 1.0) * 0.2
+                 AS DOUBLE) AS quality
+        FROM feat ORDER BY doc_id
+    """,
+    "text_token_count": f"""
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{_TOKEN_REGEX}'))
+                    AS BIGINT) AS re_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "text_fingerprint": """
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+          WHERE len(string_split(lower(text), ' ')) >= 5
+        ), pos AS (
+          SELECT doc_id, w, unnest(range(1, len(w)-3)) AS i FROM toks
+        ), sh AS (
+          SELECT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                      || ' ' || w[i+4] AS shingle
+          FROM pos
+        )
+        SELECT doc_id, min(md5(shingle)) AS fp FROM sh
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+}

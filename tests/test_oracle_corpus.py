@@ -1,0 +1,40 @@
+"""Oracle corpus: every queries() entry with a declared oracle must
+hash-match DuckDB on the fixture tables (the driver's t2 gate, run here
+at sf0.001 for speed; tools/selfcheck.py runs the same at sf0.01).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from pgsink_spark.testing import compare_frames, duckdb_conn
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_conn(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(name, spark, sf_dir, duck):
+    sdf = QUERIES[name](spark, sf_dir)
+    problems = compare_frames(sdf, duck, ORACLES[name])
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["user_id", "event_type", "value"]

@@ -1,0 +1,50 @@
+"""Similarity-search behavior beyond the oracle corpus: IVF recall vs
+brute force, and the pandas-UDF scorer's parity with the fold scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pgsink_spark.operators import similarity as sim
+from pgsink_spark.sources.fixtures import load_table
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """With nprobe = n_partitions the IVF path must reproduce the exact
+    result — validates routing + per-partition search + merge. (The
+    fixture embeddings are near-random, so pruned-probe recall is
+    data-noise; the machinery is what we assert.)"""
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    full = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_ivf_topk(spark, sf_dir, nprobe=n_labels).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_pruned_probe_runs(spark, sf_dir):
+    rows = sim.ann_ivf_topk(spark, sf_dir, nprobe=2).collect()
+    assert len(rows) == 25  # 5 queries × top-5
+
+
+def test_pandas_scorer_matches_fold_scorer(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.where(F.col("vec_id") == 1).select("embedding").head()[0]
+    )
+    pandas_top = [
+        r.vec_id
+        for r in sim.cosine_topk_pandas(
+            emb.where(F.col("vec_id") != 1), [float(x) for x in qvec], k=10
+        ).collect()
+    ]
+    fold_top = [
+        r.vec_id for r in sim.d20_similarity_topk(spark, sf_dir).collect()
+    ]
+    assert sorted(pandas_top) == sorted(fold_top)
