@@ -1,0 +1,106 @@
+"""Modification envelope: one row change, before/after images.
+
+Mirrors the reference's ``Modification`` record — ``Timestamp, Namespace,
+Name, LSN *uint64, Before, After`` (reference
+pkg/changelog/modification.go:11-18) — as a Spark ``StructType``.
+``Operation`` is derived, never stored
+(pkg/changelog/modification.go:103-123): an entry with a null LSN is an
+IMPORT (backfill) row; otherwise null-ness of before/after discriminates
+INSERT/DELETE/UPDATE. ``after_or_before`` is the last known row image
+(delete → before, pkg/changelog/modification.go:127-133).
+
+Scale note: the envelope keeps ``before``/``after`` as *typed struct
+columns* (one payload StructType per table), so every downstream
+operator — routing, compaction windows, sink projections — stays inside
+Tungsten codegen; nothing serializes payloads to strings on the hot
+path. ``to_envelope`` is a pure ``select`` over an arbitrary source
+scan, so Catalyst still pushes filters/pruning into the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+OP_IMPORT = "IMPORT"
+OP_INSERT = "INSERT"
+OP_UPDATE = "UPDATE"
+OP_DELETE = "DELETE"
+
+
+def envelope_schema(payload: T.StructType) -> T.StructType:
+    """Envelope StructType for a table whose row payload is ``payload``."""
+    return T.StructType(
+        [
+            T.StructField("timestamp", T.TimestampType(), False),
+            T.StructField("namespace", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("before", payload, True),
+            T.StructField("after", payload, True),
+        ]
+    )
+
+
+def operation(
+    lsn: Column | str = "lsn",
+    before: Column | str = "before",
+    after: Column | str = "after",
+) -> Column:
+    """Derived operation column (IMPORT/INSERT/DELETE/UPDATE)."""
+    lsn, before, after = (F.col(c) if isinstance(c, str) else c for c in (lsn, before, after))
+    return (
+        F.when(lsn.isNull(), F.lit(OP_IMPORT))
+        .when(before.isNull(), F.lit(OP_INSERT))
+        .when(after.isNull(), F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPDATE))
+    )
+
+
+def after_or_before(
+    before: Column | str = "before", after: Column | str = "after"
+) -> Column:
+    """Last known row image: after unless deleted, else before."""
+    before, after = (F.col(c) if isinstance(c, str) else c for c in (before, after))
+    return F.coalesce(after, before)
+
+
+def to_envelope(
+    rows: DataFrame,
+    namespace: str,
+    name: str,
+    timestamp: Column | None = None,
+    lsn: Column | None = None,
+) -> DataFrame:
+    """Wrap a plain row DataFrame as IMPORT-style envelope entries.
+
+    This is the batch-import projection: every source row becomes an
+    entry with ``before = NULL`` and ``after = struct(*row)``; a null
+    ``lsn`` marks it as an import (backfill) row, exactly the
+    reference's import marshaling (pkg/imports/importer.go:210-245 emits
+    modifications with LSN=nil).
+    """
+    ts = timestamp if timestamp is not None else F.current_timestamp()
+    lsn_col = lsn if lsn is not None else F.lit(None).cast("bigint")
+    payload = F.struct(*[F.col(c) for c in rows.columns])
+    return rows.select(
+        ts.alias("timestamp"),
+        F.lit(namespace).alias("namespace"),
+        F.lit(name).alias("name"),
+        lsn_col.alias("lsn"),
+        F.lit(None).cast(payload_type_of(rows)).alias("before"),
+        payload.alias("after"),
+    )
+
+
+def payload_type_of(rows: DataFrame) -> T.StructType:
+    """The payload StructType a row DataFrame maps to."""
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in rows.schema.fields]
+    )
+
+
+def with_operation(env: DataFrame) -> DataFrame:
+    """Envelope + derived ``operation`` column."""
+    return env.withColumn("operation", operation())

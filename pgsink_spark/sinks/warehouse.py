@@ -1,0 +1,113 @@
+"""Warehouse sink: append-only ``_raw`` table + most-recent-row view.
+
+Reference parity: the BigQuery sink creates ``<name>_raw`` with the
+envelope schema (timestamp, lsn, operation, payload RECORD), clustered
+by primary key and time-partitioned by timestamp
+(pkg/sinks/bigquery/schema_builders.go:28-110, table.go:28-63), then
+installs a read-time compaction view — ``row_number() over (partition by
+pk order by timestamp desc)``, keep row 1, drop DELETEs
+(schema_builders.go:115-161; golden fixture
+pkg/sinks/bigquery/schema_builders_test.go:110-129).
+
+Spark-first shape: the raw table is parquet (or Delta where available)
+partitioned by ``to_date(timestamp)`` — partition pruning gives the
+time-travel reads; the view is plain Spark SQL installed with
+``CREATE OR REPLACE TEMP VIEW``. At 100 TB the view cost is bounded by
+the partitions a query touches, and an optional incremental MERGE
+compactor can materialize it without changing readers.
+
+``compaction_view_sql`` is covered by a byte-exact golden test
+(tests/testdata/view.example.sql), the same discipline as the
+reference's golden-file test.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsink_spark.changelog.envelope import after_or_before, operation
+from pgsink_spark.changelog.registry import SchemaEntry
+from pgsink_spark.sinks.generic import InsertResult, SchemaHandler, write_batch
+
+VIEW_TEMPLATE = """CREATE OR REPLACE TEMPORARY VIEW `{view}` AS
+SELECT payload.*
+FROM (
+  SELECT payload, operation,
+         ROW_NUMBER() OVER (
+           PARTITION BY {pk_list}
+           ORDER BY timestamp DESC, lsn DESC NULLS LAST
+         ) AS row_number
+  FROM `{raw}`
+)
+WHERE row_number = 1 AND operation != 'DELETE'
+"""
+
+
+def compaction_view_sql(view: str, raw: str, key_columns: list[str]) -> str:
+    """Most-recent-row view DDL over a raw envelope table."""
+    pk_list = ", ".join(f"payload.`{c}`" for c in key_columns)
+    return VIEW_TEMPLATE.format(view=view, raw=raw, pk_list=pk_list)
+
+
+class WarehouseSink:
+    """Parquet ``_raw`` append tables + compaction views per table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._schema_handler = SchemaHandler(self._sync_table)
+        self._keys: dict[tuple[str, str], list[str]] = {}
+
+    def _raw_name(self, namespace: str, name: str) -> str:
+        return f"{namespace}_{name}_raw"
+
+    def _raw_path(self, namespace: str, name: str) -> str:
+        return os.path.join(self.root, f"{self._raw_name(namespace, name)}")
+
+    def _sync_table(self, entry: SchemaEntry) -> None:
+        """DDL sync: remember the pk; (re)install the view lazily."""
+        self._keys[(entry.namespace, entry.name)] = list(entry.key_columns)
+
+    def handle_schema(self, entry: SchemaEntry) -> str:
+        return self._schema_handler.handle(entry)
+
+    def insert(self, env: DataFrame, namespace: str, name: str) -> InsertResult:
+        """Append one envelope batch into the table's raw storage.
+
+        A typed envelope batch carries one table's payload StructType, so
+        raw storage is one path per table (schema-stable scans), written
+        day-partitioned — the same time-partitioning the reference
+        requests from BigQuery. Day partitions + parquet min/max stats
+        give readers partition pruning for time-bounded queries.
+        """
+
+        def writer(df: DataFrame) -> None:
+            (
+                df.select(
+                    "timestamp",
+                    "lsn",
+                    operation().alias("operation"),
+                    after_or_before().alias("payload"),
+                    F.to_date("timestamp").alias("day"),
+                )
+                .write.mode("append")
+                .partitionBy("day")
+                .parquet(self._raw_path(namespace, name))
+            )
+
+        return write_batch(env, writer)
+
+    def install_view(self, namespace: str, name: str) -> str:
+        """Register raw scan + compaction view; return the view name."""
+        raw_view = self._raw_name(namespace, name)
+        keys = self._keys[(namespace, name)]
+        (
+            self.spark.read.parquet(self._raw_path(namespace, name))
+            .createOrReplaceTempView(raw_view)
+        )
+        view = f"{namespace}_{name}"
+        self.spark.sql(compaction_view_sql(view, raw_view, keys))
+        return view

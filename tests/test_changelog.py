@@ -1,0 +1,168 @@
+"""M0: envelope, operation derivation, type registry, fingerprints.
+
+Mirrors the reference's decode test discipline (pkg/decode/decode_test.go:
+every registered type round-trips a value AND a NULL) against the Spark
+type registry, plus the modification semantics tests.
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pgsink_spark.changelog import (
+    SchemaEntry,
+    UnregisteredType,
+    after_or_before,
+    operation,
+    schema_fingerprint,
+    spark_type_for,
+    table_diff,
+    table_includes,
+    to_envelope,
+)
+from pgsink_spark.changelog.envelope import with_operation
+from pgsink_spark.changelog.types import UNSUPPORTED, supported_type_names
+
+# One non-NULL example per registered scalar type (NULL case is applied
+# to every type automatically below).
+_EXAMPLES = {
+    "bool": True,
+    "bytea": b"\x01\x02",
+    "name": "nm",
+    "int8": 2**40,
+    "int2": 12,
+    "int4": 2**20,
+    "text": "hello",
+    "oid": 2**31 + 5,  # > int32: must widen, not wrap
+    "xid": 2**31 + 6,
+    "cid": 2**31 + 7,
+    "json": '{"a":1}',
+    "float4": 1.5,
+    "float8": 2.25,
+    "varchar": "vc",
+    "date": datetime.date(2024, 1, 2),
+    "time": "12:34:56",
+    "timestamp": datetime.datetime(2024, 1, 2, 3, 4, 5),
+    "timestamptz": datetime.datetime(2024, 1, 2, 3, 4, 5),
+    "numeric": Decimal("1234.5678"),
+    "jsonb": '{"b":2}',
+}
+
+
+@pytest.mark.parametrize("pg_type", sorted(_EXAMPLES))
+def test_scalar_type_roundtrip(spark, pg_type):
+    dt = spark_type_for(pg_type)
+    schema = T.StructType([T.StructField("field", dt, True)])
+    # mandatory NULL case + a real value, like decode_test.go requires
+    df = spark.createDataFrame([(None,), (_EXAMPLES[pg_type],)], schema)
+    got = [r["field"] for r in df.orderBy(F.col("field").asc_nulls_first()).collect()]
+    assert got[0] is None
+    assert got[1] is not None
+
+
+def test_array_types_roundtrip(spark):
+    dt = spark_type_for("_int4")
+    assert dt == T.ArrayType(T.IntegerType(), True)
+    schema = T.StructType([T.StructField("field", dt, True)])
+    df = spark.createDataFrame([(None,), ([1, None, 3],)], schema)
+    got = sorted((r["field"] for r in df.collect()), key=lambda v: v is not None)
+    assert got[0] is None
+    assert list(got[1]) == [1, None, 3]
+
+
+def test_oid_lookup_matches_name_lookup():
+    assert spark_type_for(23) == spark_type_for("int4")
+    assert spark_type_for(1231) == spark_type_for("_numeric")
+
+
+def test_numeric_bug_compat_flag():
+    assert spark_type_for("numeric") == T.DecimalType(38, 18)
+    assert spark_type_for("numeric", numeric_as_double=True) == T.DoubleType()
+
+
+@pytest.mark.parametrize("bad", sorted(UNSUPPORTED) + ["no_such_type", 99999])
+def test_unsupported_types_raise(bad):
+    with pytest.raises(UnregisteredType):
+        spark_type_for(bad)
+
+
+def test_registry_is_complete():
+    # 20 scalars + 12 arrays, mirroring mappings.go's supported set
+    assert len(supported_type_names()) == 32
+
+
+def test_operation_derivation(spark):
+    rows = [
+        # (lsn, before, after) → op
+        (None, None, {"v": 1}, "IMPORT"),
+        (10, None, {"v": 1}, "INSERT"),
+        (11, {"v": 1}, None, "DELETE"),
+        (12, {"v": 1}, {"v": 2}, "UPDATE"),
+    ]
+    payload = T.StructType([T.StructField("v", T.LongType())])
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("before", payload, True),
+            T.StructField("after", payload, True),
+            T.StructField("expect", T.StringType(), False),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = df.select(
+        "expect", operation().alias("op"), after_or_before().alias("img")
+    ).collect()
+    for r in got:
+        assert r["op"] == r["expect"]
+    # delete keeps the before image; others keep after
+    by_op = {r["op"]: r["img"] for r in got}
+    assert by_op["DELETE"]["v"] == 1
+    assert by_op["UPDATE"]["v"] == 2
+
+
+def test_to_envelope_import_rows(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    env = with_operation(to_envelope(nation, "public", "nation"))
+    rows = env.collect()
+    assert len(rows) == nation.count()
+    assert all(r["operation"] == "IMPORT" for r in rows)
+    assert all(r["lsn"] is None and r["before"] is None for r in rows)
+    assert {r["after"]["n_name"] for r in rows} == {
+        r["n_name"] for r in nation.collect()
+    }
+
+
+def test_schema_fingerprint_stability_and_sensitivity():
+    p1 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    p2 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    assert schema_fingerprint(p1, ["id"]) == schema_fingerprint(p1, ["id"])
+    assert schema_fingerprint(p1, ["id"]) != schema_fingerprint(p2, ["id"])
+    # key flag participates, like the reference's (key,name,type) tuple
+    assert schema_fingerprint(p1, ["id"]) != schema_fingerprint(p1, [])
+
+    e = SchemaEntry("public", "t", p1, ["id"], lsn=5)
+    row = e.to_row()
+    back = SchemaEntry.from_row(row)
+    assert back.payload == p1
+    assert back.fingerprint == e.fingerprint
+
+
+def test_table_diff_and_includes(spark):
+    a = spark.createDataFrame(
+        [("public", "a"), ("public", "b"), ("other", "c")],
+        ["namespace", "name"],
+    )
+    b = spark.createDataFrame([("public", "b")], ["namespace", "name"])
+    diff = {(r[0], r[1]) for r in table_diff(a, b).collect()}
+    incl = {(r[0], r[1]) for r in table_includes(a, b).collect()}
+    assert diff == {("public", "a"), ("other", "c")}
+    assert incl == {("public", "b")}

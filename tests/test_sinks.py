@@ -1,0 +1,160 @@
+"""M2: generic sink machinery, file sink, warehouse sink + compaction.
+
+Mirrors the reference's sink test strategy: schema-handler idempotency
+(pkg/sinks/generic/schema_handler tests), insert-result folding, the
+golden-file compaction-view SQL test
+(pkg/sinks/bigquery/schema_builders_test.go:110-129), and an e2e slice:
+fixture rows → envelope → sink → read back / compacted view.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pgsink_spark.changelog import SchemaEntry, to_envelope
+from pgsink_spark.sinks import (
+    FileSink,
+    InsertResult,
+    WarehouseSink,
+    compaction_view_sql,
+)
+from pgsink_spark.sinks.generic import SchemaHandler, batch_result
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _env_rows(spark, rows):
+    """Build a typed envelope DataFrame from (ts, lsn, before, after)."""
+    schema = T.StructType(
+        [
+            T.StructField("timestamp", T.TimestampType(), False),
+            T.StructField("namespace", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("before", PAYLOAD, True),
+            T.StructField("after", PAYLOAD, True),
+        ]
+    )
+    full = [
+        (datetime.datetime(2024, 1, 1, 0, 0, s), "public", "example", lsn, b, a)
+        for s, (lsn, b, a) in enumerate(rows)
+    ]
+    return spark.createDataFrame(full, schema)
+
+
+def test_insert_result_fold():
+    r = InsertResult(3, 10).fold(InsertResult(2, None)).fold(InsertResult(1, 99))
+    assert r == InsertResult(6, 99)
+
+
+def test_batch_result_is_ack_watermark(spark):
+    env = _env_rows(
+        spark,
+        [(5, None, {"id": 1, "v": "a"}), (9, None, {"id": 2, "v": "b"}),
+         (None, None, {"id": 3, "v": "c"})],
+    )
+    assert batch_result(env) == InsertResult(3, 9)
+
+
+def test_schema_handler_idempotent_by_fingerprint():
+    calls = []
+    h = SchemaHandler(lambda e: calls.append(e.fingerprint))
+    e1 = SchemaEntry("public", "t", PAYLOAD, ["id"])
+    assert h.handle(e1) == "update"
+    assert h.handle(e1) == "noop"
+    p2 = T.StructType(PAYLOAD.fields + [T.StructField("w", T.LongType())])
+    assert h.handle(SchemaEntry("public", "t", p2, ["id"])) == "update"
+    # other tables don't share the cache
+    assert h.handle(SchemaEntry("public", "u", PAYLOAD, ["id"])) == "update"
+    assert len(calls) == 3
+
+
+def test_compaction_view_sql_golden():
+    got = compaction_view_sql("public_example", "public_example_raw", ["id"])
+    want = open(os.path.join(HERE, "testdata", "view.example.sql")).read()
+    assert got == want
+
+
+def test_compaction_view_sql_composite_key():
+    sql = compaction_view_sql("v", "r", ["user_id", "event_type"])
+    assert "PARTITION BY payload.`user_id`, payload.`event_type`" in sql
+
+
+def test_file_sink_e2e(spark, sf_dir, tmp_path):
+    sink = FileSink(str(tmp_path / "files"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    env = to_envelope(nation, "public", "nation",
+                      timestamp=F.lit("2024-01-01 00:00:00").cast("timestamp"))
+
+    st = sink.handle_schema(
+        SchemaEntry("public", "nation", nation.schema, ["n_nationkey"])
+    )
+    assert st == "update"
+    res = sink.insert(env)
+    assert res.count == nation.count()
+    assert res.max_lsn is None  # import rows carry no LSN
+
+    back = spark.read.json(os.path.join(sink.modifications_path))
+    assert back.count() == nation.count()
+    assert set(back.select("operation").distinct().toPandas()["operation"]) == {
+        "IMPORT"
+    }
+    # schema entry landed as one NDJSON line with the pk recorded
+    line = json.loads(
+        open(os.path.join(sink.schemas_path, "public.nation.jsonl")).read()
+    )
+    assert line["key_columns"] == ["n_nationkey"]
+
+
+def test_warehouse_sink_compaction_e2e(spark, tmp_path):
+    """INSERT + UPDATE + DELETE streams compact to the latest live rows."""
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "example", PAYLOAD, ["id"]))
+
+    batch1 = _env_rows(
+        spark,
+        [
+            (10, None, {"id": 1, "v": "a0"}),
+            (11, None, {"id": 2, "v": "b0"}),
+            (12, None, {"id": 3, "v": "c0"}),
+        ],
+    )
+    r1 = sink.insert(batch1, "public", "example")
+    assert r1 == InsertResult(3, 12)
+
+    # update id=1, delete id=2
+    batch2 = _env_rows(
+        spark,
+        [
+            (20, {"id": 1, "v": "a0"}, {"id": 1, "v": "a1"}),
+            (21, {"id": 2, "v": "b0"}, None),
+        ],
+    )
+    # make batch2 strictly later than batch1
+    batch2 = batch2.withColumn(
+        "timestamp", F.col("timestamp") + F.expr("interval 1 hour")
+    )
+    r2 = sink.insert(batch2, "public", "example")
+    assert r2 == InsertResult(2, 21)
+
+    view = sink.install_view("public", "example")
+    got = {
+        (r["id"], r["v"])
+        for r in spark.table(view).collect()
+    }
+    assert got == {(1, "a1"), (3, "c0")}
+    # raw table retains full history (at-least-once, append-only)
+    assert spark.table("public_example_raw").count() == 5
