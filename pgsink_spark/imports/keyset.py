@@ -1,0 +1,65 @@
+"""Keyset-paginated snapshot reads.
+
+The reference's import scan is
+``SELECT NOW(), cols FROM t [WHERE pk > $cursor] ORDER BY pk LIMIT n``
+with the resume cursor = last pk read (pkg/imports/import.go:209-223) —
+keyset pagination over the PK index, never OFFSET (README.md:31-33).
+
+Two Spark shapes, used together:
+
+- ``keyset_batch`` — the *resumable driver loop* step: one bounded batch
+  per call. Catalyst pushes ``pk > cursor`` into the source scan
+  (JDBC pushdown / parquet min-max skipping), so each batch reads only
+  the tail it needs, exactly like the reference's index traversal. This
+  is the shape that keeps source transactions short (snapshot-timeout
+  semantics) and survives restarts.
+- ``partitioned_snapshot`` — the *parallel bulk* step: Spark's native
+  range-partitioned read (JDBC ``partitionColumn/lowerBound/upperBound/
+  numPartitions``) for the initial fill, when resumability matters less
+  than throughput. At 1000 executors this is N concurrent range scans,
+  no driver bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def keyset_batch(
+    source: DataFrame,
+    pk: str,
+    cursor=None,
+    limit: int = 5000,
+) -> tuple[DataFrame, object | None, bool]:
+    """One keyset batch: (rows, next_cursor, done).
+
+    ``rows`` is ordered by pk and bounded by ``limit``; ``next_cursor``
+    is the max pk in the batch (None when the batch is empty);
+    ``done`` marks a batch smaller than ``limit`` — the scan tail.
+    """
+    scan = source
+    if cursor is not None:
+        scan = scan.where(F.col(pk) > F.lit(cursor))
+    batch = scan.orderBy(pk).limit(limit)
+    # One extra action to learn the cursor; the batch itself stays lazy
+    # for the sink write. agg(max, count) is a partial-agg single row.
+    row = batch.agg(
+        F.max(pk).alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    next_cursor = row["mx"]
+    done = row["n"] < limit
+    return batch, next_cursor, done
+
+
+def partitioned_snapshot(
+    source: DataFrame, pk: str, num_partitions: int = 32
+) -> DataFrame:
+    """Range-partitioned parallel snapshot (initial-fill path).
+
+    ``repartitionByRange`` on the pk mirrors the JDBC partitioned read:
+    each output partition is a contiguous pk range, so a downstream
+    per-partition writer produces the same chunking the reference's
+    cursor loop would, but N-way parallel.
+    """
+    return source.repartitionByRange(num_partitions, F.col(pk))
