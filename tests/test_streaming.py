@@ -1,0 +1,320 @@
+"""M4: pgoutput decode, sequencing, marshal, subscription semantics,
+and the Structured Streaming envelope path.
+
+Mirrors the reference's test tiers: fixed-bytes decoder tests
+(pkg/logical/decoder tests), sequencing (pkg/subscription/sequence),
+marshal with relation cache (pkg/subscription/changelog), and the
+subscription contract — no redelivery after confirm, replay otherwise
+(pkg/subscription/subscription_test.go:205-262).
+"""
+
+from __future__ import annotations
+
+import datetime
+from datetime import timezone
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pgsink_spark.changelog.envelope import with_operation
+from pgsink_spark.streaming import (
+    Begin,
+    Commit,
+    Delete,
+    Insert,
+    OffsetStore,
+    Relation,
+    RelationCache,
+    RelationColumn,
+    Sequencer,
+    Update,
+    decode_message,
+    marshal,
+)
+from pgsink_spark.streaming.decoder import (
+    UNCHANGED,
+    encode_begin,
+    encode_commit,
+    encode_delete,
+    encode_insert,
+    encode_relation,
+    encode_update,
+    pg_timestamp,
+)
+from pgsink_spark.streaming.marshal import text_parser_for
+from pgsink_spark.streaming.stream import (
+    envelope_file_stream,
+    modifications_df,
+    run_to_sink,
+    session_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+from pgsink_spark.streaming.subscription import Subscription
+
+TS = datetime.datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+REL = Relation(
+    oid=16384,
+    namespace="public",
+    name="example",
+    replica_identity=0,
+    columns=(
+        RelationColumn(key=True, name="id", type_oid=20, modifier=-1),
+        RelationColumn(key=False, name="msg", type_oid=25, modifier=-1),
+        RelationColumn(key=False, name="score", type_oid=1700, modifier=-1),
+    ),
+)
+
+
+def _txn(lsn, xid, *dml):
+    """Wire bytes for one transaction containing the given DML bytes."""
+    return [
+        encode_begin(lsn, TS, xid),
+        *dml,
+        encode_commit(0, lsn, lsn + 1, TS),
+    ]
+
+
+# -- decoder ------------------------------------------------------------
+
+def test_decode_begin_commit_roundtrip():
+    b = decode_message(encode_begin(1000, TS, 77))
+    assert b == Begin(1000, TS, 77)
+    c = decode_message(encode_commit(0, 1000, 1001, TS))
+    assert c == Commit(0, 1000, 1001, TS)
+
+
+def test_pg_epoch_micros():
+    # microseconds since 2000-01-01 (reference decoder.go:178-182)
+    assert pg_timestamp(0) == datetime.datetime(2000, 1, 1, tzinfo=timezone.utc)
+    assert pg_timestamp(86_400_000_000) == datetime.datetime(
+        2000, 1, 2, tzinfo=timezone.utc
+    )
+
+
+def test_decode_relation_roundtrip():
+    r = decode_message(encode_relation(REL))
+    assert r == REL
+    assert r.columns[0].key and not r.columns[1].key
+
+
+def test_decode_insert_update_delete():
+    ins = decode_message(encode_insert(REL.oid, (b"1", b"hello", b"1.5")))
+    assert ins == Insert(REL.oid, (b"1", b"hello", b"1.5"))
+
+    # update with TOAST-unchanged element and no old tuple
+    upd = decode_message(encode_update(REL.oid, (b"1", UNCHANGED, b"2.5")))
+    assert isinstance(upd, Update)
+    assert upd.new[1] is UNCHANGED and upd.old is None and upd.key is None
+
+    # update with key tuple (REPLICA IDENTITY via key change)
+    updk = decode_message(
+        encode_update(REL.oid, (b"2", b"x", b"0"), key=(b"1", None, None))
+    )
+    assert updk.key == (b"1", None, None)
+
+    d = decode_message(encode_delete(REL.oid, key=(b"1", None, None)))
+    assert d == Delete(REL.oid, None, (b"1", None, None))
+
+
+def test_decode_unknown_kind_raises():
+    with pytest.raises(ValueError, match="unknown pgoutput message"):
+        decode_message(b"Zjunk")
+
+
+# -- text parsers -------------------------------------------------------
+
+def test_text_parsers_cover_registry():
+    assert text_parser_for(16)("t") is True
+    assert text_parser_for(20)("9000000000") == 9000000000
+    assert text_parser_for(1700)("12.34") == Decimal("12.34")
+    assert text_parser_for(17)("\\x0102") == b"\x01\x02"
+    assert text_parser_for(1082)("2024-01-02") == datetime.date(2024, 1, 2)
+    got = text_parser_for(1184)("2024-01-02 03:04:05+00")
+    assert got == datetime.datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+    assert text_parser_for(1007)("{1,2,NULL}") == [1, 2, None]
+    assert text_parser_for(1009)('{a,"b,c",NULL}') == ["a", "b,c", None]
+    with pytest.raises(Exception, match="unsupported postgres type"):
+        text_parser_for(2950)  # uuid — explicitly unsupported
+
+
+# -- sequencing ---------------------------------------------------------
+
+def test_sequencer_wraps_and_counts():
+    seq = Sequencer()
+    assert seq.feed(decode_message(encode_begin(500, TS, 9))) is None
+    s1 = seq.feed(decode_message(encode_insert(REL.oid, (b"1", b"a", b"0"))))
+    s2 = seq.feed(decode_message(encode_insert(REL.oid, (b"2", b"b", b"0"))))
+    assert (s1.lsn, s1.sequence) == (500, 1)
+    assert (s2.lsn, s2.sequence) == (500, 2)
+    assert s1.xid == 9 and s1.commit_time == TS
+    assert seq.feed(decode_message(encode_commit(0, 500, 501, TS))) is None
+    # DML outside a txn is a protocol error
+    with pytest.raises(ValueError, match="outside a transaction"):
+        seq.feed(decode_message(encode_insert(REL.oid, (b"3", b"c", b"0"))))
+
+
+# -- marshal ------------------------------------------------------------
+
+def test_marshal_typed_rows_and_toast_fallback():
+    cache = RelationCache()
+    seq = Sequencer()
+    mods = []
+    wire = _txn(
+        600,
+        10,
+        encode_relation(REL),
+        encode_insert(REL.oid, (b"1", b"hello", b"1.25")),
+        encode_update(
+            REL.oid, (b"1", UNCHANGED, b"2.50"), old=(b"1", b"hello", b"1.25")
+        ),
+        encode_delete(REL.oid, old=(b"1", b"hello", b"2.50")),
+    )
+    for buf in wire:
+        sm = seq.feed(decode_message(buf))
+        if sm is None:
+            continue
+        m = marshal(cache, sm)
+        if m is not None:
+            mods.append(m)
+
+    ins, upd, dele = mods
+    assert ins.after == {"id": 1, "msg": "hello", "score": Decimal("1.25")}
+    assert ins.before is None and ins.sequence == 2  # Relation took seq 1
+    # unchanged TOAST column keeps the old value
+    assert upd.after["msg"] == "hello" and upd.after["score"] == Decimal("2.50")
+    assert dele.after is None and dele.before["id"] == 1
+    assert [m.lsn for m in mods] == [600, 600, 600]
+
+
+def test_marshal_unknown_relation_errors():
+    cache = RelationCache()
+    seq = Sequencer()
+    seq.feed(decode_message(encode_begin(1, TS, 1)))
+    sm = seq.feed(decode_message(encode_insert(999, (b"1",))))
+    with pytest.raises(ValueError, match="before its Relation"):
+        marshal(cache, sm)
+
+
+# -- subscription: confirm / replay contract ----------------------------
+
+def test_subscription_no_redelivery_after_confirm(tmp_path):
+    wire = [
+        *_txn(100, 1, encode_relation(REL), encode_insert(REL.oid, (b"1", b"a", b"0"))),
+        *_txn(200, 2, encode_insert(REL.oid, (b"2", b"b", b"0"))),
+        *_txn(300, 3, encode_insert(REL.oid, (b"3", b"c", b"0"))),
+    ]
+    offsets = OffsetStore(str(tmp_path / "offsets.json"))
+    sub = Subscription(offsets)
+    got = [m.after["id"] for m in sub.stream(wire)]
+    assert got == [1, 2, 3]
+
+    # flush through LSN 200, restart (fresh store from same file)
+    sub.confirm(200)
+    sub2 = Subscription(OffsetStore(str(tmp_path / "offsets.json")))
+    got2 = [m.after["id"] for m in sub2.stream(wire)]
+    assert got2 == [3]  # ≤200 not redelivered; 300 replays
+
+    with pytest.raises(ValueError, match="regression"):
+        sub2.confirm(100)
+
+
+# -- Structured Streaming path ------------------------------------------
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("msg", T.StringType()),
+    ]
+)
+
+
+def test_envelope_stream_foreachbatch(spark, tmp_path):
+    """File-stream envelope source → foreachBatch sink, availableNow."""
+    src = str(tmp_path / "envelopes")
+    naive = TS.replace(tzinfo=None)
+    df = spark.createDataFrame(
+        [
+            (naive, "public", "example", 10, None, {"id": 1, "msg": "a"}),
+            (naive, "public", "example", 11, {"id": 1, "msg": "a"}, None),
+        ],
+        schema=T.StructType(
+            [
+                T.StructField("timestamp", T.TimestampType(), False),
+                T.StructField("namespace", T.StringType(), False),
+                T.StructField("name", T.StringType(), False),
+                T.StructField("lsn", T.LongType(), True),
+                T.StructField("before", PAYLOAD, True),
+                T.StructField("after", PAYLOAD, True),
+            ]
+        ),
+    )
+    df.write.parquet(src)
+
+    captured = []
+
+    def insert(batch, batch_id):
+        rows = with_operation(batch).collect()
+        captured.extend(rows)
+
+    stream = envelope_file_stream(spark, src, PAYLOAD)
+    assert stream.isStreaming
+    run_to_sink(stream, insert, str(tmp_path / "ckpt"))
+
+    ops = sorted(r["operation"] for r in captured)
+    assert ops == ["DELETE", "INSERT"]
+
+    # restart with same checkpoint: no files re-processed (exactly-once
+    # file tracking — the confirmed-LSN analogue)
+    captured.clear()
+    run_to_sink(envelope_file_stream(spark, src, PAYLOAD), insert,
+                str(tmp_path / "ckpt"))
+    assert captured == []
+
+
+def test_streaming_windows_and_dedup(spark, sf_dir, tmp_path):
+    """Streaming windows/dedup over events, checked against batch."""
+    from pgsink_spark.sources.fixtures import load_table
+
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+    # cast is deterministic
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    results = {}
+
+    def capture(name):
+        def fn(batch, _bid):
+            results.setdefault(name, []).extend(batch.collect())
+        return fn
+
+    for name, sdf in {
+        "tumbling": tumbling_window_agg(stream),
+        "session": session_window_agg(stream, gap="30 minutes"),
+        "dedup": stream_dedup(stream),
+    }.items():
+        q = (
+            sdf.writeStream.foreachBatch(capture(name))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .outputMode("append" if name == "dedup" else "complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch equivalents
+    batch_tumbling = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .count()
+    )
+    assert len(results["tumbling"]) == batch_tumbling
+    assert len(results["dedup"]) == events.select("event_id").distinct().count()
+    assert len(results["session"]) > 0
