@@ -41,6 +41,27 @@ def md5_hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, s) distinct word n-grams as xxhash64 bigints.
+
+    The scale-path shingle representation: the n-gram is hashed
+    JVM-side straight from the token slots (no string concat, no md5),
+    and every downstream shuffle carries bigints instead of strings.
+    Set semantics survive hashing (collision odds ≈ |shingles|²/2⁶⁴),
+    so Jaccard over hashed shingles equals Jaccard over strings.
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    ).where(F.size("w") >= n)
+    slots = ", ".join(f"w[i+{j}]" for j in range(n))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(0, size(w)-{n}), i -> xxhash64({slots}))")
+        ).alias("s"),
+    ).distinct()
+
+
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct word n-grams of lower(text)."""
     toks = docs.select(
@@ -71,20 +92,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_jaccard(sh: DataFrame, max_shingle_freq: int | None = None) -> DataFrame:
-    """(d1, d2, jac) for all pairs sharing ≥1 shingle."""
+    """(d1, d2, jac) for all pairs sharing ≥1 shingle.
+
+    ``sh`` is hashed shingles (doc_id, s) — the inverted-index self-join
+    shuffles bigint keys, not n-gram strings. Jaccard over hashed
+    shingles equals string Jaccard (collisions ≈ |shingles|²/2⁶⁴).
+    """
     if max_shingle_freq is not None:
         hot = (
-            sh.groupBy("shingle")
+            sh.groupBy("s")
             .count()
             .where(F.col("count") > max_shingle_freq)
-            .select("shingle")
+            .select("s")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "s")
         .where(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -108,7 +134,7 @@ def _pair_jaccard(sh: DataFrame, max_shingle_freq: int | None = None) -> DataFra
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.8."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, 3)
+    sh = hashed_shingles(docs, 3)
     return (
         _pair_jaccard(sh)
         .where(F.col("jac") >= JACCARD_THRESHOLD)
@@ -118,27 +144,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, sig array<bigint>) — min over shingles of seed-salted
-    md5 hashes. One explode (shingles × seeds) + one groupBy."""
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "seed",
-        md5_hash60(
-            F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
-        ).alias("h"),
-    )
-    return (
-        seeded.groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
-        .select(
-            "doc_id", F.transform("sm", lambda s: s["mh"]).alias("sig")
-        )
+    """(doc_id, sig array<bigint>) — elementwise min over shingle hashes.
+
+    Input is hashed shingles ``(doc_id, s bigint)``. One groupBy(doc_id)
+    computes n_hashes min-aggregates of ``xxhash64(seed, s)`` — all
+    JVM-native inside whole-stage codegen, with map-side partial mins,
+    so the shuffle carries one row per doc. No seed explosion: row
+    count stays |doc-shingle| instead of |doc-shingle| × n_hashes — at
+    100 TB that factor is the difference between a 3 TB and a 100 TB
+    shuffle.
+    """
+    return sh.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.lit(seed), F.col("s")))
+                for seed in range(n_hashes)
+            ]
+        ).alias("sig")
     )
 
 
@@ -147,7 +169,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.8. With J≈0.98 planted dups, P(miss) ≈ (1-J⁴)⁸ < 1e-8,
     so the output equals the exact-Jaccard oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, 3).persist()
+    # Cache lifecycle is managed here: shingles feed several branches
+    # (signature agg, verify joins, sizes); persist for the run,
+    # materialize the (tiny) verified pair set, then release — repeated
+    # calls don't accumulate executor storage.
+    sh = hashed_shingles(docs, 3).persist()
     sig = minhash_signatures(sh)
     bands = sig.select(
         "doc_id",
@@ -156,14 +182,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "band",
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col("sig")[F.col("band") * ROWS_PER_BAND + j].cast("string")
-                    for j in range(ROWS_PER_BAND)
-                ],
-            )
+        F.xxhash64(
+            F.col("band"),
+            *[
+                F.col("sig")[F.col("band") * ROWS_PER_BAND + j]
+                for j in range(ROWS_PER_BAND)
+            ],
         ).alias("bkey"),
     )
     b1 = bands.select(F.col("doc_id").alias("d1"), "band", "bkey")
@@ -174,14 +198,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
         .distinct()
     )
+    # Verify ONLY the candidate pairs: attach d2 to d1's shingles, then
+    # intersect against d2's shingles. Cost ∝ candidate shingle volume,
+    # not all shingle-sharing pairs — the LSH pruning is the point; AQE
+    # broadcasts the (small) candidate set at runtime.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand_sh = sh.join(
+        cands.withColumnRenamed("d1", "doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("d1"), "d2", "s")
+    inter = (
+        cand_sh.join(
+            sh.select(F.col("doc_id").alias("d2"), "s"),
+            ["d2", "s"],
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     verified = (
-        _pair_jaccard(sh)
-        .join(cands, ["d1", "d2"], "left_semi")
-        .where(F.col("jac") >= JACCARD_THRESHOLD)
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .where(
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+            >= JACCARD_THRESHOLD
+        )
         .select("d1", "d2")
         .orderBy("d1", "d2")
     )
-    return verified
+    # Materialize (result ∝ near-dup pairs — small), then free the
+    # cached intermediates; lineage is truncated so the returned frame
+    # doesn't recompute them.
+    out = verified.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -192,31 +242,32 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    th = tf.select("doc_id", "c", md5_hash60(F.col("tok")).alias("h"))
-    bits = th.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "h",
-        "c",
-    ).select(
-        "doc_id",
-        "b",
-        F.when(F.expr("shiftright(h, b) & 1") == 1, F.col("c"))
-        .otherwise(-F.col("c"))
-        .alias("v"),
+    # md5 (needed for engine-portable fingerprint parity) runs once per
+    # distinct token, not per (doc, token) pair; the join key is the
+    # token the tf shuffle already grouped on.
+    vocab = tf.select("tok").distinct().select(
+        "tok", md5_hash60(F.col("tok")).alias("h")
     )
-    return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
-                ).otherwise(F.lit(0).cast("bigint"))
-            ).alias("simhash")
-        )
-    )
+    th = tf.join(vocab, "tok").select("doc_id", "c", "h")
+    # One groupBy(doc_id) with SIMHASH_BITS conditional-sum aggregates —
+    # no 60× bit explosion; per-bit votes stay inside partial aggregation
+    # (map-side combine), so the shuffle carries one row per doc.
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, F.col("c")).otherwise(
+                -F.col("c")
+            )
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = th.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
