@@ -27,6 +27,8 @@ HEADLINE = [
     "d17_tumbling_window",
     "d7_rollup",
     "b4_latest_per_key",
+    "d22_asof_join",
+    "d23_session_gap",
     "d20_similarity_topk",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -867,3 +867,157 @@ def d21_text_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended operator surface: as-of join, sessionization, distribution stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d22_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           COALESCE(c.ts, TIMESTAMP '1970-01-01') AS asof_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def d22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent click ≤ ts.
+
+    Spark has no ASOF JOIN; the scalable formulation is union + running
+    max — tag both streams, sort within user, and carry the greatest
+    click-ts seen so far onto each purchase row. ONE shuffle on user_id,
+    no range self-join blowup (a BNLJ here is quadratic per user; this
+    is linear) — the pattern SURVEY §2.D prescribes. DuckDB's native
+    ASOF LEFT JOIN is the oracle. Ordering puts clicks before purchases
+    at equal ts, matching ASOF's inclusive (>=) bound; running MAX is
+    tie-insensitive where multiple clicks share a timestamp.
+    """
+    events = load_table(spark, sf_dir, "events")
+    both = events.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), (F.col("event_type") == "purchase").cast("int"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        both.withColumn("asof_click_ts", F.max("click_ts").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            # no-prior-click → epoch sentinel (keeps output NULL-free for
+            # deterministic row hashing)
+            F.coalesce(
+                "asof_click_ts", F.lit("1970-01-01").cast("timestamp_ntz")
+            ).alias("asof_click_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "d23_session_gap",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def d23_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), batch shape.
+
+    The batch-equivalent of streaming ``session_window`` (SURVEY §2.F):
+    lag + cumulative-sum session ids, then per-session bounds. Two
+    window passes over the same (user_id)-partitioned sort — Catalyst
+    reuses the one shuffle+sort for both windows and the groupBy keys
+    are a superset, so data shuffles once (plus the presentation-order
+    range exchange, audited in tests/test_plans.py).
+    """
+    events = load_table(spark, sf_dir, "events")
+    micros = F.expr("unix_micros(cast(ts as timestamp))")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select("user_id", "ts", "event_id").withColumn(
+        "is_new",
+        F.when(
+            (micros - F.lag(micros).over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@query(
+    "d24_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(CAST(MEDIAN(l_quantity) AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS med_qty,
+           CAST(ROUND(CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY l_quantity)
+             AS DECIMAL(18,4)), 2) AS DOUBLE) AS p90_qty,
+           CAST(ROUND(CAST(STDDEV_SAMP(l_quantity) AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS sd_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def d24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats: median / discrete p90 / sample stddev.
+
+    Exact percentiles sort within each group post-shuffle (Spark's
+    ``median``/``percentile``); at 100 TB swap to approx_percentile —
+    same query shape, bounded memory. stddev stays a streaming partial
+    aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            rnd(F.expr("median(l_quantity)").cast("decimal(18,4)"), 2).alias(
+                "med_qty"
+            ),
+            rnd(
+                F.expr("percentile(l_quantity, 0.9, 1)").cast("decimal(18,4)"),
+                2,
+            ).alias("p90_qty"),
+            rnd(F.stddev_samp("l_quantity").cast("decimal(18,4)"), 2).alias(
+                "sd_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

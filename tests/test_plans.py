@@ -1,0 +1,90 @@
+"""Plan audits: pin the physical-plan properties the 100 TB design
+depends on — pushdown, pruning, broadcasts, partial aggregation,
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgsink_spark.operators import relational as rel
+from pgsink_spark.plans import (
+    broadcast_join_count,
+    codegen_span_count,
+    exchange_count,
+    has_partial_aggregate,
+    pushed_filters,
+    scan_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = rel.QUERIES["d1_filter_pushdown"](spark, SF)
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), pf
+    assert any("l_returnflag" in f for f in pf), pf
+
+
+def test_column_pruning(spark):
+    df = rel.QUERIES["d1_filter_pushdown"](spark, SF)
+    for cols in scan_columns(df):
+        # lineitem has 16 columns; the query needs only 4
+        assert len(cols) <= 4, cols
+
+
+def test_small_dim_join_broadcasts(spark):
+    df = rel.QUERIES["d2b_broadcast_join"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_tpch_q1_partial_agg_and_codegen(spark):
+    df = rel.QUERIES["d5_tpch_q1"](spark, SF)
+    assert has_partial_aggregate(df)
+    assert codegen_span_count(df) >= 1
+
+
+def test_q1_single_shuffle(spark):
+    # one groupBy → exactly one shuffle (plus none for the sort at this
+    # size; allow the global sort's range exchange)
+    df = rel.QUERIES["d5_tpch_q1"](spark, SF)
+    assert exchange_count(df) <= 2
+
+
+def test_compaction_view_prunes_partitions(spark, tmp_path):
+    """The warehouse raw table's day-partitioning must prune on read."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from pgsink_spark.changelog import SchemaEntry
+    from pgsink_spark.sinks import WarehouseSink
+
+    payload = T.StructType([T.StructField("id", T.LongType())])
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "t", payload, ["id"]))
+    env = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 1, d), "public", "t", d, None, {"id": d})
+            for d in range(1, 11)
+        ],
+        schema=T.StructType(
+            [
+                T.StructField("timestamp", T.TimestampType(), False),
+                T.StructField("namespace", T.StringType(), False),
+                T.StructField("name", T.StringType(), False),
+                T.StructField("lsn", T.LongType(), True),
+                T.StructField("before", payload, True),
+                T.StructField("after", payload, True),
+            ]
+        ),
+    )
+    sink.insert(env, "public", "t")
+    raw = spark.read.parquet(str(tmp_path / "wh" / "public_t_raw"))
+    pruned = raw.where(F.col("day") == "2024-01-03")
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter present, and only one of ten partitions read
+    assert "PartitionFilters" in plan and "day" in plan

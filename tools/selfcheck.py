@@ -40,7 +40,8 @@ def _norm(v):
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda row: tuple((v is None, str(v)) for v in row),
     )
 
 
