@@ -1,0 +1,129 @@
+"""JDBC source: live-Postgres reads (imports + catalog discovery).
+
+The reference reads Postgres directly: keyset import scans
+(pkg/imports/import.go:209-223), primary-key discovery from
+pg_index/pg_attribute (pkg/imports/import.go:235-270), and table
+discovery from the catalog (pkg/subscription/manager.go:120-147).
+
+Spark-first mapping: ``spark.read.jdbc`` with
+``partitionColumn/lowerBound/upperBound/numPartitions`` (N parallel
+range scans — the distributed analogue of the reference's cursor loop),
+plus ``pushDownPredicate`` so keyset cursors reach the remote index.
+Option construction is pure (testable offline); ``.load()`` needs a
+JDBC driver jar on the classpath and a reachable database.
+
+This container has neither — the module is the deployment surface, the
+offline tests cover the option builders, and `imports/keyset.py` covers
+the identical scan semantics against parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+PK_QUERY = """
+(SELECT a.attname
+ FROM pg_index i
+ JOIN pg_attribute a ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey)
+ WHERE i.indrelid = '{qualified}'::regclass AND i.indisprimary) AS pk
+"""
+
+TABLES_QUERY = """
+(SELECT table_schema AS namespace, table_name AS name
+ FROM information_schema.tables
+ WHERE table_type = 'BASE TABLE' AND table_schema IN ({schemas})) AS tables
+"""
+
+
+def snapshot_options(
+    url: str,
+    table: str,
+    pk: str,
+    lower: int,
+    upper: int,
+    num_partitions: int = 32,
+    fetchsize: int = 5000,
+    user: str | None = None,
+    password: str | None = None,
+) -> dict[str, str]:
+    """Options for a range-partitioned parallel snapshot read.
+
+    Each of ``num_partitions`` tasks reads one pk range — Spark's
+    built-in equivalent of the reference's keyset pagination, N-way
+    parallel. ``fetchsize`` mirrors the reference's 5000-row batch
+    (pkg/imports/importer.go:33).
+    """
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "partitionColumn": pk,
+        "lowerBound": str(lower),
+        "upperBound": str(upper),
+        "numPartitions": str(num_partitions),
+        "fetchsize": str(fetchsize),
+        "pushDownPredicate": "true",
+    }
+    if user:
+        opts["user"] = user
+    if password:
+        opts["password"] = password
+    return opts
+
+
+def keyset_batch_options(
+    url: str,
+    table: str,
+    pk: str,
+    cursor,
+    limit: int = 5000,
+    **auth,
+) -> dict[str, str]:
+    """Options for one bounded keyset batch (resumable import loop).
+
+    The dbtable subquery keeps the scan indexed and bounded server-side,
+    exactly the reference's import statement shape."""
+    where = f"WHERE {pk} > {cursor!r}" if cursor is not None else ""
+    sub = f"(SELECT * FROM {table} {where} ORDER BY {pk} LIMIT {limit}) AS batch"
+    return {"url": url, "dbtable": sub, **{k: str(v) for k, v in auth.items()}}
+
+
+def read_snapshot(spark: SparkSession, **kwargs) -> DataFrame:
+    """Parallel snapshot read (see snapshot_options)."""
+    return spark.read.format("jdbc").options(**snapshot_options(**kwargs)).load()
+
+
+def discover_tables(spark: SparkSession, url: str, schemas: list[str], **auth) -> DataFrame:
+    """(namespace, name) catalog listing for reconciliation."""
+    inlist = ", ".join(f"'{s}'" for s in schemas)
+    return (
+        spark.read.format("jdbc")
+        .options(
+            url=url,
+            dbtable=TABLES_QUERY.format(schemas=inlist),
+            **{k: str(v) for k, v in auth.items()},
+        )
+        .load()
+    )
+
+
+def discover_primary_key(
+    spark: SparkSession, url: str, namespace: str, name: str, **auth
+) -> list[str]:
+    """Primary-key column(s); the importer requires exactly one
+    (reference pkg/imports/import.go:235-270 rejects 0 or >1)."""
+    df = (
+        spark.read.format("jdbc")
+        .options(
+            url=url,
+            dbtable=PK_QUERY.format(qualified=f"{namespace}.{name}"),
+            **{k: str(v) for k, v in auth.items()},
+        )
+        .load()
+    )
+    cols = [r["attname"] for r in df.collect()]
+    if len(cols) != 1:
+        raise ValueError(
+            f"table {namespace}.{name} needs exactly one pk column, "
+            f"found {cols!r}"
+        )
+    return cols

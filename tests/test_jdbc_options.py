@@ -1,0 +1,43 @@
+"""JDBC option builders (offline — no database in this container)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pgsink_spark.sources.jdbc import (
+    PK_QUERY,
+    TABLES_QUERY,
+    keyset_batch_options,
+    snapshot_options,
+)
+
+
+def test_snapshot_options_shape():
+    o = snapshot_options(
+        "jdbc:postgresql://db/x", "public.orders", "o_orderkey",
+        lower=1, upper=1_000_000, num_partitions=64, user="u", password="p",
+    )
+    assert o["partitionColumn"] == "o_orderkey"
+    assert o["numPartitions"] == "64"
+    assert o["fetchsize"] == "5000"  # reference batch size
+    assert o["pushDownPredicate"] == "true"
+    assert o["lowerBound"] == "1" and o["upperBound"] == "1000000"
+
+
+def test_keyset_batch_options_cursor():
+    o = keyset_batch_options(
+        "jdbc:postgresql://db/x", "public.orders", "o_orderkey", 500, 100
+    )
+    assert "WHERE o_orderkey > 500" in o["dbtable"]
+    assert "ORDER BY o_orderkey LIMIT 100" in o["dbtable"]
+    # first batch: no cursor predicate
+    o0 = keyset_batch_options(
+        "jdbc:postgresql://db/x", "public.orders", "o_orderkey", None
+    )
+    assert "WHERE" not in o0["dbtable"]
+
+
+def test_catalog_queries_are_subqueries():
+    assert TABLES_QUERY.strip().startswith("(")
+    assert PK_QUERY.strip().startswith("(")
+    assert "indisprimary" in PK_QUERY
