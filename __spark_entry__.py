@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pgsink_spark.operators import dedup as _dedup
+from pgsink_spark.operators import multimodal as _mm
 from pgsink_spark.operators import relational as _rel
 from pgsink_spark.operators import similarity as _sim
 from pgsink_spark.operators import text as _text
@@ -50,6 +51,11 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["ann_bruteforce_topk"] = _sim.ann_bruteforce_topk
     queries["ann_ivf_topk"] = _sim.ann_ivf_topk  # approximate → rows-only
     queries["dedup_embedding_pairs"] = _sim.dedup_embedding_pairs
+
+    # multimodal plumbing (deterministic stub codec → rows-only checks)
+    queries["mm_decode_stats"] = _mm.mm_decode_stats
+    queries["mm_frame_sample"] = _mm.mm_frame_sample
+    queries["mm_embedding_topk"] = _mm.mm_embedding_topk
 
     queries["text_lang_id"] = _text.text_lang_id
     queries["text_quality_score"] = _text.text_quality_score

@@ -247,3 +247,38 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
         ]
     )
     return media.select("media_id", "content").mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# queries() wrappers (driver contract) — deterministic but not
+# SQL-expressible (md5-digest math), so the driver records rows-only
+# checks; pytest pins the values.
+
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the synthetic media table; per-item digest statistics."""
+    return decode_media(synthesize_media(spark, sf_dir)).orderBy("media_id")
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sample of the video rows (frame ids only — the
+    blob column stays distributed)."""
+    return (
+        sample_frames(synthesize_media(spark, sf_dir), every_n=10)
+        .select("media_id", "frame_idx")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def mm_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Featurize media blobs and run exact cosine top-5 for one probe —
+    the multimodal → similarity interop path."""
+    from pgsink_spark.operators.similarity import brute_force_topk
+
+    feats = extract_features(synthesize_media(spark, sf_dir), dim=16)
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"), F.col("embedding")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return brute_force_topk(emb, q, k=5).orderBy("q_id", "rnk")

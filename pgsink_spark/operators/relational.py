@@ -1021,3 +1021,113 @@ def d24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "d25_set_ops",
+    """
+    SELECT 'both' AS src, k FROM (
+      (SELECT c_nationkey AS k FROM customer)
+      INTERSECT
+      (SELECT s_nationkey FROM supplier)) t1
+    UNION ALL
+    SELECT 'cust_only' AS src, k FROM (
+      (SELECT DISTINCT c_nationkey AS k FROM customer)
+      EXCEPT
+      (SELECT s_nationkey FROM supplier)) t2
+    ORDER BY src, k
+    """,
+)
+def d25_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator family in one query: INTERSECT, EXCEPT, UNION ALL.
+
+    Catalyst rewrites intersect/except to semi/anti joins — at scale
+    these hash-shuffle on the key like any join; the unionByName is a
+    metadata-only concatenation.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    both = cust.intersect(supp).select(F.lit("both").alias("src"), "k")
+    cust_only = (
+        cust.distinct()
+        .exceptAll(supp.distinct())
+        .select(F.lit("cust_only").alias("src"), "k")
+    )
+    return both.unionByName(cust_only).orderBy("src", "k")
+
+
+@query(
+    "d26_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def d26_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() markers (disambiguates real NULL keys).
+
+    Spark expands cube into a union of grouping sets over ONE partial
+    aggregation pass — no per-grouping rescans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping("l_returnflag").alias("g1"),
+            F.grouping("l_linestatus").alias("g2"),
+        )
+        .orderBy(
+            "g1",
+            "g2",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "d27_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+             AS days_to_eoy,
+           CAST(ROUND(CAST(12 * (1998 - EXTRACT(YEAR FROM o_orderdate))
+                           + (12 - EXTRACT(MONTH FROM o_orderdate))
+                           + (31 - EXTRACT(DAY FROM o_orderdate)) / 31.0
+                      AS DECIMAL(18,4)), 4) AS DOUBLE) AS months_approx,
+           EXTRACT(QUARTER FROM o_orderdate) AS qtr
+    FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+)
+def d27_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: datediff / months_between / quarter extraction.
+
+    months_between differs subtly across engines (day-31 snapping), so
+    the declared semantics is the explicit year*12+month+day/31 formula,
+    evaluated identically in both.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    months = (
+        12 * (F.lit(1998) - F.year(d))
+        + (F.lit(12) - F.month(d))
+        + (F.lit(31) - F.dayofmonth(d)) / F.lit(31.0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+            rnd(months.cast("decimal(18,4)"), 4).alias("months_approx"),
+            F.quarter(d).alias("qtr"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
