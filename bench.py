@@ -45,11 +45,21 @@ def main() -> None:
     qs = entrymod.queries()
     spark = get_spark("pgsink-bench")
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the operators, not session startup
-    qs["b13_count"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm the JVM, parquet footers, and OS page cache once so per-query
+    # numbers measure the operators, not first-touch file IO (a count()
+    # alone reads only footers — scan a real column from each big table)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from pgsink_spark.sources.fixtures import load_table  # noqa: PLC0415
+
+    for t, c in (
+        ("lineitem", "l_extendedprice"),
+        ("orders", "o_totalprice"),
+        ("events", "value"),
+        ("documents", "n_chars"),
+        ("embeddings", "vec_id"),
+    ):
+        load_table(spark, sf_dir, t).agg(F.sum(F.col(c))).collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -100,6 +100,20 @@ class WarehouseSink:
 
         return write_batch(env, writer)
 
+    def compact(self, namespace: str, name: str) -> str:
+        """Materialize the compaction view into a compacted table.
+
+        The periodic-compaction job: rewrites the table's live rows as
+        plain parquet so readers skip the window entirely. This is the
+        full-rewrite variant (correct at any scale but costs a full
+        pass); on Delta the same view feeds an incremental MERGE keyed
+        on the primary key — readers are unchanged either way.
+        """
+        view = self.install_view(namespace, name)
+        path = os.path.join(self.root, f"{namespace}_{name}_compacted")
+        self.spark.table(view).write.mode("overwrite").parquet(path)
+        return path
+
     def install_view(self, namespace: str, name: str) -> str:
         """Register raw scan + compaction view; return the view name."""
         raw_view = self._raw_name(namespace, name)
