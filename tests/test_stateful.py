@@ -1,0 +1,78 @@
+"""Custom stateful operator (applyInPandasWithState) under availableNow."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pgsink_spark.sources.fixtures import load_table
+from pgsink_spark.streaming.stateful import SESSION_GAP_S, session_tracker
+
+
+def test_session_tracker_closed_sessions_match_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    captured = []
+
+    def capture(batch, _bid):
+        captured.extend(batch.collect())
+
+    q = (
+        session_tracker(stream.select("user_id", "ts"))
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # batch truth: sessions per user via lag+cumsum; closed sessions are
+    # all but each user's last (the tracker holds the open one in state)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    batch_sessions = (
+        events.select("user_id", "ts")
+        .withColumn(
+            "is_new",
+            (
+                F.coalesce(
+                    F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+                    F.lit(SESSION_GAP_S + 1),
+                )
+                > SESSION_GAP_S
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("end"))
+    )
+    last_per_user = batch_sessions.groupBy("user_id").agg(
+        F.max("session_no").alias("last_no")
+    )
+    closed_expected = (
+        batch_sessions.join(last_per_user, "user_id")
+        .where(F.col("session_no") < F.col("last_no"))
+        .count()
+    )
+
+    got_closed = [r for r in captured if r["closed"]]
+    assert len(got_closed) == closed_expected
+    assert all(r["n_events"] >= 1 for r in got_closed)
+    # spot-check one user's closed-session count against batch truth
+    if got_closed:
+        uid = got_closed[0]["user_id"]
+        batch_u = (
+            batch_sessions.join(last_per_user, "user_id")
+            .where((F.col("user_id") == uid) & (F.col("session_no") < F.col("last_no")))
+            .count()
+        )
+        assert sum(1 for r in got_closed if r["user_id"] == uid) == batch_u
