@@ -8,17 +8,28 @@ Four families, all shuffle-conscious:
   shingle, so only docs *sharing* a shingle ever meet (no all-pairs
   blowup); at 100 TB you additionally drop ultra-frequent shingles
   (stop-shingles) to bound the hottest key — see ``max_shingle_freq``.
-- **MinHash + LSH**: 32 md5-derived min-hashes → 8 bands × 4 rows;
-  band-bucket join proposes candidates, exact Jaccard verifies. This is
-  the scale path: cost ~ O(docs × shingles) + candidate verification,
-  never all-pairs.
+- **MinHash + LSH**: 32 min-hashes → 8 bands × 4 rows; band-bucket join
+  proposes candidates, exact Jaccard verifies. This is the scale path:
+  cost ~ O(docs × shingles) + candidate verification, never all-pairs.
 - **SimHash**: 60-bit fingerprints from md5 token hashes; near-dup =
-  Hamming distance ≤ 8 (a band-join on bit-chunks prunes at scale; the
-  test-SF implementation compares pairs sharing a 15-bit chunk).
+  Hamming distance ≤ 5, blocked on 10-bit chunks (pigeonhole: ≤5
+  differing bits over 6 chunks ⇒ ≥1 identical chunk), then verified
+  exactly — candidate recall is guaranteed, so results equal all-pairs.
 
-Hashes are md5-derived on both engines (Spark ``conv(substr(md5(..)))``,
-DuckDB ``('0x'||substr(md5(..)))::BIGINT``) so DuckDB oracles hash-match
-bit-for-bit.
+**Zero-shuffle signatures.** Shingle sets, minhash signatures, and
+simhash fingerprints are per-document values, so they are computed
+row-locally with array expressions (``array_distinct ∘ transform``,
+``array_min``, ``aggregate``) inside whole-stage codegen — no explode +
+global ``distinct()``, no groupBy: at any scale the signature stage is
+a pure map with per-doc cost, and the only shuffles left are the LSH
+band join and candidate verification, both proportional to the
+candidate set, not the corpus.
+
+Fingerprint hashes are md5-derived on both engines (Spark
+``conv(substr(md5(..)))``, DuckDB ``('0x'||substr(md5(..)))::BIGINT``)
+so DuckDB oracles hash-match bit-for-bit; shingle/minhash internals use
+``xxhash64`` (JVM-native, never leaves Spark — the minhash oracle is
+the exact-Jaccard result, which hashing does not change).
 """
 
 from __future__ import annotations
@@ -34,6 +45,10 @@ ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.8
 SIMHASH_BITS = 60
 HAMMING_THRESHOLD = 5
+# ≤5 differing bits spread over 6 chunks leave ≥1 chunk identical, so
+# blocking on chunk equality has guaranteed recall at this threshold.
+SIMHASH_CHUNKS = 6
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 
 
 def md5_hash60(c: Column) -> Column:
@@ -41,29 +56,65 @@ def md5_hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
-def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, s) distinct word n-grams as xxhash64 bigints.
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY if the scan is narrower than the
+    cluster. Signature computation is CPU-bound row-local work; a small
+    fixture parquet arrives as 1-2 input splits and would pin it to 1-2
+    cores. At real scale the file source already yields ≥ cores
+    partitions and this is a no-op — it never *adds* a shuffle of a
+    large corpus, it only fans out a small one."""
+    min_partitions = (
+        min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
 
-    The scale-path shingle representation: the n-gram is hashed
-    JVM-side straight from the token slots (no string concat, no md5),
-    and every downstream shuffle carries bigints instead of strings.
-    Set semantics survive hashing (collision odds ≈ |shingles|²/2⁶⁴),
-    so Jaccard over hashed shingles equals Jaccard over strings.
+
+def doc_shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles array<bigint>) — the distinct word-n-gram set
+    per document, hashed to bigints, computed entirely row-locally.
+
+    ``array_distinct(transform(...))`` replaces the explode +
+    global-``distinct()`` formulation: per-doc set semantics need no
+    cross-row comparison, so forcing them through a corpus-wide shuffle
+    (hash-partition every (doc, shingle) pair) is pure waste — at 100 TB
+    that shuffle alone exceeds the corpus size. Set semantics survive
+    hashing (collision odds ≈ |shingles|²/2⁶⁴), so Jaccard over hashed
+    shingles equals Jaccard over strings.
     """
-    toks = docs.select(
+    toks = widen(docs).select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
     ).where(F.size("w") >= n)
-    slots = ", ".join(f"w[i+{j}]" for j in range(n))
+    # Hash every token to a bigint once, then combine n consecutive
+    # token hashes per shingle — each token is string-hashed exactly
+    # once instead of n times (tokens appear in n overlapping shingles),
+    # and the combine step hashes fixed-width bigints. `hw` is bound as
+    # a lambda variable (let-idiom) so projection collapse cannot
+    # inline the token-hash pass into every subscript.
+    slots = ", ".join(f"hw[i+{j}]" for j in range(n))
     return toks.select(
         "doc_id",
-        F.explode(
-            F.expr(f"transform(sequence(0, size(w)-{n}), i -> xxhash64({slots}))")
-        ).alias("s"),
-    ).distinct()
+        F.expr(
+            "transform(array(transform(w, t -> xxhash64(t))),"
+            f" hw -> array_distinct(transform(sequence(0, size(hw)-{n}),"
+            f" i -> xxhash64({slots}))))[0]"
+        ).alias("shingles"),
+    )
+
+
+def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, s) distinct word n-grams as xxhash64 bigints — the
+    exploded inverted-index view of :func:`doc_shingle_sets`."""
+    return doc_shingle_sets(docs, n).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
 
 
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams of lower(text)."""
+    """(doc_id, shingle) distinct word n-grams of lower(text) as
+    strings (debug/inspection path; row-local dedup like the hashed
+    variant)."""
     toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
     ).where(F.size("w") >= n)
@@ -71,9 +122,12 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return toks.select(
         "doc_id",
         F.explode(
-            F.expr(f"transform(sequence(0, size(w)-{n}), i -> concat_ws(' ', {idx}))")
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(w)-{n}),"
+                f" i -> concat_ws(' ', {idx})))"
+            )
         ).alias("shingle"),
-    ).distinct()
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,13 +145,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame, max_shingle_freq: int | None = None) -> DataFrame:
+def _pair_jaccard(
+    sets: DataFrame, max_shingle_freq: int | None = None
+) -> DataFrame:
     """(d1, d2, jac) for all pairs sharing ≥1 shingle.
 
-    ``sh`` is hashed shingles (doc_id, s) — the inverted-index self-join
-    shuffles bigint keys, not n-gram strings. Jaccard over hashed
-    shingles equals string Jaccard (collisions ≈ |shingles|²/2⁶⁴).
+    ``sets`` is (doc_id, shingles array) — sizes come straight off the
+    array (no shuffle); the inverted-index self-join explodes it and
+    shuffles bigint keys, so only docs sharing a shingle ever meet.
     """
+    sh = sets.select("doc_id", F.explode("shingles").alias("s"))
     if max_shingle_freq is not None:
         hot = (
             sh.groupBy("s")
@@ -106,7 +163,7 @@ def _pair_jaccard(sh: DataFrame, max_shingle_freq: int | None = None) -> DataFra
             .select("s")
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("d2"), "s")
     inter = (
@@ -134,66 +191,107 @@ def _pair_jaccard(sh: DataFrame, max_shingle_freq: int | None = None) -> DataFra
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.8."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = hashed_shingles(docs, 3)
-    return (
-        _pair_jaccard(sh)
+    # The inverted-index self-join references the shingle sets twice
+    # (both join branches) plus the sizes branch; persist so the
+    # CPU-heavy shingling runs once, then truncate lineage and release.
+    sets = doc_shingle_sets(docs, 3).persist()
+    out = (
+        _pair_jaccard(sets)
         .where(F.col("jac") >= JACCARD_THRESHOLD)
         .select("d1", "d2")
         .orderBy("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    sets.unpersist()
+    return out
+
+
+def minhash_signatures(sets: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig array<bigint>) — elementwise min over shingle hashes.
+
+    Input is shingle sets ``(doc_id, shingles array<bigint>)``. Each of
+    the n_hashes components is ``array_min(transform(shingles, s ->
+    xxhash64(seed, s)))`` — a pure row-local expression inside
+    whole-stage codegen. No explode, no groupBy, no shuffle: the
+    signature stage is a map over documents regardless of corpus size
+    (the previous formulation's groupBy carried one row per doc through
+    a shuffle; this carries nothing).
+    """
+    return sets.select(
+        "doc_id",
+        F.array(
+            *[
+                F.expr(
+                    f"array_min(transform(shingles, s -> xxhash64({seed}, s)))"
+                )
+                for seed in range(n_hashes)
+            ]
+        ).alias("sig"),
     )
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, sig array<bigint>) — elementwise min over shingle hashes.
+def minhash_band_keys(sets: DataFrame) -> DataFrame:
+    """(doc_id, bkey) — one LSH bucket key per band, exploded.
 
-    Input is hashed shingles ``(doc_id, s bigint)``. One groupBy(doc_id)
-    computes n_hashes min-aggregates of ``xxhash64(seed, s)`` — all
-    JVM-native inside whole-stage codegen, with map-side partial mins,
-    so the shuffle carries one row per doc. No seed explosion: row
-    count stays |doc-shingle| instead of |doc-shingle| × n_hashes — at
-    100 TB that factor is the difference between a 3 TB and a 100 TB
-    shuffle.
+    The whole signature→band-key chain is a single row-local expression:
+    the 32-component signature array is bound once as a lambda variable
+    (let-idiom) and the 8 band keys are statically unrolled
+    ``xxhash64(band, sig[b·4] … sig[b·4+3])`` calls. Without the
+    binding, projection collapse would inline the 32 ``array_min ∘
+    transform`` signature components into every band reference and
+    recompute them per band. The band index participates in the hash,
+    so ``bkey`` alone is the join key (cross-band collisions are
+    vanishing, and candidates are exact-verified anyway).
     """
-    return sh.groupBy("doc_id").agg(
-        F.array(
-            *[
-                F.min(F.xxhash64(F.lit(seed), F.col("s")))
-                for seed in range(n_hashes)
-            ]
-        ).alias("sig")
+    sig_expr = (
+        "array("
+        + ", ".join(
+            f"array_min(transform(shingles, s -> xxhash64({seed}, s)))"
+            for seed in range(N_HASHES)
+        )
+        + ")"
+    )
+    bkeys = (
+        "array("
+        + ", ".join(
+            f"xxhash64({band}, "
+            + ", ".join(
+                f"sig[{band * ROWS_PER_BAND + j}]"
+                for j in range(ROWS_PER_BAND)
+            )
+            + ")"
+            for band in range(BANDS)
+        )
+        + ")"
+    )
+    return sets.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(array({sig_expr}), sig -> {bkeys})[0]")
+        ).alias("bkey"),
     )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4) candidates, verified by exact
     Jaccard ≥ 0.8. With J≈0.98 planted dups, P(miss) ≈ (1-J⁴)⁸ < 1e-8,
-    so the output equals the exact-Jaccard oracle."""
+    so the output equals the exact-Jaccard oracle.
+
+    Only two shuffles touch data proportional to the corpus: the LSH
+    band self-join (keyed on band buckets) and the candidate-shingle
+    intersection (keyed on shingle, restricted to candidate docs).
+    Signatures and band keys are row-local projections.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    # Cache lifecycle is managed here: shingles feed several branches
-    # (signature agg, verify joins, sizes); persist for the run,
-    # materialize the (tiny) verified pair set, then release — repeated
-    # calls don't accumulate executor storage.
-    sh = hashed_shingles(docs, 3).persist()
-    sig = minhash_signatures(sh)
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band"),
-        "sig",
-    ).select(
-        "doc_id",
-        "band",
-        F.xxhash64(
-            F.col("band"),
-            *[
-                F.col("sig")[F.col("band") * ROWS_PER_BAND + j]
-                for j in range(ROWS_PER_BAND)
-            ],
-        ).alias("bkey"),
-    )
-    b1 = bands.select(F.col("doc_id").alias("d1"), "band", "bkey")
-    b2 = bands.select(F.col("doc_id").alias("d2"), "band", "bkey")
+    # Shingle sets feed several branches (signatures, verify joins,
+    # sizes); persist for the run, materialize the (tiny) verified pair
+    # set, then release — repeated calls don't accumulate storage.
+    sets = doc_shingle_sets(docs, 3).persist()
+    bands = minhash_band_keys(sets)
+    b1 = bands.select(F.col("doc_id").alias("d1"), "bkey")
+    b2 = bands.select(F.col("doc_id").alias("d2"), "bkey")
     cands = (
-        b1.join(b2, ["band", "bkey"])
+        b1.join(b2, "bkey")
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
@@ -202,7 +300,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersect against d2's shingles. Cost ∝ candidate shingle volume,
     # not all shingle-sharing pairs — the LSH pruning is the point; AQE
     # broadcasts the (small) candidate set at runtime.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh = sets.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
     cand_sh = sh.join(
         cands.withColumnRenamed("d1", "doc_id"), "doc_id"
     ).select(F.col("doc_id").alias("d1"), "d2", "s")
@@ -230,44 +329,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached intermediates; lineage is truncated so the returned frame
     # doesn't recompute them.
     out = verified.localCheckpoint(eager=True)
-    sh.unpersist()
+    sets.unpersist()
     return out
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash bigint): 60-bit TF-weighted simhash — term
     frequency is the per-bit vote weight (distinct-token simhash
-    degenerates when documents share a small vocabulary)."""
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    degenerates when documents share a small vocabulary).
+
+    Entirely row-local: one `transform` hashes the token array, one
+    array `aggregate` accumulates the 60 per-bit one-counts, and the
+    fingerprint folds out of that — no explode, no groupBy, no join.
+    TF weighting falls out for free: each occurrence votes ±1 per bit,
+    so summing over the raw token array equals summing c·(±1) over
+    distinct tokens. The per-bit signed sum is s_b = 2·ones_b − n,
+    hence bit b is set iff 2·ones_b > n.
+
+    Catalyst note: intermediates are bound as lambda variables via the
+    ``transform(array(<expr>), x -> ...)[0]`` let-idiom rather than
+    chained projections — projection collapse would otherwise inline
+    the token-hash/one-count arrays into every one of their 60 uses and
+    recompute them 60×.
+    """
+    hs_expr = (
+        "transform(w, t -> cast(conv(substring(md5(t), 1, 15), 16, 10)"
+        " as bigint))"
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    # md5 (needed for engine-portable fingerprint parity) runs once per
-    # distinct token, not per (doc, token) pair; the join key is the
-    # token the tf shuffle already grouped on.
-    vocab = tf.select("tok").distinct().select(
-        "tok", md5_hash60(F.col("tok")).alias("h")
+    ones_expr = (
+        f"aggregate({hs_expr}, array_repeat(0L, {SIMHASH_BITS}),"
+        " (acc, h) -> zip_with(acc,"
+        f" sequence(0, {SIMHASH_BITS - 1}),"
+        " (a, b) -> a + (shiftright(h, b) & 1L)))"
     )
-    th = tf.join(vocab, "tok").select("doc_id", "c", "h")
-    # One groupBy(doc_id) with SIMHASH_BITS conditional-sum aggregates —
-    # no 60× bit explosion; per-bit votes stay inside partial aggregation
-    # (map-side combine), so the shuffle carries one row per doc.
-    bit_sums = [
-        F.sum(
-            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, F.col("c")).otherwise(
-                -F.col("c")
-            )
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    sums = th.groupBy("doc_id").agg(*bit_sums)
-    fingerprint = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(
-            F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return sums.select("doc_id", fingerprint.alias("simhash"))
+    fold_expr = (
+        f"transform(array({ones_expr}),"
+        f" o -> aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L,"
+        " (acc, b) -> acc +"
+        " IF(2 * o[b] > size(w), shiftleft(1L, b), 0L)))[0]"
+    )
+    fp_expr = (
+        f"transform(array(split(lower(text), ' ')), w -> {fold_expr})[0]"
+    )
+    return widen(docs).select("doc_id", F.expr(fp_expr).alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,21 +383,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming(simhash) ≤ 8. The self-join is
-    all-pairs at test SF; the scale path blocks on 15-bit chunks
-    (pigeonhole: ≤8 differing bits over 4 chunks → ≥1 identical chunk)."""
+    """SimHash near-dup pairs: Hamming(simhash) ≤ 5, found by chunk
+    blocking + exact verification.
+
+    Blocking: split each 60-bit fingerprint into 6 chunks of 10 bits
+    and equi-join docs sharing any (chunk_index, chunk_value). By
+    pigeonhole, ≤5 differing bits cannot dirty all 6 chunks, so every
+    true pair shares a chunk — recall is exact and the result equals
+    the all-pairs oracle, while the join is an equi-join Catalyst hash
+    partitions instead of an O(n²) cross product. (At larger corpora,
+    widen to 64-bit fingerprints with 16-bit chunks to keep bucket
+    population low.)
+    """
     docs = load_table(spark, sf_dir, "documents")
     fp = simhash_fingerprints(docs)
-    a = fp.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
-    b = fp.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"(shiftright(simhash, {j * SIMHASH_CHUNK_BITS})"
+                        f" & {mask}L) + {j * (mask + 1)}L"
+                    )
+                    for j in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "ck"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "ck"
+    )
     return (
-        a.join(b, F.col("d1") < F.col("d2"))
+        a.join(b, "ck")
+        .where(F.col("d1") < F.col("d2"))
         .select(
             "d1",
             "d2",
             F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
         )
         .where(F.col("hamming") <= HAMMING_THRESHOLD)
+        .dropDuplicates(["d1", "d2"])
         .orderBy("d1", "d2")
     )
 
