@@ -26,6 +26,13 @@ def get_spark(app_name: str = "pgsink_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # Split files finer than the 128m default so a ~100 MB fixture
+        # table still fans out across all local cores; on a real
+        # cluster the same setting trades a few extra tasks for
+        # schedulable parallelism — both directions are safe because
+        # AQE re-coalesces small partitions after shuffles.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         # events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
         # and sources/fixtures.py rebuilds a TIMESTAMP_NTZ column.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
