@@ -22,6 +22,10 @@ HEADLINE = [
     "d5_tpch_q1",
     "d2_join_agg_topk",
     "d3_outer_join_agg",
+    "d30_tpch_q3",
+    "d31_tpch_q5",
+    "d32_pivot",
+    "d36_sliding_window",
     "a16_compaction_view",
     "d8_rank_topk",
     "d17_tumbling_window",

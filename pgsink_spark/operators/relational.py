@@ -1131,3 +1131,340 @@ def d27_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(200)
     )
+
+
+@query(
+    "d28_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_qty,
+           GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def d28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube) with GROUPING()
+    markers. Spark expands the sets over a single partial-aggregation
+    pass (Expand operator), so the fact table is scanned once no matter
+    how many sets are declared."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS cnt,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS sum_qty,
+               GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g1, g2, l_returnflag ASC NULLS FIRST,
+                 l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "d29_window_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_ok,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS pair_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 500
+    """,
+)
+def d29_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frames: ntile, first/last value, bounded ROWS
+    frame. One shuffle on the partition key serves all four functions
+    (same window spec ⇒ one Window physical operator)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_pair = w.rowsBetween(-1, W.currentRow)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.last("o_orderkey").over(w_full).alias("last_ok"),
+            rnd(F.sum(dec("o_totalprice")).over(w_pair), 2).alias("pair_sum"),
+            "o_orderdate",
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .limit(500)
+        .drop("o_orderdate")
+    )
+
+
+@query(
+    "d30_tpch_q3",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def d30_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping-priority (adapted to fixture columns): selective
+    dim filter -> fact join -> aggregate -> top-k.
+
+    Scale shape: the c_mktsegment filter prunes customers before the
+    join (Catalyst pushes it below), orders joins lineitem on the
+    already-partitioned orderkey, and the final top-10 is
+    TakeOrderedAndProject — no global sort."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.expr("timestamp_ntz'1995-03-15 00:00:00'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.expr("timestamp_ntz'1995-03-15 00:00:00'")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            rnd(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("odate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "d31_tpch_q5",
+    """
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def d31_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier-volume: 6-way join with two broadcastable
+    dims. region/nation/supplier are broadcast (explicit hints — at any
+    scale region+nation are tiny and supplier is the smallest fact
+    side); the big 3 (customer, orders, lineitem) hash-join on their
+    natural keys, and Catalyst/AQE reorders around the r_name filter."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.expr("timestamp_ntz'1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp_ntz'1997-01-01 00:00:00'"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            rnd(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "d32_pivot",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id ORDER BY user_id LIMIT 300
+    """,
+)
+def d32_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) on a declared value list. Passing the value
+    list to ``pivot()`` skips the extra distinct-values job; the pivot
+    itself is a single hash aggregation on user_id — counts per type are
+    just conditional aggregates, no extra shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+        .limit(300)
+    )
+
+
+@query(
+    "d33_string_agg",
+    """
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS names,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def d33_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect_list -> sort_array
+    -> array_join gives a deterministic concatenation regardless of
+    partition arrival order (collect_list alone is order-unstable under
+    parallelism — sorting inside the row restores determinism)."""
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        nat.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "names"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "d34_exists_combo",
+    """
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+)
+def d34_exists_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS in one query: semi-join then
+    anti-join on the same key — both hash-shuffle on c_custkey once
+    each; Catalyst plans them back to back without re-scanning
+    customer."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    full_orders = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.join(open_orders, "c_custkey", "left_semi")
+        .join(full_orders, "c_custkey", "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query("d35_approx_distinct")
+def d35_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (rows-only check: the
+    sketch estimate is engine-specific by construction). At 100 TB this
+    replaces exact COUNT(DISTINCT) — constant memory per group, partial
+    sketch merge instead of a key shuffle. rsd=0.01 keeps the estimate
+    within ~1% of d6_count_distinct's exact answer."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_cust"),
+        F.count_distinct(F.col("o_custkey")).alias("exact_cust"),
+    )
+
+
+@query(
+    "d36_sliding_window",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+               - k * INTERVAL 30 MINUTE AS win_start,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+    )
+    SELECT win_start, event_type, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM w GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def d36_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: 1-hour windows every 30 minutes — each
+    event lands in exactly 2 windows. Spark's window() generates the
+    window struct row-locally (an Expand of factor size/slide) and then
+    it's one hash aggregation; identical semantics stream with a
+    watermark via readStream + the same expression (§2.F)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            rnd(F.sum(dec("value")), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
