@@ -92,21 +92,26 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-lite doc fingerprint: lexicographic min of md5 over
-    word-5-gram shingles (shift-invariant to local edits)."""
+    word-5-gram shingles (shift-invariant to local edits).
+
+    Row-local: the min-over-shingles is an ``array_min ∘ transform``
+    expression per document — no explode, no groupBy, no shuffle (the
+    fingerprint stage is a pure map at any corpus size). ``w`` is bound
+    once via the let-idiom so projection collapse can't duplicate the
+    split."""
+    from pgsink_spark.operators.dedup import widen  # noqa: PLC0415
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
-    ).where(F.size("w") >= 5)
     idx = ", ".join(f"w[i+{j}]" for j in range(5))
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"transform(sequence(0, size(w)-5), i -> concat_ws(' ', {idx}))")
-        ).alias("shingle"),
+    fp_expr = (
+        "transform(array(split(lower(text), ' ')),"
+        " w -> array_min(transform(sequence(0, size(w)-5),"
+        f" i -> md5(concat_ws(' ', {idx})))))[0]"
     )
     return (
-        sh.groupBy("doc_id")
-        .agg(F.min(F.md5(F.col("shingle"))).alias("fp"))
+        widen(docs)
+        .where(F.size(F.split(F.lower(F.col("text")), " ")) >= 5)
+        .select("doc_id", F.expr(fp_expr).alias("fp"))
         .orderBy("doc_id")
     )
 
