@@ -50,6 +50,7 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["d20_similarity_topk"] = _sim.d20_similarity_topk
     queries["ann_bruteforce_topk"] = _sim.ann_bruteforce_topk
     queries["ann_ivf_topk"] = _sim.ann_ivf_topk  # approximate → rows-only
+    queries["ann_lsh_topk"] = _sim.ann_lsh_topk  # approximate → rows-only
     queries["dedup_embedding_pairs"] = _sim.dedup_embedding_pairs
 
     # multimodal plumbing (deterministic stub codec → rows-only checks)

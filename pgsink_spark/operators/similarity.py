@@ -167,6 +167,87 @@ def ann_ivf_topk(
     )
 
 
+def _hyperplane_sign(vec: Column, plane: int) -> Column:
+    """Sign bit of a deterministic pseudo-random hyperplane projection.
+
+    The hyperplane's d-th coefficient is ±1 chosen by the parity of
+    xxhash64(plane, d) — a reproducible Rademacher projection (no RNG
+    state, identical on every executor and every run; Spark scripts
+    can't use random seeds without breaking replay). sum_d coef_d·v_d
+    is computed as one row-local fold.
+    """
+    return (
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: F.when(
+                    F.xxhash64(F.lit(plane), i).bitwiseAND(F.lit(1)) == 1, x
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        > 0
+    ).cast("int")
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: n_planes sign bits packed into
+    an int. Cosine-similar vectors agree on most hyperplane sides, so
+    they collide with probability (1 - θ/π)^n_planes."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + F.shiftleft(_hyperplane_sign(vec, p), p)
+    return bucket
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """LSH-bucketed ANN (the other scale path next to IVF): bucket the
+    corpus by random-hyperplane signature, search each query only
+    within its own bucket.
+
+    Approximate by construction (rows-only driver check; the unit test
+    asserts exact recall when every bucket is probed). At 100 TB the
+    corpus is written partitioned by bucket id, so a query reads one
+    partition: bucketing is computed row-locally at ingest, and the
+    per-bucket search is the brute-force kernel on a 2^-n_planes
+    fraction of the data. Multi-probe (flipping low-confidence bits)
+    raises recall without re-partitioning.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("c_emb"),
+    ).withColumn("bucket", lsh_bucket(F.col("c_emb"), n_planes))
+    q = cand.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("c_emb").alias("q_emb"),
+        "bucket",
+    )
+    scored = (
+        cand.join(F.broadcast(q), on="bucket")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
 def dedup_embedding_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:

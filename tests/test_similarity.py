@@ -48,3 +48,31 @@ def test_pandas_scorer_matches_fold_scorer(spark, sf_dir):
         r.vec_id for r in sim.d20_similarity_topk(spark, sf_dir).collect()
     ]
     assert sorted(pandas_top) == sorted(fold_top)
+
+
+def test_lsh_zero_planes_equals_bruteforce(spark, sf_dir):
+    """n_planes=0 puts the whole corpus in one bucket, so the LSH path
+    must reproduce the exact brute-force result — validates bucketing +
+    in-bucket search + merge."""
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    full = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_lsh_topk(spark, sf_dir, n_planes=0).collect()
+    }
+    assert full == exact
+
+
+def test_lsh_buckets_partition_corpus(spark, sf_dir):
+    """Every vector lands in exactly one of the 2^n_planes buckets and
+    the bucket id is deterministic across evaluations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("e")
+    ).select("vec_id", sim.lsh_bucket(F.col("e"), 4).alias("b"))
+    rows = cand.collect()
+    assert all(0 <= r.b < 16 for r in rows)
+    again = {(r.vec_id, r.b) for r in cand.collect()}
+    assert {(r.vec_id, r.b) for r in rows} == again
