@@ -1468,3 +1468,75 @@ def d36_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start", "event_type")
     )
+
+
+@query(
+    "d37_json_struct_map",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           json_keys(props) AS ks,
+           CAST(len(json_keys(props)) AS INT) AS n_keys
+    FROM events WHERE props IS NOT NULL
+    ORDER BY event_id LIMIT 200
+    """,
+)
+def d37_json_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON decode: from_json into a typed struct (schema-on-read
+    with Catalyst-visible field types) and into a map for key
+    introspection. Both parse per-row JVM-side; at scale prefer the
+    struct form — fixed schema means column pruning reaches inside the
+    parsed value (JsonTuple/GetStructField, no generic map lookups)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.from_json("props", "struct<k: bigint>").getField("k").alias(
+                "k_typed"
+            ),
+            F.map_keys(F.from_json("props", "map<string, bigint>")).alias(
+                "ks"
+            ),
+            F.size(F.map_keys(F.from_json("props", "map<string, bigint>")))
+            .cast("int")
+            .alias("n_keys"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+@query(
+    "d38_lateral_explode",
+    """
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+           CAST(ROUND(CAST(embedding[i] AS DECIMAL(18,4)), 4) AS DOUBLE)
+             AS val
+    FROM embeddings, (SELECT unnest(range(1, 5)) AS i) idx
+    WHERE vec_id < 5 AND i <= len(embedding)
+    ORDER BY vec_id, pos
+    """,
+)
+def d38_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array explode with position (UDTF-style generator):
+    posexplode flattens (row, array) -> (row, pos, val) as a narrow
+    Generate operator — no shuffle; the pos<=3 predicate is applied
+    before the generate via slice, so only 4 elements per row are ever
+    produced."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") < 5)
+        .select(
+            "vec_id",
+            F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 4)).alias(
+                "pos", "v"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            rnd(F.col("v").cast("decimal(18,4)"), 4).alias("val"),
+        )
+        .orderBy("vec_id", "pos")
+    )
