@@ -88,3 +88,45 @@ def test_compaction_view_prunes_partitions(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     # partition filter present, and only one of ten partitions read
     assert "PartitionFilters" in plan and "day" in plan
+
+
+def test_q5_broadcasts_dims(spark):
+    """TPC-H Q5's region/nation/supplier sides must broadcast — the
+    big-side shuffles are only the c-o-l chain."""
+    df = rel.QUERIES["d31_tpch_q5"](spark, SF)
+    assert broadcast_join_count(df) >= 3
+
+
+def test_q3_pushes_dim_filters_to_scan(spark):
+    """Q3's c_mktsegment/date predicates must reach the parquet scans."""
+    df = rel.QUERIES["d30_tpch_q3"](spark, SF)
+    pf = pushed_filters(df)
+    assert any("c_mktsegment" in f for f in pf), pf
+    assert any("o_orderdate" in f for f in pf), pf
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_lateral_explode_no_shuffle(spark):
+    """posexplode is a narrow Generate: the only exchange allowed is the
+    final order-by's range exchange."""
+    df = rel.QUERIES["d38_lateral_explode"](spark, SF)
+    assert exchange_count(df) <= 1
+
+
+def test_pivot_single_aggregation(spark):
+    """Declared-value-list pivot = one hash aggregation pass (one
+    shuffle on user_id; no distinct-values pre-job in the plan)."""
+    df = rel.QUERIES["d32_pivot"](spark, SF)
+    assert exchange_count(df) <= 2
+
+
+def test_dedup_signatures_no_shuffle(spark):
+    """Shingle sets, minhash band keys, and simhash fingerprints are
+    row-local: zero shuffle exchanges in their plans."""
+    from pgsink_spark.operators import dedup as D
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF, "documents")
+    assert exchange_count(D.doc_shingle_sets(docs, 3)) == 0
+    assert exchange_count(D.minhash_band_keys(D.doc_shingle_sets(docs, 3))) == 0
+    assert exchange_count(D.simhash_fingerprints(docs)) == 0
