@@ -1289,11 +1289,16 @@ def d30_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d31_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 local-supplier-volume: 6-way join with two broadcastable
-    dims. region/nation/supplier are broadcast (explicit hints — at any
-    scale region+nation are tiny and supplier is the smallest fact
-    side); the big 3 (customer, orders, lineitem) hash-join on their
-    natural keys, and Catalyst/AQE reorders around the r_name filter."""
+    """TPC-H Q5 local-supplier-volume: 6-way join.
+
+    Join order is fact-fact first: lineitem ⋈ filtered-orders on
+    orderkey (the date predicate shrinks orders ~6× before the shuffle),
+    then customer on custkey, then supplier / nation / region. Only the
+    truly-fixed-size dims (nation, region) carry explicit broadcast
+    hints; customer and supplier are left to AQE, which broadcasts them
+    when their runtime size permits (it does at test SF) and falls back
+    to a shuffle join at 100 TB where they are fact-sized — the same
+    code is the right plan at both scales."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.expr("timestamp_ntz'1996-01-01 00:00:00'"))
@@ -1304,10 +1309,10 @@ def d31_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
