@@ -1545,3 +1545,148 @@ def d38_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "pos")
     )
+
+
+@query(
+    "d39_scalar_subquery",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS tp
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def d39_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery as a filter bound: Catalyst executes
+    the subquery once (ReusedSubquery/scalar-subquery node), broadcasts
+    the single value into the main scan's filter — two passes over
+    orders, no join shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+                 AS tp
+        FROM orders_sq
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.8 FROM orders_sq)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "d40_conditional_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        FILTER (WHERE l_linestatus = 'F'), 2) AS DOUBLE)
+             AS rev_f,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS DOUBLE)
+             / COUNT(*) AS frac_big
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def d40_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clauses / count_if): all four
+    aggregates ride one partial+final hash aggregation — predicates are
+    evaluated map-side, so no second scan and no extra shuffle per
+    condition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+            F.count_if(F.col("l_discount") == 0).alias("n_nodisc"),
+            rnd(
+                F.sum(
+                    F.when(F.col("l_linestatus") == "F", dec("l_extendedprice"))
+                ),
+                2,
+            ).alias("rev_f"),
+            (
+                F.count_if(F.col("l_quantity") > 25).cast("double")
+                / F.count(F.lit(1))
+            ).alias("frac_big"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "d41_regex_translate",
+    """
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS consonants,
+           translate(p_brand, '#', '-') AS brand_t,
+           CAST(len(regexp_extract_all(p_type, '[A-Z]+')) AS INT) AS n_upper_runs,
+           CASE WHEN regexp_matches(p_type, '^(ECONOMY|STANDARD)')
+                THEN 1 ELSE 0 END AS is_cheap
+    FROM part ORDER BY p_partkey LIMIT 200
+    """,
+)
+def d41_regex_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: replace / translate / extract-all count / anchored
+    match. All JVM-side codegen'd string expressions (commons-regex);
+    no UDFs."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("consonants"),
+            F.translate(F.col("p_brand"), "#", "-").alias("brand_t"),
+            F.size(F.expr("regexp_extract_all(p_type, '[A-Z]+', 0)"))
+            .cast("int")
+            .alias("n_upper_runs"),
+            F.when(
+                F.col("p_type").rlike("^(ECONOMY|STANDARD)"), 1
+            )
+            .otherwise(0)
+            .alias("is_cheap"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
+
+
+@query(
+    "d42_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS hour_sum,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_cnt
+    FROM events ORDER BY user_id, epoch(ts), event_id LIMIT 500
+    """,
+)
+def d42_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (trailing 1 hour per user): the frame
+    bound is data (seconds), not row offsets — the window shuffles once
+    on user_id and slides a value range within each sorted partition.
+    This is the batch dual of a sliding stream aggregation keyed by
+    user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            rnd(F.sum(dec("value")).over(w), 2).alias("hour_sum"),
+            F.count(F.lit(1)).over(w).alias("hour_cnt"),
+            F.unix_timestamp("ts").alias("_ts"),
+        )
+        .orderBy("user_id", "_ts", "event_id")
+        .limit(500)
+        .drop("_ts")
+    )
