@@ -21,6 +21,7 @@ from pgsink_spark.operators import dedup as _dedup
 from pgsink_spark.operators import multimodal as _mm
 from pgsink_spark.operators import relational as _rel
 from pgsink_spark.operators import similarity as _sim
+from pgsink_spark.operators import tpch as _tpch  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import text as _text
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -24,6 +24,10 @@ HEADLINE = [
     "d3_outer_join_agg",
     "d30_tpch_q3",
     "d31_tpch_q5",
+    "tpch_q06_forecast_revenue",
+    "tpch_q08_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_volume_customer",
     "d32_pivot",
     "d36_sliding_window",
     "a16_compaction_view",
