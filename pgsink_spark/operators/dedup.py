@@ -477,7 +477,10 @@ _DUCKDB_SIMHASH = f"""
       SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY 1, 2
     ), fp AS (
       SELECT doc_id,
-             sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+             -- BIGINT cast: DuckDB's integer SUM is HUGEINT, which
+             -- lands as float64 in the driver's pandas comparator
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT)
                AS simhash
       FROM sums GROUP BY doc_id
     )

@@ -355,15 +355,32 @@ def b7_include_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "b8_array_agg",
     """
-    SELECT n_regionkey, LIST_SORT(LIST(n_name)) AS names
+    SELECT n_regionkey,
+           ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), ',') AS names
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 )
 def b8_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_agg of PK column names (canonical sorted array).
 
+    Declared output is the comma-joined sorted array — a scalar the
+    driver's pandas comparator can sort/hash (a raw list column crashes
+    it, CORRECTNESS_r01 b8). The array form stays available as
+    ``b8_array_agg_raw`` for pytest.
+
     Parity: pkg/imports/import.go:243-249.
     """
+    return (
+        b8_array_agg_raw(spark, sf_dir)
+        .select(
+            "n_regionkey", F.array_join("names", ",").alias("names")
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+def b8_array_agg_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The true array-typed aggregation (pytest-checked)."""
     nation = load_table(spark, sf_dir, "nation")
     return (
         nation.groupBy("n_regionkey")
@@ -854,7 +871,7 @@ def d19_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d21_text_group",
     """
-    SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars
+    SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -937,8 +954,9 @@ def d22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
       FROM flagged
     )
     SELECT user_id, session_no, MIN(ts) AS session_start,
@@ -1480,7 +1498,7 @@ def d36_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
-           json_keys(props) AS ks,
+           ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ',') AS ks,
            CAST(len(json_keys(props)) AS INT) AS n_keys
     FROM events WHERE props IS NOT NULL
     ORDER BY event_id LIMIT 200
@@ -1500,9 +1518,14 @@ def d37_json_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.from_json("props", "struct<k: bigint>").getField("k").alias(
                 "k_typed"
             ),
-            F.map_keys(F.from_json("props", "map<string, bigint>")).alias(
-                "ks"
-            ),
+            # joined-string canonical form: the driver's pandas
+            # comparator cannot hash a raw list column
+            F.array_join(
+                F.sort_array(
+                    F.map_keys(F.from_json("props", "map<string, bigint>"))
+                ),
+                ",",
+            ).alias("ks"),
             F.size(F.map_keys(F.from_json("props", "map<string, bigint>")))
             .cast("int")
             .alias("n_keys"),
