@@ -37,6 +37,12 @@ def envelope_schema(payload: T.StructType) -> T.StructType:
             T.StructField("namespace", T.StringType(), False),
             T.StructField("name", T.StringType(), False),
             T.StructField("lsn", T.LongType(), True),
+            # intra-transaction sequence (SequencedMessage, reference
+            # pkg/subscription/sequence.go:7-11): total order is
+            # (lsn, sequence) — two changes to the same key inside one
+            # transaction share lsn+timestamp, so compaction must break
+            # the tie on sequence or it serves an arbitrary image
+            T.StructField("sequence", T.LongType(), True),
             T.StructField("before", payload, True),
             T.StructField("after", payload, True),
         ]
@@ -89,6 +95,7 @@ def to_envelope(
         F.lit(namespace).alias("namespace"),
         F.lit(name).alias("name"),
         lsn_col.alias("lsn"),
+        F.lit(None).cast("bigint").alias("sequence"),
         F.lit(None).cast(payload_type_of(rows)).alias("before"),
         payload.alias("after"),
     )

@@ -31,19 +31,35 @@ def keyset_batch(
     pk: str,
     cursor=None,
     limit: int = 5000,
+    materialize: bool = True,
 ) -> tuple[DataFrame, object | None, bool]:
     """One keyset batch: (rows, next_cursor, done).
 
     ``rows`` is ordered by pk and bounded by ``limit``; ``next_cursor``
     is the max pk in the batch (None when the batch is empty);
     ``done`` marks a batch smaller than ``limit`` — the scan tail.
+
+    With ``materialize`` (the default) the batch is pinned with an eager
+    ``localCheckpoint`` before anything reads it, so the cursor/count agg
+    and the caller's sink write see the *same* rows. Against a live
+    source, two separate executions of the lazy
+    ``orderBy(pk).limit(n)`` can observe different snapshots — a
+    concurrent insert with pk <= cursor can displace a row out of the
+    second run's LIMIT window, silently skipping it. The reference
+    derives rows and cursor from a single query
+    (pkg/imports/import.go:209-223); materializing restores that
+    contract (and saves the double scan). Pass ``materialize=False``
+    only for plan inspection of the pre-pinned scan.
     """
     scan = source
     if cursor is not None:
         scan = scan.where(F.col(pk) > F.lit(cursor))
     batch = scan.orderBy(pk).limit(limit)
-    # One extra action to learn the cursor; the batch itself stays lazy
-    # for the sink write. agg(max, count) is a partial-agg single row.
+    if materialize:
+        # pk > cursor still reaches the scan (pushdown happens during
+        # this one materializing execution); the checkpoint truncates
+        # lineage so later readers reuse the stored blocks.
+        batch = batch.localCheckpoint(eager=True)
     row = batch.agg(
         F.max(pk).alias("mx"), F.count(F.lit(1)).alias("n")
     ).collect()[0]

@@ -38,7 +38,8 @@ FROM (
   SELECT payload, operation,
          ROW_NUMBER() OVER (
            PARTITION BY {pk_list}
-           ORDER BY timestamp DESC, lsn DESC NULLS LAST
+           ORDER BY timestamp DESC, lsn DESC NULLS LAST,
+                    sequence DESC NULLS LAST
          ) AS row_number
   FROM `{raw}`
 )
@@ -89,6 +90,7 @@ class WarehouseSink:
                 df.select(
                     "timestamp",
                     "lsn",
+                    "sequence",
                     operation().alias("operation"),
                     after_or_before().alias("payload"),
                     F.to_date("timestamp").alias("day"),

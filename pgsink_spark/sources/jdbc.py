@@ -21,6 +21,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+def sql_literal(v) -> str:
+    """Render a cursor value as a safe SQL literal.
+
+    Cursor values come from the *data* (the previous batch's max pk), so
+    a string pk containing a quote must not break — or inject into —
+    the generated subquery. Postgres string literals double embedded
+    single quotes; E-string escapes are avoided by rejecting control
+    characters outright.
+    """
+    if v is None:
+        raise ValueError("cursor literal cannot be NULL")
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite cursor: {v}")
+        return repr(v)
+    s = str(v)
+    if any(ord(c) < 0x20 for c in s):
+        raise ValueError("control character in cursor value")
+    return "'" + s.replace("'", "''") + "'"
+
+
+def quote_ident(name: str) -> str:
+    """Quote a table/column identifier (Postgres double-quote rules)."""
+    if "\x00" in name:
+        raise ValueError("NUL in identifier")
+    return '"' + name.replace('"', '""') + '"'
+
+
+def quote_qualified(name: str) -> str:
+    """Quote a possibly schema-qualified name part by part."""
+    return ".".join(quote_ident(p) for p in name.split("."))
+
+
 PK_QUERY = """
 (SELECT a.attname
  FROM pg_index i
@@ -81,9 +118,16 @@ def keyset_batch_options(
     """Options for one bounded keyset batch (resumable import loop).
 
     The dbtable subquery keeps the scan indexed and bounded server-side,
-    exactly the reference's import statement shape."""
-    where = f"WHERE {pk} > {cursor!r}" if cursor is not None else ""
-    sub = f"(SELECT * FROM {table} {where} ORDER BY {pk} LIMIT {limit}) AS batch"
+    exactly the reference's import statement shape. Cursor values are
+    SQL-escaped (they originate from table data) and identifiers are
+    quoted — Python ``repr`` is not SQL quoting."""
+    qpk = quote_ident(pk)
+    qtable = quote_qualified(table)
+    where = f"WHERE {qpk} > {sql_literal(cursor)}" if cursor is not None else ""
+    sub = (
+        f"(SELECT * FROM {qtable} {where} "
+        f"ORDER BY {qpk} LIMIT {int(limit)}) AS batch"
+    )
     return {"url": url, "dbtable": sub, **{k: str(v) for k, v in auth.items()}}
 
 
@@ -94,7 +138,7 @@ def read_snapshot(spark: SparkSession, **kwargs) -> DataFrame:
 
 def discover_tables(spark: SparkSession, url: str, schemas: list[str], **auth) -> DataFrame:
     """(namespace, name) catalog listing for reconciliation."""
-    inlist = ", ".join(f"'{s}'" for s in schemas)
+    inlist = ", ".join(sql_literal(s) for s in schemas)
     return (
         spark.read.format("jdbc")
         .options(

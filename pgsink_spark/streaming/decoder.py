@@ -164,7 +164,7 @@ def _tuple_data(r: _Reader) -> tuple:
         elif kind == "u":
             out.append(UNCHANGED)
         elif kind == "t":
-            out.append(r.take(r.i32()))
+            out.append(r.take(r.u32()))
         else:
             raise ValueError(f"unknown tuple element kind {kind!r}")
     return tuple(out)
@@ -175,13 +175,13 @@ def decode_message(buf: bytes):
     r = _Reader(buf)
     kind = chr(r.u8())
     if kind == "B":
-        return Begin(r.u64(), pg_timestamp(r.i64()), r.i32())
+        return Begin(r.u64(), pg_timestamp(r.i64()), r.u32())
     if kind == "C":
         return Commit(r.u8(), r.u64(), r.u64(), pg_timestamp(r.i64()))
     if kind == "O":
         return Origin(r.u64(), r.cstring())
     if kind == "R":
-        oid = r.i32()
+        oid = r.u32()
         ns = r.cstring()
         name = r.cstring()
         ident = r.u8()
@@ -190,22 +190,22 @@ def decode_message(buf: bytes):
             RelationColumn(
                 key=bool(r.u8() & 1),
                 name=r.cstring(),
-                type_oid=r.i32(),
-                modifier=r.i32(),
+                type_oid=r.u32(),
+                modifier=r.u32(),
             )
             for _ in range(ncols)
         )
         return Relation(oid, ns, name, ident, cols)
     if kind == "Y":
-        return TypeMessage(r.i32(), r.cstring(), r.cstring())
+        return TypeMessage(r.u32(), r.cstring(), r.cstring())
     if kind == "I":
-        oid = r.i32()
+        oid = r.u32()
         tag = chr(r.u8())
         if tag != "N":
             raise ValueError(f"insert expects 'N' tuple, got {tag!r}")
         return Insert(oid, _tuple_data(r))
     if kind == "U":
-        oid = r.i32()
+        oid = r.u32()
         old = key = None
         tag = chr(r.u8())
         if tag == "K":
@@ -218,7 +218,7 @@ def decode_message(buf: bytes):
             raise ValueError(f"update expects 'N' tuple, got {tag!r}")
         return Update(oid, old, key, _tuple_data(r))
     if kind == "D":
-        oid = r.i32()
+        oid = r.u32()
         tag = chr(r.u8())
         if tag == "K":
             return Delete(oid, None, _tuple_data(r))
@@ -228,7 +228,7 @@ def decode_message(buf: bytes):
     if kind == "T":
         n = r.i32()
         options = r.u8()
-        return Truncate(options, tuple(r.i32() for _ in range(n)))
+        return Truncate(options, tuple(r.u32() for _ in range(n)))
     raise ValueError(f"unknown pgoutput message kind {kind!r}")
 
 
@@ -249,7 +249,7 @@ def _enc_tuple(values: tuple) -> bytes:
             out += b"u"
         else:
             b = v if isinstance(v, bytes) else str(v).encode("utf-8")
-            out += b"t" + struct.pack(">i", len(b)) + b
+            out += b"t" + struct.pack(">I", len(b)) + b
     return out
 
 
@@ -264,24 +264,25 @@ def encode_commit(flags: int, commit_lsn: int, end_lsn: int, commit_time: dateti
 
 
 def encode_relation(rel: Relation) -> bytes:
-    out = b"R" + struct.pack(">i", rel.oid)
+    out = b"R" + struct.pack(">I", rel.oid)
     out += _enc_cstring(rel.namespace) + _enc_cstring(rel.name)
     out += struct.pack(">Bh", rel.replica_identity, len(rel.columns))
     for c in rel.columns:
         out += struct.pack(">B", 1 if c.key else 0)
         out += _enc_cstring(c.name)
-        out += struct.pack(">ii", c.type_oid, c.modifier)
+        # mask: atttypmod -1 rides the unsigned wire as 0xFFFFFFFF
+        out += struct.pack(">II", c.type_oid & 0xFFFFFFFF, c.modifier & 0xFFFFFFFF)
     return out
 
 
 def encode_insert(relation_oid: int, new: tuple) -> bytes:
-    return b"I" + struct.pack(">i", relation_oid) + b"N" + _enc_tuple(new)
+    return b"I" + struct.pack(">I", relation_oid) + b"N" + _enc_tuple(new)
 
 
 def encode_update(
     relation_oid: int, new: tuple, old: tuple | None = None, key: tuple | None = None
 ) -> bytes:
-    out = b"U" + struct.pack(">i", relation_oid)
+    out = b"U" + struct.pack(">I", relation_oid)
     if key is not None:
         out += b"K" + _enc_tuple(key)
     elif old is not None:
@@ -290,7 +291,7 @@ def encode_update(
 
 
 def encode_delete(relation_oid: int, old: tuple | None = None, key: tuple | None = None) -> bytes:
-    out = b"D" + struct.pack(">i", relation_oid)
+    out = b"D" + struct.pack(">I", relation_oid)
     if key is not None:
         return out + b"K" + _enc_tuple(key)
     return out + b"O" + _enc_tuple(old or ())

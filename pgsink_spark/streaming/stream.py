@@ -26,7 +26,7 @@ from pgsink_spark.streaming.marshal import Modification
 def modifications_to_rows(mods: list[Modification]) -> list[tuple]:
     """Modification records → envelope rows (typed payload dicts)."""
     return [
-        (m.timestamp, m.namespace, m.name, m.lsn, m.before, m.after)
+        (m.timestamp, m.namespace, m.name, m.lsn, m.sequence, m.before, m.after)
         for m in mods
     ]
 

@@ -47,7 +47,7 @@ def test_keyset_batch_pagination(spark, sf_dir):
 
 def test_keyset_batch_pushes_filter_down(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    batch, _, _ = keyset_batch(orders, "o_orderkey", 500, 100)
+    batch, _, _ = keyset_batch(orders, "o_orderkey", 500, 100, materialize=False)
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(o_orderkey,500)" in plan
 

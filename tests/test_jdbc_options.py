@@ -28,13 +28,31 @@ def test_keyset_batch_options_cursor():
     o = keyset_batch_options(
         "jdbc:postgresql://db/x", "public.orders", "o_orderkey", 500, 100
     )
-    assert "WHERE o_orderkey > 500" in o["dbtable"]
-    assert "ORDER BY o_orderkey LIMIT 100" in o["dbtable"]
+    assert 'WHERE "o_orderkey" > 500' in o["dbtable"]
+    assert 'ORDER BY "o_orderkey" LIMIT 100' in o["dbtable"]
+    assert '"public"."orders"' in o["dbtable"]
     # first batch: no cursor predicate
     o0 = keyset_batch_options(
         "jdbc:postgresql://db/x", "public.orders", "o_orderkey", None
     )
     assert "WHERE" not in o0["dbtable"]
+
+
+def test_keyset_batch_options_escapes_string_cursor():
+    # a cursor value containing a quote comes straight from table data;
+    # it must be SQL-escaped, not Python repr'd
+    o = keyset_batch_options(
+        "jdbc:postgresql://db/x", "public.t", "name", "O'Brien", 10
+    )
+    assert "'O''Brien'" in o["dbtable"]
+    import pytest
+
+    from pgsink_spark.sources.jdbc import sql_literal
+
+    with pytest.raises(ValueError):
+        sql_literal("bad\x00cursor")
+    assert sql_literal(True) == "TRUE"
+    assert sql_literal(3) == "3"
 
 
 def test_catalog_queries_are_subqueries():

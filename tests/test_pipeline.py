@@ -34,8 +34,8 @@ REL = Relation(
     name="kv",
     replica_identity=0,
     columns=(
-        RelationColumn(key=True, name="id", type_oid=20, modifier=-1),
-        RelationColumn(key=False, name="v", type_oid=25, modifier=-1),
+        RelationColumn(key=True, name="id", type_oid=20, modifier=0xFFFFFFFF),
+        RelationColumn(key=False, name="v", type_oid=25, modifier=0xFFFFFFFF),
     ),
 )
 

@@ -59,7 +59,7 @@ def test_compaction_view_prunes_partitions(spark, tmp_path):
 
     from pyspark.sql import types as T
 
-    from pgsink_spark.changelog import SchemaEntry
+    from pgsink_spark.changelog import SchemaEntry, envelope_schema
     from pgsink_spark.sinks import WarehouseSink
 
     payload = T.StructType([T.StructField("id", T.LongType())])
@@ -67,19 +67,11 @@ def test_compaction_view_prunes_partitions(spark, tmp_path):
     sink.handle_schema(SchemaEntry("public", "t", payload, ["id"]))
     env = spark.createDataFrame(
         [
-            (datetime.datetime(2024, 1, d), "public", "t", d, None, {"id": d})
+            (datetime.datetime(2024, 1, d), "public", "t", d, d, None,
+             {"id": d})
             for d in range(1, 11)
         ],
-        schema=T.StructType(
-            [
-                T.StructField("timestamp", T.TimestampType(), False),
-                T.StructField("namespace", T.StringType(), False),
-                T.StructField("name", T.StringType(), False),
-                T.StructField("lsn", T.LongType(), True),
-                T.StructField("before", payload, True),
-                T.StructField("after", payload, True),
-            ]
-        ),
+        schema=envelope_schema(payload),
     )
     sink.insert(env, "public", "t")
     raw = spark.read.parquet(str(tmp_path / "wh" / "public_t_raw"))

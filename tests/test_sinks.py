@@ -17,7 +17,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pgsink_spark.changelog import SchemaEntry, to_envelope
+from pgsink_spark.changelog import SchemaEntry, envelope_schema, to_envelope
 from pgsink_spark.sinks import (
     FileSink,
     InsertResult,
@@ -38,18 +38,10 @@ PAYLOAD = T.StructType(
 
 def _env_rows(spark, rows):
     """Build a typed envelope DataFrame from (ts, lsn, before, after)."""
-    schema = T.StructType(
-        [
-            T.StructField("timestamp", T.TimestampType(), False),
-            T.StructField("namespace", T.StringType(), False),
-            T.StructField("name", T.StringType(), False),
-            T.StructField("lsn", T.LongType(), True),
-            T.StructField("before", PAYLOAD, True),
-            T.StructField("after", PAYLOAD, True),
-        ]
-    )
+    schema = envelope_schema(PAYLOAD)
     full = [
-        (datetime.datetime(2024, 1, 1, 0, 0, s), "public", "example", lsn, b, a)
+        (datetime.datetime(2024, 1, 1, 0, 0, s), "public", "example", lsn,
+         s, b, a)
         for s, (lsn, b, a) in enumerate(rows)
     ]
     return spark.createDataFrame(full, schema)

@@ -44,6 +44,7 @@ from pgsink_spark.streaming.decoder import (
     pg_timestamp,
 )
 from pgsink_spark.streaming.marshal import text_parser_for
+from pgsink_spark.changelog import envelope_schema
 from pgsink_spark.streaming.stream import (
     envelope_file_stream,
     modifications_df,
@@ -62,9 +63,9 @@ REL = Relation(
     name="example",
     replica_identity=0,
     columns=(
-        RelationColumn(key=True, name="id", type_oid=20, modifier=-1),
-        RelationColumn(key=False, name="msg", type_oid=25, modifier=-1),
-        RelationColumn(key=False, name="score", type_oid=1700, modifier=-1),
+        RelationColumn(key=True, name="id", type_oid=20, modifier=0xFFFFFFFF),
+        RelationColumn(key=False, name="msg", type_oid=25, modifier=0xFFFFFFFF),
+        RelationColumn(key=False, name="score", type_oid=1700, modifier=0xFFFFFFFF),
     ),
 )
 
@@ -85,6 +86,30 @@ def test_decode_begin_commit_roundtrip():
     assert b == Begin(1000, TS, 77)
     c = decode_message(encode_commit(0, 1000, 1001, TS))
     assert c == Commit(0, 1000, 1001, TS)
+
+
+def test_decode_unsigned_xid_and_oid():
+    """XIDs/OIDs past 2^31 must decode as the positive uint32 the wire
+    carries (reference pkg/logical/decoder.go reads Uint32), not as
+    negative int32 — a negative type_oid would miss the type registry."""
+    big_xid = 2**31 + 5
+    assert decode_message(encode_begin(1, TS, big_xid)).xid == big_xid
+    big_oid = 2**32 - 10
+    rel = Relation(
+        oid=big_oid,
+        namespace="s",
+        name="t",
+        replica_identity=0,
+        columns=(
+            RelationColumn(
+                key=True, name="id", type_oid=big_oid, modifier=0xFFFFFFFF
+            ),
+        ),
+    )
+    back = decode_message(encode_relation(rel))
+    assert back.oid == big_oid
+    assert back.columns[0].type_oid == big_oid
+    assert back.columns[0].modifier == 0xFFFFFFFF
 
 
 def test_pg_epoch_micros():
@@ -238,19 +263,11 @@ def test_envelope_stream_foreachbatch(spark, tmp_path):
     naive = TS.replace(tzinfo=None)
     df = spark.createDataFrame(
         [
-            (naive, "public", "example", 10, None, {"id": 1, "msg": "a"}),
-            (naive, "public", "example", 11, {"id": 1, "msg": "a"}, None),
+            (naive, "public", "example", 10, 0, None,
+             {"id": 1, "msg": "a"}),
+            (naive, "public", "example", 11, 1, {"id": 1, "msg": "a"}, None),
         ],
-        schema=T.StructType(
-            [
-                T.StructField("timestamp", T.TimestampType(), False),
-                T.StructField("namespace", T.StringType(), False),
-                T.StructField("name", T.StringType(), False),
-                T.StructField("lsn", T.LongType(), True),
-                T.StructField("before", PAYLOAD, True),
-                T.StructField("after", PAYLOAD, True),
-            ]
-        ),
+        schema=envelope_schema(PAYLOAD),
     )
     df.write.parquet(src)
 

@@ -4,7 +4,8 @@ FROM (
   SELECT payload, operation,
          ROW_NUMBER() OVER (
            PARTITION BY payload.`id`
-           ORDER BY timestamp DESC, lsn DESC NULLS LAST
+           ORDER BY timestamp DESC, lsn DESC NULLS LAST,
+                    sequence DESC NULLS LAST
          ) AS row_number
   FROM `public_example_raw`
 )
