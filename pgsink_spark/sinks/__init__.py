@@ -11,11 +11,19 @@ compaction view, exactly like the reference's BigQuery sink
 """
 
 from pgsink_spark.sinks.generic import InsertResult, write_batch
+from pgsink_spark.sinks.instrumented import (
+    InstrumentedInserter,
+    SinkMetrics,
+    observed_write,
+)
 from pgsink_spark.sinks.file_sink import FileSink
 from pgsink_spark.sinks.warehouse import WarehouseSink, compaction_view_sql
 
 __all__ = [
     "FileSink",
+    "InstrumentedInserter",
+    "SinkMetrics",
+    "observed_write",
     "InsertResult",
     "WarehouseSink",
     "compaction_view_sql",

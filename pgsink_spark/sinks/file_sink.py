@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 from pgsink_spark.changelog.envelope import operation
 from pgsink_spark.changelog.registry import SchemaEntry
-from pgsink_spark.sinks.generic import InsertResult, SchemaHandler, write_batch
+from pgsink_spark.sinks.generic import InsertResult, SchemaHandler
+from pgsink_spark.sinks.instrumented import observed_write
 
 
 class FileSink:
@@ -58,4 +59,4 @@ class FileSink:
                 .json(self.modifications_path)
             )
 
-        return write_batch(env, writer)
+        return observed_write(env, writer)

@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 from pgsink_spark.changelog.envelope import after_or_before, operation
 from pgsink_spark.changelog.registry import SchemaEntry
-from pgsink_spark.sinks.generic import InsertResult, SchemaHandler, write_batch
+from pgsink_spark.sinks.generic import InsertResult, SchemaHandler
+from pgsink_spark.sinks.instrumented import observed_write
 
 VIEW_TEMPLATE = """CREATE OR REPLACE TEMPORARY VIEW `{view}` AS
 SELECT payload.*
@@ -100,7 +101,9 @@ class WarehouseSink:
                 .parquet(self._raw_path(namespace, name))
             )
 
-        return write_batch(env, writer)
+        # single-pass accounting: count/max-lsn observed during
+        # the write job itself (no second scan of the batch)
+        return observed_write(env, writer)
 
     def compact(self, namespace: str, name: str) -> str:
         """Materialize the compaction view into a compacted table.

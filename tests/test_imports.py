@@ -160,3 +160,22 @@ def test_importer_records_error(spark, sf_dir, store):
     assert j.error_count == 1 and "sink unavailable" in j.error
     # job not claimable until backoff passes
     assert store.claim(now=j.last_error_at + 1) is None
+
+
+def test_importer_with_instrumented_insert(spark, sf_dir, store):
+    """A13 composition on the import path: importer → instrumented →
+    capture sink; per-batch durations and row totals are recorded
+    (reference importer histograms, pkg/imports/importer.go:57-81)."""
+    from pgsink_spark.sinks import InstrumentedInserter
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sink = _CaptureSink()
+    ins = InstrumentedInserter(sink.insert)
+    store.enqueue("sub", "public", "nation")
+    imp = Importer(store, ins, batch_limit=10)
+    res = imp.run(store.claim(), nation, "n_nationkey")
+    assert res.done
+    m = ins.metrics
+    assert m.rows_total["public.nation"] == nation.count()
+    assert m.batches_total["public.nation"] == len(sink.batches)
+    assert m.insert_duration["public.nation"].n == len(sink.batches)

@@ -150,3 +150,72 @@ def test_warehouse_sink_compaction_e2e(spark, tmp_path):
     assert got == {(1, "a1"), (3, "c0")}
     # raw table retains full history (at-least-once, append-only)
     assert spark.table("public_example_raw").count() == 5
+
+
+# -- A13: instrumented inserter (observability) -------------------------
+
+def test_observed_write_matches_second_pass_accounting(spark):
+    from pgsink_spark.sinks.instrumented import observed_write
+    from pgsink_spark.sinks.generic import batch_result
+
+    env = _env_rows(
+        spark,
+        [
+            (10, None, {"id": 1, "v": "a"}),
+            (11, None, {"id": 2, "v": "b"}),
+            (None, None, {"id": 3, "v": "c"}),  # import row, no lsn
+        ],
+    )
+    written = []
+    res = observed_write(env, lambda df: written.extend(df.collect()))
+    assert len(written) == 3
+    assert res == batch_result(env)
+    assert res.count == 3 and res.max_lsn == 11
+
+
+def test_instrumented_inserter_records_histograms(spark):
+    from pgsink_spark.sinks import InstrumentedInserter, SinkMetrics
+    from pgsink_spark.sinks.generic import InsertResult
+    from pgsink_spark.sinks.instrumented import DURATION_BUCKETS
+
+    fake_now = [0.0]
+
+    def inner(env, ns, name):
+        fake_now[0] += 0.3  # pretend the write took 300ms
+        return InsertResult(env.count(), 42)
+
+    metrics = SinkMetrics()
+    ins = InstrumentedInserter(inner, metrics, clock=lambda: fake_now[0])
+    env = _env_rows(spark, [(10, None, {"id": 1, "v": "a"})] )
+    ins(env, "public", "example")
+    ins(env, "public", "example")
+
+    key = "public.example"
+    assert metrics.batches_total[key] == 2
+    assert metrics.rows_total[key] == 2
+    assert metrics.last_max_lsn[key] == 42
+    h = metrics.insert_duration[key]
+    assert h.n == 2 and abs(h.total - 0.6) < 1e-9
+    # 0.3s lands in the (0.25, 0.5] bucket — reference bucket layout
+    assert DURATION_BUCKETS[0] == 0.125 and DURATION_BUCKETS[-1] == 512
+    assert h.counts[2] == 2
+    assert metrics.batch_size[key].n == 2
+
+
+def test_warehouse_insert_composes_with_instrumentation(spark, tmp_path):
+    from pgsink_spark.sinks import InstrumentedInserter, WarehouseSink
+
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "example", payload, ["id"]))
+    ins = InstrumentedInserter(sink.insert)
+    env = _env_rows(
+        spark, [(10, None, {"id": 1, "v": "a"}), (11, None, {"id": 2, "v": "b"})]
+    )
+    res = ins(env, "public", "example")
+    assert res.count == 2 and res.max_lsn == 11
+    m = ins.metrics
+    assert m.rows_total["public.example"] == 2
+    assert m.insert_duration["public.example"].n == 1
