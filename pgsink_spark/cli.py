@@ -1,0 +1,213 @@
+"""CLI entry point (the ``cmd/pgsink`` analogue).
+
+Reference parity: the reference binary wires config → subscription →
+sink and serves the control API (cmd/pgsink/cmd/app.go:97-157,
+288-345, 409-478). Subcommands:
+
+- ``tables list|add|stop``  — control-plane state (publication + jobs)
+- ``serve``                 — control-plane HTTP API (ControlServer)
+- ``import run``            — drain claimable import jobs → file sink
+  (manager/worker/importer loop, SURVEY §3.2)
+- ``stream run``            — pgoutput capture → streaming source →
+  file sink with checkpointed offsets (SURVEY §3.1)
+
+State layout under ``--root``: ``jobs.json`` (import-job queue),
+``publication.json`` (published set), ``sink/`` (NDJSON output),
+``checkpoints/`` (streaming offsets).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pgsink_spark.control.publication import Publication
+from pgsink_spark.control.tables_api import TablesAPI
+from pgsink_spark.imports.jobs import ImportJobStore
+
+
+def _pub_path(root: str) -> str:
+    return os.path.join(root, "publication.json")
+
+
+def load_publication(root: str, name: str = "pgsink") -> Publication:
+    pub = Publication(name)
+    path = _pub_path(root)
+    if os.path.exists(path):
+        with open(path) as f:
+            pub.set_tables([tuple(t) for t in json.load(f)["tables"]])
+    return pub
+
+
+def save_publication(root: str, pub: Publication) -> None:
+    with open(_pub_path(root), "w") as f:
+        json.dump({"tables": pub.get_tables()}, f)
+
+
+def make_api(root: str) -> TablesAPI:
+    os.makedirs(root, exist_ok=True)
+    pub = load_publication(root)
+    jobs = ImportJobStore(os.path.join(root, "jobs.json"))
+    return TablesAPI(pub, jobs)
+
+
+def fixture_catalog(source: str) -> list[tuple[str, str]]:
+    """Catalog listing from a fixture directory (one table per parquet);
+    a live deployment swaps in ``sources.jdbc.discover_tables``."""
+    return sorted(
+        ("public", f[: -len(".parquet")])
+        for f in os.listdir(source)
+        if f.endswith(".parquet")
+    )
+
+
+def cmd_tables(args) -> int:
+    api = make_api(args.root)
+    if args.action == "list":
+        catalog = fixture_catalog(args.source)
+        for t in api.list_tables(catalog):
+            print(
+                f"{t.namespace}.{t.name}\tpublication={t.publication_status}"
+                f"\timport={t.import_status}"
+                f"\trows={t.import_rows_processed_total}"
+            )
+    elif args.action == "add":
+        job = api.add_table(args.namespace, args.name)
+        save_publication(args.root, api.publication)
+        print(f"added {args.namespace}.{args.name}"
+              + (f" job={job.id}" if job else ""))
+    elif args.action == "stop":
+        expired = api.stop_table(args.namespace, args.name)
+        save_publication(args.root, api.publication)
+        print(f"stopped {args.namespace}.{args.name} expired_jobs={expired}")
+    return 0
+
+
+def run_imports(root: str, source: str, spark=None) -> int:
+    """Drain claimable jobs: fixture source → envelope → file sink."""
+    from pgsink_spark.imports.importer import Importer
+    from pgsink_spark.session import get_spark
+    from pgsink_spark.sinks.file_sink import FileSink
+    from pgsink_spark.sinks.instrumented import InstrumentedInserter
+
+    spark = spark or get_spark("pgsink-import")
+    jobs = ImportJobStore(os.path.join(root, "jobs.json"))
+    sink = FileSink(os.path.join(root, "sink"))
+    inserter = InstrumentedInserter(lambda env, ns, name: sink.insert(env))
+    importer = Importer(jobs, inserter)
+    done = 0
+    while (job := jobs.claim()) is not None:
+        table = spark.read.parquet(
+            os.path.join(source, f"{job.table_name}.parquet")
+        )
+        # fixture pk convention: first column (o_orderkey, n_nationkey…);
+        # a live deployment resolves it via sources.jdbc.discover_primary_key
+        pk = table.columns[0]
+        res = importer.run(job, table, pk)
+        done += 1 if res.done else 0
+    return done
+
+
+def cmd_import(args) -> int:
+    n = run_imports(args.root, args.source)
+    print(f"completed_jobs={n}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from pgsink_spark.control.server import ControlServer
+
+    api = make_api(args.root)
+    server = ControlServer(
+        api, lambda: fixture_catalog(args.source), args.host, args.port
+    )
+    server.start()
+    print(f"control API listening on {server.address}")
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+def cmd_stream(args) -> int:
+    """Capture → pgoutput streaming source → NDJSON sink, availableNow."""
+    from pgsink_spark.session import get_spark
+    from pgsink_spark.streaming.datasource import register
+
+    spark = get_spark("pgsink-stream")
+    register(spark)
+    out = os.path.join(args.root, "sink", "modifications")
+
+    def sink(df, _bid):
+        from pyspark.sql import functions as F
+
+        from pgsink_spark.changelog.envelope import operation
+
+        (
+            df.withColumn("operation", operation())
+            .write.mode("append")
+            .partitionBy("namespace", "name")
+            .json(out)
+        )
+
+    q = (
+        spark.readStream.format("pgoutput")
+        .option("path", args.capture)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(args.root, "checkpoints", "stream"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    print(f"streamed to {out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pgsink-spark")
+    p.add_argument("--root", default="./pgsink-state",
+                   help="control-plane state directory")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("tables", help="list/add/stop tables")
+    t.add_argument("action", choices=["list", "add", "stop"])
+    t.add_argument("namespace", nargs="?")
+    t.add_argument("name", nargs="?")
+    t.add_argument("--source", default="/root/testdata/sf0.001")
+    t.set_defaults(fn=cmd_tables)
+
+    i = sub.add_parser("import", help="run claimable import jobs")
+    i.add_argument("action", choices=["run"])
+    i.add_argument("--source", default="/root/testdata/sf0.001")
+    i.set_defaults(fn=cmd_import)
+
+    s = sub.add_parser("serve", help="control-plane HTTP API")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--source", default="/root/testdata/sf0.001")
+    s.set_defaults(fn=cmd_serve)
+
+    st = sub.add_parser("stream", help="stream a pgoutput capture")
+    st.add_argument("action", choices=["run"])
+    st.add_argument("--capture", required=True)
+    st.set_defaults(fn=cmd_stream)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

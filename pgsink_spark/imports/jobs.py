@@ -162,4 +162,13 @@ class ImportJobStore:
         return self._jobs[job_id]
 
     def all(self) -> list[ImportJob]:
+        """Full listing, refreshed from disk.
+
+        The read path of the file-backed queue: another process (an
+        import worker) may have progressed jobs since this store
+        loaded, and the control API lists through this method — reload
+        so status reflects the file, like a SELECT would.
+        """
+        if os.path.exists(self.path):
+            self._load()
         return sorted(self._jobs.values(), key=lambda j: j.id)

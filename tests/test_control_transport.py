@@ -1,0 +1,188 @@
+"""Control-plane transport e2e, mirroring integration/file_test.go:88-118:
+drive add-table over HTTP → run the import worker → status flips to
+complete → assert the emitted NDJSON modifications.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+
+from pgsink_spark.cli import (
+    fixture_catalog,
+    load_publication,
+    main,
+    make_api,
+    run_imports,
+    save_publication,
+)
+from pgsink_spark.control.server import ControlServer
+
+
+def _get(url: str) -> dict:
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _post(url: str, body: dict) -> dict:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def test_http_add_import_stop_lifecycle(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "state")
+    api = make_api(root)
+    server = ControlServer(api, lambda: fixture_catalog(sf_dir)).start()
+    try:
+        base = server.address
+        assert _get(f"{base}/api/health") == {"status": "healthy"}
+
+        # catalog listed, nothing active yet
+        tables = _get(f"{base}/api/tables")["tables"]
+        nation = next(t for t in tables if t["name"] == "nation")
+        assert nation["publication_status"] == "inactive"
+        assert nation["import_status"] == "inactive"
+
+        # AddTable → publication active, import scheduled
+        added = _post(
+            f"{base}/api/tables/add",
+            {"namespace": "public", "name": "nation"},
+        )
+        assert added["job_id"] is not None
+        nation = next(
+            t
+            for t in _get(f"{base}/api/tables")["tables"]
+            if t["name"] == "nation"
+        )
+        assert nation["publication_status"] == "active"
+        assert nation["import_status"] == "scheduled"
+
+        # worker drains the queue into the file sink
+        assert run_imports(root, sf_dir, spark) == 1
+
+        nation = next(
+            t
+            for t in _get(f"{base}/api/tables")["tables"]
+            if t["name"] == "nation"
+        )
+        assert nation["import_status"] == "complete"
+        n_expected = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+        assert nation["import_rows_processed_total"] == n_expected
+
+        # emitted NDJSON modifications (IMPORT rows, payload intact)
+        out = (
+            spark.read.json(
+                os.path.join(root, "sink", "modifications")
+            )
+        )
+        assert out.count() == n_expected
+        ops = {r["operation"] for r in out.select("operation").collect()}
+        assert ops == {"IMPORT"}
+
+        # StopTable expires nothing (job complete) and unpublishes
+        stopped = _post(
+            f"{base}/api/tables/stop",
+            {"namespace": "public", "name": "nation"},
+        )
+        assert stopped["expired"] == 0
+        nation = next(
+            t
+            for t in _get(f"{base}/api/tables")["tables"]
+            if t["name"] == "nation"
+        )
+        assert nation["publication_status"] == "inactive"
+    finally:
+        server.stop()
+
+
+def test_http_error_paths(tmp_path, sf_dir):
+    api = make_api(str(tmp_path / "state"))
+    server = ControlServer(api, lambda: fixture_catalog(sf_dir)).start()
+    try:
+        base = server.address
+        try:
+            _post(f"{base}/api/tables/add", {"namespace": "public"})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            _get(f"{base}/api/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.stop()
+
+
+def test_cli_tables_roundtrip(tmp_path, sf_dir, capsys):
+    root = str(tmp_path / "state")
+    assert (
+        main(
+            ["--root", root, "tables", "add", "public", "region",
+             "--source", sf_dir]
+        )
+        == 0
+    )
+    # publication persisted across CLI invocations
+    pub = load_publication(root)
+    assert ("public", "region") in pub.get_tables()
+
+    assert (
+        main(["--root", root, "tables", "list", "--source", sf_dir]) == 0
+    )
+    out = capsys.readouterr().out
+    assert "public.region\tpublication=active\timport=scheduled" in out
+
+    assert (
+        main(
+            ["--root", root, "tables", "stop", "public", "region",
+             "--source", sf_dir]
+        )
+        == 0
+    )
+    pub = load_publication(root)
+    assert ("public", "region") not in pub.get_tables()
+    # the scheduled job was expired by stop
+    out2 = capsys.readouterr().out
+    assert "expired_jobs=1" in out2
+
+
+def test_cli_stream_run(tmp_path, spark, capsys):
+    """CLI stream: capture → streaming source → NDJSON sink."""
+    import datetime
+    from datetime import timezone
+
+    from pgsink_spark.streaming.datasource import append_capture
+    from pgsink_spark.streaming.decoder import (
+        Relation,
+        RelationColumn,
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+    )
+
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    rel = Relation(
+        16384, "public", "example", 0,
+        (RelationColumn(True, "id", 20, 0xFFFFFFFF),
+         RelationColumn(False, "v", 25, 0xFFFFFFFF)),
+    )
+    cap = str(tmp_path / "wal.capture")
+    append_capture(cap, [
+        encode_begin(100, ts, 7), encode_relation(rel),
+        encode_insert(rel.oid, (1, "a")), encode_insert(rel.oid, (2, "b")),
+        encode_commit(0, 100, 101, ts),
+    ])
+    root = str(tmp_path / "state")
+    assert main(["--root", root, "stream", "run", "--capture", cap]) == 0
+    out = spark.read.json(os.path.join(root, "sink", "modifications"))
+    assert out.count() == 2
+    assert {r["operation"] for r in out.collect()} == {"INSERT"}
