@@ -19,15 +19,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pgsink_spark.session import get_spark
 
 HEADLINE = [
+    # TPC-H module (all 12, permanent — BENCH_rN comparable)
     "d5_tpch_q1",
-    "d2_join_agg_topk",
-    "d3_outer_join_agg",
     "d30_tpch_q3",
+    "tpch_q04_order_priority",
     "d31_tpch_q5",
     "tpch_q06_forecast_revenue",
+    "tpch_q07_volume_shipping",
     "tpch_q08_market_share",
+    "tpch_q09_product_profit",
+    "tpch_q10_returned_items",
     "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # relational surface
+    "d2_join_agg_topk",
+    "d3_outer_join_agg",
     "d32_pivot",
     "d36_sliding_window",
     "a16_compaction_view",
@@ -37,13 +47,26 @@ HEADLINE = [
     "b4_latest_per_key",
     "d22_asof_join",
     "d23_session_gap",
+    "d43_keyed_running_sum",
+    # LLM-pipeline surface
     "d20_similarity_topk",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_pairs",
     "text_token_count",
     "text_fingerprint",
 ]
+
+# Round-over-round regression gate: compare per-query times against the
+# recorded baseline at the same SF; queries slower than 1.5x baseline
+# are reported in the JSON ("regressions"). Set SPARK_GRAFT_BENCH_STRICT=1
+# to also exit non-zero (off by default: local[32] timing noise of 2x
+# has been observed on this box, and the driver records rc).
+REGRESSION_FACTOR = 1.5
+BASELINE_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+)
 
 
 def main() -> None:
@@ -90,6 +113,15 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    regressions: dict[str, list[float]] = {}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)
+        if str(base.get("sf")) == sf:
+            for name, t in times.items():
+                b = base.get("queries", {}).get(name)
+                if b is not None and t > b * REGRESSION_FACTOR:
+                    regressions[name] = [b, t]
     print(
         json.dumps(
             {
@@ -98,10 +130,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf else None,
+                "regressions": regressions,
             }
         )
     )
     spark.stop()
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -32,13 +32,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Queries kept only because SURVEY §2.E mandates their exact oracle
+# shape; each has a scale-correct twin that real pipelines should use
+# (d10's global running window → d43's keyed windows).
+SPEC_ONLY: set[str] = set()
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, spec_only: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if spec_only:
+            SPEC_ONLY.add(name)
         return fn
 
     return deco
@@ -681,11 +687,14 @@ def d9_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS run
     FROM orders ORDER BY o_orderkey LIMIT 100
     """,
+    spec_only=True,
 )
 def d10_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-spec running sum. NOTE: an unpartitioned running window is a
-    single-task operator by definition; kept to oracle semantics here,
-    flagged as a scale anti-pattern (bench uses partitioned windows)."""
+    """Frame-spec running sum — SPEC-ONLY (SPEC_ONLY registry): an
+    unpartitioned running window is a single-task operator by
+    definition; kept to the SURVEY §2.E oracle shape. The scale-correct
+    twin is ``d43_keyed_running_sum`` (per-key windows, fully
+    parallel)."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -1712,4 +1721,37 @@ def d42_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "_ts", "event_id")
         .limit(500)
         .drop("_ts")
+    )
+
+
+@query(
+    "d43_keyed_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                      OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      2) AS DOUBLE) AS run
+    FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500
+    """,
+)
+def d43_keyed_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed cumulative sum — the scale-correct twin of the spec-only
+    d10: PARTITION BY spreads the running window across executors (one
+    shuffle on o_custkey, every partition sorts/folds independently);
+    the global variant is a single task no matter the cluster size."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            rnd(F.sum(dec("o_totalprice")).over(w), 2).alias("run"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(500)
     )

@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from pgsink_spark.changelog.envelope import after_or_before, operation
 from pgsink_spark.changelog.registry import SchemaEntry
 from pgsink_spark.sinks.generic import InsertResult, SchemaHandler
-from pgsink_spark.sinks.instrumented import observed_write
 
 VIEW_TEMPLATE = """CREATE OR REPLACE TEMPORARY VIEW `{view}` AS
 SELECT payload.*
@@ -76,7 +75,13 @@ class WarehouseSink:
     def handle_schema(self, entry: SchemaEntry) -> str:
         return self._schema_handler.handle(entry)
 
-    def insert(self, env: DataFrame, namespace: str, name: str) -> InsertResult:
+    def insert(
+        self,
+        env: DataFrame,
+        namespace: str,
+        name: str,
+        cluster: bool = True,
+    ) -> InsertResult:
         """Append one envelope batch into the table's raw storage.
 
         A typed envelope batch carries one table's payload StructType, so
@@ -84,26 +89,46 @@ class WarehouseSink:
         day-partitioned — the same time-partitioning the reference
         requests from BigQuery. Day partitions + parquet min/max stats
         give readers partition pruning for time-bounded queries.
+
+        ``cluster`` additionally range-partitions + sorts each batch by
+        the primary key inside each day — the C3 clustering the
+        reference requests from BigQuery (schema_builders.go:99-106).
+        Sorted files give parquet tight per-row-group pk min/max stats,
+        so pk-point reads skip whole row groups/files (the Z-ORDER
+        analogue for a single key). Costs one range shuffle per batch;
+        compaction reads win it back on every pk lookup.
         """
+        from pyspark.sql import Observation
 
-        def writer(df: DataFrame) -> None:
-            (
-                df.select(
-                    "timestamp",
-                    "lsn",
-                    "sequence",
-                    operation().alias("operation"),
-                    after_or_before().alias("payload"),
-                    F.to_date("timestamp").alias("day"),
-                )
-                .write.mode("append")
-                .partitionBy("day")
-                .parquet(self._raw_path(namespace, name))
-            )
-
-        # single-pass accounting: count/max-lsn observed during
-        # the write job itself (no second scan of the batch)
-        return observed_write(env, writer)
+        keys = self._keys.get((namespace, name), [])
+        out = env.select(
+            "timestamp",
+            "lsn",
+            "sequence",
+            operation().alias("operation"),
+            after_or_before().alias("payload"),
+            F.to_date("timestamp").alias("day"),
+        )
+        if cluster and keys:
+            pk_cols = [F.col(f"payload.{c}") for c in keys]
+            out = out.repartitionByRange(
+                F.col("day"), *pk_cols
+            ).sortWithinPartitions(F.col("day"), *pk_cols)
+        # single-pass accounting, attached DOWNSTREAM of the range
+        # exchange: repartitionByRange samples its child to pick range
+        # boundaries, so an upstream observe would fire twice and
+        # double-count the batch
+        obs = Observation()
+        observed = out.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.max("lsn").alias("max_lsn")
+        )
+        (
+            observed.write.mode("append")
+            .partitionBy("day")
+            .parquet(self._raw_path(namespace, name))
+        )
+        got = obs.get
+        return InsertResult(got["n"], got["max_lsn"])
 
     def compact(self, namespace: str, name: str) -> str:
         """Materialize the compaction view into a compacted table.

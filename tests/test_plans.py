@@ -122,3 +122,54 @@ def test_dedup_signatures_no_shuffle(spark):
     assert exchange_count(D.doc_shingle_sets(docs, 3)) == 0
     assert exchange_count(D.minhash_band_keys(D.doc_shingle_sets(docs, 3))) == 0
     assert exchange_count(D.simhash_fingerprints(docs)) == 0
+
+
+def test_warehouse_pk_clustering_gives_disjoint_file_ranges(spark, tmp_path):
+    """C3 clustering: batches are range-partitioned + sorted by pk, so
+    each parquet file covers a tight, non-overlapping pk range — the
+    min/max stats a pk lookup uses to skip row groups (reference
+    clusters the raw table by pk, schema_builders.go:99-106)."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from pgsink_spark.changelog import SchemaEntry, envelope_schema
+    from pgsink_spark.sinks import WarehouseSink
+
+    payload = T.StructType([T.StructField("id", T.LongType())])
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "t", payload, ["id"]))
+    # interleaved pks in one day: unsorted on arrival
+    rows = [
+        (datetime.datetime(2024, 1, 1), "public", "t", i, i, None,
+         {"id": (i * 7919) % 4000})
+        for i in range(4000)
+    ]
+    env = spark.createDataFrame(rows, schema=envelope_schema(payload))
+    sink.insert(env, "public", "t")
+
+    files = glob.glob(
+        str(tmp_path / "wh" / "public_t_raw" / "day=2024-01-01" / "*.parquet")
+    )
+    assert files
+    # every file stores rows sorted by pk (range partitioning makes the
+    # files' pk ranges disjoint; within a file the sort makes each
+    # row-group's min/max tight — AQE may coalesce this tiny batch into
+    # one file, the sortedness is the property that scales)
+    ranges = []
+    for f in files:
+        ids = pq.read_table(f, columns=["payload.id"]).column(0).to_pylist()
+        assert ids == sorted(ids), "file not pk-sorted"
+        ranges.append((ids[0], ids[-1]))
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint pk ranges across files
+
+    # and a pk point-read pushes the nested filter to the parquet scan
+    raw = spark.read.parquet(str(tmp_path / "wh" / "public_t_raw"))
+    lookup = raw.where(F.col("payload.id") == 1234)
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "payload.id" in plan, plan
+    assert lookup.count() == 1
