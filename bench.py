@@ -19,8 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pgsink_spark.session import get_spark
 
 HEADLINE = [
-    # TPC-H module (all 12, permanent — BENCH_rN comparable)
+    # TPC-H module (all 19 adapted queries, permanent — BENCH_rN comparable)
     "d5_tpch_q1",
+    "tpch_q02_min_cost_supplier",
     "d30_tpch_q3",
     "tpch_q04_order_priority",
     "d31_tpch_q5",
@@ -29,11 +30,17 @@ HEADLINE = [
     "tpch_q08_market_share",
     "tpch_q09_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lateness",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_relationship",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_kept_waiting",
     "tpch_q22_global_sales_opportunity",
     # relational surface
     "d2_join_agg_topk",

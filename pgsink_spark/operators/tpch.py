@@ -592,3 +592,371 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "tpch_q02_min_cost_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eligible AS (
+      SELECT p.p_partkey, s.s_name, n.n_name,
+             CAST(ROUND(CAST(s.s_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE)
+               AS acctbal
+      FROM part p
+      JOIN ps ON ps.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size IN (5, 15, 25) AND p.p_type IN ('LARGE', 'SMALL')
+        AND r.r_name = 'EUROPE')
+    SELECT p_partkey, s_name, n_name, acctbal FROM (
+      SELECT *, MIN(acctbal) OVER (PARTITION BY p_partkey) AS mn
+      FROM eligible)
+    WHERE acctbal = mn
+    ORDER BY acctbal, p_partkey, s_name LIMIT 100
+    """,
+)
+def tpch_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 adapted (no partsupp: the distinct (l_partkey, l_suppkey)
+    pairs in lineitem stand in for the supply relation; min s_acctbal
+    stands in for min ps_supplycost).  Plan: part/supplier/nation/region
+    are all dimension-sized → AQE broadcasts them onto the distinct
+    pair scan; the min-per-part is a window over the already-joined
+    (small) eligible set, not a second fact scan — one shuffle on
+    l_partkey for the distinct, one on p_partkey for the window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").isin(5, 15, 25) & F.col("p_type").isin("LARGE", "SMALL")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(p, ps["l_partkey"] == p["p_partkey"])
+        .join(s, ps["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "p_partkey", "s_name", "n_name",
+            rnd(dec("s_acctbal"), 2).alias("acctbal"),
+        )
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("mn", F.min("acctbal").over(w))
+        .where(F.col("acctbal") == F.col("mn"))
+        .select("p_partkey", "s_name", "n_name", "acctbal")
+        .orderBy("acctbal", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS v,
+             COUNT(*) AS _n
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7' GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, CAST(ROUND(v, 2) AS DOUBLE) AS value
+    FROM val
+    WHERE v * (SELECT COUNT(*) FROM val) > (SELECT SUM(v) * 2 FROM val)
+    ORDER BY value DESC, partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 adapted (no partsupp: per-part shipped value for one
+    nation's suppliers; HAVING > 2× the average part value — the
+    original's fraction-of-total threshold made scale-free by
+    cross-multiplying against COUNT so both engines compare exact
+    decimals, never float averages).  Plan: nation filter reaches the
+    supplier scan, AQE broadcasts the surviving suppliers onto
+    lineitem; one shuffle on l_partkey; the global (sum, count) scalar
+    is a single-row broadcast join back onto the per-part set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    )
+    val = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("v"))
+    )
+    totals = val.agg(
+        F.sum("v").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        val.crossJoin(F.broadcast(totals))
+        .where(F.col("v") * F.col("_n") > F.col("_tot") * 2)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            rnd(F.col("v"), 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@query(
+    "tpch_q12_priority_lateness",
+    """
+    SELECT l_returnflag AS grp,
+      SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def tpch_q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 adapted (no shipmode/commitdate: lines shipped >90 days
+    after their order, grouped by returnflag, split into high/low
+    priority counts).  Plan: the shipdate year filter prunes lineitem
+    row groups at the scan; one shuffle joins the two facts on
+    orderkey with the lateness predicate as a join residual; the CASE
+    counts fold in one partial-aggregated pass (3 groups)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: quarterly revenue view per supplier; emit the max-revenue
+    supplier(s) via an exact-decimal scalar-subquery comparison.  Plan:
+    the quarter filter prunes the lineitem scan; one shuffle on
+    l_suppkey builds the revenue view; the MAX scalar is a single-row
+    broadcast; the supplier dimension broadcasts onto the tiny winner
+    set."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    mx = revenue.agg(F.max("total_rev").alias("_mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", rnd(F.col("total_rev"), 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_relationship",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q16 adapted (supply relation from lineitem distinct pairs;
+    excluded-supplier comment filter dropped — no comment column).
+    Plan: the part filters broadcast onto the pair set; COUNT(DISTINCT)
+    expands to a two-phase aggregate (distinct on the grouping+supplier
+    key, then count) — both phases partial-aggregate before their
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    """
+    SELECT s_name, s_suppkey FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3' AND s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 50)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20_potential_promotion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q20 adapted (no partsupp availqty: suppliers in one nation who
+    shipped >50 units of PROMO parts in a year).  Plan: part filter
+    broadcasts onto the date-pruned lineitem scan; one shuffle on
+    l_suppkey for the HAVING aggregate; the qualifying-supplier set is
+    tiny → LEFT SEMI broadcast into the nation-filtered supplier
+    dimension."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    qualifying = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3"
+    )
+    return (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            qualifying, s["s_suppkey"] == qualifying["l_suppkey"], "left_semi"
+        )
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q21_suppliers_kept_waiting",
+    """
+    SELECT s_name, COUNT(*) AS numwait FROM (
+      SELECT DISTINCT s_name, l1.l_orderkey
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    ) t GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def tpch_q21_suppliers_kept_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q21 adapted (lateness = shipped >60 days after order date, no
+    receipt/commit dates): suppliers in one nation who were the SOLE
+    late supplier on a multi-supplier finalized order.  Plan: instead
+    of the classic EXISTS/NOT-EXISTS double self-join (three lineitem
+    scans), compute per-order supplier facts ONCE — one shuffle on
+    orderkey aggregating (distinct suppliers, distinct late suppliers,
+    one late supplier id) — then join that single per-order row back to
+    the late lines; same semantics, one lineitem pass less."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    # sole late supplier on a multi-supplier order
+    culprits = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey", F.col("late_supp").alias("l_suppkey"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_2"
+    )
+    return (
+        culprits.join(
+            F.broadcast(
+                s.join(n, s["s_nationkey"] == n["n_nationkey"]).select(
+                    "s_suppkey", "s_name"
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
