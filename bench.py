@@ -94,10 +94,11 @@ def main() -> None:
         ("lineitem", "l_extendedprice"),
         ("orders", "o_totalprice"),
         ("events", "value"),
-        ("documents", "n_chars"),
-        ("embeddings", "vec_id"),
+        ("documents", F.length("text")),
+        ("embeddings", F.element_at("embedding", 1)),
     ):
-        load_table(spark, sf_dir, t).agg(F.sum(F.col(c))).collect()
+        expr = F.col(c) if isinstance(c, str) else c
+        load_table(spark, sf_dir, t).agg(F.sum(expr)).collect()
 
     # warm whole-stage-codegen compilation per plan shape: run each
     # headline query once at the smallest SF — identical plans generate
@@ -113,11 +114,20 @@ def main() -> None:
             except Exception:
                 pass
 
+    # min over RUNS executions per query: local[32] single-JVM timing
+    # shows 2-7x noisy-neighbor variance (GC, first-touch page faults);
+    # the min is the stable operator cost and what BENCH_rN compares.
+    RUNS = 2
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     regressions: dict[str, list[float]] = {}
