@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pgsink_spark.operators import dedup as _dedup
 from pgsink_spark.operators import multimodal as _mm
 from pgsink_spark.operators import relational as _rel
+from pgsink_spark.operators import sampling as _sampling  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import similarity as _sim
 from pgsink_spark.operators import tpch as _tpch  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import text as _text
@@ -47,6 +48,7 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["dedup_minhash_lsh"] = _dedup.dedup_minhash_lsh
     queries["dedup_simhash"] = _dedup.dedup_simhash
     queries["dedup_simhash_pairs"] = _dedup.dedup_simhash_pairs
+    queries["dedup_cluster"] = _dedup.dedup_cluster
 
     queries["d20_similarity_topk"] = _sim.d20_similarity_topk
     queries["ann_bruteforce_topk"] = _sim.ann_bruteforce_topk

@@ -61,6 +61,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_pairs",
+    "dedup_cluster",
+    "train_test_split",
     "text_token_count",
     "text_fingerprint",
 ]

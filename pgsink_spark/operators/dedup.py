@@ -459,6 +459,94 @@ _EXACT_JACCARD_SQL = (
     + " SELECT d1, d2 FROM jac WHERE jac >= 0.8 ORDER BY d1, d2"
 )
 
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(node, component) — component = min node id reachable.
+
+    Hash-to-min label propagation: every node starts labeled with its
+    own id; each round, a node takes the min of its label and its
+    neighbors' labels. Min labels travel one hop per round, so the loop
+    converges in O(graph diameter) rounds — near-dup clusters are
+    shallow (a handful of docs around a template), so 3-4 rounds in
+    practice. Each round is one shuffle on node id; ``localCheckpoint``
+    truncates the growing lineage so round N's plan doesn't replay
+    rounds 1..N-1. The convergence probe rides the same aggregation
+    (count of label changes), one job per round — the standard Spark
+    shape for iterative graph algorithms at scale (GraphX/GraphFrames
+    do the same loop under the hood).
+
+    ``edges`` is (d1, d2), undirected (one row per pair is enough —
+    both directions are added here).
+    """
+    sym = edges.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).union(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = sym.join(
+            labels, sym["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), "lbl")
+        new = (
+            labels.union(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .where(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document assignment: connected components over the
+    near-dup pair graph (exact word-3-gram Jaccard ≥ 0.8), canonical =
+    min doc_id in the cluster. This is the step every pairwise dedup
+    feeds at pipeline scale: pairs alone can't answer "which doc do I
+    keep" when dups chain (A~B, B~C but A≁C ⇒ one cluster {A,B,C}).
+
+    Docs in no pair are their own canonical (left join + coalesce —
+    the CC loop only ever touches the pair graph, which is tiny
+    relative to the corpus after near-dup filtering).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sets = doc_shingle_sets(docs, 3).persist()
+    pairs = (
+        _pair_jaccard(sets)
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    sets.unpersist()
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+        )
+        .withColumn(
+            "is_canonical", F.col("doc_id") == F.col("canonical_id")
+        )
+        .orderBy("doc_id")
+    )
+
 _DUCKDB_SIMHASH = f"""
     toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
@@ -496,6 +584,28 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": _EXACT_JACCARD_SQL,
     # MinHash+LSH is verified-exact at this threshold → same oracle.
     "dedup_minhash_lsh": _EXACT_JACCARD_SQL,
+    # Transitive closure via recursive CTE: reach(a,b) holds every
+    # ordered pair connected by a path; canonical = min reachable.
+    "dedup_cluster": (
+        "WITH RECURSIVE "
+        + _DUCKDB_SHINGLES
+        + """, dup AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
+        edges AS (SELECT d1 AS a, d2 AS b FROM dup
+                  UNION SELECT d2, d1 FROM dup),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        canon AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(c.mn, d.doc_id)) AS canonical_id,
+               d.doc_id = LEAST(d.doc_id, COALESCE(c.mn, d.doc_id))
+                 AS is_canonical
+        FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
+    ),
     "dedup_simhash": f"""
         WITH {_DUCKDB_SIMHASH}
         SELECT doc_id, simhash FROM fp ORDER BY doc_id

@@ -1,0 +1,117 @@
+"""Deterministic sampling & dataset splits (training-data surface).
+
+Training pipelines need samples and train/val/test splits that are (a)
+reproducible run-over-run, (b) stable under repartitioning, and (c)
+identical across engines — ``rand()``/``TABLESAMPLE`` give none of
+these. The portable primitive is a content hash: bucket a row by
+``md5(key)`` and select buckets. Every op here is a row-local
+projection + filter — no shuffle, no state, trivially parallel at any
+scale, and the parquet scan still prunes columns/rows underneath.
+
+md5 is engine-portable (same bytes on Spark and DuckDB), which is what
+makes these exactly oracle-checkable, unlike seeded PRNG sampling
+where each engine's generator differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsink_spark.operators.relational import query
+from pgsink_spark.sources.fixtures import load_table
+
+
+def hash_bucket(c: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of the value.
+
+    32 hex chars overflow BIGINT, so take the first 8 (32 bits) —
+    uniform, and small enough for exact integer math on both engines.
+    """
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % buckets
+    )
+
+
+def _duckdb_bucket(expr: str, buckets: int = 100) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {buckets}"
+    )
+
+
+@query(
+    "sample_hash_10pct",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {_duckdb_bucket("doc_id")} < 10
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic Bernoulli sample of ``documents``.
+
+    Row-local filter: every executor decides membership from the row
+    alone, so the sample is identical regardless of partitioning,
+    cluster size, or engine — the property that makes ablation runs
+    comparable. (Contrast ``df.sample(0.1, seed)``: Spark's output
+    depends on partition layout.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(hash_bucket(F.col("doc_id")) < 10)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "train_test_split",
+    f"""
+    WITH b AS (SELECT doc_id, {_duckdb_bucket("doc_id")} AS bk
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN bk < 90 THEN 'train'
+                WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment, stable for the life of the
+    corpus: a doc's split never changes as the corpus grows (its hash
+    doesn't), so eval sets stay uncontaminated across refreshes."""
+    docs = load_table(spark, sf_dir, "documents")
+    bk = hash_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.when(bk < 90, "train")
+        .when(bk < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_duckdb_bucket("doc_id")} <
+          CASE WHEN lang = 'en' THEN 5 ELSE 50 END
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates (downsample the majority language, keep the
+    tail): 5% of 'en' docs, 50% of everything else. The rate lookup is
+    a row-local CASE — per-stratum exact fractions without the
+    groupBy-count pass ``sampleBy`` needs, and reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 5).otherwise(50)
+    return (
+        docs.where(hash_bucket(F.col("doc_id")) < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
