@@ -17,11 +17,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pgsink_spark.operators import curation as _curation  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import dedup as _dedup
 from pgsink_spark.operators import multimodal as _mm
 from pgsink_spark.operators import relational as _rel
 from pgsink_spark.operators import sampling as _sampling  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import similarity as _sim
+from pgsink_spark.operators import skew as _skew  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import tpch as _tpch  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import text as _text
 
@@ -29,8 +31,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: most-recent-row compaction view (SURVEY §2 A16)."""
-    return _rel.QUERIES["a16_compaction_view"](spark, "/root/testdata/sf0.001")
+    """Flagship: the corpus-curation pipeline (lang-ID → quality →
+    exact-dedup canonical election → split assignment), the engine's
+    training-data north star. One row-local pass + one fingerprint
+    shuffle — see pgsink_spark/operators/curation.py."""
+    return _rel.QUERIES["pipeline_curation"](spark, "/root/testdata/sf0.001")
 
 
 def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:

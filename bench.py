@@ -63,6 +63,8 @@ HEADLINE = [
     "dedup_embedding_pairs",
     "dedup_cluster",
     "train_test_split",
+    "pipeline_curation",
+    "text_repetition",
     "text_token_count",
     "text_fingerprint",
 ]

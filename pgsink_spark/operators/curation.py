@@ -1,0 +1,173 @@
+"""Corpus curation pipeline — the flagship training-data query.
+
+This is the query a 100 TB pretraining pipeline actually runs: one pass
+over ``documents`` that assigns every doc a language, a quality score,
+an exact-dedup canonical id, and a train/val/test split, then flags
+which docs survive curation. It composes the engine's text ops
+(:mod:`text`), sampling ops (:mod:`sampling`), and dedup semantics
+(:mod:`dedup`) into a single plan.
+
+Scale shape: every feature (lang, quality, split, fingerprint) is a
+row-local codegen'd expression; the ONLY shuffle is the window over the
+md5 fingerprint for canonical-id election. md5 keys are uniform, so the
+shuffle has no planner-visible skew; a pathological dup group (the same
+boilerplate page a billion times) concentrates one key, but min() is an
+order-agnostic agg so AQE skew-split plus partial aggregation keeps it
+bounded. No joins, no collect, no Python.
+
+The repetition-ratio op is the classic wordcount shape: explode →
+two-level groupBy keyed by (doc_id, token) then doc_id — partial
+aggregation does the heavy lifting map-side, and both shuffles are on
+high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgsink_spark.operators.relational import query
+from pgsink_spark.operators.sampling import _duckdb_bucket, hash_bucket
+from pgsink_spark.operators.text import _duck_count, _substr_count
+from pgsink_spark.sources.fixtures import load_table
+
+QUALITY_KEEP = 0.45
+
+_DUCK_QUALITY = (
+    "CAST(least(n_words / 100.0, 1.0) * 0.5"
+    " + (1.0 - least(n_stop * 1.0 / n_words * 5.0, 1.0)) * 0.3"
+    " + least((n_chars - (n_words - 1)) * 1.0 / n_words / 8.0, 1.0) * 0.2"
+    " AS DOUBLE)"
+)
+
+
+@query(
+    "pipeline_curation",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CASE WHEN {_duck_count('le')} > {_duck_count('the')} THEN 'fr'
+                  WHEN {_duck_count('der')} > {_duck_count('the')} THEN 'de'
+                  WHEN {_duck_count('el')} > {_duck_count('the')} THEN 'es'
+                  ELSE 'en' END AS pred_lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+             {_duck_count('the')} AS n_stop,
+             len(lower(text)) AS n_chars,
+             md5(lower(text)) AS fp,
+             {_duckdb_bucket("doc_id")} AS bk
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, pred_lang, {_DUCK_QUALITY} AS quality, fp,
+             CASE WHEN bk < 90 THEN 'train'
+                  WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
+      FROM feat
+    )
+    SELECT doc_id, pred_lang, quality,
+           MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+           split,
+           (doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+            AND quality >= {QUALITY_KEEP}) AS kept
+    FROM scored ORDER BY doc_id
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (lang, quality, canonical, split, kept) in one plan.
+
+    A doc is ``kept`` iff it is the canonical (min doc_id) copy of its
+    exact-text fingerprint group AND its quality score clears
+    ``QUALITY_KEEP``. Split assignment is the deterministic md5-bucket
+    90/5/5 from :mod:`sampling`, so the output is reproducible across
+    engines, partitionings, and corpus refreshes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.lower(F.col("text"))
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+
+    counts = {
+        tok: _substr_count(padded, f" {tok} ")
+        for tok in ("the", "le", "der", "el")
+    }
+    pred_lang = (
+        F.when(counts["le"] > counts["the"], "fr")
+        .when(counts["der"] > counts["the"], "de")
+        .when(counts["el"] > counts["the"], "es")
+        .otherwise("en")
+    )
+
+    n_words = F.size(F.split(text, " ")).cast("bigint")
+    n_stop = counts["the"]
+    mean_wlen = (F.length(text) - (n_words - 1)) / n_words
+    quality = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(n_stop / n_words * 5.0, F.lit(1.0))) * 0.3
+        + F.least(mean_wlen / 8.0, F.lit(1.0)) * 0.2
+    ).cast("double")
+
+    bk = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bk < 90, "train").when(bk < 95, "val").otherwise("test")
+    )
+
+    scored = docs.select(
+        "doc_id",
+        pred_lang.alias("pred_lang"),
+        quality.alias("quality"),
+        F.md5(text).alias("fp"),
+        split.alias("split"),
+    )
+    canonical = F.min("doc_id").over(Window.partitionBy("fp"))
+    return scored.select(
+        "doc_id",
+        "pred_lang",
+        "quality",
+        canonical.alias("canonical_id"),
+        "split",
+        ((F.col("doc_id") == canonical) & (F.col("quality") >= QUALITY_KEEP)).alias(
+            "kept"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(max(c) AS BIGINT) AS top_freq,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio,
+           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS distinct_ratio
+    FROM freq GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / vocabulary-diversity quality signals per document:
+    top-token frequency ratio (high ⇒ boilerplate or spam) and distinct
+    token ratio (low ⇒ repetitive). Wordcount-shaped: partial aggs
+    combine map-side, shuffles keyed by (doc_id, tok) then doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    freq = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_freq"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "rep_ratio"
+            ),
+            (F.count("*").cast("double") / F.sum("c").cast("double")).alias(
+                "distinct_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

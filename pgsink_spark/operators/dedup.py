@@ -272,21 +272,11 @@ def minhash_band_keys(sets: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + LSH(8 bands × 4) candidates, verified by exact
-    Jaccard ≥ 0.8. With J≈0.98 planted dups, P(miss) ≈ (1-J⁴)⁸ < 1e-8,
-    so the output equals the exact-Jaccard oracle.
-
-    Only two shuffles touch data proportional to the corpus: the LSH
-    band self-join (keyed on band buckets) and the candidate-shingle
-    intersection (keyed on shingle, restricted to candidate docs).
-    Signatures and band keys are row-local projections.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    # Shingle sets feed several branches (signatures, verify joins,
-    # sizes); persist for the run, materialize the (tiny) verified pair
-    # set, then release — repeated calls don't accumulate storage.
-    sets = doc_shingle_sets(docs, 3).persist()
+def _lsh_verified_pairs(sets: DataFrame) -> DataFrame:
+    """(d1, d2) near-dup pairs: LSH band candidates verified by exact
+    Jaccard ≥ threshold. Shared core of :func:`dedup_minhash_lsh` and
+    :func:`dedup_cluster` — cost ∝ candidates, never all shingle-
+    sharing pairs."""
     bands = minhash_band_keys(sets)
     b1 = bands.select(F.col("doc_id").alias("d1"), "bkey")
     b2 = bands.select(F.col("doc_id").alias("d2"), "bkey")
@@ -315,7 +305,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    verified = (
+    return (
         inter.join(s1, "d1")
         .join(s2, "d2")
         .where(
@@ -323,12 +313,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= JACCARD_THRESHOLD
         )
         .select("d1", "d2")
-        .orderBy("d1", "d2")
     )
-    # Materialize (result ∝ near-dup pairs — small), then free the
-    # cached intermediates; lineage is truncated so the returned frame
-    # doesn't recompute them.
-    out = verified.localCheckpoint(eager=True)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4) candidates, verified by exact
+    Jaccard ≥ 0.8. With J≈0.98 planted dups, P(miss) ≈ (1-J⁴)⁸ < 1e-8,
+    so the output equals the exact-Jaccard oracle.
+
+    Only two shuffles touch data proportional to the corpus: the LSH
+    band self-join (keyed on band buckets) and the candidate-shingle
+    intersection (keyed on shingle, restricted to candidate docs).
+    Signatures and band keys are row-local projections.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Shingle sets feed several branches (signatures, verify joins,
+    # sizes); persist for the run, materialize the (tiny) verified pair
+    # set, then release — repeated calls don't accumulate storage.
+    sets = doc_shingle_sets(docs, 3).persist()
+    out = (
+        _lsh_verified_pairs(sets).orderBy("d1", "d2").localCheckpoint(eager=True)
+    )
     sets.unpersist()
     return out
 
@@ -484,30 +489,39 @@ def connected_components(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     ).union(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
+    # Init folds the first propagation round: lbl = min(node, neighbors)
+    # in one aggregation instead of own-id init + a full loop round.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
+
+    def _total(lbls: DataFrame):
+        # Labels only ever decrease (min-propagation), so the label sum
+        # is strictly monotone while anything changes: equal sums ⇒
+        # fixed point. One agg job — cheaper than the old join-against-
+        # previous-labels probe. decimal(38,0) so huge node-id sums
+        # can't overflow.
+        return lbls.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev = _total(labels)
     for _ in range(max_iters):
         neigh = sym.join(
             labels, sym["dst"] == labels["node"]
         ).select(F.col("src").alias("node"), "lbl")
-        new = (
+        labels = (
             labels.union(neigh)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .where(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        cur = _total(labels)
+        if cur == prev:
             break
+        prev = cur
     return labels.select("node", F.col("lbl").alias("component"))
 
 
@@ -524,12 +538,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sets = doc_shingle_sets(docs, 3).persist()
-    pairs = (
-        _pair_jaccard(sets)
-        .where(F.col("jac") >= JACCARD_THRESHOLD)
-        .select("d1", "d2")
-        .localCheckpoint(eager=True)
-    )
+    # Pairs via LSH candidates + exact verify (verified-exact at this
+    # threshold ⇒ identical to the all-shared-shingle exact path, but
+    # cost ∝ candidates) — the scale path feeds the clustering.
+    pairs = _lsh_verified_pairs(sets).localCheckpoint(eager=True)
     sets.unpersist()
     comp = connected_components(pairs)
     return (

@@ -128,3 +128,43 @@ def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "10 minutes",
+    horizon: str = "15 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: for every left event, the right
+    events by the same user in ``(l.ts, l.ts + horizon]`` — the
+    "what happened next" correlation (click→purchase, error→retry).
+
+    Both sides carry watermarks and the join predicate bounds the time
+    range in BOTH directions, which is what lets Spark expire join
+    state: a buffered left row can be dropped once the right watermark
+    passes ``l.ts + horizon``, and vice versa — state stays
+    O(rate × horizon) regardless of stream length. Equality on
+    ``user_id`` makes it a shuffled hash join on a high-cardinality
+    key, so it scales out like any keyed join. ``how='leftOuter'``
+    emits unmatched left rows after the horizon expires (supported by
+    Spark for watermarked interval joins).
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("l.event_id") != F.col("r.event_id"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"interval {horizon}"))
+    )
+    return l.join(r, cond, how).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("event_id"),
+        F.col("l.event_type").alias("event_type"),
+        F.col("l.ts").alias("ts"),
+        F.col("r.event_id").alias("next_event_id"),
+        F.col("r.event_type").alias("next_event_type"),
+        F.col("r.ts").alias("next_ts"),
+    )

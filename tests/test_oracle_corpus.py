@@ -37,4 +37,6 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
-    assert df.columns == ["user_id", "event_type", "value"]
+    assert df.columns == [
+        "doc_id", "pred_lang", "quality", "canonical_id", "split", "kept"
+    ]

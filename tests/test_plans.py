@@ -173,3 +173,35 @@ def test_warehouse_pk_clustering_gives_disjoint_file_ranges(spark, tmp_path):
     plan = lookup._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "payload.id" in plan, plan
     assert lookup.count() == 1
+
+
+def test_salted_join_plan_and_equivalence(spark):
+    """Salted join: keys widen to (key, _salt), no broadcast of the
+    salted dim (shuffle_hash hinted), result identical to unsalted."""
+    from pgsink_spark.operators.skew import salted_join
+    from pgsink_spark.sources.fixtures import load_table
+
+    events = load_table(spark, SF, "events")
+    customer = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name"
+    ).hint("shuffle_hash")
+    df = salted_join(events, customer, "user_id", "c_custkey", "event_id")
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    assert broadcast_join_count(df) == 0
+
+    plain = events.join(
+        customer, events["user_id"] == customer["c_custkey"]
+    )
+    assert df.count() == plain.count()
+
+
+def test_curation_single_data_shuffle(spark):
+    """Curation pipeline: one fingerprint shuffle + the output sort."""
+    from pgsink_spark.operators import curation  # noqa: F401 — registers query
+
+    df = rel.QUERIES["pipeline_curation"](spark, SF)
+    assert exchange_count(df) <= 2
+    for cols in scan_columns(df):
+        assert len(cols) <= 2, cols

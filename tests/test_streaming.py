@@ -335,3 +335,40 @@ def test_streaming_windows_and_dedup(spark, sf_dir, tmp_path):
     assert len(results["tumbling"]) == batch_tumbling
     assert len(results["dedup"]) == events.select("event_id").distinct().count()
     assert len(results["session"]) > 0
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Interval join of the events stream with itself, checked against
+    the identical batch join."""
+    from pgsink_spark.sources.fixtures import load_table
+    from pgsink_spark.streaming.stream import stream_stream_interval_join
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+
+    left = spark.readStream.schema(events.schema).parquet(src)
+    right = spark.readStream.schema(events.schema).parquet(src)
+    joined = stream_stream_interval_join(left, right, horizon="15 minutes")
+
+    rows = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    l, r = events.alias("l"), events.alias("r")
+    batch = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("l.event_id") != F.col("r.event_id"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("interval 15 minutes")),
+    )
+    assert len(rows) == batch.count() > 0
