@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pgsink_spark.operators.relational import dec, query
+from pgsink_spark.operators.relational import dec, query, rnd
 from pgsink_spark.sources.fixtures import load_table
 
 SALT = 16
@@ -65,7 +65,7 @@ def salted_join(
     """
     SELECT e.user_id, c.c_name,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+           CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY e.user_id, c.c_name
@@ -90,7 +90,7 @@ def d44_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("user_id", "c_name")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(dec("value")).cast("decimal(18,4)").alias("sum_value"),
+            rnd(F.sum(dec("value"))).alias("sum_value"),
         )
         .orderBy("user_id")
     )
