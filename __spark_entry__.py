@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pgsink_spark.operators import corpus as _corpus  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import curation as _curation  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import dedup as _dedup
 from pgsink_spark.operators import multimodal as _mm
@@ -130,6 +131,7 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["mm_embedding_topk"] = _mm.mm_embedding_topk
 
     queries["text_lang_id"] = _text.text_lang_id
+    queries["quality_model_score"] = _text.quality_model_score
     queries["text_quality_score"] = _text.text_quality_score
     queries["text_token_count"] = _text.text_token_count
     queries["text_fingerprint"] = _text.text_fingerprint

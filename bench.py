@@ -67,6 +67,10 @@ HEADLINE = [
     "text_repetition",
     "text_token_count",
     "text_fingerprint",
+    "dedup_paragraph",
+    "text_ngram_topk",
+    "domain_mix_sample",
+    "quality_model_score",
 ]
 
 # Round-over-round regression gate: compare per-query times against the
@@ -119,9 +123,11 @@ def main() -> None:
                 pass
 
     # min over RUNS executions per query: local[32] single-JVM timing
-    # shows 2-7x noisy-neighbor variance (GC, first-touch page faults);
-    # the min is the stable operator cost and what BENCH_rN compares.
-    RUNS = 2
+    # shows 2-7x noisy-neighbor variance (GC, first-touch page faults,
+    # and multi-second host-steal windows that a min-of-2 back-to-back
+    # pair sits entirely inside — observed as a 13x outlier on one
+    # query while isolated reruns showed 1.1x).
+    RUNS = 3
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")

@@ -30,3 +30,19 @@ def make_cosine_scorer(query_vec):
         return pd.Series(dots / (norms * qn))
 
     return score
+
+
+def make_linear_scorer(weights):
+    """Factory: Arrow-batched linear-model forward pass with softsign
+    squashing — the batch-inference kernel for model-based quality
+    scoring (operators/text.py quality_model_score). Weights ride the
+    closure (broadcast once per executor); NumPy/pandas evaluate one
+    Arrow batch at a time."""
+    w0, w1, w2, w3 = weights
+
+    @pandas_udf("double")
+    def forward(nw: pd.Series, ratio: pd.Series, mwl: pd.Series) -> pd.Series:
+        z = w0 + w1 * nw + w2 * ratio + w3 * mwl
+        return z / (1.0 + z.abs())
+
+    return forward

@@ -1,0 +1,189 @@
+"""Corpus-level curation operators: segment dedup, n-gram statistics,
+domain mixing (training-data surface).
+
+These extend the document pipeline (operators/text.py, curation.py)
+with the corpus-wide passes an LLM training pipeline runs after
+per-document scoring:
+
+- ``dedup_paragraph`` — segment-level exact dedup (the CCNet /
+  RefinedWeb "line dedup" pass): drop any repeated paragraph
+  corpus-wide, keeping its first occurrence. The fixture corpus has no
+  newlines, so a "paragraph" is a fixed 10-word window — the operator
+  shape (segment → fingerprint → global first-occurrence election) is
+  identical for any segmenter.
+- ``text_ngram_topk`` — corpus-wide top-k bigram counts (vocabulary /
+  boilerplate statistics; map-side partial aggregation does the heavy
+  lifting).
+- ``domain_mix_sample`` — cap every source domain at a fixed document
+  budget, electing members deterministically by content hash (the
+  "domain mixing" step that rebalances a crawl before training).
+
+Scale notes (100 TB): segment dedup is ONE shuffle keyed on the segment
+fingerprint (same shape as dedup_exact, rows = corpus segments) plus a
+doc-keyed re-aggregation; bigram top-k is a classic two-level
+aggregation where partial maps collapse each partition's counts before
+the single count shuffle; domain capping shuffles by domain — skewed
+domains are the known hazard and the rate-based twin
+(operators/sampling.py stratified_sample) is the row-local fallback
+when one domain dominates the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgsink_spark.operators.relational import query
+from pgsink_spark.sources.fixtures import load_table
+
+SEG_WORDS = 10
+
+
+def _segments(text):
+    """Row-local segment array: consecutive SEG_WORDS-word windows.
+
+    Pure built-in expressions (split / sequence / slice / array_join) —
+    no explode until the caller asks for one row per segment, no Python.
+    """
+    words = F.split(text, " ")
+    nseg = F.ceil(F.size(words) / F.lit(SEG_WORDS)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nseg - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, i * SEG_WORDS + 1, SEG_WORDS), " "
+        ),
+    )
+
+
+@query(
+    "dedup_paragraph",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segs AS (
+      SELECT doc_id, i.i AS seg_idx,
+             array_to_string(ws[i.i*{SEG_WORDS}+1 : i.i*{SEG_WORDS}+{SEG_WORDS}], ' ') AS seg
+      FROM w, LATERAL (SELECT unnest(generate_series(
+               0, CAST(ceil(len(ws)/{SEG_WORDS}.0) AS INT) - 1)) AS i) i
+    ),
+    ranked AS (
+      SELECT doc_id, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup: per doc, how many of its segments
+    survive corpus-wide first-occurrence election.
+
+    Parity: the reference dedups whole rows by key (most-recent-row
+    view, pkg/sinks/bigquery/schema_builders.go view semantics); this
+    is the sub-document analogue training pipelines use (CCNet-style
+    line dedup). First occurrence = smallest (doc_id, seg_idx), so the
+    result is deterministic and engine-portable.
+
+    Plan: segments stay a row-local array until one posexplode; the
+    election is a single window shuffle keyed on the segment (== the
+    dedup_exact fingerprint shuffle); the per-doc rollup re-shuffles by
+    doc_id. No Python, no driver loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id", F.posexplode(_segments(F.col("text"))).alias("seg_idx", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_ngram_topk",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    b AS (
+      SELECT ws[i.i] || ' ' || ws[i.i+1] AS bigram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) i
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM b GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 word bigrams (vocabulary / boilerplate stats).
+
+    Plan: the bigram array is row-local (sequence + element_at — no
+    self-join of exploded words); after the explode, Catalyst's partial
+    hash aggregation collapses each partition's counts before the one
+    count shuffle, so shuffle rows ≈ distinct bigrams per partition,
+    not corpus word count. Top-k is TakeOrderedAndProject — no global
+    sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + F.lit(1))
+        ),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
+DOMAIN_CAP = 15
+
+
+@query(
+    "domain_mix_sample",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= {DOMAIN_CAP}
+    ORDER BY doc_id
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: cap each source at DOMAIN_CAP docs, electing
+    members by content hash so the sample is reproducible and stable
+    under repartitioning (same contract as sampling.py's hash ops).
+
+    Plan: one window shuffle keyed on source. Skew hazard: a crawl
+    where one domain is 50% of the corpus puts half the rows in one
+    task — at that shape switch to the row-local rate filter
+    (stratified_sample) or a two-phase cap (per-partition pre-cap, then
+    global). The fixture's 20 even sources don't skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= DOMAIN_CAP)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

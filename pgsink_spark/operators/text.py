@@ -116,6 +116,47 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# quality_model_score's frozen linear model: (intercept, w_nwords,
+# w_stopratio, w_meanwordlen). A real pipeline loads trained weights;
+# freezing them keeps the op deterministic and oracle-checkable while
+# the execution shape (broadcast weights + Arrow-batched NumPy
+# inference) is exactly the production one.
+MODEL_W = (-1.0, 0.02, -3.0, 0.4)
+
+
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: batch inference over the corpus.
+
+    The training-pipeline pattern this pins down: feature engineering
+    stays JVM-side (exact integer/fraction arithmetic, column-pruned
+    scan), and the model forward pass is a vectorized ``pandas_udf`` —
+    weights ship with the closure (broadcast once per executor), NumPy
+    evaluates one Arrow batch at a time, no per-row Python. Squashing
+    is softsign ``z/(1+|z|)`` rather than a sigmoid: same monotone
+    S-shape, but pure rational arithmetic, so Spark and the DuckDB
+    oracle agree bit-for-bit (libm ``exp()`` can differ in the last
+    ulp across engines).
+
+    At 100 TB: a pure map — zero shuffle, scales with executors; swap
+    the closure for a real model (ONNX/sklearn) without changing the
+    plan shape.
+    """
+    from pgsink_spark.functions.udfs import make_linear_scorer  # noqa: PLC0415
+
+    forward = make_linear_scorer(MODEL_W)
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.lower(F.col("text"))
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_words = F.size(F.split(text, " ")).cast("bigint")
+    n_stop = _substr_count(padded, " the ")
+    ratio = (n_stop / n_words).cast("double")
+    mwl = ((F.length(text) - (n_words - 1)) / n_words).cast("double")
+    return docs.select(
+        "doc_id",
+        forward(n_words.cast("double"), ratio, mwl).alias("model_score"),
+    ).orderBy("doc_id")
+
+
 def _duck_count(sub: str) -> str:
     pad = "concat(' ', lower(text), ' ')"
     return (
@@ -125,6 +166,24 @@ def _duck_count(sub: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "quality_model_score": f"""
+        WITH feat AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS nw,
+                 CAST({_duck_count('the')} AS DOUBLE) AS ns,
+                 len(lower(text)) AS nc
+          FROM documents
+        ),
+        z AS (
+          SELECT doc_id,
+                 {MODEL_W[0]} + {MODEL_W[1]} * nw
+                   + {MODEL_W[2]} * (ns / nw)
+                   + {MODEL_W[3]} * ((nc - (nw - 1)) / nw) AS z
+          FROM feat
+        )
+        SELECT doc_id, CAST(z / (1.0 + abs(z)) AS DOUBLE) AS model_score
+        FROM z ORDER BY doc_id
+    """,
     "text_lang_id": f"""
         SELECT doc_id,
                CASE WHEN {_duck_count('le')} > {_duck_count('the')} THEN 'fr'
