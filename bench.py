@@ -129,6 +129,21 @@ def main() -> None:
     # query while isolated reruns showed 1.1x).
     RUNS = 3
     times: dict[str, float] = {}
+
+    # Several operators persist/localCheckpoint intermediates; the
+    # executor block store only releases those when the Python-side
+    # references die AND ContextCleaner runs. Without an explicit
+    # collect+clearCache between queries the blocks accumulate across
+    # the 49-query sweep and later cache-hungry queries run under
+    # memory pressure (observed: dedup_ngram_jaccard 17 s in-sweep vs
+    # 1.8 s isolated).
+    import gc  # noqa: PLC0415
+
+    def release_blocks() -> None:
+        spark.catalog.clearCache()
+        gc.collect()
+
+    release_blocks()  # drop the warmup pass's blocks before timing
     for name in HEADLINE:
         best = float("inf")
         for _ in range(RUNS):
@@ -138,6 +153,7 @@ def main() -> None:
             ).save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        release_blocks()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     regressions: dict[str, list[float]] = {}

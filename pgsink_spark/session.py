@@ -36,6 +36,12 @@ def get_spark(app_name: str = "pgsink_spark", cpus: int | None = None) -> SparkS
         # events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
         # and sources/fixtures.py rebuilds a TIMESTAMP_NTZ column.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed tables (operators/bucketing.py) go through the
+        # session catalog; keep their files out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/pgsink_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -205,3 +205,40 @@ def test_curation_single_data_shuffle(spark):
     assert exchange_count(df) <= 2
     for cols in scan_columns(df):
         assert len(cols) <= 2, cols
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Bucketed fact tables join and aggregate with zero shuffle
+    exchanges (operators/bucketing.py — the pay-once pre-partitioning
+    that replaces the per-query lineitem⋈orders exchange at scale)."""
+    from pgsink_spark.operators import bucketing
+    from pgsink_spark.plans import executed_plan
+    from pgsink_spark.sources.fixtures import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketing.ensure_bucketed_facts(spark, SF)
+        df = bucketing.bucketed_order_revenue(spark)
+        assert exchange_count(df) == 0
+        assert "SortMergeJoin" in executed_plan(df, run=False)
+
+        # parity with the direct (shuffling) plan over raw parquet
+        o = load_table(spark, SF, "orders")
+        li = load_table(spark, SF, "lineitem")
+        direct = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderkey")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (1 - F.col("l_discount").cast("decimal(18,4)"))
+                ).alias("revenue"),
+                F.first("o_orderdate").alias("o_orderdate"),
+            )
+        )
+        got = {r["o_orderkey"]: r["revenue"] for r in df.collect()}
+        want = {r["o_orderkey"]: r["revenue"] for r in direct.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
