@@ -136,8 +136,9 @@ class WarehouseSink:
         The periodic-compaction job: rewrites the table's live rows as
         plain parquet so readers skip the window entirely. This is the
         full-rewrite variant (correct at any scale but costs a full
-        pass); on Delta the same view feeds an incremental MERGE keyed
-        on the primary key — readers are unchanged either way.
+        pass); sinks/compactor.py's ``KeyedCompactedTable`` is the
+        incremental MERGE twin (bucket-pruned, foreachBatch-ready) —
+        readers are unchanged either way.
         """
         view = self.install_view(namespace, name)
         path = os.path.join(self.root, f"{namespace}_{name}_compacted")
