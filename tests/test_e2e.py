@@ -161,3 +161,35 @@ def test_e2e_crash_replay_is_idempotent_at_read_time(spark, tmp_path):
     got = {(r["id"], r["v"]) for r in spark.table(view).collect()}
     assert got == {(1, "a2"), (3, "c")}
     assert spark.table("public_kv_raw").count() == 10  # dupes retained
+
+
+def test_e2e_cdc_stream_to_incremental_compactor(spark, tmp_path):
+    """Slice 3: the same wire stream served by the MATERIALIZED
+    compaction path (sinks/compactor.py) instead of the read-time view
+    — same final rows, and at-least-once replay of the whole batch is
+    absorbed by the merge (idempotent apply)."""
+    from pgsink_spark.sinks.compactor import KeyedCompactedTable
+
+    sub = Subscription(OffsetStore(str(tmp_path / "offsets.json")))
+    tbl = KeyedCompactedTable(
+        spark, str(tmp_path / "kv_compacted"), ["id"], n_buckets=8
+    )
+
+    mods = list(sub.stream(_wire()))
+    for m in mods:
+        object.__setattr__(m, "timestamp", m.timestamp.replace(tzinfo=None))
+    # shuffled write order, same as the view-based slice
+    env = modifications_df(spark, list(reversed(mods)), PAYLOAD)
+    tbl.apply_batch(env)
+
+    got = {(r["id"], r["v"]) for r in tbl.read().collect()}
+    assert got == {(1, "a2"), (3, "c")}
+
+    # crash-before-confirm replay: applying the identical batch again
+    # changes nothing (rank keeps one copy per key)
+    tbl.apply_batch(env)
+    got = {(r["id"], r["v"]) for r in tbl.read().collect()}
+    assert got == {(1, "a2"), (3, "c")}
+    # and the deleted key's tombstone survives the replay
+    raw = spark.read.parquet(tbl.path)
+    assert raw.where(F.col("operation") == "DELETE").count() == 1
