@@ -22,6 +22,8 @@ own no-shuffle property in tests/test_plans.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,11 +32,26 @@ from pgsink_spark.sources.fixtures import load_table
 BUCKETS = 16
 
 
+def _clear_stale(spark: SparkSession, table: str) -> None:
+    """The in-memory catalog is per-session but the warehouse dir is
+    not: drop the catalog entry AND an orphaned location left by an
+    earlier session, or saveAsTable refuses it
+    (LOCATION_ALREADY_EXISTS)."""
+    import shutil  # noqa: PLC0415
+
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, table.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, buckets: int = BUCKETS
 ) -> None:
     """Bucket + in-bucket sort on the join key. sortBy makes the later
     join a streaming merge per bucket pair (no in-task sort)."""
+    _clear_stale(df.sparkSession, table)
     (
         df.write.bucketBy(buckets, key)
         .sortBy(key)
@@ -63,6 +80,7 @@ def ensure_bucketed_facts(
         "l_orderkey",
         buckets,
     )
+    _clear_stale(spark, marker)
     spark.createDataFrame([(buckets,)], "buckets int").write.mode(
         "overwrite"
     ).saveAsTable(marker)
