@@ -95,10 +95,13 @@ class KeyedCompactedTable:
         if os.path.isdir(self.path) and any(
             e.startswith("bucket=") for e in os.listdir(self.path)
         ):
-            current = self.spark.read.parquet(self.path).where(
-                F.col("bucket").isin(affected)
-            )
-            merged_in = current.unionByName(fresh)
+            # mergeSchema + allowMissingColumns: schema evolution (ALTER
+            # TABLE ADD COLUMN) widens the payload struct between
+            # batches; old rows serve NULL for the new field
+            current = self.spark.read.option("mergeSchema", "true").parquet(
+                self.path
+            ).where(F.col("bucket").isin(affected))
+            merged_in = current.unionByName(fresh, allowMissingColumns=True)
         else:
             merged_in = fresh
 
@@ -131,14 +134,15 @@ class KeyedCompactedTable:
     def read(self) -> DataFrame:
         """Live rows (tombstones filtered), payload columns only."""
         return (
-            self.spark.read.parquet(self.path)
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.path)
             .where(F.col("operation") != OP_DELETE)
             .select("payload.*")
         )
 
     def read_key(self, **key_values) -> DataFrame:
         """Point lookup: prunes to the key's single bucket partition."""
-        df = self.spark.read.parquet(self.path)
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.path)
         # xxhash64 is type-sensitive: literals must be cast to the
         # payload field's exact type or the bucket hash won't match
         payload_t = df.schema["payload"].dataType

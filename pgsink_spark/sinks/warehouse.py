@@ -150,7 +150,11 @@ class WarehouseSink:
         raw_view = self._raw_name(namespace, name)
         keys = self._keys[(namespace, name)]
         (
-            self.spark.read.parquet(self._raw_path(namespace, name))
+            # mergeSchema: after an ALTER TABLE ADD COLUMN the raw path
+            # holds files with the pre- and post-ALTER payload structs;
+            # merged reads serve NULL for the new column on old rows
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self._raw_path(namespace, name))
             .createOrReplaceTempView(raw_view)
         )
         view = f"{namespace}_{name}"

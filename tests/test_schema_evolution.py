@@ -1,0 +1,141 @@
+"""Mid-stream schema evolution: ALTER TABLE ADD COLUMN arrives as a
+re-sent Relation message (the reference re-registers the relation and
+marshals subsequent tuples with the new shape,
+pkg/logical/decoder.go Relation handling + pkg/subscription marshal).
+
+Pins the full path: decode → RelationCache replacement → fingerprint
+change detection → one widened envelope covering old+new mods → both
+warehouse view and incremental compactor serving the merged shape.
+"""
+
+from __future__ import annotations
+
+import datetime
+from datetime import timezone
+
+from pyspark.sql import types as T
+
+from pgsink_spark.changelog import SchemaEntry, spark_type_for
+from pgsink_spark.sinks import WarehouseSink
+from pgsink_spark.sinks.compactor import KeyedCompactedTable
+from pgsink_spark.streaming import OffsetStore, Relation, RelationColumn
+from pgsink_spark.streaming.decoder import (
+    encode_begin,
+    encode_commit,
+    encode_insert,
+    encode_relation,
+    encode_update,
+)
+from pgsink_spark.streaming.stream import modifications_df
+from pgsink_spark.streaming.subscription import Subscription
+
+REL_V1 = Relation(
+    oid=600,
+    namespace="public",
+    name="acct",
+    replica_identity=0,
+    columns=(
+        RelationColumn(key=True, name="id", type_oid=20, modifier=0xFFFFFFFF),
+        RelationColumn(key=False, name="v", type_oid=25, modifier=0xFFFFFFFF),
+    ),
+)
+# ALTER TABLE acct ADD COLUMN w int8
+REL_V2 = Relation(
+    oid=600,
+    namespace="public",
+    name="acct",
+    replica_identity=0,
+    columns=REL_V1.columns
+    + (RelationColumn(key=False, name="w", type_oid=20, modifier=0xFFFFFFFF),),
+)
+
+
+def _entry(rel: Relation) -> SchemaEntry:
+    payload = T.StructType(
+        [
+            T.StructField(c.name, spark_type_for(c.type_oid), True)
+            for c in rel.columns
+        ]
+    )
+    return SchemaEntry(
+        rel.namespace, rel.name, payload, [c.name for c in rel.columns if c.key]
+    )
+
+
+def _wire():
+    ts = datetime.datetime(2024, 6, 1, tzinfo=timezone.utc)
+
+    def txn(lsn, *dml):
+        return [
+            encode_begin(lsn, ts, lsn),
+            *dml,
+            encode_commit(0, lsn, lsn + 1, ts),
+        ]
+
+    return [
+        *txn(
+            100,
+            encode_relation(REL_V1),
+            encode_insert(REL_V1.oid, (b"1", b"a")),
+        ),
+        # ALTER lands between transactions: same oid, one more column
+        *txn(
+            200,
+            encode_relation(REL_V2),
+            encode_insert(REL_V2.oid, (b"2", b"b", b"42")),
+            encode_update(
+                REL_V2.oid, (b"1", b"a2", b"7"), old=(b"1", b"a", None)
+            ),
+        ),
+    ]
+
+
+def test_schema_evolution_decode_and_fingerprint(spark, tmp_path):
+    sub = Subscription(OffsetStore(str(tmp_path / "off.json")))
+    mods = list(sub.stream(_wire()))
+    assert [m.after for m in mods] == [
+        {"id": 1, "v": "a"},
+        {"id": 2, "v": "b", "w": 42},
+        {"id": 1, "v": "a2", "w": 7},
+    ]
+    # fingerprint changes exactly when the relation widens
+    assert _entry(REL_V1).fingerprint != _entry(REL_V2).fingerprint
+
+
+def test_schema_evolution_through_warehouse_view(spark, tmp_path):
+    sub = Subscription(OffsetStore(str(tmp_path / "off.json")))
+    mods = list(sub.stream(_wire()))
+    for m in mods:
+        object.__setattr__(m, "timestamp", m.timestamp.replace(tzinfo=None))
+
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(_entry(REL_V1))
+    # batch 1 lands with the v1 payload (before the ALTER was seen)
+    env1 = modifications_df(spark, mods[:1], _entry(REL_V1).payload)
+    sink.insert(env1, "public", "acct")
+
+    # ALTER: fingerprint cache detects the change and re-syncs
+    assert sink.handle_schema(_entry(REL_V2)) == "update"
+    env2 = modifications_df(spark, mods[1:], _entry(REL_V2).payload)
+    sink.insert(env2, "public", "acct")
+
+    view = sink.install_view("public", "acct")
+    got = {r["id"]: (r["v"], r["w"]) for r in spark.table(view).collect()}
+    # old row serves NULL for the new column; new rows carry values
+    assert got == {1: ("a2", 7), 2: ("b", 42)}
+
+
+def test_schema_evolution_through_compactor(spark, tmp_path):
+    sub = Subscription(OffsetStore(str(tmp_path / "off.json")))
+    mods = list(sub.stream(_wire()))
+    for m in mods:
+        object.__setattr__(m, "timestamp", m.timestamp.replace(tzinfo=None))
+
+    tbl = KeyedCompactedTable(
+        spark, str(tmp_path / "acct_compacted"), ["id"], n_buckets=4
+    )
+    tbl.apply_batch(modifications_df(spark, mods[:1], _entry(REL_V1).payload))
+    tbl.apply_batch(modifications_df(spark, mods[1:], _entry(REL_V2).payload))
+
+    got = {r["id"]: (r["v"], r["w"]) for r in tbl.read().collect()}
+    assert got == {1: ("a2", 7), 2: ("b", 42)}
