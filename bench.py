@@ -144,6 +144,44 @@ def main() -> None:
         gc.collect()
 
     release_blocks()  # drop the warmup pass's blocks before timing
+
+    # CDC-plane throughput (the reference's core job): events → import
+    # envelope → day-partitioned pk-clustered warehouse raw append,
+    # measured end-to-end including the write. Reported like a query
+    # (seconds for the sf's events table); rows/s = events / time.
+    def sink_warehouse_insert() -> None:
+        import shutil  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        from pgsink_spark.changelog import SchemaEntry  # noqa: PLC0415
+        from pgsink_spark.changelog.envelope import to_envelope  # noqa: PLC0415
+        from pgsink_spark.sinks import WarehouseSink  # noqa: PLC0415
+
+        events = load_table(spark, sf_dir, "events")
+        root = tempfile.mkdtemp(prefix="pgsink_bench_wh_")
+        try:
+            sink = WarehouseSink(spark, root)
+            payload = T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in events.schema.fields]
+            )
+            sink.handle_schema(
+                SchemaEntry("public", "events", payload, ["event_id"])
+            )
+            env = to_envelope(events, "public", "events", timestamp=F.col("ts"))
+            sink.insert(env, "public", "events")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    best = float("inf")
+    for _ in range(RUNS):
+        t0 = time.time()
+        sink_warehouse_insert()
+        best = min(best, time.time() - t0)
+    times["sink_warehouse_insert"] = round(best, 3)
+    release_blocks()
+
     for name in HEADLINE:
         best = float("inf")
         for _ in range(RUNS):
