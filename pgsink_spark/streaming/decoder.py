@@ -253,14 +253,22 @@ def _enc_tuple(values: tuple) -> bytes:
     return out
 
 
+def _pg_micros(commit_time: datetime) -> int:
+    """Integer µs since the PG epoch. timedelta.total_seconds() is a
+    float and silently drops microseconds once the delta exceeds ~2^53
+    µs (decades) — use exact integer fields instead."""
+    d = commit_time - PG_EPOCH
+    return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+
+
 def encode_begin(final_lsn: int, commit_time: datetime, xid: int) -> bytes:
-    micros = int((commit_time - PG_EPOCH).total_seconds() * 1_000_000)
-    return b"B" + struct.pack(">QqI", final_lsn, micros, xid)
+    return b"B" + struct.pack(">QqI", final_lsn, _pg_micros(commit_time), xid)
 
 
 def encode_commit(flags: int, commit_lsn: int, end_lsn: int, commit_time: datetime) -> bytes:
-    micros = int((commit_time - PG_EPOCH).total_seconds() * 1_000_000)
-    return b"C" + struct.pack(">BQQq", flags, commit_lsn, end_lsn, micros)
+    return b"C" + struct.pack(
+        ">BQQq", flags, commit_lsn, end_lsn, _pg_micros(commit_time)
+    )
 
 
 def encode_relation(rel: Relation) -> bytes:
