@@ -61,6 +61,9 @@ def _parse_array(elem: Callable, s: str) -> list:
     if not body:
         return []
     out, cur, depth, in_q, i = [], [], 0, False, 0
+    # a quoted token is always a value — PG writes the NULL sentinel
+    # unquoted, and quotes any *string* that spells "NULL"
+    quoted = False
     while i < len(body):
         ch = body[i]
         if in_q:
@@ -74,6 +77,7 @@ def _parse_array(elem: Callable, s: str) -> list:
                 cur.append(ch)
         elif ch == '"':
             in_q = True
+            quoted = True
         elif ch == "{":
             depth += 1
             cur.append(ch)
@@ -81,13 +85,15 @@ def _parse_array(elem: Callable, s: str) -> list:
             depth -= 1
             cur.append(ch)
         elif ch == "," and depth == 0:
-            out.append("".join(cur))
-            cur = []
+            out.append(("".join(cur), quoted))
+            cur, quoted = [], False
         else:
             cur.append(ch)
         i += 1
-    out.append("".join(cur))
-    return [None if tok == "NULL" else elem(tok) for tok in out]
+    out.append(("".join(cur), quoted))
+    return [
+        None if tok == "NULL" and not q else elem(tok) for tok, q in out
+    ]
 
 
 _SCALAR_PARSERS: dict[str, Callable[[str], object]] = {
