@@ -35,7 +35,11 @@ ts = st.datetimes(
 )
 # identifier-ish strings: any non-NUL text (cstrings can't carry NUL)
 ident = st.text(
-    alphabet=st.characters(blacklist_characters="\x00"), min_size=1, max_size=24
+    alphabet=st.characters(
+        blacklist_characters="\x00", blacklist_categories=("Cs",)
+    ),
+    min_size=1,
+    max_size=24,
 )
 # a column value on the wire: bytes, absent (None), or unchanged-TOAST
 # (exercised separately because UNCHANGED is a sentinel, not a value)
