@@ -55,6 +55,7 @@ HEADLINE = [
     "d22_asof_join",
     "d23_session_gap",
     "d43_keyed_running_sum",
+    "d45_resample_locf",
     # LLM-pipeline surface
     "d20_similarity_topk",
     "dedup_minhash_lsh",

@@ -1755,3 +1755,88 @@ def d43_keyed_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey", "o_orderkey")
         .limit(500)
     )
+
+
+@query(
+    "d45_resample_locf",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day_ts,
+             COUNT(*) AS n,
+             CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                        / COUNT(*), 4) AS DOUBLE) AS a
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ), span AS (
+      SELECT user_id, min(day_ts) AS t0, max(day_ts) AS t1
+      FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS day_ts
+      FROM span
+    ), j AS (
+      SELECT g.user_id, g.day_ts, d.n, d.a
+      FROM grid g LEFT JOIN daily d
+        ON g.user_id = d.user_id AND g.day_ts = d.day_ts
+    )
+    SELECT user_id, CAST(day_ts AS DATE) AS day,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           a AS avg_value,
+           LAST_VALUE(a IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM j ORDER BY user_id, day
+    """,
+)
+def d45_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per-user daily grid between the
+    user's first and last active day, daily mean value, and
+    last-observation-carried-forward on empty days — the
+    regularization step feature pipelines run before sequence models.
+
+    Plan shape: the daily rollup is one partial+final hash agg; the
+    grid is a row-local ``sequence``/``explode`` off the per-user span
+    (no driver loop, no cross join against a calendar table); the gap
+    join is an equi-join on (user, day); LOCF is one window per user —
+    everything shuffles on user_id, so one AQE-coalesced exchange
+    chain serves rollup, join, and fill. Grid rows scale with
+    user-spans, not corpus size, and skew only if one user spans
+    decades (bound the span or split the grid by month at 100 TB).
+    avg is exact-decimal-sum / count so both engines produce the
+    identical float64 (same discipline as d5).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day_ts"), "value"
+    )
+    daily = ev.groupBy("user_id", "day_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(
+            F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("a"),
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day_ts").alias("t0"), F.max("day_ts").alias("t1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day_ts"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day_ts"], "left")
+        .select(
+            "user_id",
+            F.col("day_ts").cast("date").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("a").alias("avg_value"),
+            F.last("a", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -27,10 +27,19 @@ def norm_value(v):
     return v
 
 
+def _sort_key(row: tuple):
+    """NULL-safe mixed-type sort key (None sorts first, like the
+    driver's pandas canonicalizer)."""
+    return tuple((v is not None, str(type(v)), v) for v in row)
+
+
 def canon(rows, cols):
     """Column-name-sorted, row-sorted canonical form of a result set."""
     order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
-    return sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(norm_value(r[i]) for i in order) for r in rows),
+        key=_sort_key,
+    )
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
