@@ -1840,3 +1840,80 @@ def d45_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "d46_unpivot",
+    """
+    WITH u AS (
+      SELECT 'discount' AS metric, CAST(l_discount AS DECIMAL(18,4)) AS v
+      FROM lineitem
+      UNION ALL
+      SELECT 'price', CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+      UNION ALL
+      SELECT 'quantity', CAST(l_quantity AS DECIMAL(18,4)) FROM lineitem
+    )
+    SELECT metric, CAST(ROUND(SUM(v), 2) AS DOUBLE) AS total,
+           COUNT(*) AS cnt
+    FROM u GROUP BY metric ORDER BY metric
+    """,
+)
+def d46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long, the d32 inverse) + per-metric rollup.
+
+    ``DataFrame.unpivot`` stays a row-local generator inside codegen —
+    3× the rows, zero shuffle until the tiny 3-group aggregate; the
+    oracle spells the same thing as UNION ALL, which is what a
+    pre-unpivot engine would run (3 scans instead of 1 — the unpivot
+    form reads the fact table once).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            dec("l_discount").alias("discount"),
+            dec("l_extendedprice").alias("price"),
+            dec("l_quantity").alias("quantity"),
+        )
+        .unpivot([], ["discount", "price", "quantity"], "metric", "v")
+        .groupBy("metric")
+        .agg(
+            rnd(F.sum("v"), 2).alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("metric")
+    )
+
+
+@query(
+    "d47_distribution_windows",
+    """
+    SELECT o_custkey, o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pr,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS cd
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def d47_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist) —
+    the §2.D ranking-family completion. Deterministic under ties via
+    the compound (totalprice, orderkey) ordering; one shuffle on the
+    partition key, per-partition sorts, no global sort until the
+    final presentation ORDER BY."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") < 50
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).cast("double").alias("pr"),
+            F.cume_dist().over(w).cast("double").alias("cd"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
