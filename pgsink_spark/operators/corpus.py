@@ -43,15 +43,18 @@ def _segments(text):
     """Row-local segment array: consecutive SEG_WORDS-word windows.
 
     Pure built-in expressions (split / sequence / slice / array_join) —
-    no explode until the caller asks for one row per segment, no Python.
+    no explode until the caller asks for one row per segment, no
+    Python. The word array is bound ONCE as a lambda variable (the
+    let-idiom, same trick as dedup.py's signatures): naming it through
+    a Column variable instead would let projection collapse inline the
+    ``split()`` into every slice, re-splitting the document once per
+    segment.
     """
-    words = F.split(text, " ")
-    nseg = F.ceil(F.size(words) / F.lit(SEG_WORDS)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), nseg - F.lit(1)),
-        lambda i: F.array_join(
-            F.slice(words, i * SEG_WORDS + 1, SEG_WORDS), " "
-        ),
+    k = SEG_WORDS
+    return F.expr(
+        f"transform(array(split({text}, ' ')), w ->"
+        f" transform(sequence(0, cast(ceil(size(w) / {k}.0) as int) - 1),"
+        f" i -> array_join(slice(w, i * {k} + 1, {k}), ' ')))[0]"
     )
 
 
@@ -94,7 +97,7 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     segs = docs.select(
-        "doc_id", F.posexplode(_segments(F.col("text"))).alias("seg_idx", "seg")
+        "doc_id", F.posexplode(_segments("text")).alias("seg_idx", "seg")
     )
     w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
     ranked = segs.withColumn("rn", F.row_number().over(w))
@@ -134,12 +137,12 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(1)),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + F.lit(1))
-        ),
+    # let-idiom: bind the split ONCE (see _segments) — an unbound
+    # Column would re-split the text for every element_at reference
+    bigrams = F.expr(
+        "transform(array(split(text, ' ')), w ->"
+        " transform(sequence(1, size(w) - 1),"
+        " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))[0]"
     )
     return (
         docs.select(F.explode(bigrams).alias("bigram"))

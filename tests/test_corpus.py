@@ -20,7 +20,7 @@ def test_segments_partition_text_exactly(spark, sf_dir):
     bad = (
         docs.select(
             "doc_id",
-            F.array_join(corpus._segments(F.col("text")), " ").alias("rejoined"),
+            F.array_join(corpus._segments("text"), " ").alias("rejoined"),
             "text",
         )
         .where(F.col("rejoined") != F.col("text"))
@@ -37,7 +37,7 @@ def test_dedup_paragraph_kept_bounds(spark, sf_dir):
     # the election keeps each distinct segment exactly once corpus-wide
     segs = (
         load_table(spark, sf_dir, "documents")
-        .select(F.explode(corpus._segments(F.col("text"))).alias("seg"))
+        .select(F.explode(corpus._segments("text")).alias("seg"))
     )
     distinct_segs = segs.distinct().count()
     assert sum(r["n_kept"] for r in out) == distinct_segs
