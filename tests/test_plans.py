@@ -242,3 +242,54 @@ def test_bucketed_join_is_shuffle_free(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join splitting is live: a pathologically hot key in a
+    sort-merge join gets split at runtime (the planner-side complement
+    to the explicit salting of d44). Thresholds are lowered so fixture
+    scale crosses them; production keeps the defaults."""
+    from pyspark.sql import functions as F
+    from pgsink_spark.plans import executed_plan
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        # one hot key carrying ~100k rows vs 1k cold keys with 1 row each
+        fact = spark.range(0, 100_000).select(
+            F.lit(1).alias("k"), F.col("id").alias("payload")
+        ).unionByName(
+            spark.range(2, 1_002).select(
+                F.col("id").alias("k"), F.col("id").alias("payload")
+            )
+        )
+        dim = spark.range(0, 1_002).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        # NOTE: no aggregation or filter downstream — AQE declines to
+        # split a skewed SMJ whose output partitioning a later operator
+        # needs (splitting would add a shuffle), and a post-join filter
+        # would be pushed below the join and deflate the hot key; the
+        # raw join is the shape skew splitting serves.
+        joined = fact.join(dim, "k")
+        plan = executed_plan(joined)
+        assert "skew=true" in plan.lower() or "isskewjoin=true" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
