@@ -80,6 +80,11 @@ class KeyedCompactedTable:
             after_or_before().alias("payload"),
         ).withColumn("bucket", self._bucket())
 
+    def _have_buckets(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            e.startswith("bucket=") for e in os.listdir(self.path)
+        )
+
     # -- merge ----------------------------------------------------------
 
     def apply_batch(self, env: DataFrame) -> list[int]:
@@ -92,9 +97,7 @@ class KeyedCompactedTable:
         if not affected:
             return affected
 
-        if os.path.isdir(self.path) and any(
-            e.startswith("bucket=") for e in os.listdir(self.path)
-        ):
+        if self._have_buckets():
             # mergeSchema + allowMissingColumns: schema evolution (ALTER
             # TABLE ADD COLUMN) widens the payload struct between
             # batches; old rows serve NULL for the new field
@@ -127,6 +130,53 @@ class KeyedCompactedTable:
             .partitionBy("bucket")
             .parquet(self.path)
         )
+        return affected
+
+    def gc_tombstones(self, up_to_lsn: int) -> list[int]:
+        """Physically drop DELETE tombstones with ``lsn <= up_to_lsn``.
+
+        The horizon is the caller's out-of-orderness bound (e.g. the
+        confirmed-LSN watermark minus the max replay window): once no
+        older image of a key can still arrive, its tombstone is dead
+        weight. Only buckets actually holding qualifying tombstones are
+        rewritten. Returns the rewritten bucket ids.
+        """
+        if not self._have_buckets():
+            return []
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        dead = (F.col("operation") == OP_DELETE) & (
+            F.col("lsn") <= F.lit(up_to_lsn)
+        )
+        affected = sorted(
+            r["bucket"]
+            for r in df.where(dead).select("bucket").distinct().collect()
+        )
+        if not affected:
+            return affected
+        pk = [F.col(f"payload.{c}") for c in self.key_columns]
+        kept = df.where(F.col("bucket").isin(affected)).where(~dead)
+        kept = kept.localCheckpoint(eager=True)  # read fully BEFORE overwrite
+        survivors = {
+            r["bucket"] for r in kept.select("bucket").distinct().collect()
+        }
+        if survivors:
+            (
+                kept.repartition(len(survivors), "bucket")
+                .sortWithinPartitions(*pk)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(self.path)
+            )
+        # dynamic overwrite only rewrites partitions it has rows for; a
+        # bucket whose every row was a dead tombstone must be dropped
+        # explicitly
+        import shutil  # noqa: PLC0415
+
+        for b in set(affected) - survivors:
+            shutil.rmtree(
+                os.path.join(self.path, f"bucket={b}"), ignore_errors=True
+            )
         return affected
 
     # -- read -----------------------------------------------------------

@@ -156,3 +156,34 @@ def test_matches_readtime_compaction_view(spark, tmp_path):
     want = {r["id"]: r["v"] for r in spark.table("cmp_view").collect()}
     got = {r["id"]: r["v"] for r in tbl.read().collect()}
     assert got == want == {1: "a3"}
+
+
+def test_gc_tombstones_drops_old_keeps_recent(spark, tmp_path):
+    tbl = KeyedCompactedTable(
+        spark, str(tmp_path / "c3"), ["id"], n_buckets=4
+    )
+    tbl.apply_batch(
+        _batch(
+            spark,
+            [
+                (1, 10, 0, None, (1, "a")),
+                (2, 11, 0, None, (2, "b")),
+                (3, 12, 0, (1, "a"), None),  # old delete (lsn 12)
+                (4, 20, 0, (2, "b"), None),  # recent delete (lsn 20)
+            ],
+        )
+    )
+    raw = spark.read.parquet(tbl.path)
+    assert raw.where(F.col("operation") == "DELETE").count() == 2
+
+    rewritten = tbl.gc_tombstones(up_to_lsn=15)
+    assert rewritten  # at least one bucket rewritten
+    raw = spark.read.parquet(tbl.path)
+    tombs = {
+        r["lsn"] for r in raw.where(F.col("operation") == "DELETE").collect()
+    }
+    assert tombs == {20}  # old tombstone gone, recent one survives
+    # live view unchanged (both keys deleted either way)
+    assert tbl.read().count() == 0
+    # second GC with the same horizon is a no-op
+    assert tbl.gc_tombstones(up_to_lsn=15) == []
