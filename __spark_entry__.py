@@ -123,6 +123,8 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["ann_bruteforce_topk"] = _sim.ann_bruteforce_topk
     queries["ann_ivf_topk"] = _sim.ann_ivf_topk  # approximate → rows-only
     queries["ann_lsh_topk"] = _sim.ann_lsh_topk  # approximate → rows-only
+    # trained-KMeans IVF (iterative ML + approximate → rows-only)
+    queries["ann_ivf_kmeans_topk"] = _sim.ann_ivf_kmeans_topk
     queries["dedup_embedding_pairs"] = _sim.dedup_embedding_pairs
 
     # multimodal plumbing (deterministic stub codec → rows-only checks)

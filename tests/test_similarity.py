@@ -93,3 +93,31 @@ def test_blocked_embedding_dedup_plan_has_no_cross_product(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_kmeans_full_probe_equals_bruteforce(spark, sf_dir):
+    """With nprobe = n_cells the KMeans-trained IVF search degenerates
+    to exact search — recall 100% vs brute force regardless of what
+    partition the clustering learned."""
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    full = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_ivf_kmeans_topk(
+            spark, sf_dir, nprobe=8, n_cells=8
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_kmeans_pruned_probe_runs(spark, sf_dir):
+    out = sim.ann_ivf_kmeans_topk(spark, sf_dir, nprobe=2).collect()
+    assert len(out) > 0
+    # 5 queries, k=5, ranks well-formed
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r.rnk)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
