@@ -190,3 +190,67 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "quality_lm_score",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    b AS (
+      SELECT doc_id, ws[i.i] || ' ' || ws[i.i+1] AS bigram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) i
+    ),
+    counts AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram),
+    tot AS (SELECT count(*) AS total FROM b)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(CAST(sum(cnt) AS DOUBLE)
+                      / count(*) / (SELECT total FROM tot) * 1e6, 6)
+                AS DOUBLE) AS lm_score
+    FROM b JOIN counts USING (bigram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score (KenLM-style filtering, statistics
+    flavor): train bigram frequencies on the corpus itself, then score
+    each document by the mean corpus-frequency of its bigrams
+    (scaled ×1e6). Repetitive/boilerplate docs score high, vocabulary
+    outliers score low — the standard two-pass "train stats, filter
+    corpus" loop.
+
+    Exactness discipline: the per-doc numerator is SUM(cnt) — an exact
+    BIGINT — so the only float op is one final division chain,
+    bit-identical across engines (no log/exp, no float accumulation
+    order). Plan: bigram build is row-local (let-idiom); training is
+    one count shuffle; scoring joins docs' bigrams to the counts table
+    on the bigram key (shuffle join at 100 TB — the count table is
+    corpus-vocabulary-sized, NOT broadcastable) and re-aggregates by
+    doc. Three shuffles total, all on uniform high-cardinality keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams_expr = F.expr(
+        "transform(array(split(text, ' ')), w ->"
+        " transform(sequence(1, size(w) - 1),"
+        " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))[0]"
+    )
+    b = docs.select("doc_id", F.explode(bigrams_expr).alias("bigram"))
+    counts = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    total = b.count()  # scalar — one job, broadcast as a literal
+    return (
+        b.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("cnt").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(float(total))
+                * 1e6,
+                6,
+            )
+            .cast("double")
+            .alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
