@@ -72,6 +72,8 @@ HEADLINE = [
     "text_ngram_topk",
     "domain_mix_sample",
     "quality_model_score",
+    "quality_lm_score",
+    "d48_profile_documents",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

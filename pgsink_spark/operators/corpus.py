@@ -254,3 +254,61 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Generic one-pass column profiler: null count + exact distinct
+    per column, melted to one row per column.
+
+    ONE aggregation job computes every column's stats (count-distincts
+    share the scan; Catalyst expands multi-distinct aggs into a single
+    expand+agg pipeline); the melt to long form is a row-local stack of
+    the 1-row wide result — profiling cost is one corpus pass no matter
+    how many columns.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nulls")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args})"
+        ).alias("column", "n_nulls", "n_distinct")
+    ).orderBy("column")
+
+
+@query(
+    "d48_profile_documents",
+    """
+    SELECT 'doc_id' AS "column", CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'source', CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'text', CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT text) AS BIGINT) FROM documents
+    ORDER BY "column"
+    """,
+)
+def d48_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of ``documents`` (the ingest-time sanity
+    pass): nulls + exact distinct per column, one scan for all columns
+    — the oracle spells the naive 5-scan UNION ALL the single-pass
+    plan replaces."""
+    return profile(load_table(spark, sf_dir, "documents"))
