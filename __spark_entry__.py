@@ -1,8 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` — flagship query (read-time compaction view over the
-events changelog — the reference sink's core query semantics) at
-sf0.001.
+``entry(spark)`` — flagship query (the corpus-curation pipeline:
+lang-ID → quality → exact-dedup canonical election → split assignment)
+at sf0.001.
 
 ``queries()`` — every implemented operator from SURVEY.md §2 as
 ``(spark, sf_dir) -> DataFrame``.

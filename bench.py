@@ -77,11 +77,13 @@ HEADLINE = [
 ]
 
 # Round-over-round regression gate: compare per-query times against the
-# recorded baseline at the same SF; queries slower than 1.5x baseline
-# are reported in the JSON ("regressions"). Set SPARK_GRAFT_BENCH_STRICT=1
-# to also exit non-zero (off by default: local[32] timing noise of 2x
-# has been observed on this box, and the driver records rc).
-REGRESSION_FACTOR = 1.5
+# recorded baseline at the same SF; queries slower than REGRESSION_FACTOR
+# x baseline are reported in the JSON ("regressions"). Set
+# SPARK_GRAFT_BENCH_STRICT=1 to also exit non-zero. Factor 2.0: repeated
+# whole-suite runs on this host show uniform 1.5-1.8x windows (co-tenant
+# steal) with isolated reruns back at 1.0-1.1x, so 1.5 flags noise; 2.0
+# matches the driver's own "within 2x of baseline" target.
+REGRESSION_FACTOR = 2.0
 BASELINE_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
 )
