@@ -74,6 +74,7 @@ HEADLINE = [
     "quality_model_score",
     "quality_lm_score",
     "d48_profile_documents",
+    "d49_funnel",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

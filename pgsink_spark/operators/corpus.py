@@ -204,9 +204,8 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT count(*) AS total FROM b)
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(ROUND(CAST(sum(cnt) AS DOUBLE)
-                      / count(*) / (SELECT total FROM tot) * 1e6, 6)
-                AS DOUBLE) AS lm_score
+           CAST(sum(cnt) AS DOUBLE)
+             / count(*) / (SELECT total FROM tot) * 1e6 AS lm_score
     FROM b JOIN counts USING (bigram)
     GROUP BY doc_id ORDER BY doc_id
     """,
@@ -242,15 +241,12 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.round(
+            (
                 F.sum("cnt").cast("double")
                 / F.count(F.lit(1))
                 / F.lit(float(total))
-                * 1e6,
-                6,
-            )
-            .cast("double")
-            .alias("lm_score"),
+                * 1e6
+            ).alias("lm_score"),
         )
         .orderBy("doc_id")
     )

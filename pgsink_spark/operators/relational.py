@@ -1763,8 +1763,8 @@ def d43_keyed_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id, date_trunc('day', ts) AS day_ts,
              COUNT(*) AS n,
-             CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-                        / COUNT(*), 4) AS DOUBLE) AS a
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS a
       FROM events GROUP BY user_id, date_trunc('day', ts)
     ), span AS (
       SELECT user_id, min(day_ts) AS t0, max(day_ts) AS t1
@@ -1802,17 +1802,19 @@ def d45_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain serves rollup, join, and fill. Grid rows scale with
     user-spans, not corpus size, and skew only if one user spans
     decades (bound the span or split the grid by month at 100 TB).
-    avg is exact-decimal-sum / count so both engines produce the
-    identical float64 (same discipline as d5).
+    avg is exact-decimal-sum / count, UNROUNDED: a final ROUND(x, 4)
+    hit a half-way boundary at sf0.1 where Spark (half-up) and DuckDB
+    (rint half-even) disagree — the raw float64 division is
+    bit-identical on both engines.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day_ts"), "value"
     )
     daily = ev.groupBy("user_id", "day_ts").agg(
         F.count(F.lit(1)).alias("n"),
-        rnd(
-            F.sum(dec("value")).cast("double") / F.count(F.lit(1)), 4
-        ).alias("a"),
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias(
+            "a"
+        ),
     )
     grid = (
         daily.groupBy("user_id")
@@ -1916,4 +1918,80 @@ def d47_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).cast("double").alias("cd"),
         )
         .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "d49_funnel",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.us > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.us > s2.t2
+           GROUP BY e.user_id)
+    SELECT 'x1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+    UNION ALL
+    SELECT 'x2_click', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'x3_purchase', CAST(count(*) AS BIGINT) FROM s3
+    ORDER BY stage
+    """,
+)
+def d49_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase): users
+    reaching each stage, where a stage only counts if it happens
+    STRICTLY AFTER the user's previous stage — the sequential-pattern
+    query behind conversion dashboards.
+
+    Timestamps compare as integer epoch-µs on both engines (the d23
+    lesson: parquet TIMESTAMP_NS tails differ from the µs-rebuilt
+    column, so raw ts comparisons can diverge at the boundary).
+
+    Plan: one events scan per stage with the event-type filter pushed
+    to parquet; every agg/join keys on user_id, so the whole funnel is
+    one exchange chain on the same key — stage N's output (small,
+    monotonically shrinking) joins stage N+1's filtered scan, and AQE
+    broadcasts the shrinking side automatically at depth.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    def stage(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("users"),
+        ).select("stage", "users")
+
+    return (
+        stage(s1, "x1_view")
+        .unionByName(stage(s2, "x2_click"))
+        .unionByName(stage(s3, "x3_purchase"))
+        .orderBy("stage")
     )
