@@ -173,6 +173,50 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Maintain a materialized most-recent-row table from raw envelope
+    parquet: merge new batches incrementally, optionally GC tombstones.
+
+    The operational loop a warehouse runs on cron: stream/import append
+    to `_raw`; this command folds the backlog into the compacted table
+    so readers skip the window."""
+    from pyspark.sql import functions as F
+
+    from pgsink_spark.session import get_spark
+    from pgsink_spark.sinks.compactor import KeyedCompactedTable
+
+    spark = get_spark("pgsink-compact")
+    tbl = KeyedCompactedTable(
+        spark, args.out, args.keys.split(","), n_buckets=args.buckets
+    )
+    if args.raw:
+        env = spark.read.option("mergeSchema", "true").parquet(args.raw)
+        # raw stores (timestamp, lsn, sequence, operation, payload);
+        # rebuild the envelope's before/after from the stored image
+        env = env.select(
+            "timestamp",
+            F.lit("cli").alias("namespace"),
+            F.lit("cli").alias("name"),
+            "lsn",
+            "sequence",
+            # reconstruct before/after so the envelope-derived operation
+            # matches the stored one (UPDATE needs both images present)
+            F.when(
+                F.col("operation").isin("DELETE", "UPDATE"), F.col("payload")
+            ).alias("before"),
+            F.when(F.col("operation") != "DELETE", F.col("payload")).alias(
+                "after"
+            ),
+        )
+        buckets = tbl.apply_batch(env)
+        print(f"merged raw backlog into {len(buckets)} buckets")
+    if args.gc_lsn is not None:
+        rewritten = tbl.gc_tombstones(args.gc_lsn)
+        print(f"GC: rewrote buckets {rewritten}")
+    print(f"live rows: {tbl.read().count()}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pgsink-spark")
     p.add_argument("--root", default="./pgsink-state",
@@ -201,6 +245,21 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("action", choices=["run"])
     st.add_argument("--capture", required=True)
     st.set_defaults(fn=cmd_stream)
+
+    c = sub.add_parser(
+        "compact", help="incrementally compact raw envelopes to latest-per-key"
+    )
+    c.add_argument("--raw", help="raw envelope parquet path to fold in")
+    c.add_argument("--out", required=True, help="compacted table path")
+    c.add_argument("--keys", required=True, help="comma-separated pk columns")
+    c.add_argument("--buckets", type=int, default=64)
+    c.add_argument(
+        "--gc-lsn",
+        type=int,
+        default=None,
+        help="drop DELETE tombstones at or below this LSN",
+    )
+    c.set_defaults(fn=cmd_compact)
     return p
 
 

@@ -186,3 +186,49 @@ def test_cli_stream_run(tmp_path, spark, capsys):
     out = spark.read.json(os.path.join(root, "sink", "modifications"))
     assert out.count() == 2
     assert {r["operation"] for r in out.collect()} == {"INSERT"}
+
+
+def test_cli_compact_roundtrip(spark, tmp_path, capsys):
+    """CLI compact: fold a raw envelope table into a compacted table,
+    then GC its tombstone."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from pgsink_spark.cli import main
+
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    rows = [
+        (datetime.datetime(2024, 1, 1), 10, 0, "INSERT", {"id": 1, "v": "a"}),
+        (datetime.datetime(2024, 1, 2), 11, 0, "UPDATE", {"id": 1, "v": "b"}),
+        (datetime.datetime(2024, 1, 3), 12, 0, "INSERT", {"id": 2, "v": "c"}),
+        (datetime.datetime(2024, 1, 4), 13, 0, "DELETE", {"id": 2, "v": "c"}),
+    ]
+    raw_schema = T.StructType(
+        [
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("sequence", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("payload", payload),
+        ]
+    )
+    raw = str(tmp_path / "raw")
+    spark.createDataFrame(rows, raw_schema).write.parquet(raw)
+
+    out = str(tmp_path / "compacted")
+    rc = main(
+        ["compact", "--raw", raw, "--out", out, "--keys", "id",
+         "--buckets", "4", "--gc-lsn", "13"]
+    )
+    assert rc == 0
+    got = capsys.readouterr().out
+    assert "live rows: 1" in got
+
+    live = spark.read.parquet(out)
+    assert [
+        (r["payload"]["id"], r["payload"]["v"], r["operation"])
+        for r in live.collect()
+    ] == [(1, "b", "UPDATE")]
