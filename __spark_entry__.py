@@ -118,6 +118,7 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["dedup_simhash"] = _dedup.dedup_simhash
     queries["dedup_simhash_pairs"] = _dedup.dedup_simhash_pairs
     queries["dedup_cluster"] = _dedup.dedup_cluster
+    queries["contamination_check"] = _dedup.contamination_check
 
     queries["d20_similarity_topk"] = _sim.d20_similarity_topk
     queries["ann_bruteforce_topk"] = _sim.ann_bruteforce_topk

@@ -587,6 +587,27 @@ _DUCKDB_SIMHASH = f"""
 """
 
 ORACLES: dict[str, str] = {
+    "contamination_check": """
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents
+                      WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(w[i.i : i.i+2], ' ') AS s
+               FROM toks, LATERAL (SELECT unnest(
+                      generate_series(1, len(w)-2)) AS i) i),
+        e AS (SELECT * FROM sh WHERE doc_id < 50),
+        c AS (SELECT * FROM sh WHERE doc_id >= 50),
+        inter AS (SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id,
+                         count(*) AS i
+                  FROM e JOIN c ON e.s = c.s GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        SELECT eval_id, corpus_id
+        FROM inter
+        JOIN sizes se ON se.doc_id = eval_id
+        JOIN sizes sc ON sc.doc_id = corpus_id
+        WHERE i*1.0/(se.n + sc.n - i) >= 0.5
+        ORDER BY eval_id, corpus_id
+    """,
     "dedup_exact": """
         WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
         keep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp)
@@ -631,3 +652,55 @@ ORACLES: dict[str, str] = {
         ORDER BY d1, d2
     """,
 }
+
+
+EVAL_SPLIT_ID = 50
+CONTAMINATION_THRESHOLD = 0.5
+
+
+def contamination_check(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = CONTAMINATION_THRESHOLD,
+) -> DataFrame:
+    """Decontamination: find eval-set documents whose word-3-gram
+    Jaccard with any training-corpus document reaches ``threshold`` —
+    the train/test overlap scan every benchmark-clean training run
+    needs (eval set here = doc_id < EVAL_SPLIT_ID, standing in for an
+    external benchmark table).
+
+    Plan shape: shingle sets are row-local; the cross-set inverted
+    index joins ONLY eval-shingles against corpus-shingles (no
+    eval×eval or corpus×corpus pairs ever materialize, unlike full
+    dedup), so candidate volume is ∝ shared-shingle mass between the
+    sets — at 100 TB the eval side is tiny and the join broadcasts it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ev = sh.where(F.col("doc_id") < EVAL_SPLIT_ID).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    corp = sh.where(F.col("doc_id") >= EVAL_SPLIT_ID).select(
+        F.col("doc_id").alias("corpus_id"), "shingle"
+    )
+    inter = (
+        F.broadcast(ev)
+        .join(corp, "shingle")
+        .groupBy("eval_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    se = sizes.select(F.col("doc_id").alias("eval_id"), F.col("n").alias("ne"))
+    sc = sizes.select(
+        F.col("doc_id").alias("corpus_id"), F.col("n").alias("nc")
+    )
+    return (
+        inter.join(F.broadcast(se), "eval_id")
+        .join(F.broadcast(sc), "corpus_id")
+        .where(
+            F.col("i") / (F.col("ne") + F.col("nc") - F.col("i"))
+            >= threshold
+        )
+        .select("eval_id", "corpus_id")
+        .orderBy("eval_id", "corpus_id")
+    )
