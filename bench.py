@@ -75,6 +75,8 @@ HEADLINE = [
     "quality_lm_score",
     "d48_profile_documents",
     "d49_funnel",
+    "d50_cohort_retention",
+    "contamination_check",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

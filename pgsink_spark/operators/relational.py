@@ -1995,3 +1995,49 @@ def d49_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s3, "x3_purchase"))
         .orderBy("stage")
     )
+
+
+@query(
+    "d50_cohort_retention",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(d) AS c0 FROM activity GROUP BY user_id)
+    SELECT c.c0 AS cohort_day,
+           CAST(a.d - c.c0 AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    WHERE a.d - c.c0 <= 7
+    GROUP BY c.c0, a.d - c.c0
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def d50_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each of their first 7 day-offsets — the DAU-retention triangle
+    behind every growth dashboard.
+
+    Plan: one distinct (user, day) pass, a user-keyed min for the
+    cohort, a user-keyed join back (same exchange chain — AQE reuses
+    the partitioning), and a (cohort, offset) aggregate whose key count
+    is tiny. Day arithmetic is DATE subtraction (integer days) on both
+    engines — no timestamp-precision hazard.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    )
+    activity = ev.distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("d").alias("c0"))
+    off = F.datediff(F.col("d"), F.col("c0"))
+    return (
+        activity.join(cohort, "user_id")
+        .where(off <= 7)
+        .groupBy(
+            F.col("c0").alias("cohort_day"),
+            off.cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
