@@ -76,6 +76,7 @@ HEADLINE = [
     "d48_profile_documents",
     "d49_funnel",
     "d50_cohort_retention",
+    "d51_transition_matrix",
     "contamination_check",
 ]
 

@@ -2041,3 +2041,47 @@ def d50_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "d51_transition_matrix",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS transitions
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def d51_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (Markov sequence statistics): for each
+    user's event stream in time order, count (previous → next)
+    event-type transitions corpus-wide — behavioral-model input and a
+    classic lag-window + aggregate composition.
+
+    Ordering is total — (epoch-µs, event_id) — so ties and the
+    parquet-ns precision gap can't reorder rows between engines. One
+    window shuffle on user_id, then a tiny 25-key aggregate with
+    map-side partials.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("transitions"))
+        .orderBy("prev_type", "next_type")
+    )
