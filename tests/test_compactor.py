@@ -187,3 +187,35 @@ def test_gc_tombstones_drops_old_keeps_recent(spark, tmp_path):
     assert tbl.read().count() == 0
     # second GC with the same horizon is a no-op
     assert tbl.gc_tombstones(up_to_lsn=15) == []
+
+
+def test_composite_key_merge(spark, tmp_path):
+    """Multi-column primary keys: bucket hash, merge window, and point
+    lookup all key on the full composite."""
+    import datetime
+
+    payload2 = T.StructType(
+        [
+            T.StructField("ns", T.StringType(), True),
+            T.StructField("id", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    rows = [
+        (datetime.datetime(2024, 1, 1), "public", "t", 10, 0, None,
+         {"ns": "a", "id": 1, "v": "x"}),
+        (datetime.datetime(2024, 1, 1), "public", "t", 10, 1, None,
+         {"ns": "b", "id": 1, "v": "y"}),  # same id, different ns
+        (datetime.datetime(2024, 1, 2), "public", "t", 11, 0,
+         {"ns": "a", "id": 1, "v": "x"}, {"ns": "a", "id": 1, "v": "x2"}),
+    ]
+    env = spark.createDataFrame(rows, envelope_schema(payload2))
+    tbl = KeyedCompactedTable(
+        spark, str(tmp_path / "ck"), ["ns", "id"], n_buckets=4
+    )
+    tbl.apply_batch(env)
+    got = {(r["ns"], r["id"]): r["v"] for r in tbl.read().collect()}
+    # (a,1) updated; (b,1) untouched — composite key keeps them apart
+    assert got == {("a", 1): "x2", ("b", 1): "y"}
+    assert [r["v"] for r in tbl.read_key(ns="a", id=1).collect()] == ["x2"]
+    assert [r["v"] for r in tbl.read_key(ns="b", id=1).collect()] == ["y"]
