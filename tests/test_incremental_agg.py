@@ -1,0 +1,104 @@
+"""Incremental aggregate maintenance (sinks/incremental_agg.py):
+delta merges equal recompute-from-scratch through inserts, updates,
+deletes, and group disappearance."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pgsink_spark.changelog.envelope import envelope_schema
+from pgsink_spark.sinks.incremental_agg import IncrementalAgg
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("k", T.StringType(), True),
+        T.StructField("amount", T.LongType(), True),
+    ]
+)
+
+
+def _batch(spark, rows):
+    """rows: (lsn, before, after)."""
+    data = [
+        (datetime.datetime(2024, 1, 1), "public", "t", lsn, 0, before, after)
+        for lsn, before, after in rows
+    ]
+    return spark.createDataFrame(data, envelope_schema(PAYLOAD))
+
+
+def _state(agg):
+    return {
+        r["k"]: (r["agg_sum"], r["agg_cnt"], r["agg_avg"])
+        for r in agg.read().collect()
+    }
+
+
+def test_insert_update_delete_deltas(spark, tmp_path):
+    agg = IncrementalAgg(spark, str(tmp_path / "agg"), ["k"], "amount")
+
+    # batch 1: inserts across two groups
+    agg.apply_batch(
+        _batch(
+            spark,
+            [
+                (10, None, ("a", 5)),
+                (11, None, ("a", 7)),
+                (12, None, ("b", 10)),
+            ],
+        )
+    )
+    assert _state(agg) == {"a": (12, 2, 6.0), "b": (10, 1, 10.0)}
+
+    # batch 2: value update within a group, group-moving update, delete
+    agg.apply_batch(
+        _batch(
+            spark,
+            [
+                (13, ("a", 5), ("a", 8)),     # a: 12 -> 15
+                (14, ("b", 10), ("a", 10)),   # b loses row, a gains
+                (15, ("a", 7), None),         # delete: a loses 7
+            ],
+        )
+    )
+    # a: rows {8, 10} → sum 18 cnt 2; b: gone entirely
+    assert _state(agg) == {"a": (18, 2, 9.0)}
+
+    # batch 3: resurrect b
+    agg.apply_batch(_batch(spark, [(16, None, ("b", 3))]))
+    assert _state(agg) == {"a": (18, 2, 9.0), "b": (3, 1, 3.0)}
+
+
+def test_matches_full_recompute(spark, tmp_path):
+    """Random-ish stream of ops: incremental state == aggregate of the
+    final row set."""
+    agg = IncrementalAgg(spark, str(tmp_path / "agg2"), ["k"], "amount")
+    live = {}  # row_id -> (k, amount)
+    lsn = 100
+    batches = [
+        [("ins", 1, ("x", 4)), ("ins", 2, ("y", 6)), ("ins", 3, ("x", 1))],
+        [("upd", 1, ("x", 9)), ("ins", 4, ("z", 2)), ("del", 2, None)],
+        [("upd", 3, ("y", 5)), ("del", 4, None), ("ins", 5, ("y", 8))],
+    ]
+    for b in batches:
+        rows = []
+        for op, rid, img in b:
+            if op == "ins":
+                rows.append((lsn, None, img))
+                live[rid] = img
+            elif op == "upd":
+                rows.append((lsn, live[rid], img))
+                live[rid] = img
+            else:
+                rows.append((lsn, live.pop(rid), None))
+            lsn += 1
+        agg.apply_batch(_batch(spark, rows))
+
+    want = {}
+    for k, amount in live.values():
+        s, c = want.get(k, (0, 0))
+        want[k] = (s + amount, c + 1)
+    got = {k: (s, c) for k, (s, c, _a) in _state(agg).items()}
+    assert got == want
