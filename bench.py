@@ -77,6 +77,8 @@ HEADLINE = [
     "d49_funnel",
     "d50_cohort_retention",
     "d51_transition_matrix",
+    "d52_share_of_total",
+    "d53_month_over_month",
     "contamination_check",
 ]
 

@@ -2085,3 +2085,100 @@ def d51_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "d52_share_of_total",
+    """
+    WITH rev AS (
+      SELECT n_name,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS r
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(ROUND(r, 2) AS DOUBLE) AS revenue,
+           CAST(r AS DOUBLE) / CAST(SUM(r) OVER () AS DOUBLE) AS share
+    FROM rev ORDER BY n_name
+    """,
+)
+def d52_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (ratio_to_report): each nation's revenue as a
+    fraction of the grand total, in one pass over the aggregate.
+
+    Plan: the heavy work is the revenue rollup (fact joins + one
+    group-by); the share is an UNPARTITIONED window over the
+    25-row aggregate — global windows are fine when their input is
+    group-cardinality-sized, which is the distinction d10 vs d43
+    draws for row-level data. The division runs on exact decimal sums
+    cast to double, so both engines emit the identical float64.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice")).alias("r"))
+    )
+    w = W.partitionBy()
+    return rev.select(
+        "n_name",
+        rnd(F.col("r"), 2).alias("revenue"),
+        (F.col("r").cast("double") / F.sum("r").over(w).cast("double")).alias(
+            "share"
+        ),
+    ).orderBy("n_name")
+
+
+@query(
+    "d53_month_over_month",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(rev - LAG(rev) OVER (ORDER BY month), 2) AS DOUBLE)
+             AS delta_abs,
+           CAST(rev AS DOUBLE)
+             / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) - 1.0
+             AS growth
+    FROM m ORDER BY month
+    """,
+)
+def d53_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: time rollup + lag on the
+    aggregated series — the period-comparison shape every finance
+    dashboard runs.
+
+    Plan: one partial+final rollup to months (low cardinality), then
+    lag over the tiny series (global window over ~84 rows — input is
+    group-sized, see d52's note). Deltas subtract exact decimals and
+    only the growth ratio goes through float division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    w = W.partitionBy().orderBy("month")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        F.col("month").cast("date").alias("month"),
+        rnd(F.col("rev"), 2).alias("revenue"),
+        rnd(F.col("rev") - prev, 2).alias("delta_abs"),
+        (F.col("rev").cast("double") / prev.cast("double") - 1.0).alias(
+            "growth"
+        ),
+    ).orderBy("month")
