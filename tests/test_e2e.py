@@ -193,3 +193,24 @@ def test_e2e_cdc_stream_to_incremental_compactor(spark, tmp_path):
     # and the deleted key's tombstone survives the replay
     raw = spark.read.parquet(tbl.path)
     assert raw.where(F.col("operation") == "DELETE").count() == 1
+
+
+def test_e2e_cdc_stream_to_incremental_agg(spark, tmp_path):
+    """Slice 4: the wire stream maintaining a materialized aggregate
+    (sinks/incremental_agg.py) — the logical table state's SUM/COUNT,
+    kept current from deltas only."""
+    from pgsink_spark.sinks.incremental_agg import IncrementalAgg
+
+    sub = Subscription(OffsetStore(str(tmp_path / "offsets.json")))
+    mods = list(sub.stream(_wire()))
+    for m in mods:
+        object.__setattr__(m, "timestamp", m.timestamp.replace(tzinfo=None))
+    env = modifications_df(spark, mods, PAYLOAD)
+
+    # aggregate over v-length per id parity: use id as group, count rows
+    agg = IncrementalAgg(spark, str(tmp_path / "agg"), ["id"], "id")
+    agg.apply_batch(env)
+
+    # logical end state: 1→a2 (one row), 2 deleted, 3→c (one row)
+    got = {r["id"]: r["agg_cnt"] for r in agg.read().collect()}
+    assert got == {1: 1, 3: 1}
