@@ -122,3 +122,105 @@ def session_tracker(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key EWMA anomaly detector
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.2
+ANOMALY_Z = 3.0
+
+ANOMALY_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("ewma", T.DoubleType(), False),
+        T.StructField("zscore", T.DoubleType(), False),
+    ]
+)
+
+ANOMALY_STATE = T.StructType(
+    [
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("var", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _detect(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Exponentially-weighted mean/variance per key; emit rows whose
+    deviation exceeds ANOMALY_Z sigmas of the state BEFORE the update
+    (an outlier must not first inflate the baseline it is judged by).
+
+    State is three scalars per key — bounded regardless of stream
+    length, the 100 TB requirement. The fold is a tight NumPy loop over
+    the micro-batch (state transitions are inherently sequential per
+    key; cross-key parallelism comes from the groupBy partitioning).
+    """
+    (user_id,) = key
+    if state.hasTimedOut:  # pragma: no cover — live-mode state expiry
+        state.remove()
+        return
+
+    frames = [pdf for pdf in pdf_iter]
+    pdf = pd.concat(frames).sort_values("ts")
+    mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+
+    import numpy as np
+
+    vals = pdf["value"].to_numpy(dtype="float64")
+    out_idx, out_ewma, out_z = [], [], []
+    a = EWMA_ALPHA
+    for i, v in enumerate(vals):
+        if n >= 5:  # baseline warm: judge v against the pre-update state
+            sd = np.sqrt(var) if var > 0 else 0.0
+            z = (v - mean) / sd if sd > 0 else 0.0
+            if abs(z) >= ANOMALY_Z:
+                out_idx.append(i)
+                out_ewma.append(mean)
+                out_z.append(z)
+        # West's EWMA mean/variance update
+        delta = v - mean
+        incr = a * delta
+        mean = mean + incr
+        var = (1.0 - a) * (var + delta * incr)
+        n += 1
+
+    state.update((float(mean), float(var), int(n)))
+    if out_idx:
+        sel = pdf.iloc[out_idx]
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_idx),
+                "ts": sel["ts"].to_list(),
+                "value": sel["value"].to_list(),
+                "ewma": out_ewma,
+                "zscore": out_z,
+            }
+        )
+
+
+def anomaly_detector(
+    events: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Streaming per-key anomaly detection: EWMA mean/variance state,
+    emit events ≥ ANOMALY_Z sigmas from the running baseline.
+
+    ``events`` needs (user_id, ts TimestampType, value double). The
+    second custom stateful operator (§2.F) beside the session tracker:
+    sessionization shows gap logic, this shows numeric state evolution
+    — together they cover the applyInPandasWithState surface
+    (accumulate, judge-before-update, bounded per-key state).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _detect,
+        outputStructType=ANOMALY_OUTPUT,
+        stateStructType=ANOMALY_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -76,3 +76,50 @@ def test_session_tracker_closed_sessions_match_batch(spark, sf_dir, tmp_path):
             .count()
         )
         assert sum(1 for r in got_closed if r["user_id"] == uid) == batch_u
+
+
+def test_anomaly_detector_flags_spike_not_baseline(spark, tmp_path):
+    """A flat series with one spike: only the spike is emitted, and the
+    judgment uses the PRE-update baseline (the spike can't hide by
+    inflating the variance it is judged against). State carries across
+    micro-batches: the spike arrives in batch 2."""
+    import datetime
+
+    from pgsink_spark.streaming.stateful import anomaly_detector
+
+    base = datetime.datetime(2024, 1, 1)
+    flat1 = [(1, base + datetime.timedelta(seconds=i), 10.0 + 0.1 * (i % 3))
+             for i in range(10)]
+    batch2 = [(1, base + datetime.timedelta(seconds=20), 10.1),
+              (1, base + datetime.timedelta(seconds=21), 100.0),  # spike
+              (1, base + datetime.timedelta(seconds=22), 10.2)]
+
+    src = str(tmp_path / "in")
+    schema = "user_id long, ts timestamp, value double"
+    out = str(tmp_path / "out")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .transform(anomaly_detector)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1 lands, stream drains it; batch 2 files arrive later and
+    # the second availableNow run picks up only the new files
+    spark.createDataFrame(flat1, schema).write.mode("append").parquet(src)
+    run_stream()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    run_stream()
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["value"] == 100.0 and abs(row["zscore"]) >= 3.0
+    assert abs(row["ewma"] - 10.0) < 1.0  # judged against the flat baseline
