@@ -219,3 +219,43 @@ def test_warehouse_insert_composes_with_instrumentation(spark, tmp_path):
     m = ins.metrics
     assert m.rows_total["public.example"] == 2
     assert m.insert_duration["public.example"].n == 1
+
+
+def test_import_cdc_handoff_cdc_wins_timestamp_tie(spark, tmp_path):
+    """Backfill → CDC handoff: an IMPORT row (lsn NULL) and a CDC row
+    for the same key with the SAME timestamp must resolve to the CDC
+    image — the view orders lsn DESC NULLS LAST, so the import
+    snapshot can never shadow a change it raced with. Both serving
+    paths (view + incremental compactor) agree."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from pgsink_spark.changelog import SchemaEntry, envelope_schema
+    from pgsink_spark.sinks import WarehouseSink
+    from pgsink_spark.sinks.compactor import KeyedCompactedTable
+
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # import snapshot image (lsn NULL) taken at ts
+        (ts, "public", "t", None, None, None, {"id": 1, "v": "snapshot"}),
+        # concurrent CDC update, same wall-clock timestamp
+        (ts, "public", "t", 500, 0, {"id": 1, "v": "snapshot"},
+         {"id": 1, "v": "cdc"}),
+    ]
+    env = spark.createDataFrame(rows, envelope_schema(payload))
+
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "t", payload, ["id"]))
+    sink.insert(env, "public", "t")
+    view = sink.install_view("public", "t")
+    assert [(r["id"], r["v"]) for r in spark.table(view).collect()] == [
+        (1, "cdc")
+    ]
+
+    tbl = KeyedCompactedTable(spark, str(tmp_path / "c"), ["id"], n_buckets=2)
+    tbl.apply_batch(env)
+    assert [(r["id"], r["v"]) for r in tbl.read().collect()] == [(1, "cdc")]
