@@ -131,6 +131,7 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # multimodal plumbing (deterministic stub codec → rows-only checks)
     queries["mm_decode_stats"] = _mm.mm_decode_stats
     queries["mm_frame_sample"] = _mm.mm_frame_sample
+    queries["mm_audio_windows"] = _mm.mm_audio_windows
     queries["mm_embedding_topk"] = _mm.mm_embedding_topk
 
     queries["text_lang_id"] = _text.text_lang_id

@@ -249,6 +249,57 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(batches, schema)
 
 
+
+AUDIO_WINDOW_MS = 1000
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_idx", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_windows(media: DataFrame, window_ms: int = AUDIO_WINDOW_MS) -> DataFrame:
+    """Audio path: per-clip fixed-length analysis windows with a
+    deterministic per-window RMS (stub DSP — real librosa/torchaudio
+    slots into the same batch function).
+
+    Plumbing pinned by tests: the blob never shuffles (narrow
+    mapInPandas over audio rows only — media_type filter prunes before
+    Python), window count derives from metadata.duration_ms, and the
+    output explodes Python-side inside the Arrow batch so one input
+    row → N window rows without a JVM explode of binary columns.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, winds, rmss = [], [], []
+            for mid, content, dur in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                n_win = max(1, int(dur) // window_ms)
+                for w in range(n_win):
+                    digest = hashlib.md5(
+                        content + f":win{w}".encode()
+                    ).digest()
+                    # deterministic pseudo-RMS in [0, 1)
+                    rms = int.from_bytes(digest[:8], "big") / 2**64
+                    ids.append(mid)
+                    winds.append(w)
+                    rmss.append(rms)
+            yield pd.DataFrame(
+                {"media_id": ids, "win_idx": winds, "rms": rmss}
+            )
+
+    auds = media.where(F.col("media_type") == "audio").select(
+        "media_id",
+        "content",
+        F.col("metadata.duration_ms").alias("duration_ms"),
+    )
+    return auds.mapInPandas(batches, AUDIO_SCHEMA)
+
 # ---------------------------------------------------------------------------
 # queries() wrappers (driver contract) — deterministic but not
 # SQL-expressible (md5-digest math), so the driver records rows-only
@@ -282,3 +333,12 @@ def mm_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return brute_force_topk(emb, q, k=5).orderBy("q_id", "rnk")
+
+
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio analysis (ids + per-window RMS; blobs stay
+    distributed)."""
+    return (
+        audio_windows(synthesize_media(spark, sf_dir))
+        .orderBy("media_id", "win_idx")
+    )

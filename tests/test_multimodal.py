@@ -97,3 +97,31 @@ def test_features_feed_similarity(spark, sf_dir):
         .collect()[0]
     )
     assert -1.0001 <= sims["lo"] <= sims["hi"] <= 1.0001
+
+
+def test_audio_windows_counts_and_no_shuffle(spark, sf_dir):
+    """Window count derives from duration; plan stays a narrow
+    mapInPandas (blobs never shuffle)."""
+    from pgsink_spark.operators.multimodal import (
+        AUDIO_WINDOW_MS,
+        audio_windows,
+        synthesize_media,
+    )
+    from pgsink_spark.plans import exchange_count
+
+    media = synthesize_media(spark, sf_dir)
+    out = audio_windows(media)
+    assert exchange_count(out) == 0
+
+    per_clip = {r["media_id"]: r["count"] for r in
+                out.groupBy("media_id").count().collect()}
+    want = {
+        r["media_id"]: max(1, r["duration_ms"] // AUDIO_WINDOW_MS)
+        for r in media.where(F.col("media_type") == "audio")
+        .select("media_id", F.col("metadata.duration_ms").alias("duration_ms"))
+        .collect()
+    }
+    assert per_clip == want
+    # deterministic rms in [0,1)
+    rms = [r["rms"] for r in out.limit(50).collect()]
+    assert all(0.0 <= v < 1.0 for v in rms)
