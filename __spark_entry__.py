@@ -21,6 +21,8 @@ from pgsink_spark.operators import corpus as _corpus  # noqa: F401 — registers
 from pgsink_spark.operators import curation as _curation  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import dedup as _dedup
 from pgsink_spark.operators import multimodal as _mm
+from pgsink_spark.operators import packing as _packing  # noqa: F401 — registers into _rel.QUERIES
+from pgsink_spark.operators import privacy as _privacy  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import relational as _rel
 from pgsink_spark.operators import sampling as _sampling  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import similarity as _sim

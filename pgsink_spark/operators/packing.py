@@ -1,0 +1,192 @@
+"""Sequence packing: assemble documents into fixed-token-budget
+training sequences (the batch-construction step of an LLM data
+pipeline, downstream of curation/dedup).
+
+Two industry-standard shapes, both deterministic and oracle-checked:
+
+- ``pack_sequences`` — boundary packing (concat-and-chunk): documents
+  are laid out in a deterministic stream per bucket and the stream is
+  cut every SEQ_LEN tokens; a document knows which sequence its first
+  token lands in and at what offset. This is the GPT-style packing
+  used when crossing document boundaries is acceptable, and it is pure
+  window arithmetic — a cumulative sum, no sequential state.
+- ``pack_sequences_greedy`` — next-fit bin packing: documents are
+  folded in stream order into bins of capacity CAP; a document that
+  would overflow the open bin closes it and starts the next. Used when
+  documents must NOT span sequences (each bin is one training sequence
+  padded to CAP). The fold is inherently sequential *within* a stream,
+  so it runs as an Arrow-batched ``applyInPandas`` per bucket —
+  buckets pack in parallel, the fold is a tight NumPy loop inside.
+
+Scale notes (100 TB): both operators shuffle ONCE, keyed on the pack
+bucket. Buckets are content-addressed (md5 of doc_id), so streams are
+uniform — no skew — and the bucket count is the parallelism knob: at
+100 TB you raise BUCKETS to O(corpus_tokens / executor_memory), each
+bucket's stream packs independently, and the output is already
+partitioned by bucket for the downstream shard writer. The greedy
+fold is O(bucket rows) single-pass with O(1) state — the same shape as
+the reference's buffered batcher (pkg/sinks/generic/buffered_inserter.go
+fills fixed-size batches from an ordered stream).
+
+The deterministic stream order inside a bucket is (md5(doc_id),
+doc_id) — reproducible run-over-run, stable under repartitioning, and
+identical across engines (same contract as operators/sampling.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pgsink_spark.operators.relational import query
+from pgsink_spark.operators.sampling import _duckdb_bucket, hash_bucket
+from pgsink_spark.sources.fixtures import load_table
+
+SEQ_LEN = 512  # boundary-packing chunk length, tokens
+CAP = 512  # greedy bin capacity, tokens
+BUCKETS = 32  # parallel pack streams (the 100 TB knob)
+
+
+def _with_stream(docs: DataFrame) -> DataFrame:
+    """documents + (n_tokens, bucket, stream-order key).
+
+    Whitespace token count (the text.py token contract), md5 bucket,
+    md5 order key — all row-local projections; the only shuffle any
+    packer needs is the one window/groupBy on ``bucket``.
+    """
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        hash_bucket(F.col("doc_id"), BUCKETS).alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+
+
+_STREAM_SQL = f"""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_duckdb_bucket("doc_id", BUCKETS)} AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+"""
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH s AS ({_STREAM_SQL}),
+    c AS (
+      SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+      FROM s)
+    SELECT doc_id, bucket,
+           cum_before // {SEQ_LEN} AS seq_id,
+           cum_before % {SEQ_LEN} AS begin_off,
+           (cum_before + n_tokens - 1) // {SEQ_LEN} - cum_before // {SEQ_LEN}
+             + 1 AS n_seqs
+    FROM c ORDER BY doc_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary packing: chunk each bucket's token stream every SEQ_LEN
+    tokens; per document emit the sequence id / offset of its first
+    token and how many sequences it spans.
+
+    Plan: one shuffle (the bucket window); the cumulative sum is a
+    running frame inside each bucket partition, then everything else is
+    row-local integer arithmetic. Contrast d10's global running window:
+    this is the partitioned twin, so no single-task bottleneck at any
+    scale.
+    """
+    s = _with_stream(load_table(spark, sf_dir, "documents"))
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = s.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    seq = F.floor(F.col("cum_before") / SEQ_LEN)
+    last_seq = F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / SEQ_LEN)
+    return c.select(
+        "doc_id",
+        "bucket",
+        seq.alias("seq_id"),
+        (F.col("cum_before") % SEQ_LEN).alias("begin_off"),
+        (last_seq - seq + 1).alias("n_seqs"),
+    ).orderBy("doc_id")
+
+
+_GREEDY_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("bin", T.LongType()),
+    ]
+)
+
+
+def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Next-fit fold over one bucket's stream (runs inside an Arrow
+    batch; the loop is O(rows) with two scalars of state)."""
+    pdf = pdf.sort_values(["h", "doc_id"], kind="mergesort")
+    bins = []
+    cur, fill = 0, 0
+    for n in pdf["n_tokens"]:
+        if fill > 0 and fill + n > CAP:
+            cur, fill = cur + 1, 0
+        fill += n
+        bins.append(cur)
+    return pd.DataFrame(
+        {"doc_id": pdf["doc_id"], "bucket": pdf["bucket"], "bin": bins}
+    )
+
+
+@query(
+    "pack_sequences_greedy",
+    f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, bucket, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+               AS rn
+      FROM ({_STREAM_SQL})
+    ),
+    r AS (
+      SELECT bucket, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.bucket, s.rn, s.doc_id, s.n_tokens,
+             CASE WHEN r.fill + s.n_tokens <= {CAP}
+                  THEN r.bin ELSE r.bin + 1 END,
+             CASE WHEN r.fill + s.n_tokens <= {CAP}
+                  THEN r.fill + s.n_tokens ELSE s.n_tokens END
+      FROM r JOIN s ON s.bucket = r.bucket AND s.rn = r.rn + 1
+    )
+    SELECT doc_id, bucket, bin FROM r ORDER BY doc_id
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit bin packing: per bucket, fold documents in stream order
+    into bins of capacity CAP; overflow closes the bin. Documents never
+    span bins (a bin = one padded training sequence).
+
+    This is the custom-stateful-operator pattern: the fold has genuine
+    sequential state, so it cannot be a window expression — it runs as
+    ``applyInPandas`` per bucket (Arrow-batched, NumPy-speed loop), and
+    the DuckDB oracle replays the identical fold as a recursive CTE, so
+    even the imperative path stays hash-checked. One shuffle on bucket;
+    parallelism = BUCKETS.
+    """
+    s = _with_stream(load_table(spark, sf_dir, "documents"))
+    return (
+        s.groupBy("bucket")
+        .applyInPandas(_pack_bucket, schema=_GREEDY_OUT)
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,114 @@
+"""PII detection and redaction over document text (training-data
+compliance pass: strip emails / IPs / national-id patterns before a
+corpus ships to training).
+
+All detection is built-in regex expressions (``regexp_extract_all`` /
+``regexp_replace``) — JVM-side, whole-stage-codegen, zero Python on the
+data path — and every pattern is written in the common subset of Java
+regex (Spark) and RE2 (DuckDB) so the oracle checks the redaction
+byte-for-byte: character classes, bounded repetition, and alternation
+only (no backreferences, no lookaround).
+
+The synthetic fixture corpus contains no organic PII (word-soup text),
+so the registry query first splices a deterministic PII payload derived
+from ``doc_id`` into every third document — identically on both
+engines — then proves detection + redaction against the oracle. The
+operator itself (``redact_pii``) is payload-agnostic: point it at any
+string column.
+
+Scale notes (100 TB): pure row-local projection — no shuffle, no
+state; the parquet scan underneath still prunes columns, and the regex
+work rides whole-stage codegen. Regex cost is linear in text bytes,
+the same pass a C++ scrubber would make, but distributed for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsink_spark.operators.relational import query
+from pgsink_spark.sources.fixtures import load_table
+
+# Java-regex ∩ RE2 portable patterns (no \b — RE2 and Java agree on it,
+# but the bounded classes below don't need it and explicit is safer).
+EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+SSN = r"\d{3}-\d{2}-\d{4}"
+
+PATTERNS = [("email", EMAIL, "<EMAIL>"), ("ip", IPV4, "<IP>"), ("ssn", SSN, "<SSN>")]
+
+
+def redact_pii(df: DataFrame, col: str) -> DataFrame:
+    """Append per-pattern match counts and a fully-redacted copy of
+    ``col``. Counts are measured on the original text (each pattern
+    independently); redaction applies email → ssn → ip so the
+    digit-bearing patterns can't eat each other's replacements.
+    """
+    out = df
+    for name, pat, _ in PATTERNS:
+        out = out.withColumn(
+            f"n_{name}s",
+            F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+    red: Column = F.col(col)
+    for _, pat, token in PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("redacted", red)
+
+
+# Deterministic payload spliced into every 3rd doc (both engines build
+# the identical string, so the redacted output hashes identically).
+_SPARK_PAYLOAD = (
+    "concat(' reach u', doc_id, '@mail.example.com or 10.',"
+    " doc_id % 200, '.0.', doc_id % 250, ' ssn ',"
+    " lpad(cast(doc_id % 1000 as string), 3, '0'), '-42-',"
+    " lpad(cast(doc_id % 10000 as string), 4, '0'))"
+)
+_DUCK_PAYLOAD = (
+    "concat(' reach u', doc_id, '@mail.example.com or 10.',"
+    " doc_id % 200, '.0.', doc_id % 250, ' ssn ',"
+    " lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-42-',"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+
+
+@query(
+    "pii_redact",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || {_DUCK_PAYLOAD} ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL}', 0)) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{IPV4}', 0)) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(text, '{SSN}', 0)) AS BIGINT)
+             AS n_ssns,
+           regexp_replace(regexp_replace(regexp_replace(
+             text, '{EMAIL}', '<EMAIL>', 'g'),
+                   '{SSN}', '<SSN>', 'g'),
+                   '{IPV4}', '<IP>', 'g') AS redacted
+    FROM t ORDER BY doc_id
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: splice the deterministic PII payload into every
+    3rd document, then detect + redact. Two-thirds of the corpus
+    exercises the no-match fast path; the rest proves each pattern and
+    the replacement order byte-for-byte against DuckDB."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.expr(_SPARK_PAYLOAD)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return redact_pii(docs, "text").drop("text").orderBy("doc_id")

