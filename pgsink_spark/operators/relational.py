@@ -2182,3 +2182,124 @@ def d53_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth"
         ),
     ).orderBy("month")
+
+
+@query(
+    "a18_view_asof",
+    """
+    WITH cutoff AS (
+      SELECT CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP)
+               - INTERVAL 10 DAY AS co
+      FROM events)
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type,
+             CAST(ROUND(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE)
+               AS value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events, cutoff WHERE ts < co) t
+    WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+)
+def a18_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel compaction read: the state of the compacted table AS
+    OF a past point (here: 10 days before the newest event, truncated
+    to a day boundary so the cutoff instant is precision-portable).
+
+    Parity: the reference's append-only ``_raw`` + view design
+    (pkg/sinks/bigquery/schema_builders.go:115-161) makes historic
+    states recoverable but only serves "latest"; this is the as-of
+    twin — filter the envelope stream to ``lsn/timestamp <= X``, then
+    elect most-recent-row. sinks/warehouse.py exposes the same as DDL
+    (``compaction_view_sql(asof=...)``).
+
+    Plan: the cutoff agg broadcasts as a scalar; the filter reaches the
+    scan (row groups after the cutoff prune via min/max when the raw
+    table is time-partitioned, which warehouse writes are); the
+    election is the one pk-keyed window shuffle a16 already pays.
+    """
+    events = load_table(spark, sf_dir, "events")
+    co = events.agg(
+        (
+            F.date_trunc("day", F.max("ts")).cast("timestamp_ntz")
+            - F.expr("INTERVAL 10 DAY")
+        ).alias("co")
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.join(F.broadcast(co), F.col("ts") < F.col("co"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", rnd(dec("value"), 2).alias("value"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "d54_recursive_series",
+    """
+    WITH RECURSIVE b AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m0,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS m1
+      FROM orders),
+    m(mon, m1) AS (
+      SELECT m0, m1 FROM b
+      UNION ALL
+      SELECT CAST(mon + INTERVAL 1 MONTH AS DATE), m1 FROM m
+      WHERE mon < m1),
+    c AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1)
+    SELECT m.mon AS month, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+    FROM m LEFT JOIN c ON c.mon = m.mon
+    ORDER BY month
+    """,
+)
+def d54_recursive_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): generate the complete
+    month series spanning ``orders`` — including months with no data —
+    and left-join per-month order counts onto it.
+
+    The recursion is driver-light iteration over a tiny frame (one row
+    per month, ~84 steps) while the heavy side stays one partial+final
+    aggregation of the fact table; the join of series→counts broadcasts
+    the series. This is the declarative dimension-completion shape
+    (calendar/scaffold tables) that otherwise needs a generate_series
+    UDTF; d45_resample_locf covers the per-key variant with
+    ``sequence()``.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(ORACLES["d54_recursive_series"])
+
+
+@query(
+    "d55_lateral_topn",
+    """
+    SELECT c_custkey, o_orderkey, tp
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey % 20 = 1) c,
+    LATERAL (
+      SELECT o_orderkey,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+               AS tp
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def d55_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group LIMIT (top-2 orders
+    per sampled customer) — the SQL-standard spelling of top-n-per-key.
+
+    Catalyst decorrelates the lateral into a ranked window join (the
+    same physical shape as d8_rank_topk), proving the engine's
+    correlated-subquery surface: users can write the declarative form
+    and still get the one-shuffle windowed plan rather than a
+    nested-loop re-scan per outer row.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(ORACLES["d55_lateral_topn"])

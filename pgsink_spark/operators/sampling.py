@@ -115,3 +115,55 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+SAMPLE_K = 50
+_2P52 = float(1 << 52)
+
+
+@query(
+    "sample_weighted",
+    f"""
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             -ln((CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) + 0.5) / {_2P52!r}) / n_chars AS e
+      FROM documents)
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars FROM p ORDER BY e, doc_id LIMIT {SAMPLE_K})
+    ORDER BY doc_id
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis
+    priority sampling): k docs drawn with probability proportional to
+    ``n_chars``, deterministically.
+
+    Each row gets an exponential "arrival" e = -ln(u)/w where u is a
+    hash-uniform in (0,1) — 52 md5 bits scaled by 2^-52, so u is exact
+    float64 on both engines — and the k smallest arrivals win. This is
+    the distributed-systems classic for weighted reservoir sampling:
+    row-local priorities, then ONE top-k (TakeOrderedAndProject — each
+    partition keeps k rows, no global sort), so it scales to any corpus
+    and is reproducible run-over-run like every sampler in this module.
+    The priority itself is not emitted: ln() may differ in the last ulp
+    across libm implementations, which could flip hash equality of the
+    value while membership at the k-boundary stays stable for any
+    non-adversarial corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(_2P52)
+    e = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", e.alias("e"))
+        .orderBy("e", "doc_id")
+        .limit(SAMPLE_K)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

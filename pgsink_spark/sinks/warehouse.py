@@ -47,10 +47,29 @@ WHERE row_number = 1 AND operation != 'DELETE'
 """
 
 
-def compaction_view_sql(view: str, raw: str, key_columns: list[str]) -> str:
-    """Most-recent-row view DDL over a raw envelope table."""
+def compaction_view_sql(
+    view: str,
+    raw: str,
+    key_columns: list[str],
+    asof_lsn: int | None = None,
+) -> str:
+    """Most-recent-row view DDL over a raw envelope table.
+
+    ``asof_lsn`` makes it a time-travel view: the append-only raw table
+    retains every envelope, so electing the most-recent row among only
+    envelopes with ``lsn <= asof_lsn`` reconstructs the table exactly
+    as it stood when that LSN was confirmed (the state a18_view_asof
+    oracle-checks on fixtures). Snapshot-import rows carry NULL lsn and
+    belong to every as-of state — they predate the replication stream.
+    """
     pk_list = ", ".join(f"payload.`{c}`" for c in key_columns)
-    return VIEW_TEMPLATE.format(view=view, raw=raw, pk_list=pk_list)
+    sql = VIEW_TEMPLATE.format(view=view, raw=raw, pk_list=pk_list)
+    if asof_lsn is not None:
+        sql = sql.replace(
+            f"FROM `{raw}`",
+            f"FROM `{raw}`\n  WHERE lsn IS NULL OR lsn <= {int(asof_lsn)}",
+        )
+    return sql
 
 
 class WarehouseSink:
@@ -145,8 +164,14 @@ class WarehouseSink:
         self.spark.table(view).write.mode("overwrite").parquet(path)
         return path
 
-    def install_view(self, namespace: str, name: str) -> str:
-        """Register raw scan + compaction view; return the view name."""
+    def install_view(
+        self, namespace: str, name: str, asof_lsn: int | None = None
+    ) -> str:
+        """Register raw scan + compaction view; return the view name.
+
+        ``asof_lsn`` installs the time-travel variant (suffixed
+        ``_asof``) serving the table's state as of that confirmed LSN.
+        """
         raw_view = self._raw_name(namespace, name)
         keys = self._keys[(namespace, name)]
         (
@@ -158,5 +183,7 @@ class WarehouseSink:
             .createOrReplaceTempView(raw_view)
         )
         view = f"{namespace}_{name}"
-        self.spark.sql(compaction_view_sql(view, raw_view, keys))
+        if asof_lsn is not None:
+            view = f"{view}_asof"
+        self.spark.sql(compaction_view_sql(view, raw_view, keys, asof_lsn))
         return view

@@ -259,3 +259,43 @@ def test_import_cdc_handoff_cdc_wins_timestamp_tie(spark, tmp_path):
     tbl = KeyedCompactedTable(spark, str(tmp_path / "c"), ["id"], n_buckets=2)
     tbl.apply_batch(env)
     assert [(r["id"], r["v"]) for r in tbl.read().collect()] == [(1, "cdc")]
+
+
+def test_asof_view_time_travel(spark, tmp_path):
+    """An as-of view reconstructs the table at a past confirmed LSN:
+    updates/deletes after the cutoff are invisible; NULL-lsn snapshot
+    rows belong to every state."""
+    sink = WarehouseSink(spark, str(tmp_path / "wh_asof"))
+    sink.handle_schema(SchemaEntry("public", "example", PAYLOAD, ["id"]))
+    sink.insert(
+        _env_rows(
+            spark,
+            [
+                (None, None, {"id": 1, "v": "import"}),  # snapshot row
+                (10, None, {"id": 2, "v": "b0"}),
+                (20, {"id": 2, "v": "b0"}, {"id": 2, "v": "b1"}),
+                (30, {"id": 1, "v": "import"}, None),  # delete id=1
+            ],
+        ),
+        "public",
+        "example",
+    )
+    latest = sink.install_view("public", "example")
+    got = {r.id: r.v for r in spark.table(latest).collect()}
+    assert got == {2: "b1"}
+
+    asof = sink.install_view("public", "example", asof_lsn=15)
+    assert asof.endswith("_asof")
+    got = {r.id: r.v for r in spark.table(asof).collect()}
+    assert got == {1: "import", 2: "b0"}
+
+    # the plain view is untouched by installing the as-of twin
+    assert {r.id: r.v for r in spark.table(latest).collect()} == {2: "b1"}
+
+
+def test_compaction_view_sql_asof_golden():
+    base = compaction_view_sql("v", "r", ["id"])
+    asof = compaction_view_sql("v", "r", ["id"], asof_lsn=42)
+    assert asof.replace(
+        "FROM `r`\n  WHERE lsn IS NULL OR lsn <= 42", "FROM `r`"
+    ) == base
