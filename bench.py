@@ -80,6 +80,16 @@ HEADLINE = [
     "d52_share_of_total",
     "d53_month_over_month",
     "contamination_check",
+    # late-round-2 additions (no baseline entry on first run; the gate
+    # skips queries absent from BENCH_BASELINE.json)
+    "pack_sequences",
+    "pack_sequences_greedy",
+    "chunk_documents",
+    "pii_redact",
+    "sample_weighted",
+    "a18_view_asof",
+    "d54_recursive_series",
+    "d55_lateral_topn",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -190,3 +190,67 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_pack_bucket, schema=_GREEDY_OUT)
         .orderBy("doc_id")
     )
+
+
+CHUNK = 64  # max tokens per chunk
+OVERLAP = 16  # tokens shared between consecutive chunks
+STRIDE = CHUNK - OVERLAP
+
+
+@query(
+    "chunk_documents",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= {CHUNK} THEN 1
+                  ELSE (n - {CHUNK} + {STRIDE} - 1) // {STRIDE} + 1
+             END AS n_chunks, ws
+      FROM w)
+    SELECT doc_id, i.i AS chunk_id,
+           i.i * {STRIDE} AS begin_tok,
+           array_to_string(
+             ws[i.i * {STRIDE} + 1 : i.i * {STRIDE} + {CHUNK}], ' ')
+             AS chunk_text
+    FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) i
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping max-token chunking (the context-window splitter for
+    embedding/RAG indexing and long-document training): chunk i covers
+    tokens [i*STRIDE, i*STRIDE + CHUNK), so consecutive chunks share
+    OVERLAP tokens and the chunk set covers every token; short docs
+    yield exactly one chunk.
+
+    Plan: completely row-local — the word array binds once
+    (let-idiom), chunk starts come from ``sequence()``, and one
+    posexplode emits the chunk table; no shuffle anywhere (the final
+    ORDER BY is presentation for the oracle hash). At 100 TB this is a
+    map-only pass whose output lands pre-partitioned however the scan
+    was.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = F.expr(
+        f"transform(array(split(text, ' ')), w -> transform("
+        f" sequence(0, case when size(w) <= {CHUNK} then 0"
+        f"   else cast(ceil((size(w) - {CHUNK}) / {STRIDE}.0) as int) end),"
+        f" i -> struct(cast(i * {STRIDE} as bigint) as begin_tok,"
+        f"   array_join(slice(w, i * {STRIDE} + 1, {CHUNK}), ' ')"
+        f"     as chunk_text)))[0]"
+    )
+    return (
+        docs.select(
+            "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("chunk.begin_tok").alias("begin_tok"),
+            F.col("chunk.chunk_text").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -92,6 +92,39 @@ def test_packers_single_shuffle(spark, sf_dir):
         assert exchange_count(df) <= 2, name
 
 
+def test_chunking_covers_and_overlaps(spark, sf_dir):
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    out = QUERIES["chunk_documents"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        words = docs[doc_id]
+        rows.sort(key=lambda r: r.chunk_id)
+        assert rows[0].begin_tok == 0
+        covered = 0
+        for r in rows:
+            toks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(toks) <= packing.CHUNK
+            assert toks == words[r.begin_tok : r.begin_tok + packing.CHUNK]
+            # strides overlap: each chunk starts inside covered territory
+            assert r.begin_tok <= covered
+            covered = r.begin_tok + len(toks)
+        assert covered == len(words)  # full coverage, nothing dropped
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    # row-local op: at most the presentation sort's range exchange
+    df = QUERIES["chunk_documents"](spark, sf_dir)
+    assert exchange_count(df) <= 1
+
+
 def test_redact_pii_clean(spark, sf_dir):
     rows = QUERIES["pii_redact"](spark, sf_dir).collect()
     pats = [re.compile(p) for _, p, _ in privacy.PATTERNS]
