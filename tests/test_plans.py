@@ -293,3 +293,47 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_on_selective_fact_join(spark):
+    """At 100 TB a selective dim-side predicate injects a bloom filter
+    on the fact side's join key (Spark's InjectRuntimeFilter), cutting
+    shuffle input before the join. The rule's application-side
+    threshold (10GB default) is exactly the real-scale condition; the
+    fixture scan is far below it, so emulate scale by lowering the
+    threshold and disabling broadcast (at 100 TB the dim side here
+    would exceed the broadcast threshold too)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pgsink_spark.sources.fixtures import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
