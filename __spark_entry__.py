@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pgsink_spark.operators import corpus as _corpus  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import curation as _curation  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import dedup as _dedup
+from pgsink_spark.operators import ivm as _ivm  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import multimodal as _mm
 from pgsink_spark.operators import packing as _packing  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import privacy as _privacy  # noqa: F401 — registers into _rel.QUERIES

@@ -1,0 +1,118 @@
+"""Registry query for incremental join-view maintenance
+(sinks/incremental_join.py): replay a deterministic two-batch CDC
+history over the fixture tables through the IVM engine and serve the
+maintained view — hash-checked against the plain SQL join DuckDB
+computes over the equivalent end state.
+
+History replayed (orders ⋈ customer on custkey):
+  batch 1: INSERT all customers, INSERT odd-key orders
+  batch 2: INSERT even-key orders (ΔA⋈B and ΔA⋈ΔB both exercised),
+           UPDATE orders with key%10==5 (+10 to the rounded total),
+           DELETE customers with custkey%100==7 (their orders leave
+           the view)
+
+The oracle expresses the same end state declaratively, so the driver's
+hash gate covers the delta rule, retraction, and merge pruning — not
+just "rows came back".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsink_spark.changelog.envelope import payload_type_of, to_envelope
+from pgsink_spark.operators.relational import dec, query, rnd
+from pgsink_spark.sinks.incremental_join import IncrementalJoinView
+from pgsink_spark.sources.fixtures import load_table
+
+
+def _change_env(
+    rows: DataFrame, before_cols: list | None, after_cols: list | None
+) -> DataFrame:
+    """UPDATE/DELETE envelopes from a row frame (to_envelope covers
+    INSERT/IMPORT only)."""
+    before = (
+        F.struct(*before_cols)
+        if before_cols is not None
+        else F.lit(None).cast(payload_type_of(rows.select(*after_cols)))
+    )
+    after = (
+        F.struct(*after_cols)
+        if after_cols is not None
+        else F.lit(None).cast(payload_type_of(rows.select(*before_cols)))
+    )
+    return rows.select(
+        F.timestamp_seconds(F.lit(0)).cast("timestamp").alias("timestamp"),
+        F.lit("public").alias("namespace"),
+        F.lit("t").alias("name"),
+        F.lit(2).cast("bigint").alias("lsn"),
+        F.lit(None).cast("bigint").alias("sequence"),
+        before.alias("before"),
+        after.alias("after"),
+    )
+
+
+@query(
+    "ivm_join_view",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 5
+                THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                          AS DOUBLE) + 10.0
+                ELSE CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                          AS DOUBLE) END AS tp,
+           c_name, c_acctbal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 100 != 7
+    ORDER BY o_orderkey
+    """,
+)
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain orders⋈customer incrementally through the two-batch
+    history above, then serve the view. The state lives in a
+    deterministic /tmp dir wiped at call start (the returned frame is
+    a lazy scan of the final state, so it must survive the call)."""
+    path = "/tmp/pgsink_ivm_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(path, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", rnd(dec("o_totalprice"), 2).alias("tp")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    view = IncrementalJoinView(
+        spark,
+        path,
+        payload_type_of(orders),
+        payload_type_of(cust),
+        "o_custkey",
+    )
+    k = F.col("o_orderkey")
+    view.apply_batch(
+        to_envelope(orders.where(k % 2 == 1), "public", "orders",
+                    lsn=F.lit(1)),
+        to_envelope(cust, "public", "customer", lsn=F.lit(1)),
+    )
+    after_cols = [
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        (F.col("tp") + F.lit(10.0)).alias("tp"),
+    ]
+    before_cols = [F.col("o_orderkey"), F.col("o_custkey"), F.col("tp")]
+    env_a2 = to_envelope(
+        orders.where(k % 2 == 0), "public", "orders", lsn=F.lit(2)
+    ).unionByName(
+        _change_env(orders.where(k % 10 == 5), before_cols, after_cols)
+    )
+    env_b2 = _change_env(
+        cust.where(F.col("o_custkey") % 100 == 7),
+        [F.col("o_custkey"), F.col("c_name"), F.col("c_acctbal")],
+        None,
+    )
+    view.apply_batch(env_a2, env_b2)
+    return view.read().orderBy("o_orderkey")
