@@ -116,3 +116,73 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     view.apply_batch(env_a2, env_b2)
     return view.read().orderBy("o_orderkey")
+
+
+@query(
+    "ivm_agg_view",
+    """
+    SELECT o_orderpriority,
+           CAST(ROUND(SUM(CASE WHEN o_orderkey % 10 = 5
+                     THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                               AS DECIMAL(18,4)) + 10
+                     ELSE CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                               AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+             AS agg_sum,
+           CAST(COUNT(*) AS BIGINT) AS agg_cnt
+    FROM orders WHERE o_orderkey % 100 != 7
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AGGREGATE maintenance end-state check
+    (sinks/incremental_agg.py): replay a three-batch history — insert
+    odd keys, insert even keys, then update keys %10==5 (+10) and
+    delete keys %100==7 — into a materialized SUM/COUNT by
+    o_orderpriority, and hash-check the final aggregate against the
+    declarative GROUP BY over the equivalent end state.
+
+    Sums run in exact decimal on both sides (the envelope payload
+    carries DECIMAL(18,4)) and surface as rounded float64, so the
+    delta arithmetic is engine-order-independent.
+    """
+    from pgsink_spark.sinks.incremental_agg import IncrementalAgg
+
+    path = "/tmp/pgsink_ivma_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        rnd(dec("o_totalprice"), 2).cast("decimal(18,4)").alias("tp"),
+    )
+    agg = IncrementalAgg(spark, path, ["o_orderpriority"], "tp")
+    k = F.col("o_orderkey")
+    agg.apply_batch(
+        to_envelope(orders.where(k % 2 == 1), "public", "orders",
+                    lsn=F.lit(1))
+    )
+    agg.apply_batch(
+        to_envelope(orders.where(k % 2 == 0), "public", "orders",
+                    lsn=F.lit(2))
+    )
+    base = [F.col("o_orderkey"), F.col("o_orderpriority"), F.col("tp")]
+    plus = [
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        (F.col("tp") + F.lit(10).cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("tp"),
+    ]
+    agg.apply_batch(
+        _change_env(orders.where(k % 10 == 5), base, plus).unionByName(
+            _change_env(orders.where(k % 100 == 7), base, None)
+        )
+    )
+    return (
+        agg.read()
+        .select(
+            "o_orderpriority",
+            rnd(F.col("agg_sum").cast("decimal(18,4)"), 2).alias("agg_sum"),
+            F.col("agg_cnt").cast("bigint").alias("agg_cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )
