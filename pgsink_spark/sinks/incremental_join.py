@@ -212,7 +212,10 @@ class IncrementalJoinView:
         )
         touched = dm.count()
         view_old = self._read_state("view", self.view_schema)
-        self._merge_state("view", view_old, dm, [self.pk_a, self.pk_b])
+        # when B's pk IS the join column (dim keyed by the FK), A's pk
+        # alone identifies a view row — dedupe the merge key
+        vkey = list(dict.fromkeys([self.pk_a, self.pk_b]))
+        self._merge_state("view", view_old, dm, vkey)
         self._merge_state("a_state", a_old, da, [self.pk_a])
         self._merge_state("b_state", b_old, db, [self.cols_b[0]])
         return touched

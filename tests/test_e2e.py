@@ -214,3 +214,37 @@ def test_e2e_cdc_stream_to_incremental_agg(spark, tmp_path):
     # logical end state: 1→a2 (one row), 2 deleted, 3→c (one row)
     got = {r["id"]: r["agg_cnt"] for r in agg.read().collect()}
     assert got == {1: 1, 3: 1}
+
+
+def test_e2e_cdc_stream_to_incremental_join_view(spark, tmp_path):
+    """Slice 5: the wire stream maintaining a materialized JOIN
+    (sinks/incremental_join.py) — kv enriched with a dimension table,
+    kept current from deltas only (no base-table re-join)."""
+    from pgsink_spark.changelog.envelope import to_envelope
+    from pgsink_spark.sinks.incremental_join import IncrementalJoinView
+
+    dim_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("label", T.StringType(), True),
+        ]
+    )
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "jv"), PAYLOAD, dim_schema, "id"
+    )
+    # batch 1: the dimension arrives (insert-only envelope)
+    dim = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], dim_schema
+    )
+    view.apply_batch(None, to_envelope(dim, "public", "dim"))
+
+    # batch 2: the kv facts arrive off the wire
+    sub = Subscription(OffsetStore(str(tmp_path / "offsets.json")))
+    mods = list(sub.stream(_wire()))
+    for m in mods:
+        object.__setattr__(m, "timestamp", m.timestamp.replace(tzinfo=None))
+    view.apply_batch(modifications_df(spark, mods, PAYLOAD), None)
+
+    # logical end state: 1→a2, 2 deleted, 3→c — enriched
+    got = {(r.id, r.v, r.label) for r in view.read().collect()}
+    assert got == {(1, "a2", "one"), (3, "c", "three")}

@@ -140,3 +140,43 @@ def test_redact_pii_clean(spark, sf_dir):
             assert r.n_emails == 0 and r.n_ips == 0 and r.n_ssns == 0
             unseeded += 1
     assert seeded and unseeded
+
+
+def test_greedy_fold_property():
+    """Property: for any token-length stream, the next-fit fold (the
+    applyInPandas kernel) satisfies the bin invariants — no Spark
+    session needed, so hypothesis can hammer it."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=2 * packing.CAP), max_size=60
+        )
+    )
+    def check(tokens):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(tokens)),
+                "bucket": [0] * len(tokens),
+                "n_tokens": tokens,
+                # h ascending so stream order == doc order
+                "h": [f"{i:08d}" for i in range(len(tokens))],
+            }
+        )
+        out = packing._pack_bucket(pdf)
+        bins = list(out["bin"])
+        assert bins == sorted(bins)  # monotone along the stream
+        fills: dict[int, list[int]] = {}
+        for b, n in zip(bins, tokens):
+            fills.setdefault(b, []).append(n)
+        for b, members in fills.items():
+            if len(members) > 1:
+                assert sum(members) <= packing.CAP
+        # next-fit tightness: the first doc of bin b+1 would overflow b
+        for b in sorted(fills)[:-1]:
+            assert sum(fills[b]) + fills[b + 1][0] > packing.CAP
+
+    check()
