@@ -2303,3 +2303,37 @@ def d55_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(ORACLES["d55_lateral_topn"])
+
+
+@query(
+    "d56_time_range_frame",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      CAST(value AS DECIMAL(18,4)) AS v
+               FROM events)
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(ROUND(SUM(v) OVER w, 2) AS DOUBLE) AS v_last_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def d56_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the count and exact-decimal
+    sum of events in the trailing one hour — the rolling-window-by-TIME
+    analytic (rate limiting, trailing exposure) that ROWS frames can't
+    express when event spacing is irregular.
+
+    The oracle CASTs ts to µs TIMESTAMP so both engines evaluate the
+    frame bound at the same precision (DuckDB reads the parquet ns
+    natively — the d23 lesson). Plan: one user-keyed window shuffle;
+    the interval frame is evaluated inside the sorted partition, so it
+    scales exactly like any keyed window.
+    """
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_d56")
+    return spark.sql(
+        ORACLES["d56_time_range_frame"].replace("FROM events", "FROM events_d56")
+    )
