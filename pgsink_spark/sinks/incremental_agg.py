@@ -31,7 +31,9 @@ engine capability.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,11 +58,33 @@ class IncrementalAgg:
         self.group_cols = list(group_cols)
         self.value_col = value_col
 
+    # epoch-versioned state: foreachBatch is at-least-once, and delta
+    # merges are not idempotent — commit each epoch to a fresh dir and
+    # publish with an atomic manifest rename (same contract as
+    # sinks/incremental_join.py); replayed epochs are skipped.
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _publish(self, epoch: int, d: str) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch, "dir": d}, f)
+        os.replace(tmp, self._manifest_path())
+        for sub in os.listdir(self.path):
+            full = os.path.join(self.path, sub)
+            if os.path.isdir(full) and sub != d:
+                shutil.rmtree(full, ignore_errors=True)
+
     def _exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") or f.startswith("part-")
-            for f in os.listdir(self.path)
-        )
+        return self._manifest() is not None
 
     def _deltas(self, env: DataFrame) -> DataFrame:
         """(group, sum_delta, cnt_delta) per envelope batch — one
@@ -85,13 +109,21 @@ class IncrementalAgg:
         )
 
     def apply_batch(self, env: DataFrame, _epoch_id: int | None = None) -> int:
-        """Merge one envelope batch's deltas; returns groups touched."""
+        """Merge one envelope batch's deltas; returns groups touched.
+        A re-delivered epoch (at-least-once replay) is skipped."""
+        man = self._manifest()
+        last = man["epoch"] if man else -1
+        if _epoch_id is not None and _epoch_id <= last:
+            return 0
+        epoch = _epoch_id if _epoch_id is not None else last + 1
         deltas = self._deltas(env).localCheckpoint(eager=True)
         touched = deltas.count()
         if not touched:
             return 0
         if self._exists():
-            current = self.spark.read.parquet(self.path)
+            current = self.spark.read.parquet(
+                os.path.join(self.path, man["dir"])
+            )
             # prune to touched groups (broadcast the batch's group list),
             # merge, and rewrite — untouched groups pass through via the
             # anti-join side union
@@ -122,18 +154,15 @@ class IncrementalAgg:
                 F.col("sum_delta").alias("agg_sum"),
                 F.col("cnt_delta").alias("agg_cnt"),
             ).where(F.col("agg_cnt") > 0)
-        tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
-        import shutil  # noqa: PLC0415
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        d = f"state_{epoch}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, d))
+        self._publish(epoch, d)
         return touched
 
     def read(self) -> DataFrame:
         """(group_cols..., agg_sum, agg_cnt, agg_avg)."""
-        df = self.spark.read.parquet(self.path)
+        man = self._manifest()
+        df = self.spark.read.parquet(os.path.join(self.path, man["dir"]))
         return df.select(
             *self.group_cols,
             "agg_sum",

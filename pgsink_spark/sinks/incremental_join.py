@@ -38,6 +38,7 @@ maintenance is the downstream-warehouse work this engine folds in.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -128,33 +129,67 @@ class IncrementalJoinView:
         self.pk_a = self.cols_a[0]
         self.pk_b = self._b_renames[self.cols_b[0]]
 
-    # -- state tables -----------------------------------------------------
-    def _sub(self, name: str) -> str:
-        return os.path.join(self.path, name)
+    # -- epoch-versioned state (exactly-once under replay) ----------------
+    #
+    # foreachBatch delivers at-least-once: a crashed micro-batch is
+    # re-run with the SAME epoch id. Z-set deltas are not idempotent,
+    # so state is committed like Structured Streaming's own sinks: each
+    # epoch writes NEW directories derived from the previous epoch's
+    # immutable ones, then an atomic manifest rename publishes the
+    # consistent triple. A replayed epoch <= the manifest's is skipped
+    # outright; a crash mid-epoch leaves the old manifest pointing at
+    # the old dirs, so the retry re-derives from unchanged inputs.
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
 
-    def _exists(self, name: str) -> bool:
-        p = self._sub(name)
-        return os.path.isdir(p) and any(
-            f.startswith("part-") or f.endswith(".parquet")
-            for f in os.listdir(p)
-        )
+    def _manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _publish(self, epoch: int, dirs: dict[str, str]) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch, "dirs": dirs}, f)
+        os.replace(tmp, self._manifest_path())
+        self._gc(dirs)
+
+    def _gc(self, live: dict[str, str]) -> None:
+        keep = set(live.values())
+        for d in os.listdir(self.path):
+            full = os.path.join(self.path, d)
+            if os.path.isdir(full) and d not in keep:
+                shutil.rmtree(full, ignore_errors=True)
 
     def _empty(self, schema: T.StructType) -> DataFrame:
         return self.spark.createDataFrame([], _with_mult(schema))
 
     def _read_state(self, name: str, schema: T.StructType) -> DataFrame:
-        if self._exists(name):
-            return self.spark.read.parquet(self._sub(name))
+        man = self._manifest()
+        if man and name in man["dirs"]:
+            return self.spark.read.parquet(
+                os.path.join(self.path, man["dirs"][name])
+            )
         return self._empty(schema)
 
     def _merge_state(
-        self, name: str, current: DataFrame, delta: DataFrame, key: list[str]
-    ) -> None:
-        """Z-set merge keyed on ``key``: state rows whose key appears
-        in the batch are re-summed with the delta, the rest pass
-        through untouched (anti-join pruning — the merge never reads
-        unaffected keys' rows into the shuffle)."""
-        if self._exists(name):
+        self,
+        name: str,
+        epoch: int,
+        current: DataFrame,
+        delta: DataFrame,
+        key: list[str],
+    ) -> str:
+        """Z-set merge keyed on ``key`` into a fresh epoch directory:
+        state rows whose key appears in the batch are re-summed with
+        the delta, the rest pass through untouched (anti-join pruning —
+        the merge never reads unaffected keys' rows into the shuffle).
+        Returns the directory name for the manifest."""
+        man = self._manifest()
+        if man and name in man["dirs"]:
             keys = delta.select(*key).distinct()
             untouched = current.join(F.broadcast(keys), key, "left_anti")
             touched = current.join(F.broadcast(keys), key, "left_semi")
@@ -167,12 +202,9 @@ class IncrementalJoinView:
             )
         else:
             merged = delta
-        tmp = self._sub(name) + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-            self._sub(name)
-        )
-        shutil.rmtree(tmp, ignore_errors=True)
+        out = f"{name}_{epoch}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, out))
+        return out
 
     def _bview(self, df: DataFrame) -> DataFrame:
         for c, v in self._b_renames.items():
@@ -190,6 +222,11 @@ class IncrementalJoinView:
         """Fold one batch of changes from either/both sides into the
         view; returns the number of view delta rows (assertions +
         retractions, before cancellation)."""
+        man = self._manifest()
+        last = man["epoch"] if man else -1
+        if _epoch_id is not None and _epoch_id <= last:
+            return 0  # at-least-once replay of a committed epoch: skip
+        epoch = _epoch_id if _epoch_id is not None else last + 1
         a_old = self._read_state("a_state", self.schema_a)
         b_old = self._read_state("b_state", self.schema_b)
         da = (
@@ -215,9 +252,16 @@ class IncrementalJoinView:
         # when B's pk IS the join column (dim keyed by the FK), A's pk
         # alone identifies a view row — dedupe the merge key
         vkey = list(dict.fromkeys([self.pk_a, self.pk_b]))
-        self._merge_state("view", view_old, dm, vkey)
-        self._merge_state("a_state", a_old, da, [self.pk_a])
-        self._merge_state("b_state", b_old, db, [self.cols_b[0]])
+        dirs = {
+            "view": self._merge_state("view", epoch, view_old, dm, vkey),
+            "a_state": self._merge_state(
+                "a_state", epoch, a_old, da, [self.pk_a]
+            ),
+            "b_state": self._merge_state(
+                "b_state", epoch, b_old, db, [self.cols_b[0]]
+            ),
+        }
+        self._publish(epoch, dirs)
         return touched
 
     # -- serving ----------------------------------------------------------

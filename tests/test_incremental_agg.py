@@ -102,3 +102,17 @@ def test_matches_full_recompute(spark, tmp_path):
         want[k] = (s + amount, c + 1)
     got = {k: (s, c) for k, (s, c, _a) in _state(agg).items()}
     assert got == want
+
+
+def test_replayed_epoch_is_skipped(spark, tmp_path):
+    agg = IncrementalAgg(spark, str(tmp_path / "agg_replay"), ["k"], "amount")
+    env = _batch(spark, [(10, None, ("a", 5))])
+    assert agg.apply_batch(env, 3) == 1
+    assert _state(agg) == {"a": (5, 1, 5.0)}
+    # re-delivery of epoch 3 and a stale epoch are both skipped
+    assert agg.apply_batch(env, 3) == 0
+    assert agg.apply_batch(env, 1) == 0
+    assert _state(agg) == {"a": (5, 1, 5.0)}
+    # the next epoch applies
+    assert agg.apply_batch(env, 4) == 1
+    assert _state(agg) == {"a": (10, 2, 5.0)}

@@ -142,3 +142,43 @@ def test_empty_batches_noop(spark, tmp_path):
     before = _got(view)
     assert view.apply_batch(None, None) == 0
     assert _got(view) == before
+
+
+def test_replayed_epoch_is_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a committed epoch
+    must not double-apply the Z-set deltas (exactly-once via the
+    epoch-versioned manifest)."""
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "ivm3"), ORDERS, CUSTOMERS, "cust_id"
+    )
+    ea = _batch(spark, ORDERS, [(1, None, (1, 100, 5))])
+    eb = _batch(spark, CUSTOMERS, [(1, None, (100, "a", 1))])
+    assert view.apply_batch(ea, eb, 7) > 0
+    snap = _got(view)
+    # same epoch re-delivered → skipped, state unchanged
+    assert view.apply_batch(ea, eb, 7) == 0
+    assert _got(view) == snap
+    # stale epoch (below the watermark) also skipped
+    assert view.apply_batch(ea, eb, 3) == 0
+    assert _got(view) == snap
+    # a NEW epoch still applies
+    assert view.apply_batch(
+        _batch(spark, ORDERS, [(2, None, (2, 100, 9))]), None, 8
+    ) > 0
+    assert len(_got(view)) == 2
+
+
+def test_state_dirs_are_garbage_collected(spark, tmp_path):
+    import os
+
+    root = tmp_path / "ivm4"
+    view = IncrementalJoinView(spark, str(root), ORDERS, CUSTOMERS, "cust_id")
+    for e in range(3):
+        view.apply_batch(
+            _batch(spark, ORDERS, [(e, None, (e, 100, e))]),
+            _batch(spark, CUSTOMERS, [(e, None, (100, "a", 1))]) if e == 0 else None,
+            e,
+        )
+    dirs = [d for d in os.listdir(root) if os.path.isdir(root / d)]
+    # only the current epoch's triple survives
+    assert sorted(dirs) == ["a_state_2", "b_state_2", "view_2"]
