@@ -116,3 +116,36 @@ def test_replayed_epoch_is_skipped(spark, tmp_path):
     # the next epoch applies
     assert agg.apply_batch(env, 4) == 1
     assert _state(agg) == {"a": (10, 2, 5.0)}
+
+
+def test_foreachbatch_availablenow_stream(spark, tmp_path):
+    """The aggregate maintains itself under a REAL Structured Streaming
+    foreachBatch (availableNow file source), with Spark's batch ids as
+    the exactly-once epochs; a checkpointed re-run reprocesses nothing."""
+    from pgsink_spark.streaming.stream import envelope_file_stream, run_to_sink
+
+    src = str(tmp_path / "env_in")
+    agg = IncrementalAgg(spark, str(tmp_path / "agg_stream"), ["k"], "amount")
+
+    _batch(spark, [(10, None, ("a", 5)), (11, None, ("b", 7))]).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run = lambda: run_to_sink(  # noqa: E731
+        envelope_file_stream(spark, src, PAYLOAD),
+        lambda df, eid: agg.apply_batch(df, eid),
+        str(tmp_path / "ckpt"),
+    )
+    run()
+    assert _state(agg) == {"a": (5, 1, 5.0), "b": (7, 1, 7.0)}
+
+    # restart with the same checkpoint and no new files: no re-apply
+    run()
+    assert _state(agg) == {"a": (5, 1, 5.0), "b": (7, 1, 7.0)}
+
+    # new file lands (update a, delete b) → next epoch folds it in
+    _batch(
+        spark,
+        [(20, ("a", 5), ("a", 9)), (21, ("b", 7), None)],
+    ).write.mode("append").parquet(src)
+    run()
+    assert _state(agg) == {"a": (9, 1, 9.0)}
