@@ -90,6 +90,7 @@ HEADLINE = [
     "a18_view_asof",
     "d54_recursive_series",
     "d55_lateral_topn",
+    "d56_time_range_frame",
 ]
 
 # Round-over-round regression gate: compare per-query times against the
