@@ -234,8 +234,15 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))[0]"
     )
     b = docs.select("doc_id", F.explode(bigrams_expr).alias("bigram"))
-    counts = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
-    total = b.count()  # scalar — one job, broadcast as a literal
+    # persist the vocabulary-sized counts table: the scalar total then
+    # derives from IT (one tiny agg) instead of a second full corpus
+    # explode, and the scoring join reuses the cached table — the
+    # corpus is read exactly twice (count pass + scoring pass) instead
+    # of three times
+    counts = (
+        b.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    total = counts.agg(F.sum("cnt")).first()[0]  # vocabulary-sized agg
     return (
         b.join(counts, "bigram")
         .groupBy("doc_id")

@@ -2337,3 +2337,120 @@ def d56_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         ORACLES["d56_time_range_frame"].replace("FROM events", "FROM events_d56")
     )
+
+
+@query(
+    "d57_table_diff",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+               AS tp
+      FROM orders),
+    m AS (
+      SELECT CASE WHEN o_orderkey % 100 = 3
+                  THEN o_orderkey + 100000000 ELSE o_orderkey END AS k,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+               + CASE WHEN o_orderkey % 10 = 7 THEN 5.0 ELSE 0.0 END AS tp
+      FROM orders)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM (
+      SELECT COALESCE(o.k, m.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'added'
+                  WHEN m.k IS NULL THEN 'removed'
+                  WHEN o.tp <> m.tp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN m ON o.k = m.k) t
+    GROUP BY status ORDER BY status
+    """,
+)
+def d57_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level table reconciliation: FULL OUTER diff of a table
+    against a deterministically perturbed copy (key-moves ≙
+    add+remove, value edits ≙ changed), classified and checksummed per
+    class — the source-vs-sink parity audit a CDC operator runs after
+    a backfill (the row-granular sibling of the publication-level
+    reconciliation in control/publication.py, ref
+    pkg/subscription/manager.go reconcile loop).
+
+    Plan: one full-outer shuffle join on the key (both sides
+    pre-projected to key+checksum columns — at 100 TB you'd diff on
+    pk + a row hash, which is exactly this shape), then a tiny
+    classify+rollup. Skewless: keys are unique on both sides.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        rnd(dec("o_totalprice"), 2).alias("tp"),
+    )
+    m = load_table(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 100 == 3, F.col("o_orderkey") + 100000000
+        )
+        .otherwise(F.col("o_orderkey"))
+        .alias("k"),
+        (
+            rnd(dec("o_totalprice"), 2)
+            + F.when(F.col("o_orderkey") % 10 == 7, 5.0).otherwise(0.0)
+        ).alias("tp"),
+    )
+    j = o.alias("o").join(m.alias("m"), F.col("o.k") == F.col("m.k"), "full_outer")
+    status = (
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("m.k").isNull(), "removed")
+        .when(F.col("o.tp") != F.col("m.tp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.k"), F.col("m.k")).alias("k"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "d58_histogram",
+    """
+    WITH t AS (
+      SELECT LEAST(CAST(FLOOR(
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+               / 25000.0) AS BIGINT), 19) AS bucket,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS tp
+      FROM orders)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(tp), 2) AS DOUBLE) AS tp_sum
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def d58_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value (20 × 25k buckets, top
+    bucket open-ended) — the profiling/monitoring rollup. Bucket ids
+    come from explicit float arithmetic written identically on both
+    engines (width_bucket's edge semantics aren't worth the dialect
+    risk); sums stay exact-decimal until the final rounded surface.
+
+    Plan: row-local bucketing + one partial/final aggregation over ≤20
+    groups — the cheapest possible distribution probe at any scale
+    (contrast d47's exact ntile, which must shuffle the full column).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(rnd(dec("o_totalprice"), 2) / 25000.0).cast("bigint"),
+        F.lit(19).cast("bigint"),
+    )
+    return (
+        o.select(bucket.alias("bucket"), dec("o_totalprice").alias("tp"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            rnd(F.sum("tp"), 2).alias("tp_sum"),
+        )
+        .orderBy("bucket")
+    )
