@@ -91,6 +91,8 @@ HEADLINE = [
     "d54_recursive_series",
     "d55_lateral_topn",
     "d56_time_range_frame",
+    "d57_table_diff",
+    "d58_histogram",
 ]
 
 # Round-over-round regression gate: compare per-query times against the
