@@ -169,3 +169,121 @@ class IncrementalAgg:
             "agg_cnt",
             (F.col("agg_sum") / F.col("agg_cnt")).alias("agg_avg"),
         )
+
+
+class IncrementalMinMax:
+    """Materialized ``GROUP BY group_cols`` MIN/MAX(value_col),
+    maintained from envelope batches with the partial-self-maintenance
+    technique: inserts fold in as pure monotone merges (max(old,new) /
+    min(old,new) — no base read), while a retraction (DELETE or UPDATE
+    before-image) that ties a group's current extremum makes that group
+    DIRTY, and only dirty groups are recomputed from ``base_rows`` (the
+    compacted table reader). This is the classical answer to MIN/MAX
+    not being self-maintainable under deletes: per-batch cost is
+    O(batch + dirty groups' base rows), and a workload with few
+    extremum-deletes almost never touches the base table.
+
+    Epoch semantics match IncrementalAgg (same manifest contract):
+    re-delivered epochs are skipped.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_cols: list[str],
+        value_col: str,
+        base_rows,
+    ):
+        self._inner = IncrementalAgg(spark, path, group_cols, value_col)
+        self.spark = spark
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.base_rows = base_rows
+        self.recomputes = 0  # dirty-group recompute counter (observability)
+
+    # manifest plumbing shared with IncrementalAgg via composition
+    def _manifest(self):
+        return self._inner._manifest()
+
+    def _read(self, man) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, man["dir"]))
+
+    def apply_batch(self, env: DataFrame, _epoch_id: int | None = None) -> int:
+        man = self._manifest()
+        last = man["epoch"] if man else -1
+        if _epoch_id is not None and _epoch_id <= last:
+            return 0
+        epoch = _epoch_id if _epoch_id is not None else last + 1
+        g = self.group_cols
+        v = self.value_col
+
+        def side(img: str):
+            return env.where(F.col(img).isNotNull()).select(
+                *[F.col(f"{img}.{c}").alias(c) for c in g],
+                F.col(f"{img}.{v}").alias("val"),
+            )
+
+        ins = (
+            side("after")
+            .groupBy(*g)
+            .agg(F.min("val").alias("ins_min"), F.max("val").alias("ins_max"))
+        )
+        rem = (
+            side("before")
+            .groupBy(*g)
+            .agg(F.min("val").alias("rm_min"), F.max("val").alias("rm_max"))
+        )
+        deltas = ins.join(rem, g, "full_outer").localCheckpoint(eager=True)
+        touched = deltas.count()
+        if not touched:
+            return 0
+
+        if man:
+            current = self._read(man)
+            keys = deltas.select(*g)
+            untouched = current.join(F.broadcast(keys), g, "left_anti")
+            joined = current.join(F.broadcast(keys), g, "left_semi").join(
+                deltas, g, "full_outer"
+            )
+            # dirty: a retraction ties the stored extremum — the true
+            # new extremum may hide in the base table
+            dirty = joined.where(
+                (F.col("rm_min") <= F.col("agg_min"))
+                | (F.col("rm_max") >= F.col("agg_max"))
+                | (F.col("agg_min").isNull() & F.col("rm_min").isNotNull())
+            ).select(*g)
+            clean = joined.join(F.broadcast(dirty), g, "left_anti").select(
+                *g,
+                F.least("agg_min", "ins_min").alias("agg_min"),
+                F.greatest("agg_max", "ins_max").alias("agg_max"),
+            )
+            n_dirty = dirty.count()
+            if n_dirty:
+                self.recomputes += n_dirty
+                recomputed = (
+                    self.base_rows()
+                    .join(F.broadcast(dirty), g, "left_semi")
+                    .groupBy(*g)
+                    .agg(
+                        F.min(v).alias("agg_min"), F.max(v).alias("agg_max")
+                    )
+                )
+                merged = clean.unionByName(recomputed).unionByName(untouched)
+            else:
+                merged = clean.unionByName(untouched)
+        else:
+            merged = deltas.select(
+                *g,
+                F.col("ins_min").alias("agg_min"),
+                F.col("ins_max").alias("agg_max"),
+            ).where(F.col("agg_min").isNotNull())
+        d = f"state_{epoch}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, d))
+        self._inner._publish(epoch, d)
+        return touched
+
+    def read(self) -> DataFrame:
+        man = self._manifest()
+        return self._read(man)

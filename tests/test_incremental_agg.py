@@ -149,3 +149,67 @@ def test_foreachbatch_availablenow_stream(spark, tmp_path):
     ).write.mode("append").parquet(src)
     run()
     assert _state(agg) == {"a": (9, 1, 9.0)}
+
+
+def test_minmax_hybrid_maintenance(spark, tmp_path):
+    """MIN/MAX maintenance: inserts fold in monotonically with NO base
+    read; only a retraction that ties a stored extremum triggers a
+    recompute, and only for that group."""
+    from pgsink_spark.sinks.incremental_agg import IncrementalMinMax
+
+    base: dict = {}  # pk -> (k, amount): the logical table state
+    calls = {"n": 0}
+
+    def base_rows():
+        calls["n"] += 1
+        return spark.createDataFrame(
+            list(base.values()), "k string, amount long"
+        )
+
+    mm = IncrementalMinMax(
+        spark, str(tmp_path / "mm"), ["k"], "amount", base_rows
+    )
+
+    def step(rows, expect):
+        # rows: (pk, before, after); keep the logical table in sync
+        # (base_rows serves the POST-batch state, the compacted table)
+        for pk, before, after in rows:
+            if after is not None:
+                base[pk] = after
+            elif pk in base:
+                del base[pk]
+        mm.apply_batch(
+            _batch(spark, [(i, b, a) for i, (_, b, a) in enumerate(rows)])
+        )
+        got = {
+            r["k"]: (r["agg_min"], r["agg_max"]) for r in mm.read().collect()
+        }
+        assert got == expect, got
+
+    # inserts only — never reads the base table
+    step(
+        [("a1", None, ("a", 5)), ("a2", None, ("a", 9)),
+         ("b1", None, ("b", 3))],
+        {"a": (5, 9), "b": (3, 3)},
+    )
+    step([("a3", None, ("a", 11))], {"a": (5, 11), "b": (3, 3)})
+    assert calls["n"] == 0 and mm.recomputes == 0
+
+    # delete a NON-extremal row (a=9): still no base read
+    step([("a2", ("a", 9), None)], {"a": (5, 11), "b": (3, 3)})
+    assert calls["n"] == 0 and mm.recomputes == 0
+
+    # delete the max (a=11): dirty -> recompute THAT group only
+    step([("a3", ("a", 11), None)], {"a": (5, 5), "b": (3, 3)})
+    assert calls["n"] == 1 and mm.recomputes == 1
+
+    # update through both extrema of b (3 -> 7): dirty -> recompute
+    step([("b1", ("b", 3), ("b", 7))], {"a": (5, 5), "b": (7, 7)})
+    assert calls["n"] == 2 and mm.recomputes == 2
+
+    # replayed epoch is skipped (manifest shared with IncrementalAgg)
+    env = _batch(spark, [(99, None, ("a", 100))])
+    assert mm.apply_batch(env, 77) > 0
+    assert mm.apply_batch(env, 77) == 0
+    got = {r["k"]: r["agg_max"] for r in mm.read().collect()}
+    assert got["a"] == 100
