@@ -186,3 +186,83 @@ def ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "ivm_minmax_view",
+    """
+    SELECT o_orderpriority,
+           CAST(MIN(CASE WHEN o_orderkey % 10 = 5
+                 THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                           AS DECIMAL(18,4)) + 10
+                 ELSE CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                           AS DECIMAL(18,4)) END) AS DOUBLE) AS agg_min,
+           CAST(MAX(CASE WHEN o_orderkey % 10 = 5
+                 THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                           AS DECIMAL(18,4)) + 10
+                 ELSE CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                           AS DECIMAL(18,4)) END) AS DOUBLE) AS agg_max
+    FROM orders WHERE o_orderkey % 100 != 7
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ivm_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid MIN/MAX maintenance end-state check
+    (sinks/incremental_agg.py IncrementalMinMax): same three-batch
+    history as ivm_agg_view — the update/delete batch retracts rows
+    that tie group extrema, so the dirty-group recompute path is
+    exercised against the real compacted state — and the final
+    extrema hash-check against the declarative GROUP BY."""
+    from pgsink_spark.sinks.incremental_agg import IncrementalMinMax
+
+    path = "/tmp/pgsink_ivmm_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        rnd(dec("o_totalprice"), 2).cast("decimal(18,4)").alias("tp"),
+    )
+    k = F.col("o_orderkey")
+    # the logical end-state (what the compactor would serve after the
+    # full history) — the base the dirty-group recompute reads
+    final_state = orders.where(k % 100 != 7).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(k % 10 == 5, F.col("tp") + F.lit(10).cast("decimal(18,4)"))
+        .otherwise(F.col("tp"))
+        .cast("decimal(18,4)")
+        .alias("tp"),
+    )
+    mm = IncrementalMinMax(
+        spark, path, ["o_orderpriority"], "tp", lambda: final_state
+    )
+    mm.apply_batch(
+        to_envelope(orders.where(k % 2 == 1), "public", "orders",
+                    lsn=F.lit(1))
+    )
+    mm.apply_batch(
+        to_envelope(orders.where(k % 2 == 0), "public", "orders",
+                    lsn=F.lit(2))
+    )
+    base = [F.col("o_orderkey"), F.col("o_orderpriority"), F.col("tp")]
+    plus = [
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        (F.col("tp") + F.lit(10).cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("tp"),
+    ]
+    mm.apply_batch(
+        _change_env(orders.where(k % 10 == 5), base, plus).unionByName(
+            _change_env(orders.where(k % 100 == 7), base, None)
+        )
+    )
+    return (
+        mm.read()
+        .select(
+            "o_orderpriority",
+            F.col("agg_min").cast("double").alias("agg_min"),
+            F.col("agg_max").cast("double").alias("agg_max"),
+        )
+        .orderBy("o_orderpriority")
+    )
