@@ -28,6 +28,7 @@ from pgsink_spark.operators import relational as _rel
 from pgsink_spark.operators import sampling as _sampling  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import similarity as _sim
 from pgsink_spark.operators import skew as _skew  # noqa: F401 — registers into _rel.QUERIES
+from pgsink_spark.operators import streaming_q as _streaming_q  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import tpch as _tpch  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import text as _text
 

@@ -1,0 +1,110 @@
+"""Registry query for the CUSTOM STATEFUL streaming operator
+(streaming/stateful.py session_tracker): run the
+``applyInPandasWithState`` gap-sessionizer over the events fixture as
+a real Structured Streaming query (availableNow file source → memory
+sink) and hash-check the emitted sessions against the batch SQL
+sessionization oracle.
+
+This closes the loop SURVEY §2.F asks for: the imperative stateful
+path produces byte-identical sessions to the declarative d23 shape.
+The tracker emits a session only when a LATER event closes it (a
+gap), so with NoTimeout the stream's output is exactly "d23's sessions
+minus each user's final session" — which is what the oracle selects.
+At 100 TB the operator is a keyed stateful stage: state is one
+(start, last, n) triple per live user, watermark/timeout-bounded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsink_spark.operators.relational import query
+from pgsink_spark.streaming.stateful import session_tracker
+
+_RUN = itertools.count()
+
+
+@query(
+    "stream_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, session_no, MIN(ts) AS session_start,
+             MAX(ts) AS session_end, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT user_id, session_start, session_end, n_events FROM (
+      SELECT agg.*, MAX(session_no) OVER (PARTITION BY user_id) AS mx
+      FROM agg) t
+    WHERE session_no < mx
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful sessionizer as a real streaming query over the
+    fixture events and serve the closed sessions.
+
+    Plumbing: the events file is staged into a source directory, read
+    with ``readStream`` (same nanos-as-long rebuild as the batch
+    loader), folded by ``applyInPandasWithState`` keyed on user_id,
+    and sunk to an in-memory table by an availableNow run. The output
+    timestamps surface as TIMESTAMP_NTZ (UTC session) to match the
+    oracle's precision.
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    run = next(_RUN)
+    src = f"/tmp/pgsink_sess_src_{h}"
+    ck = f"/tmp/pgsink_sess_ck_{h}_{os.getpid()}_{run}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+
+    # this Spark build reads parquet TIMESTAMP(NANOS) natively as a
+    # µs-truncated TIMESTAMP_NTZ (matching the batch loader's output
+    # precision), so the stream schema declares it directly
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "ts")
+    )
+    name = f"sess_{h}_{os.getpid()}_{run}"
+    q = (
+        session_tracker(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            F.col("n_events").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start")
+    )
