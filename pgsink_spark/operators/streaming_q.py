@@ -108,3 +108,96 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "stream_ewma_anomalies",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP)) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, rn, ts, value,
+             CAST(0.0 AS DOUBLE) AS pre_mean,
+             CAST(0.0 AS DOUBLE) AS pre_var,
+             CAST(0 AS BIGINT) AS pre_n,
+             0.0 + 0.2 * (value - 0.0) AS mean,
+             (1.0 - 0.2) * (0.0 + (value - 0.0) * (0.2 * (value - 0.0)))
+               AS var,
+             CAST(1 AS BIGINT) AS n
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.ts, e.value,
+             r.mean, r.var, r.n,
+             r.mean + 0.2 * (e.value - r.mean),
+             (1.0 - 0.2)
+               * (r.var + (e.value - r.mean) * (0.2 * (e.value - r.mean))),
+             r.n + 1
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    ),
+    judged AS (
+      SELECT user_id, ts, value, pre_mean, pre_var, pre_n,
+             CASE WHEN pre_var > 0 THEN sqrt(pre_var) ELSE 0.0 END AS sd
+      FROM r
+    )
+    SELECT user_id, ts, value, pre_mean AS ewma,
+           (value - pre_mean) / sd AS zscore
+    FROM judged
+    WHERE pre_n >= 5 AND sd > 0
+      AND abs((value - pre_mean) / sd) >= 3.0
+    ORDER BY user_id, ts
+    """,
+)
+def stream_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second custom stateful operator
+    (streaming/stateful.py anomaly_detector) as a real availableNow
+    streaming query, hash-checked against a recursive-CTE oracle that
+    replays the IDENTICAL West's-EWMA float arithmetic per user in ts
+    order — imperative NumPy fold vs declarative recursion, same
+    doubles (op-for-op order preserved; (user_id, ts) is µs-unique in
+    the fixtures so both engines fold in the same order).
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    run = next(_RUN)
+    src = f"/tmp/pgsink_ewma_src_{h}"
+    ck = f"/tmp/pgsink_ewma_ck_{h}_{os.getpid()}_{run}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+
+    from pgsink_spark.streaming.stateful import anomaly_detector
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "ts", "value")
+    )
+    name = f"ewma_{h}_{os.getpid()}_{run}"
+    q = (
+        anomaly_detector(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "value",
+            "ewma",
+            "zscore",
+        )
+        .orderBy("user_id", "ts")
+    )
