@@ -85,10 +85,10 @@ _STREAM_SQL = f"""
                AS cum_before
       FROM s)
     SELECT doc_id, bucket,
-           cum_before // {SEQ_LEN} AS seq_id,
-           cum_before % {SEQ_LEN} AS begin_off,
-           (cum_before + n_tokens - 1) // {SEQ_LEN} - cum_before // {SEQ_LEN}
-             + 1 AS n_seqs
+           CAST(cum_before // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(cum_before % {SEQ_LEN} AS BIGINT) AS begin_off,
+           CAST((cum_before + n_tokens - 1) // {SEQ_LEN}
+                - cum_before // {SEQ_LEN} + 1 AS BIGINT) AS n_seqs
     FROM c ORDER BY doc_id
     """,
 )

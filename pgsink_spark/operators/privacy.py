@@ -36,7 +36,11 @@ EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
 SSN = r"\d{3}-\d{2}-\d{4}"
 
-PATTERNS = [("email", EMAIL, "<EMAIL>"), ("ip", IPV4, "<IP>"), ("ssn", SSN, "<SSN>")]
+# Order is LOAD-BEARING for redaction: email → ssn → ip, matching the
+# oracle SQL and docstring. SSN must run before IP on overlapping spans
+# like '1.2.3.123-45-6789' — IP-first would eat the SSN's leading
+# octets and the engines would diverge.
+PATTERNS = [("email", EMAIL, "<EMAIL>"), ("ssn", SSN, "<SSN>"), ("ip", IPV4, "<IP>")]
 
 
 def redact_pii(df: DataFrame, col: str) -> DataFrame:

@@ -274,11 +274,37 @@ class IncrementalMinMax:
             else:
                 merged = clean.unionByName(untouched)
         else:
-            merged = deltas.select(
-                *g,
-                F.col("ins_min").alias("agg_min"),
-                F.col("ins_max").alias("agg_max"),
-            ).where(F.col("agg_min").isNotNull())
+            # Bootstrap must mirror the dirty-group rule: a first batch
+            # can already carry before-images (in-batch insert+delete /
+            # update chains), and extrema built from after-images alone
+            # would include retracted rows. Any group with a removal is
+            # recomputed from the base table, same as steady state.
+            dirty = deltas.where(
+                F.col("rm_min").isNotNull() | F.col("rm_max").isNotNull()
+            ).select(*g)
+            clean = (
+                deltas.join(F.broadcast(dirty), g, "left_anti")
+                .select(
+                    *g,
+                    F.col("ins_min").alias("agg_min"),
+                    F.col("ins_max").alias("agg_max"),
+                )
+                .where(F.col("agg_min").isNotNull())
+            )
+            n_dirty = dirty.count()
+            if n_dirty:
+                self.recomputes += n_dirty
+                recomputed = (
+                    self.base_rows()
+                    .join(F.broadcast(dirty), g, "left_semi")
+                    .groupBy(*g)
+                    .agg(
+                        F.min(v).alias("agg_min"), F.max(v).alias("agg_max")
+                    )
+                )
+                merged = clean.unionByName(recomputed)
+            else:
+                merged = clean
         d = f"state_{epoch}"
         merged.write.mode("overwrite").parquet(os.path.join(self.path, d))
         self._inner._publish(epoch, d)

@@ -213,3 +213,47 @@ def test_minmax_hybrid_maintenance(spark, tmp_path):
     assert mm.apply_batch(env, 77) == 0
     got = {r["k"]: r["agg_max"] for r in mm.read().collect()}
     assert got["a"] == 100
+
+
+def test_minmax_bootstrap_with_before_images(spark, tmp_path):
+    """A FIRST batch that already carries before-images (in-batch
+    insert+delete / update chains) must not fold retracted rows into
+    the bootstrap extrema: removal-touched groups recompute from the
+    base table, exactly like the steady-state dirty-group rule."""
+    from pgsink_spark.sinks.incremental_agg import IncrementalMinMax
+
+    base: dict = {}
+
+    def base_rows():
+        return spark.createDataFrame(
+            list(base.values()) or [], "k string, amount long"
+        )
+
+    mm = IncrementalMinMax(
+        spark, str(tmp_path / "mm_boot"), ["k"], "amount", base_rows
+    )
+
+    # one batch, no prior state:
+    #   a: insert 5, insert 9, then delete the 9  -> true extrema (5, 5)
+    #   b: insert 3, update 3 -> 7                -> true extrema (7, 7)
+    #   c: insert 2, delete 2 (group vanishes)    -> absent
+    #   d: plain insert, no removals              -> (4, 4), no recompute
+    base.update({"a1": ("a", 5), "b1": ("b", 7), "d1": ("d", 4)})
+    mm.apply_batch(
+        _batch(
+            spark,
+            [
+                (1, None, ("a", 5)),
+                (2, None, ("a", 9)),
+                (3, ("a", 9), None),
+                (4, None, ("b", 3)),
+                (5, ("b", 3), ("b", 7)),
+                (6, None, ("c", 2)),
+                (7, ("c", 2), None),
+                (8, None, ("d", 4)),
+            ],
+        )
+    )
+    got = {r["k"]: (r["agg_min"], r["agg_max"]) for r in mm.read().collect()}
+    assert got == {"a": (5, 5), "b": (7, 7), "d": (4, 4)}
+    assert mm.recomputes == 3  # a, b, c — d stayed on the no-read path

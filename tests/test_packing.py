@@ -142,6 +142,21 @@ def test_redact_pii_clean(spark, sf_dir):
     assert seeded and unseeded
 
 
+def test_redact_order_on_overlapping_spans(spark):
+    """SSN-before-IP on an overlapping span: '1.2.3.123-45-6789' must
+    redact the SSN intact (IP-first would eat its leading octets) —
+    this is the exact divergence the engines hit if PATTERNS reorders."""
+    df = spark.createDataFrame(
+        [(1, "srv at 1.2.3.123-45-6789 end"), (2, "a@b.co 10.0.0.1")],
+        "id long, text string",
+    )
+    got = {r.id: r.redacted for r in privacy.redact_pii(df, "text").collect()}
+    assert got[1] == "srv at 1.2.3.<SSN> end"
+    assert got[2] == "<EMAIL> <IP>"
+    # the module-level order IS the contract the oracle SQL encodes
+    assert [n for n, _, _ in privacy.PATTERNS] == ["email", "ssn", "ip"]
+
+
 def test_greedy_fold_property():
     """Property: for any token-length stream, the next-fit fold (the
     applyInPandas kernel) satisfies the bin invariants — no Spark

@@ -35,8 +35,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cell(v) -> str:
-    if isinstance(v, float):
-        return f"{v:.9g}"
+    # Dtype-faithful encoding: the driver's pandas value-hash
+    # distinguishes int64 from float64 even when every value is equal
+    # (round-2 evidence: tpch_q12 failed hash_match at the gate on a
+    # DuckDB HUGEINT→float64 sum while SELFCHECK passed it). Prefix
+    # cells with a type kind so the mirror can never pass what the
+    # driver fails on a numeric-kind mismatch.
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
+        return f"b:{v}"
+    if isinstance(v, float) or type(v).__name__.startswith("float"):
+        return f"f:{v:.9g}"
+    if isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
+        return f"i:{v}"
     # date vs midnight-timestamp parity: the real driver treats a DATE
     # column and a midnight TIMESTAMP as equal (d14/d30 passed r1 with
     # Spark DATE vs DuckDB datetime64[us])
