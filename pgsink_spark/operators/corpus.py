@@ -234,13 +234,17 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))[0]"
     )
     b = docs.select("doc_id", F.explode(bigrams_expr).alias("bigram"))
-    # persist the vocabulary-sized counts table: the scalar total then
-    # derives from IT (one tiny agg) instead of a second full corpus
-    # explode, and the scoring join reuses the cached table — the
-    # corpus is read exactly twice (count pass + scoring pass) instead
-    # of three times
+    # materialize the vocabulary-sized counts table once: the scalar
+    # total then derives from IT (one tiny agg) instead of a second
+    # full corpus explode, and the scoring join reuses the same blocks —
+    # the corpus is read exactly twice (count pass + scoring pass).
+    # localCheckpoint (not persist) so the blocks are released by the
+    # context cleaner as soon as the returned DataFrame is dropped,
+    # instead of pinning executor memory for the rest of the session.
     counts = (
-        b.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt")).persist()
+        b.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("cnt")).first()[0]  # vocabulary-sized agg
     return (

@@ -92,6 +92,10 @@ class IncrementalJoinView:
     columns whose names collide with A's get a ``b_`` prefix in the
     view; the join column appears once. ``apply_batch(env_a, env_b)``
     is foreachBatch-compatible; pass None for a side with no changes.
+    Replay watermarks are tracked PER CHANNEL (a-only / b-only / both),
+    so the two sides may be driven by one stream split by table name or
+    by two independent streaming queries whose batch ids both start at
+    0 — neither wiring can alias the other's epochs into false replays.
     """
 
     def __init__(
@@ -149,13 +153,31 @@ class IncrementalJoinView:
         except (FileNotFoundError, json.JSONDecodeError):
             return None
 
-    def _publish(self, epoch: int, dirs: dict[str, str]) -> None:
+    def _publish(
+        self, seq: int, epochs: dict[str, int], dirs: dict[str, str]
+    ) -> None:
         os.makedirs(self.path, exist_ok=True)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"epoch": epoch, "dirs": dirs}, f)
+            json.dump({"seq": seq, "epochs": epochs, "dirs": dirs}, f)
         os.replace(tmp, self._manifest_path())
         self._gc(dirs)
+
+    @staticmethod
+    def _epochs(man: dict | None) -> dict[str, int]:
+        """Per-channel replay watermarks. The A and B sides may be fed
+        by two INDEPENDENT streaming queries, each with its own batch-id
+        sequence starting at 0 — a single global watermark would
+        silently skip the second query's batches as replays. Channels:
+        'a' (only env_a), 'b' (only env_b), 'ab' (both, one stream
+        split by table). Older manifests carried one 'epoch'; migrate
+        it to all channels (single-stream deployments, semantics kept)."""
+        if man is None:
+            return {"a": -1, "b": -1, "ab": -1}
+        if "epochs" in man:
+            return dict(man["epochs"])
+        legacy = man.get("epoch", -1)
+        return {"a": legacy, "b": legacy, "ab": legacy}
 
     def _gc(self, live: dict[str, str]) -> None:
         keep = set(live.values())
@@ -223,10 +245,16 @@ class IncrementalJoinView:
         view; returns the number of view delta rows (assertions +
         retractions, before cancellation)."""
         man = self._manifest()
-        last = man["epoch"] if man else -1
-        if _epoch_id is not None and _epoch_id <= last:
+        epochs = self._epochs(man)
+        channel = "ab" if env_a is not None and env_b is not None else (
+            "a" if env_a is not None else "b"
+        )
+        if _epoch_id is not None and _epoch_id <= epochs[channel]:
             return 0  # at-least-once replay of a committed epoch: skip
-        epoch = _epoch_id if _epoch_id is not None else last + 1
+        seq = (man["seq"] if man and "seq" in man
+               else man.get("epoch", -1) if man else -1) + 1
+        epochs[channel] = _epoch_id if _epoch_id is not None else epochs[channel] + 1
+        epoch = seq  # monotone internal sequence names state dirs
         a_old = self._read_state("a_state", self.schema_a)
         b_old = self._read_state("b_state", self.schema_b)
         da = (
@@ -261,7 +289,7 @@ class IncrementalJoinView:
                 "b_state", epoch, b_old, db, [self.cols_b[0]]
             ),
         }
-        self._publish(epoch, dirs)
+        self._publish(seq, epochs, dirs)
         return touched
 
     # -- serving ----------------------------------------------------------

@@ -168,6 +168,40 @@ def test_replayed_epoch_is_skipped(spark, tmp_path):
     assert len(_got(view)) == 2
 
 
+def test_independent_per_side_streams(spark, tmp_path):
+    """The two sides may be fed by two INDEPENDENT streaming queries,
+    each with its own batch-id sequence starting at 0. Per-channel
+    replay watermarks mean the B-query's epoch 0/1 must not be skipped
+    just because the A-query already committed epochs 0/1 — while a
+    genuine replay WITHIN a channel still is."""
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "ivm5"), ORDERS, CUSTOMERS, "cust_id"
+    )
+    # A-side query: epochs 0, 1
+    assert view.apply_batch(
+        _batch(spark, ORDERS, [(1, None, (1, 100, 5))]), None, 0
+    ) >= 0
+    assert view.apply_batch(
+        _batch(spark, ORDERS, [(2, None, (2, 200, 9))]), None, 1
+    ) >= 0
+    # B-side query starts at ITS epoch 0 — must apply, not be skipped
+    assert view.apply_batch(
+        None, _batch(spark, CUSTOMERS, [(3, None, (100, "a", 1))]), 0
+    ) > 0
+    assert _got(view) == {(1, 100, 5, "a", 1)}
+    eb1 = _batch(spark, CUSTOMERS, [(4, None, (200, "b", 2))])
+    assert view.apply_batch(None, eb1, 1) > 0
+    assert _got(view) == {(1, 100, 5, "a", 1), (2, 200, 9, "b", 2)}
+    # replay within the B channel: skipped, state unchanged
+    assert view.apply_batch(None, eb1, 1) == 0
+    assert _got(view) == {(1, 100, 5, "a", 1), (2, 200, 9, "b", 2)}
+    # A channel continues from its own sequence
+    assert view.apply_batch(
+        _batch(spark, ORDERS, [(5, (1, 100, 5), None)]), None, 2
+    ) > 0
+    assert _got(view) == {(2, 200, 9, "b", 2)}
+
+
 def test_state_dirs_are_garbage_collected(spark, tmp_path):
     import os
 
