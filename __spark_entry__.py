@@ -48,6 +48,9 @@ _ROUND3_PRIORITY = [
     # round-2 non-green rows, fixed this round
     "tpch_q12_priority_lateness",
     "mm_decode_stats",
+    # new round-3 oracle-checked media queries (real PNG/WAV codecs)
+    "mm_audio_stats",
+    "mm_audio_windows",
     # no driver row in r01∪r02 — oracle-checked queries first
     "ivm_join_view",
     "ivm_agg_view",
@@ -80,14 +83,14 @@ _ROUND3_PRIORITY = [
     "d56_time_range_frame",
     "d57_table_diff",
     "d58_histogram",
-    # rows-only by declared design (approximate ANN / stub-DSP)
+    # rows-only by declared design (approximate ANN / stub video codec
+    # / float-topk ties)
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_ivf_kmeans_topk",
     "mm_frame_sample",
-    "mm_audio_windows",
     "mm_embedding_topk",
-    # new round-3 queries append here (slots 40-50)
+    # new round-3 queries append here (through slot 50)
 ]
 
 _ROUND2_PRIORITY = [
@@ -181,10 +184,13 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["ann_ivf_kmeans_topk"] = _sim.ann_ivf_kmeans_topk
     queries["dedup_embedding_pairs"] = _sim.dedup_embedding_pairs
 
-    # multimodal plumbing (deterministic stub codec → rows-only checks)
+    # multimodal: decode/window queries are oracle-checked against
+    # closed-form content predictions (real PNG/WAV codecs); the video
+    # stub + float-topk queries stay rows-only
     queries["mm_decode_stats"] = _mm.mm_decode_stats
-    queries["mm_frame_sample"] = _mm.mm_frame_sample
+    queries["mm_audio_stats"] = _mm.mm_audio_stats
     queries["mm_audio_windows"] = _mm.mm_audio_windows
+    queries["mm_frame_sample"] = _mm.mm_frame_sample
     queries["mm_embedding_topk"] = _mm.mm_embedding_topk
 
     queries["text_lang_id"] = _text.text_lang_id

@@ -6,18 +6,30 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python
 row-at-a-time.
 
-The actual codec work (PIL/ffmpeg/librosa) is NOT available in this
-container — the codec boundary is stubbed with a deterministic fake
-(clearly marked below). Everything Spark-side is real and tested:
-schemas, UDF signatures, Arrow batch shapes, partition behavior. A
-deployment swaps ``_decode_bytes_stub`` for the real codec and nothing
-else changes.
+The codec boundary is REAL for images and audio: PNG decode/encode and
+WAV PCM parse run on the stdlib (``functions/codecs.py`` — zlib
+inflate, scanline-filter reconstruction, ``wave`` frames). Video has
+no public stdlib codec, so that path keeps the clearly-marked
+deterministic digest stub (``_*_stub`` below); a deployment swaps in
+ffmpeg and nothing Spark-side changes.
+
+The synthetic media table writes genuine PNG/WAV payloads whose pixel
+and sample patterns have closed-form statistics derivable from
+``doc_id`` alone — so the decode queries are checked against a DuckDB
+oracle that PREDICTS the stats relationally while Spark must actually
+decode the bytes to reproduce them. A broken encoder, inflater, or
+filter reconstruction shows up as a hash mismatch, not a silently
+matching stub.
 
 Scale notes: media blobs dominate row size, so ops here avoid shuffles
 entirely — every stage is a narrow ``mapInPandas`` over the existing
 partitioning; frame sampling explodes *after* decode so the wide rows
 never shuffle. ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
 Arrow batch memory for large blobs.
+
+Reference parity: the reference engine has no media plane (it ships
+rows to a warehouse; pkg/sinks/*); this module is part of the
+beyond-reference training-data surface the brief mandates.
 """
 
 from __future__ import annotations
@@ -25,10 +37,14 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from pgsink_spark.functions import codecs
+from pgsink_spark.operators.relational import query
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -52,52 +68,88 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# Synthetic-content closed forms (shared by generator, tests, oracles):
+#   image (doc_id % 3 == 0): 32×(16+id%16) 8-bit gray PNG,
+#       pixel(x, y) = (id % 160) + x + y   (max 220, never wraps)
+#       → mean = id%160 + 15.5 + (H-1)/2, n_px = 32·H
+#   audio (doc_id % 3 == 1): 16-bit mono WAV @ 16 kHz, square wave
+#       ±amp, amp = 100 + (id % 300)·100, n = 1600 + (id % 10)·160
+#       → RMS = amp exactly (every sample² = amp²)
+#   video (doc_id % 3 == 2): digest-chain stub bytes (no stdlib codec)
+IMG_W = 32
+SAMPLE_RATE = 16000
+
+
+def _png_for(doc_id: int) -> tuple[bytes, int, int]:
+    h = 16 + doc_id % 16
+    base = doc_id % 160
+    y, x = np.mgrid[0:h, 0:IMG_W]
+    px = (base + x + y).astype(np.uint8)
+    return codecs.encode_png(px), IMG_W, h
+
+
+def _wav_for(doc_id: int) -> tuple[bytes, int, int]:
+    amp = 100 + (doc_id % 300) * 100
+    n = 1600 + (doc_id % 10) * 160
+    s = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(np.int16)
+    return codecs.encode_wav(s, SAMPLE_RATE), amp, n
+
 
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fake media table derived from ``documents``.
+    """Deterministic media table derived from ``documents``: REAL PNG
+    and WAV payloads (closed-form content, see module header) plus
+    digest-stub video bytes. Stands in for a binary-column ingest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
 
-    Stands in for a real binary ingest (e.g. parquet with blob columns);
-    content bytes are an md5 chain over the doc text → stable across
-    runs and engines.
-    """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    kinds = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        kinds.alias("media_type"),
-        F.encode(F.md5(F.col("text")), "utf-8").alias("content"),
-        F.struct(
-            F.lit("fake").alias("format"),
-            (F.col("doc_id") % 640 + 64).cast("int").alias("width"),
-            (F.col("doc_id") % 480 + 48).cast("int").alias("height"),
-            (F.col("doc_id") % 60000).cast("bigint").alias("duration_ms"),
-            F.lit(16000).alias("sample_rate"),
-            (F.col("doc_id") % 30 + 1).cast("int").alias("n_frames"),
-        ).alias("metadata"),
-    )
+    def _meta(fmt, w=None, h=None, dur=None, rate=None, frames=None):
+        return {
+            "format": fmt, "width": w, "height": h,
+            "duration_ms": dur, "sample_rate": rate, "n_frames": frames,
+        }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                kind = doc_id % 3
+                if kind == 0:
+                    content, w, h = _png_for(doc_id)
+                    rows.append(
+                        (doc_id, "image", content, _meta("png", w=w, h=h))
+                    )
+                elif kind == 1:
+                    content, _amp, n = _wav_for(doc_id)
+                    rows.append(
+                        (doc_id, "audio", content,
+                         _meta("wav", dur=n * 1000 // SAMPLE_RATE,
+                               rate=SAMPLE_RATE))
+                    )
+                else:
+                    content = hashlib.md5(str(text).encode()).digest()
+                    rows.append(
+                        (doc_id, "video", content,
+                         _meta("stub", dur=doc_id % 60000,
+                               frames=doc_id % 30 + 1))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "content", "metadata"]
+            )
+
+    return docs.mapInPandas(batches, MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
-# STUB CODEC BOUNDARY — deterministic fake in this container.
-# Swap for PIL / ffmpeg / librosa in a real deployment; the Spark
-# plumbing (signatures, schemas, batching) is identical.
+# STUB CODEC BOUNDARY — the video path only (no stdlib video codec).
+# Swap for ffmpeg in a real deployment; the Spark plumbing
+# (signatures, schemas, batching) is identical.
 
-def _decode_bytes_stub(content: bytes, width: int, height: int) -> dict:
-    """Deterministic fake decode: digest-derived pixel statistics."""
+def _decode_bytes_stub(content: bytes) -> dict:
+    """Deterministic fake decode: digest-derived statistics."""
     d = hashlib.md5(content).digest()
-    return {
-        "mean_px": sum(d) / len(d),
-        "checksum": d.hex()[:16],
-        "n_px": int(width) * int(height),
-    }
-
-
-def _resize_bytes_stub(content: bytes, w: int, h: int) -> bytes:
-    """Deterministic fake resize: re-digest tagged with target dims."""
-    return hashlib.md5(content + f":{w}x{h}".encode()).digest()
+    return {"mean_px": sum(d) / len(d), "checksum": d.hex()[:16]}
 
 
 def _frame_bytes_stub(content: bytes, idx: int) -> bytes:
@@ -106,61 +158,101 @@ def _frame_bytes_stub(content: bytes, idx: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# Real Spark plumbing
+# Decode: real PNG/WAV parse, stub fallback
 
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("media_type", T.StringType(), False),
-        T.StructField("mean_px", T.DoubleType(), True),
-        T.StructField("checksum", T.StringType(), True),
+        T.StructField("fmt", T.StringType(), False),  # png|wav|stub
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
         T.StructField("n_px", T.LongType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("checksum", T.StringType(), True),
     ]
 )
 
 
+def _decode_one(content: bytes) -> dict:
+    content = bytes(content)
+    if codecs.is_png(content):
+        try:
+            px = codecs.decode_png(content)
+        except codecs.UnsupportedImage:
+            return {"fmt": "stub", **_decode_bytes_stub(content)}
+        h, w = px.shape[:2]
+        return {
+            "fmt": "png",
+            "width": w,
+            "height": h,
+            "n_px": int(w) * int(h),
+            "mean_px": float(px.sum()) / px.size,
+            "checksum": hashlib.md5(px.tobytes()).hexdigest()[:16],
+        }
+    if codecs.is_wav(content):
+        s, rate = codecs.decode_wav(content)
+        flat = s.reshape(-1).astype(np.float64)
+        n = s.shape[0]
+        return {
+            "fmt": "wav",
+            "n_samples": int(n),
+            "sample_rate": int(rate),
+            "rms": float(np.sqrt(np.mean(flat * flat))) if n else 0.0,
+            "checksum": hashlib.md5(s.tobytes()).hexdigest()[:16],
+        }
+    return {"fmt": "stub", **_decode_bytes_stub(content)}
+
+
 def decode_media(media: DataFrame) -> DataFrame:
-    """Arrow-batched decode: binary → per-item pixel/sample statistics."""
+    """Arrow-batched decode: binary → per-item pixel/sample statistics.
+    PNG and WAV are REALLY decoded (inflate + unfilter / PCM parse);
+    anything else takes the digest stub path with ``fmt='stub'``."""
+
+    cols = [f.name for f in DECODED_SCHEMA.fields]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            stats = [
-                _decode_bytes_stub(c, w, h)
-                for c, w, h in zip(
-                    pdf["content"],
-                    pdf["width"],
-                    pdf["height"],
-                )
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "mean_px": [s["mean_px"] for s in stats],
-                    "checksum": [s["checksum"] for s in stats],
-                    "n_px": [s["n_px"] for s in stats],
-                }
-            )
+            out = []
+            for mid, mt, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                d = {c: None for c in cols}
+                d["media_id"] = int(mid)
+                d["media_type"] = mt
+                d.update(_decode_one(content))
+                out.append(tuple(d[c] for c in cols))
+            yield pd.DataFrame(out, columns=cols)
 
-    flat = media.select(
-        "media_id",
-        "media_type",
-        "content",
-        F.col("metadata.width").alias("width"),
-        F.col("metadata.height").alias("height"),
-    )
+    flat = media.select("media_id", "media_type", "content")
     return flat.mapInPandas(batches, DECODED_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize pass for image rows; other media pass through untouched."""
+    """Resize pass for image rows (REAL nearest-neighbor resample:
+    decode PNG → resample grid → re-encode); other media pass through
+    untouched. Non-PNG image bytes fall back to a digest stub so the
+    pass is total."""
+
+    def _resize_one(content: bytes, w: int, h: int) -> bytes:
+        content = bytes(content)
+        if codecs.is_png(content):
+            try:
+                px = codecs.decode_png(content)
+                return codecs.encode_png(codecs.resize_nearest(px, w, h))
+            except codecs.UnsupportedImage:
+                pass
+        return hashlib.md5(content + f":{w}x{h}".encode()).digest()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             is_img = pdf["media_type"] == "image"
             out = pdf[["media_id", "media_type"]].copy()
             out["content"] = [
-                _resize_bytes_stub(c, width, height) if img else c
+                _resize_one(c, width, height) if img else c
                 for c, img in zip(pdf["content"], is_img)
             ]
             out["width"] = [width if img else None for img in is_img]
@@ -186,8 +278,8 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
     The frame *indices* are computed relationally (sequence + explode —
     cheap, JVM-side); only the per-frame byte extraction crosses the
-    codec boundary, Arrow-batched.
-    """
+    codec boundary, Arrow-batched. Video decode is the stub (no stdlib
+    codec)."""
     vids = media.where(F.col("media_type") == "video").select(
         "media_id",
         "content",
@@ -224,20 +316,42 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """Binary → embedding array<double> (deterministic fake featurizer).
+    """Binary → embedding ``array<double>``: REAL content features per
+    modality — normalized gray-histogram for PNGs, per-segment RMS
+    profile for WAVs — digest features for stub payloads. Output feeds
+    the similarity operators (operators/similarity.py) unchanged; the
+    contract is just (id, embedding array)."""
 
-    Output feeds the similarity operators (operators/similarity.py)
-    unchanged — the contract is just (id, embedding array).
-    """
+    def _feat_one(content: bytes) -> list[float]:
+        content = bytes(content)
+        if codecs.is_png(content):
+            try:
+                px = codecs.decode_png(content)
+                hist, _ = np.histogram(px, bins=dim, range=(0, 256))
+                tot = float(hist.sum()) or 1.0
+                return [v / tot for v in hist]
+            except codecs.UnsupportedImage:
+                pass
+        elif codecs.is_wav(content):
+            s, _rate = codecs.decode_wav(content)
+            flat = s.reshape(-1).astype(np.float64)
+            segs = np.array_split(flat, dim)
+            out = [
+                float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+                for seg in segs
+            ]
+            peak = max(out) or 1.0
+            return [v / peak for v in out]
+        d = hashlib.md5(content).digest()
+        return [b / 255.0 for b in d[:dim]]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            embs = []
-            for c in pdf["content"]:
-                d = hashlib.md5(bytes(c)).digest()
-                embs.append([b / 255.0 for b in d[:dim]])
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "embedding": embs}
+                {
+                    "media_id": pdf["media_id"],
+                    "embedding": [_feat_one(c) for c in pdf["content"]],
+                }
             )
 
     schema = T.StructType(
@@ -249,8 +363,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(batches, schema)
 
 
-
-AUDIO_WINDOW_MS = 1000
+AUDIO_WINDOW_MS = 25
 
 AUDIO_SCHEMA = T.StructType(
     [
@@ -262,57 +375,142 @@ AUDIO_SCHEMA = T.StructType(
 
 
 def audio_windows(media: DataFrame, window_ms: int = AUDIO_WINDOW_MS) -> DataFrame:
-    """Audio path: per-clip fixed-length analysis windows with a
-    deterministic per-window RMS (stub DSP — real librosa/torchaudio
-    slots into the same batch function).
+    """Audio path: REAL per-window RMS over fixed-length PCM analysis
+    windows (the last window may be partial). Non-WAV audio bytes take
+    a digest stub so the pass is total.
 
     Plumbing pinned by tests: the blob never shuffles (narrow
     mapInPandas over audio rows only — media_type filter prunes before
-    Python), window count derives from metadata.duration_ms, and the
-    output explodes Python-side inside the Arrow batch so one input
-    row → N window rows without a JVM explode of binary columns.
+    Python), and the output explodes Python-side inside the Arrow
+    batch so one input row → N window rows without a JVM explode of
+    binary columns.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, winds, rmss = [], [], []
-            for mid, content, dur in zip(
-                pdf["media_id"], pdf["content"], pdf["duration_ms"]
-            ):
-                n_win = max(1, int(dur) // window_ms)
-                for w in range(n_win):
-                    digest = hashlib.md5(
-                        content + f":win{w}".encode()
-                    ).digest()
-                    # deterministic pseudo-RMS in [0, 1)
-                    rms = int.from_bytes(digest[:8], "big") / 2**64
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content)
+                if codecs.is_wav(content):
+                    s, rate = codecs.decode_wav(content)
+                    flat = s.reshape(-1).astype(np.float64)
+                    spw = max(1, rate * window_ms // 1000)
+                    n_win = max(1, -(-len(flat) // spw))
+                    for w in range(n_win):
+                        seg = flat[w * spw : (w + 1) * spw]
+                        rms = float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+                        ids.append(mid)
+                        winds.append(w)
+                        rmss.append(rms)
+                else:
+                    digest = hashlib.md5(content).digest()
                     ids.append(mid)
-                    winds.append(w)
-                    rmss.append(rms)
+                    winds.append(0)
+                    rmss.append(int.from_bytes(digest[:8], "big") / 2**64)
             yield pd.DataFrame(
                 {"media_id": ids, "win_idx": winds, "rms": rmss}
             )
 
     auds = media.where(F.col("media_type") == "audio").select(
-        "media_id",
-        "content",
-        F.col("metadata.duration_ms").alias("duration_ms"),
+        "media_id", "content"
     )
     return auds.mapInPandas(batches, AUDIO_SCHEMA)
 
-# ---------------------------------------------------------------------------
-# queries() wrappers (driver contract) — deterministic but not
-# SQL-expressible (md5-digest math), so the driver records rows-only
-# checks; pytest pins the values.
 
+# ---------------------------------------------------------------------------
+# queries() wrappers (driver contract). Image/audio decode stats have
+# closed-form DuckDB oracles (the oracle PREDICTS the stats from
+# doc_id; Spark must actually decode the bytes to match). Video/stub
+# and featurizer queries stay rows-only (digest math / float topk).
+
+
+@query(
+    "mm_decode_stats",
+    f"""
+    SELECT doc_id AS media_id,
+           'png' AS fmt,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST(16 + doc_id % 16 AS INTEGER) AS height,
+           CAST({IMG_W} * (16 + doc_id % 16) AS BIGINT) AS n_px,
+           CAST(doc_id % 160 AS DOUBLE) + {(IMG_W - 1) / 2}
+             + (16 + doc_id % 16 - 1) / 2.0 AS mean_px
+    FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
+    """,
+)
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode the synthetic media table; per-item digest statistics."""
-    return decode_media(synthesize_media(spark, sf_dir)).orderBy("media_id")
+    """Decode the synthetic PNGs for real (inflate + unfilter) and
+    surface per-image statistics; the oracle derives the same numbers
+    from the closed-form pixel pattern without touching any bytes."""
+    return (
+        decode_media(
+            synthesize_media(spark, sf_dir).where(
+                F.col("media_type") == "image"
+            )
+        )
+        .select("media_id", "fmt", "width", "height", "n_px", "mean_px")
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm_audio_stats",
+    """
+    SELECT doc_id AS media_id,
+           'wav' AS fmt,
+           CAST(1600 + (doc_id % 10) * 160 AS BIGINT) AS n_samples,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(100 + (doc_id % 300) * 100 AS DOUBLE) AS rms
+    FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id
+    """,
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the synthetic WAVs' PCM frames for real; a ±amp square
+    wave has RMS exactly amp, which the oracle predicts from doc_id."""
+    return (
+        decode_media(
+            synthesize_media(spark, sf_dir).where(
+                F.col("media_type") == "audio"
+            )
+        )
+        .select("media_id", "fmt", "n_samples", "sample_rate", "rms")
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm_audio_windows",
+    f"""
+    WITH a AS (
+      SELECT doc_id,
+             100 + (doc_id % 300) * 100 AS amp,
+             1600 + (doc_id % 10) * 160 AS n_samples
+      FROM documents WHERE doc_id % 3 = 1),
+    w AS (
+      SELECT doc_id, amp,
+             (n_samples + {SAMPLE_RATE * AUDIO_WINDOW_MS // 1000} - 1)
+               // {SAMPLE_RATE * AUDIO_WINDOW_MS // 1000} AS n_win
+      FROM a)
+    SELECT doc_id AS media_id,
+           CAST(i.i AS INTEGER) AS win_idx,
+           CAST(amp AS DOUBLE) AS rms
+    FROM w, LATERAL (
+      SELECT unnest(generate_series(0, CAST(n_win AS BIGINT) - 1)) AS i) i
+    ORDER BY media_id, win_idx
+    """,
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio analysis over real PCM (every 25 ms window of a
+    ±amp square wave — full or partial — has RMS exactly amp, so the
+    oracle enumerates windows and amplitudes relationally)."""
+    return (
+        audio_windows(synthesize_media(spark, sf_dir))
+        .orderBy("media_id", "win_idx")
+    )
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-10th-frame sample of the video rows (frame ids only — the
-    blob column stays distributed)."""
+    blob column stays distributed). Stub codec → rows-only check."""
     return (
         sample_frames(synthesize_media(spark, sf_dir), every_n=10)
         .select("media_id", "frame_idx")
@@ -321,8 +519,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Featurize media blobs and run exact cosine top-5 for one probe —
-    the multimodal → similarity interop path."""
+    """Featurize media blobs (real histogram/RMS features) and run
+    exact cosine top-5 for one probe — the multimodal → similarity
+    interop path. Float top-k ties → rows-only check."""
     from pgsink_spark.operators.similarity import brute_force_topk
 
     feats = extract_features(synthesize_media(spark, sf_dir), dim=16)
@@ -333,12 +532,3 @@ def mm_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return brute_force_topk(emb, q, k=5).orderBy("q_id", "rnk")
-
-
-def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed audio analysis (ids + per-window RMS; blobs stay
-    distributed)."""
-    return (
-        audio_windows(synthesize_media(spark, sf_dir))
-        .orderBy("media_id", "win_idx")
-    )

@@ -1,17 +1,25 @@
-"""Multimodal plumbing: schemas, Arrow batch shapes, determinism.
+"""Multimodal plane: real PNG/WAV codecs + Arrow plumbing.
 
-The codec layer is a documented deterministic stub; these tests pin the
-Spark-side contract — schema fidelity, no-shuffle narrow plans, frame
-explosion counts, and featurizer → similarity interop.
+Images and audio are now genuinely decoded (stdlib inflate/unfilter +
+PCM parse — functions/codecs.py); video keeps the documented digest
+stub. These tests pin both layers: decoded stats must equal the
+closed-form predictions the DuckDB oracles use, and the Spark-side
+contract (schema fidelity, no-shuffle narrow plans, frame explosion
+counts, featurizer → similarity interop) holds as before.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import functions as F
 
+from pgsink_spark.functions import codecs
 from pgsink_spark.operators.multimodal import (
+    AUDIO_WINDOW_MS,
     DECODED_SCHEMA,
+    IMG_W,
     MEDIA_SCHEMA,
+    audio_windows,
     decode_media,
     extract_features,
     resize_images,
@@ -27,20 +35,42 @@ def test_media_table_schema(spark, sf_dir):
     assert n > 0
     kinds = {r["media_type"] for r in media.select("media_type").distinct().collect()}
     assert kinds == {"image", "audio", "video"}
+    # the payloads are REAL containers, not digests
+    rows = media.orderBy("media_id").limit(3).collect()
+    assert codecs.is_png(bytes(rows[0]["content"]))   # doc 0 → image
+    assert codecs.is_wav(bytes(rows[1]["content"]))   # doc 1 → audio
+    assert len(bytes(rows[2]["content"])) == 16       # doc 2 → stub digest
 
 
-def test_decode_deterministic_and_typed(spark, sf_dir):
+def test_decode_matches_closed_form(spark, sf_dir):
+    """Spark decodes actual bytes; the expected numbers come from the
+    closed-form content pattern — same prediction the oracle makes."""
+    d = decode_media(synthesize_media(spark, sf_dir))
+    assert d.schema.simpleString() == DECODED_SCHEMA.simpleString()
+    for r in d.orderBy("media_id").limit(60).collect():
+        i = r["media_id"]
+        if i % 3 == 0:
+            h = 16 + i % 16
+            assert r["fmt"] == "png"
+            assert (r["width"], r["height"]) == (IMG_W, h)
+            assert r["n_px"] == IMG_W * h
+            assert r["mean_px"] == i % 160 + (IMG_W - 1) / 2 + (h - 1) / 2
+        elif i % 3 == 1:
+            assert r["fmt"] == "wav"
+            assert r["n_samples"] == 1600 + (i % 10) * 160
+            assert r["sample_rate"] == 16000
+            assert r["rms"] == float(100 + (i % 300) * 100)
+        else:
+            assert r["fmt"] == "stub"
+            assert r["checksum"] is not None
+
+
+def test_decode_deterministic(spark, sf_dir):
     media = synthesize_media(spark, sf_dir)
-    d1 = decode_media(media)
-    assert d1.schema.simpleString() == DECODED_SCHEMA.simpleString()
-    rows1 = {r["media_id"]: r["checksum"] for r in d1.collect()}
+    rows1 = {r["media_id"]: r["checksum"] for r in decode_media(media).collect()}
     rows2 = {r["media_id"]: r["checksum"] for r in decode_media(media).collect()}
-    assert rows1 == rows2  # deterministic stub
+    assert rows1 == rows2
     assert len(rows1) == media.count()
-    # n_px derives from metadata, not from bytes
-    one = d1.orderBy("media_id").first()
-    meta = media.orderBy("media_id").first()["metadata"]
-    assert one["n_px"] == meta["width"] * meta["height"]
 
 
 def test_decode_plan_has_no_shuffle(spark, sf_dir):
@@ -49,18 +79,23 @@ def test_decode_plan_has_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan  # narrow map stage — blobs never shuffle
 
 
-def test_resize_touches_only_images(spark, sf_dir):
+def test_resize_real_pixels(spark, sf_dir):
+    """Image rows are REALLY resampled: decoding the resized PNG gives
+    the nearest-neighbor grid of the decoded original."""
     media = synthesize_media(spark, sf_dir)
-    out = resize_images(media, 224, 224)
-    img = out.where(F.col("media_type") == "image").first()
+    out = resize_images(media, 24, 20)
+    img = out.where(F.col("media_type") == "image").orderBy("media_id").first()
     aud = out.where(F.col("media_type") == "audio").first()
-    assert img["width"] == 224 and img["height"] == 224
+    assert img["width"] == 24 and img["height"] == 20
     assert aud["width"] is None
-    # resized content differs from original; non-image content unchanged
-    orig = {
-        r["media_id"]: bytes(r["content"]) for r in media.collect()
-    }
-    assert bytes(img["content"]) != orig[img["media_id"]]
+
+    orig = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    got = codecs.decode_png(bytes(img["content"]))
+    want = codecs.resize_nearest(
+        codecs.decode_png(orig[img["media_id"]]), 24, 20
+    )
+    assert np.array_equal(got, want)
+    # non-image content passes through untouched
     assert bytes(aud["content"]) == orig[aud["media_id"]]
 
 
@@ -78,18 +113,25 @@ def test_sample_frames_counts(spark, sf_dir):
     assert len(set(blobs)) == len(blobs)
 
 
-def test_features_feed_similarity(spark, sf_dir):
+def test_features_are_real_content_features(spark, sf_dir):
+    """PNG features = normalized gray histogram (sums to 1); WAV
+    features = RMS profile normalized to peak 1 (square wave → all 1s);
+    and they feed the similarity operators."""
     from pgsink_spark.operators.similarity import cosine
 
-    media = synthesize_media(spark, sf_dir).limit(50)
+    media = synthesize_media(spark, sf_dir).limit(60)
     feats = extract_features(media, dim=8)
     assert dict(feats.dtypes)["embedding"] == "array<double>"
-    a = feats.select(
-        F.col("media_id").alias("a_id"), F.col("embedding").alias("a")
-    )
-    b = feats.select(
-        F.col("media_id").alias("b_id"), F.col("embedding").alias("b")
-    )
+    rows = {r["media_id"]: r["embedding"] for r in feats.collect()}
+    for mid, emb in rows.items():
+        assert len(emb) == 8
+        if mid % 3 == 0:
+            assert abs(sum(emb) - 1.0) < 1e-9       # histogram
+        elif mid % 3 == 1:
+            assert all(v == 1.0 for v in emb)        # flat square-wave RMS
+
+    a = feats.select(F.col("media_id").alias("a_id"), F.col("embedding").alias("a"))
+    b = feats.select(F.col("media_id").alias("b_id"), F.col("embedding").alias("b"))
     sims = (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .select(cosine(F.col("a"), F.col("b")).alias("cos"))
@@ -99,29 +141,26 @@ def test_features_feed_similarity(spark, sf_dir):
     assert -1.0001 <= sims["lo"] <= sims["hi"] <= 1.0001
 
 
-def test_audio_windows_counts_and_no_shuffle(spark, sf_dir):
-    """Window count derives from duration; plan stays a narrow
-    mapInPandas (blobs never shuffle)."""
-    from pgsink_spark.operators.multimodal import (
-        AUDIO_WINDOW_MS,
-        audio_windows,
-        synthesize_media,
-    )
+def test_audio_windows_real_rms_and_no_shuffle(spark, sf_dir):
+    """Window count = ceil(n_samples / samples-per-window) over the
+    real PCM; every window of a square wave has RMS exactly amp; the
+    plan stays a narrow mapInPandas (blobs never shuffle)."""
     from pgsink_spark.plans import exchange_count
 
     media = synthesize_media(spark, sf_dir)
     out = audio_windows(media)
     assert exchange_count(out) == 0
 
-    per_clip = {r["media_id"]: r["count"] for r in
-                out.groupBy("media_id").count().collect()}
+    spw = 16000 * AUDIO_WINDOW_MS // 1000
+    rows = out.collect()
+    per_clip: dict = {}
+    for r in rows:
+        per_clip[r["media_id"]] = per_clip.get(r["media_id"], 0) + 1
+        assert r["rms"] == float(100 + (r["media_id"] % 300) * 100)
     want = {
-        r["media_id"]: max(1, r["duration_ms"] // AUDIO_WINDOW_MS)
+        r["media_id"]: -(-(1600 + (r["media_id"] % 10) * 160) // spw)
         for r in media.where(F.col("media_type") == "audio")
-        .select("media_id", F.col("metadata.duration_ms").alias("duration_ms"))
+        .select("media_id")
         .collect()
     }
     assert per_clip == want
-    # deterministic rms in [0,1)
-    rms = [r["rms"] for r in out.limit(50).collect()]
-    assert all(0.0 <= v < 1.0 for v in rms)
