@@ -14,16 +14,21 @@ This is a pure-socket implementation (no driver dependency): the client
 only needs an object with ``sendall``/``recv``, so tests exercise the
 full keepalive/status protocol against an in-process fake server, and
 production points the same code at a real Postgres
-(``wal_level=logical``). Auth support: trust and cleartext password —
-enough for the reference's docker-compose topology.
+(``wal_level=logical``). Auth support: trust, cleartext password, and
+SCRAM-SHA-256 (streaming/scram.py — the default on stock PG 14+);
+``start_tls`` performs the SSLRequest dance and wraps the socket so
+managed Postgres (TLS-required) connects with the same client.
 """
 
 from __future__ import annotations
 
+import ssl as _ssl
 import struct
 import time
 from dataclasses import dataclass
 from typing import Callable, Iterator
+
+from pgsink_spark.streaming.scram import MECHANISM, ScramClient, ScramError
 
 PROTOCOL_V3 = 196608  # 3 << 16
 PG_EPOCH_US = 946_684_800_000_000  # 2000-01-01 in unix micros
@@ -61,6 +66,38 @@ class Keepalive:
 
 class ReplicationError(RuntimeError):
     pass
+
+
+SSL_REQUEST_CODE = 80877103  # pg protocol magic for SSLRequest
+
+
+def start_tls(
+    sock,
+    context: _ssl.SSLContext | None = None,
+    server_hostname: str | None = None,
+    required: bool = True,
+):
+    """Postgres TLS negotiation: send SSLRequest, read the one-byte
+    verdict, and wrap the socket on 'S'. Returns the (possibly wrapped)
+    socket — pass it to ``ReplicationClient`` BEFORE ``connect()``.
+
+    ``required=True`` raises if the server refuses TLS ('N'), matching
+    ``sslmode=require``; ``required=False`` degrades to plaintext like
+    ``sslmode=prefer``. The default context verifies the system trust
+    store; pass a custom context for self-signed/internal CAs.
+    """
+    sock.sendall(struct.pack(">ii", 8, SSL_REQUEST_CODE))
+    verdict = b""
+    while not verdict:
+        verdict = sock.recv(1)
+    if verdict == b"S":
+        ctx = context or _ssl.create_default_context()
+        return ctx.wrap_socket(sock, server_hostname=server_hostname)
+    if verdict == b"N":
+        if required:
+            raise ReplicationError("server refused TLS (SSLRequest → 'N')")
+        return sock
+    raise ReplicationError(f"unexpected SSLRequest verdict {verdict!r}")
 
 
 class _Conn:
@@ -126,8 +163,10 @@ class ReplicationClient:
         heartbeat_interval_s: float = 30.0,
         clock: Callable[[], float] = time.monotonic,
         wall_clock: Callable[[], float] = time.time,
+        scram_nonce: str | None = None,  # test seam; None → random
     ):
         self._conn = _Conn(sock)
+        self._nonce = scram_nonce
         self.database = database
         self.user = user
         self.password = password
@@ -150,6 +189,7 @@ class ReplicationClient:
                 "replication": "database",
             }
         )
+        scram: ScramClient | None = None
         while True:
             kind, payload = self._conn.read_message()
             if kind == "R":
@@ -162,6 +202,44 @@ class ReplicationClient:
                     self._conn.send_message(
                         "p", self.password.encode() + b"\x00"
                     )
+                    continue
+                if code == 10:  # AuthenticationSASL: mechanism list
+                    if self.password is None:
+                        raise ReplicationError("server wants a password")
+                    mechs = [
+                        m.decode()
+                        for m in payload[4:].split(b"\x00")
+                        if m
+                    ]
+                    if MECHANISM not in mechs:
+                        raise ReplicationError(
+                            f"no common SASL mechanism (server: {mechs})"
+                        )
+                    scram = ScramClient(self.password, nonce=self._nonce)
+                    first = scram.client_first()
+                    self._conn.send_message(
+                        "p",
+                        MECHANISM.encode() + b"\x00"
+                        + struct.pack(">i", len(first)) + first,
+                    )
+                    continue
+                if code == 11:  # AuthenticationSASLContinue: server-first
+                    if scram is None:
+                        raise ReplicationError("SASLContinue before SASL")
+                    try:
+                        self._conn.send_message(
+                            "p", scram.client_final(payload[4:])
+                        )
+                    except ScramError as e:
+                        raise ReplicationError(str(e)) from e
+                    continue
+                if code == 12:  # AuthenticationSASLFinal: server signature
+                    if scram is None:
+                        raise ReplicationError("SASLFinal before SASL")
+                    try:
+                        scram.verify_server_final(payload[4:])
+                    except ScramError as e:
+                        raise ReplicationError(str(e)) from e
                     continue
                 raise ReplicationError(f"unsupported auth method {code}")
             if kind in ("S", "K", "N"):  # ParameterStatus/KeyData/Notice

@@ -63,6 +63,24 @@ def _connect_replication() -> ReplicationClient:
         (PG_HOST, int(os.environ.get("PGSINK_TEST_PG_PORT", "5432"))),
         timeout=10,
     )
+    # sslmode=prefer semantics: negotiate TLS when the server offers
+    # it, fall back to plaintext otherwise (PGSINK_TEST_PG_SSL=require
+    # makes refusal an error). SCRAM-SHA-256 is handled inside
+    # connect() — a stock PG 14+ with scram auth works out of the box.
+    import ssl
+
+    from pgsink_spark.streaming.replication import start_tls
+
+    mode = os.environ.get("PGSINK_TEST_PG_SSL", "prefer")
+    if mode != "disable":
+        ctx = ssl.create_default_context()
+        if os.environ.get("PGSINK_TEST_PG_SSL_NOVERIFY"):
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        sock = start_tls(
+            sock, context=ctx, server_hostname=PG_HOST,
+            required=(mode == "require"),
+        )
     client = ReplicationClient(
         sock,
         database=os.environ.get("PGSINK_TEST_PG_DB", "postgres"),

