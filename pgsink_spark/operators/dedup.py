@@ -145,24 +145,87 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stop-shingle cap for the registered exact n-gram path. A shingle in
+# more than this many documents contributes up to freq² candidate
+# pairs to the inverted-index join — ONE boilerplate shingle shared by
+# 10⁶ docs would emit 10¹² pairs at 100 TB. The fixtures' hottest
+# 3-gram sits at doc-frequency 25 (sf0.1), so 128 leaves fixture
+# results bit-identical while bounding the worst key.
+MAX_SHINGLE_FREQ = 128
+
+
 def _pair_jaccard(
     sets: DataFrame, max_shingle_freq: int | None = None
 ) -> DataFrame:
-    """(d1, d2, jac) for all pairs sharing ≥1 shingle.
+    """(d1, d2, jac) for pairs sharing ≥1 (cold) shingle.
 
-    ``sets`` is (doc_id, shingles array) — sizes come straight off the
-    array (no shuffle); the inverted-index self-join explodes it and
-    shuffles bigint keys, so only docs sharing a shingle ever meet.
+    ``sets`` is (doc_id, shingles array). The inverted-index self-join
+    explodes it and shuffles bigint keys, so only docs sharing a
+    shingle ever meet. With ``max_shingle_freq`` set, shingles hotter
+    than the cap are dropped from CANDIDATE GENERATION only — the
+    exact intersection for every surviving candidate is recovered as
+    cold-postings count (the same single-shuffle aggregate the
+    uncapped path runs) PLUS a hot-shingle correction joined from
+    tiny per-doc hot-shingle arrays. The cap therefore costs recall
+    only for pairs whose *every* common shingle is boilerplate-hot;
+    it never distorts a reported similarity, and it adds no
+    full-array shuffle over the uncapped plan.
     """
     sh = sets.select("doc_id", F.explode("shingles").alias("s"))
     if max_shingle_freq is not None:
+        # Four branches read the exploded postings (hot count, both
+        # self-join sides, hot-doc collect); materialize the explode
+        # once instead of re-running it per branch.
+        sh = sh.localCheckpoint(eager=True)
+        # Hot-set learning is a map-side-combinable count aggregate
+        # (partial agg collapses the postings to one row per distinct
+        # shingle before the shuffle), and the hot list broadcasts, so
+        # the cap adds no full-postings shuffle: the cold self-join
+        # below is the SAME plan as the uncapped path, minus the keys
+        # whose freq² fan-out the cap exists to prevent.
         hot = (
             sh.groupBy("s")
             .count()
             .where(F.col("count") > max_shingle_freq)
             .select("s")
         )
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        cold = sh.join(F.broadcast(hot), "s", "left_anti")
+        a = cold.select(F.col("doc_id").alias("d1"), "s")
+        b = cold.select(F.col("doc_id").alias("d2"), "s")
+        cold_inter = (
+            a.join(b, "s")
+            .where(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("inter_cold"))
+        )
+        # per-doc HOT shingles: a few entries per doc by construction
+        # (only shingles above the cap land here), so the collect_set
+        # runs over the tiny semi-join survivors
+        doc_hot = (
+            sh.join(F.broadcast(hot), "s", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("s").alias("hs"))
+        )
+        h1 = doc_hot.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
+        h2 = doc_hot.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
+        sizes = sets.select("doc_id", F.size("shingles").alias("n"))
+        s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+        s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+        hot_inter = F.coalesce(
+            F.size(F.array_intersect("hs1", "hs2")), F.lit(0)
+        )
+        inter = F.col("inter_cold") + hot_inter
+        return (
+            cold_inter.join(F.broadcast(h1), "d1", "left")
+            .join(F.broadcast(h2), "d2", "left")
+            .join(F.broadcast(s1), "d1")
+            .join(F.broadcast(s2), "d2")
+            .select(
+                "d1",
+                "d2",
+                (inter / (F.col("n1") + F.col("n2") - inter)).alias("jac"),
+            )
+        )
     sizes = sets.select("doc_id", F.size("shingles").alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("d2"), "s")
@@ -189,14 +252,16 @@ def _pair_jaccard(
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.8."""
+    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.8, with the
+    stop-shingle cap on candidate generation (the mandatory 100 TB
+    hot-key bound; exact per-candidate Jaccard — see _pair_jaccard)."""
     docs = load_table(spark, sf_dir, "documents")
     # The inverted-index self-join references the shingle sets twice
-    # (both join branches) plus the sizes branch; persist so the
+    # (both join branches) plus the array-pair branch; persist so the
     # CPU-heavy shingling runs once, then truncate lineage and release.
     sets = doc_shingle_sets(docs, 3).persist()
     out = (
-        _pair_jaccard(sets)
+        _pair_jaccard(sets, max_shingle_freq=MAX_SHINGLE_FREQ)
         .where(F.col("jac") >= JACCARD_THRESHOLD)
         .select("d1", "d2")
         .orderBy("d1", "d2")
