@@ -15,6 +15,7 @@ from pgsink_spark.changelog.envelope import (
     after_or_before,
     envelope_schema,
     operation,
+    cast_envelope,
     to_envelope,
 )
 from pgsink_spark.changelog.registry import (
@@ -41,5 +42,6 @@ __all__ = [
     "spark_type_for",
     "table_diff",
     "table_includes",
+    "cast_envelope",
     "to_envelope",
 ]

@@ -101,6 +101,42 @@ def to_envelope(
     )
 
 
+def cast_envelope(env: DataFrame, payload: T.StructType) -> DataFrame:
+    """Generic wire envelope → typed envelope (the schema-cast stage).
+
+    The streaming source emits payload images as ``map<string,string>``
+    (text-format pgoutput tuples are untyped on the wire — reference
+    pkg/logical/decoder.go keeps them as strings until the relation's
+    column types are applied). This projection applies a table's
+    registered payload StructType: each map value is looked up by field
+    name and CAST to the field's Spark type, nulls and absent keys
+    flowing through as NULL. Pure column expressions — the cast runs in
+    whole-stage codegen, no Python.
+    """
+
+    def img(col: str) -> Column:
+        m = F.col(col)
+        return F.when(
+            m.isNotNull(),
+            F.struct(
+                *[
+                    m.getItem(f.name).cast(f.dataType).alias(f.name)
+                    for f in payload.fields
+                ]
+            ),
+        )
+
+    return env.select(
+        "timestamp",
+        "namespace",
+        "name",
+        "lsn",
+        "sequence",
+        img("before").alias("before"),
+        img("after").alias("after"),
+    )
+
+
 def payload_type_of(rows: DataFrame) -> T.StructType:
     """The payload StructType a row DataFrame maps to."""
     return T.StructType(

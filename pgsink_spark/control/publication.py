@@ -103,3 +103,70 @@ def reconcile(
     current = set(publication.get_tables())
     publication.set_tables(sorted((current | set(to_add)) - set(to_remove)))
     return sorted(to_add), sorted(to_remove)
+
+
+# ---------------------------------------------------------------------------
+# Discovery by catalog comment (reference pkg/subscription/publication.go).
+#
+# The reference stamps each publication with a unique subscription id
+# stored as the publication's catalog COMMENT, then discovers it back via
+# `obj_description(oid, 'pg_publication')` (publication.go:42-89). The
+# replication slot is named `<publication>_<id>`, which is what catches a
+# dropped-and-recreated publication: the new id no longer matches the old
+# slot's suffix, so the stale slot is never resumed into.
+# ---------------------------------------------------------------------------
+
+FIND_PUBLICATION_SQL = (
+    "SELECT oid, pubname AS name, "
+    "obj_description(oid, 'pg_publication') AS id "
+    "FROM pg_publication WHERE pubname = %s LIMIT 1"
+)
+
+
+def create_publication_sql(name: str) -> str:
+    """DDL for an empty publication (publication.go:47-53)."""
+    return f'CREATE PUBLICATION "{name}" WITH (publish = \'insert, update, delete\')'
+
+
+def comment_publication_sql(name: str, subscription_id: str) -> str:
+    """Stamp the subscription id into the catalog comment."""
+    sid = subscription_id.replace("'", "''")
+    return f"COMMENT ON PUBLICATION \"{name}\" IS '{sid}'"
+
+
+@dataclass(frozen=True)
+class DiscoveredPublication:
+    """A publication found (or created) in the catalog, with its id."""
+
+    oid: int
+    name: str
+    id: str
+
+    def replication_slot_name(self) -> str:
+        """`<name>_<id>` (publication.go:99-104): the id proves the slot
+        was created against THIS incarnation of the publication."""
+        return f"{self.name}_{self.id}"
+
+
+def find_or_create_publication(
+    catalog: dict[str, DiscoveredPublication],
+    name: str,
+    id_factory,
+) -> tuple[DiscoveredPublication, bool]:
+    """Find-or-create against a catalog mapping (publication.go:22-40).
+
+    ``catalog`` abstracts the pg_publication lookup — a live deployment
+    backs it with FIND_PUBLICATION_SQL over JDBC; tests use a dict. A
+    found publication whose comment is missing (id None/empty) is
+    treated as foreign and re-stamped with a fresh id, matching the
+    reference's create-then-comment transaction. Returns
+    (publication, created).
+    """
+    existing = catalog.get(name)
+    if existing is not None and existing.id:
+        return existing, False
+    pub = DiscoveredPublication(
+        oid=existing.oid if existing else 0, name=name, id=id_factory()
+    )
+    catalog[name] = pub
+    return pub, True

@@ -17,6 +17,7 @@ from pgsink_spark.sinks.instrumented import (
     observed_write,
 )
 from pgsink_spark.sinks.file_sink import FileSink
+from pgsink_spark.sinks.jdbc_sink import JdbcSinkOptions, JdbcWarehouseSink
 from pgsink_spark.sinks.warehouse import WarehouseSink, compaction_view_sql
 
 __all__ = [
@@ -25,6 +26,8 @@ __all__ = [
     "SinkMetrics",
     "observed_write",
     "InsertResult",
+    "JdbcSinkOptions",
+    "JdbcWarehouseSink",
     "WarehouseSink",
     "compaction_view_sql",
     "write_batch",

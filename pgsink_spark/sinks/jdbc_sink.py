@@ -1,0 +1,219 @@
+"""JDBC warehouse sink: envelope appends into a remote SQL warehouse.
+
+The reference's flagship sink is a warehouse connector: it creates a
+``<table>_raw`` append table in the warehouse, streams envelope batches
+into it, and installs a most-recent-row compaction view over it
+(pkg/sinks/bigquery/sink.go:41-81, table.go:28-63,
+schema_builders.go:28-161). ``sinks/warehouse.py`` ports those
+*semantics* to parquet; this module is the *connector* twin — the same
+raw-table + view contract spoken over Spark's JDBC writer to any
+ANSI-SQL warehouse (Postgres, Redshift, DuckDB, ...).
+
+Spark-first mapping:
+
+- The envelope batch is flattened to a wide row (meta columns prefixed
+  ``_`` + the payload's own columns, typed) and written with
+  ``df.write.format("jdbc").mode("append")`` — N executors stream N
+  parallel COPY-ish inserts, batched by ``batchsize``; no driver-side
+  row loop.
+- DDL (raw table, compaction view) is plain ANSI SQL built here and
+  executed through an injected ``execute`` callable — a live deployment
+  backs it with a JDBC connection; tests back it with DuckDB, which
+  doubles as a dialect oracle: every statement this module emits is
+  *executed* against a real SQL engine in tests/test_jdbc_sink.py.
+
+This container has no JDBC driver jar, so the ``.save()`` path is
+env-gated exactly like sources/jdbc.py; everything else runs offline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pgsink_spark.changelog.envelope import after_or_before, operation
+from pgsink_spark.changelog.registry import SchemaEntry
+from pgsink_spark.sinks.generic import InsertResult, SchemaHandler
+from pgsink_spark.sources.jdbc import quote_ident
+
+META_COLUMNS = ["_timestamp", "_lsn", "_sequence", "_operation"]
+
+_SQL_TYPES: list[tuple[type, str]] = [
+    (T.LongType, "BIGINT"),
+    (T.IntegerType, "INTEGER"),
+    (T.ShortType, "SMALLINT"),
+    (T.DoubleType, "DOUBLE PRECISION"),
+    (T.FloatType, "REAL"),
+    (T.BooleanType, "BOOLEAN"),
+    (T.DateType, "DATE"),
+    (T.TimestampType, "TIMESTAMP"),
+    (T.BinaryType, "BYTEA"),
+    (T.StringType, "TEXT"),
+]
+
+
+def sql_type_of(dt: T.DataType) -> str:
+    """Portable ANSI type for a payload column (BQ schema_builders.go:28-97
+    does the same Postgres-OID→warehouse-type walk)."""
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    for spark_t, sql_t in _SQL_TYPES:
+        if isinstance(dt, spark_t):
+            return sql_t
+    # arrays/maps/structs travel as their JSON text form
+    return "TEXT"
+
+
+def raw_table_name(namespace: str, name: str) -> str:
+    return f"{namespace}_{name}_raw"
+
+
+def raw_table_ddl(entry: SchemaEntry) -> str:
+    """CREATE TABLE IF NOT EXISTS for the raw envelope table.
+
+    Meta columns carry the envelope (timestamp/lsn/sequence/operation);
+    payload columns land typed under their own names — the flattened
+    analogue of BigQuery's ``payload RECORD`` (schema_builders.go:99-113),
+    chosen because flat columns are what SQL warehouses index and prune.
+    """
+    cols = [
+        '"_timestamp" TIMESTAMP NOT NULL',
+        '"_lsn" BIGINT',
+        '"_sequence" BIGINT',
+        '"_operation" TEXT NOT NULL',
+    ]
+    for f in entry.payload.fields:
+        cols.append(f"{quote_ident(f.name)} {sql_type_of(f.dataType)}")
+    table = quote_ident(raw_table_name(entry.namespace, entry.name))
+    return f"CREATE TABLE IF NOT EXISTS {table} (\n  " + ",\n  ".join(cols) + "\n)"
+
+
+def compaction_view_ddl(entry: SchemaEntry) -> str:
+    """Most-recent-row view over the raw table — the connector-dialect
+    twin of warehouse.compaction_view_sql (schema_builders.go:115-161):
+    rank per pk by (timestamp, lsn, sequence) desc, keep row 1, drop
+    DELETEs, project only payload columns."""
+    raw = quote_ident(raw_table_name(entry.namespace, entry.name))
+    view = quote_ident(f"{entry.namespace}_{entry.name}")
+    pk = ", ".join(quote_ident(c) for c in entry.key_columns)
+    payload = ", ".join(quote_ident(f.name) for f in entry.payload.fields)
+    return (
+        f"CREATE OR REPLACE VIEW {view} AS\n"
+        f"SELECT {payload}\n"
+        f"FROM (\n"
+        f"  SELECT {payload}, \"_operation\",\n"
+        f"         ROW_NUMBER() OVER (\n"
+        f"           PARTITION BY {pk}\n"
+        f"           ORDER BY \"_timestamp\" DESC, \"_lsn\" DESC NULLS LAST,\n"
+        f"                    \"_sequence\" DESC NULLS LAST\n"
+        f"         ) AS row_number\n"
+        f"  FROM {raw}\n"
+        f") ranked\n"
+        f"WHERE row_number = 1 AND \"_operation\" != 'DELETE'"
+    )
+
+
+def flatten_envelope(env: DataFrame) -> DataFrame:
+    """Typed envelope → the wide JDBC row (meta + payload columns).
+
+    Pure column expressions; the payload image is ``after`` unless the
+    row is a DELETE (then ``before`` — the last known image, same as the
+    reference's modification marshaling). Runs in codegen, and the JDBC
+    writer streams it straight out of the executors.
+    """
+    img = after_or_before()
+    out = env.select(
+        F.col("timestamp").alias("_timestamp"),
+        F.col("lsn").alias("_lsn"),
+        F.col("sequence").alias("_sequence"),
+        operation().alias("_operation"),
+        img.alias("__img"),
+    )
+    payload_t = env.schema["after"].dataType
+    cols = [F.col(c) for c in META_COLUMNS]
+    for f in payload_t.fields:
+        c = F.col("__img").getField(f.name)
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            c = F.to_json(c)
+        cols.append(c.alias(f.name))
+    return out.select(*cols)
+
+
+@dataclass(frozen=True)
+class JdbcSinkOptions:
+    """Connection + write tuning (the Options struct of sink.go:17-39;
+    buffer-size maps to JDBC ``batchsize``)."""
+
+    url: str
+    user: str | None = None
+    password: str | None = None
+    driver: str = "org.postgresql.Driver"
+    batchsize: int = 250
+    isolation_level: str = "READ_COMMITTED"
+
+    def writer_options(self, table: str) -> dict[str, str]:
+        opts = {
+            "url": self.url,
+            "dbtable": table,
+            "driver": self.driver,
+            "batchsize": str(self.batchsize),
+            "isolationLevel": self.isolation_level,
+        }
+        if self.user is not None:
+            opts["user"] = self.user
+        if self.password is not None:
+            opts["password"] = self.password
+        return opts
+
+
+class JdbcWarehouseSink:
+    """Raw-append + view lifecycle over an ``execute``/Spark-JDBC pair.
+
+    ``execute(sql)`` runs DDL on the warehouse (injected: JDBC
+    connection live, DuckDB in tests). Row traffic never goes through
+    it — batches flow executor-side via the Spark JDBC writer, or
+    through an injected ``write_batch`` for engines Spark has no jar
+    for here.
+    """
+
+    def __init__(self, options: JdbcSinkOptions, execute, write_batch=None):
+        self.options = options
+        self.execute = execute
+        self._write_batch = write_batch
+        self._schema_handler = SchemaHandler(self._sync)
+        self._entries: dict[tuple[str, str], SchemaEntry] = {}
+
+    def _sync(self, entry: SchemaEntry) -> None:
+        """Idempotent DDL sync, fingerprint-cached by SchemaHandler —
+        one CREATE TABLE + view (re)install per schema version, exactly
+        the reference's schema-handler contract."""
+        self._entries[(entry.namespace, entry.name)] = entry
+        self.execute(raw_table_ddl(entry))
+        self.execute(compaction_view_ddl(entry))
+
+    def handle_schema(self, entry: SchemaEntry) -> str:
+        return self._schema_handler.handle(entry)
+
+    def insert(self, env: DataFrame, namespace: str, name: str) -> InsertResult:
+        from pyspark.sql import Observation
+
+        table = raw_table_name(namespace, name)
+        flat = flatten_envelope(env)
+        obs = Observation()
+        observed = flat.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.max("_lsn").alias("max_lsn")
+        )
+        if self._write_batch is not None:
+            self._write_batch(observed, table)
+        else:
+            (
+                observed.write.format("jdbc")
+                .options(**self.options.writer_options(table))
+                .mode("append")
+                .save()
+            )
+        got = obs.get
+        return InsertResult(got["n"], got["max_lsn"])

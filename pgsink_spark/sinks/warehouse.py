@@ -23,6 +23,7 @@ reference's golden-file test.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,6 +88,36 @@ class WarehouseSink:
     def _raw_path(self, namespace: str, name: str) -> str:
         return os.path.join(self.root, f"{self._raw_name(namespace, name)}")
 
+    # ------------------------------------------------------------------
+    # Exactly-once epoch ledger. The reference sink is at-least-once and
+    # relies on the read-time view to absorb duplicates
+    # (pkg/sinks/bigquery/sink.go appends; the view dedups). The port
+    # keeps that default but lets foreachBatch callers pass the Spark
+    # epoch id, turning raw appends exactly-once: each epoch writes to
+    # its own `epoch=N` partition via dynamic partition overwrite, so a
+    # crash-interrupted epoch is *overwritten in place* on replay, and a
+    # fully committed epoch (recorded in the `_epochs.json` ledger via
+    # atomic rename — same contract as sinks/incremental_join.py) is
+    # skipped outright. Spark's checkpointed offsets make the replayed
+    # batch deterministic, which is what makes overwrite == idempotence.
+    def _epochs_path(self, namespace: str, name: str) -> str:
+        # leading underscore: Spark partition discovery ignores _ files
+        return os.path.join(self._raw_path(namespace, name), "_epochs.json")
+
+    def committed_epoch(self, namespace: str, name: str) -> int | None:
+        try:
+            with open(self._epochs_path(namespace, name)) as f:
+                return json.load(f)["epoch"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _commit_epoch(self, namespace: str, name: str, epoch: int) -> None:
+        path = self._epochs_path(namespace, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": int(epoch)}, f)
+        os.replace(tmp, path)
+
     def _sync_table(self, entry: SchemaEntry) -> None:
         """DDL sync: remember the pk; (re)install the view lazily."""
         self._keys[(entry.namespace, entry.name)] = list(entry.key_columns)
@@ -100,8 +131,16 @@ class WarehouseSink:
         namespace: str,
         name: str,
         cluster: bool = True,
+        epoch: int | None = None,
     ) -> InsertResult:
         """Append one envelope batch into the table's raw storage.
+
+        ``epoch`` (pass the foreachBatch ``batch_id``) upgrades the
+        append from at-least-once to exactly-once: replays of a
+        committed epoch are skipped, and replays of a half-written one
+        dynamically overwrite exactly their own ``epoch=N`` partitions.
+        A table must be written consistently with or without ``epoch``
+        (the two partition layouts cannot share one raw path).
 
         A typed envelope batch carries one table's payload StructType, so
         raw storage is one path per table (schema-stable scans), written
@@ -118,6 +157,11 @@ class WarehouseSink:
         compaction reads win it back on every pk lookup.
         """
         from pyspark.sql import Observation
+
+        if epoch is not None:
+            done = self.committed_epoch(namespace, name)
+            if done is not None and epoch <= done:
+                return InsertResult(0, None)
 
         keys = self._keys.get((namespace, name), [])
         out = env.select(
@@ -141,11 +185,21 @@ class WarehouseSink:
         observed = out.observe(
             obs, F.count(F.lit(1)).alias("n"), F.max("lsn").alias("max_lsn")
         )
-        (
-            observed.write.mode("append")
-            .partitionBy("day")
-            .parquet(self._raw_path(namespace, name))
-        )
+        if epoch is not None:
+            (
+                observed.withColumn("epoch", F.lit(int(epoch)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch", "day")
+                .parquet(self._raw_path(namespace, name))
+            )
+            self._commit_epoch(namespace, name, epoch)
+        else:
+            (
+                observed.write.mode("append")
+                .partitionBy("day")
+                .parquet(self._raw_path(namespace, name))
+            )
         got = obs.get
         return InsertResult(got["n"], got["max_lsn"])
 

@@ -125,3 +125,43 @@ def test_latest_job_wins(jobs):
         ("public", "orders")
     ]
     assert t.import_status == "scheduled"  # newest job, not the completed one
+
+
+def test_find_or_create_publication_by_comment():
+    """Discovery-by-comment (pkg/subscription/publication.go:22-89):
+    the subscription id lives in the catalog comment; rediscovery
+    returns the same incarnation; a recreated publication gets a new id
+    and hence a new slot name (stale slots are never resumed into)."""
+    from pgsink_spark.control.publication import (
+        DiscoveredPublication,
+        find_or_create_publication,
+    )
+
+    ids = iter(["id1", "id2"])
+    catalog: dict = {}
+    pub, created = find_or_create_publication(catalog, "pgsink", lambda: next(ids))
+    assert created and pub.id == "id1"
+    assert pub.replication_slot_name() == "pgsink_id1"
+
+    # second tick finds the stamped publication — no new id consumed
+    again, created = find_or_create_publication(catalog, "pgsink", lambda: next(ids))
+    assert not created and again == pub
+
+    # drop + recreate: the comment is gone, so a fresh id is stamped
+    catalog["pgsink"] = DiscoveredPublication(oid=7, name="pgsink", id="")
+    fresh, created = find_or_create_publication(catalog, "pgsink", lambda: next(ids))
+    assert created and fresh.id == "id2"
+    assert fresh.replication_slot_name() != pub.replication_slot_name()
+
+
+def test_publication_sql_builders():
+    from pgsink_spark.control.publication import (
+        FIND_PUBLICATION_SQL,
+        comment_publication_sql,
+        create_publication_sql,
+    )
+
+    assert "obj_description(oid, 'pg_publication')" in FIND_PUBLICATION_SQL
+    assert create_publication_sql("p").startswith('CREATE PUBLICATION "p"')
+    # comments embed the id safely even when it contains a quote
+    assert comment_publication_sql("p", "a'b") == 'COMMENT ON PUBLICATION "p" IS \'a\'\'b\''

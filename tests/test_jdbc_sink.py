@@ -1,0 +1,148 @@
+"""JDBC warehouse sink: DDL executed on a real SQL engine (DuckDB) as
+the dialect oracle, row traffic via an injected batch writer.
+
+Mirrors the reference's sink suite shape (pkg/sinks/bigquery/
+schema_builders_test.go golden DDL + suite_test.go end-to-end): we go
+further than golden strings — every emitted statement RUNS, and the
+compaction view is queried back for the logical table state.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pgsink_spark.changelog import SchemaEntry, envelope_schema
+from pgsink_spark.sinks.generic import InsertResult
+from pgsink_spark.sinks.jdbc_sink import (
+    JdbcSinkOptions,
+    JdbcWarehouseSink,
+    compaction_view_ddl,
+    flatten_envelope,
+    raw_table_ddl,
+    sql_type_of,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+    ]
+)
+
+ENTRY = SchemaEntry("public", "kv", PAYLOAD, ["id"])
+
+
+def _env(spark, rows):
+    schema = envelope_schema(PAYLOAD)
+    full = [
+        (datetime.datetime(2024, 1, 1, 0, 0, s), "public", "kv", lsn, s, b, a)
+        for s, (lsn, b, a) in enumerate(rows)
+    ]
+    return spark.createDataFrame(full, schema)
+
+
+def test_sql_type_mapping():
+    assert sql_type_of(T.LongType()) == "BIGINT"
+    assert sql_type_of(T.DecimalType(12, 2)) == "DECIMAL(12,2)"
+    assert sql_type_of(T.ArrayType(T.LongType())) == "TEXT"
+
+
+def test_ddl_is_executable_and_idempotent():
+    con = duckdb.connect()
+    con.execute(raw_table_ddl(ENTRY))
+    con.execute(raw_table_ddl(ENTRY))  # IF NOT EXISTS
+    con.execute(compaction_view_ddl(ENTRY))
+    con.execute(compaction_view_ddl(ENTRY))  # OR REPLACE
+    cols = [r[0] for r in con.execute("DESCRIBE public_kv_raw").fetchall()]
+    assert cols == ["_timestamp", "_lsn", "_sequence", "_operation", "id", "v", "tags"]
+
+
+def test_flatten_envelope_typed_and_delete_uses_before(spark):
+    env = _env(
+        spark,
+        [
+            (10, None, {"id": 1, "v": "a", "tags": ["x", "y"]}),
+            (20, {"id": 2, "v": "gone", "tags": None}, None),  # DELETE
+        ],
+    )
+    flat = flatten_envelope(env).orderBy("_lsn")
+    rows = flat.collect()
+    assert flat.columns == ["_timestamp", "_lsn", "_sequence", "_operation", "id", "v", "tags"]
+    assert (rows[0]["_operation"], rows[0]["id"], rows[0]["tags"]) == (
+        "INSERT",
+        1,
+        '["x","y"]',  # complex types travel as JSON text
+    )
+    # DELETE carries the before-image (last known row)
+    assert (rows[1]["_operation"], rows[1]["id"], rows[1]["v"]) == ("DELETE", 2, "gone")
+    # payload column types survive the flatten
+    assert dict(flat.dtypes)["id"] == "bigint"
+
+
+def test_jdbc_sink_end_to_end_on_duckdb(spark):
+    """handle_schema DDL + insert batches land in DuckDB; the installed
+    view serves the compacted logical state, including delete removal
+    and at-least-once replay absorption."""
+    con = duckdb.connect()
+    executed: list[str] = []
+
+    def execute(sql):
+        executed.append(sql)
+        con.execute(sql)
+
+    def write_batch(df, table):
+        pdf = df.toPandas()
+        con.register("batch_df", pdf)
+        con.execute(f'INSERT INTO "{table}" SELECT * FROM batch_df')
+        con.unregister("batch_df")
+
+    sink = JdbcWarehouseSink(
+        JdbcSinkOptions(url="jdbc:duckdb:"), execute, write_batch=write_batch
+    )
+    assert sink.handle_schema(ENTRY) == "update"
+    assert sink.handle_schema(ENTRY) == "noop"  # fingerprint-cached
+    assert len(executed) == 2  # one CREATE TABLE + one view install
+
+    b1 = _env(
+        spark,
+        [
+            (10, None, {"id": 1, "v": "a0", "tags": None}),
+            (11, None, {"id": 2, "v": "b0", "tags": None}),
+        ],
+    )
+    r1 = sink.insert(b1, "public", "kv")
+    assert r1 == InsertResult(2, 11)
+
+    b2 = _env(
+        spark,
+        [
+            (20, {"id": 1, "v": "a0", "tags": None}, {"id": 1, "v": "a1", "tags": None}),
+            (21, {"id": 2, "v": "b0", "tags": None}, None),
+        ],
+    ).withColumn("timestamp", F.col("timestamp") + F.expr("interval 1 hour"))
+    r2 = sink.insert(b2, "public", "kv")
+    assert r2 == InsertResult(2, 21)
+
+    got = dict(con.execute('SELECT id, v FROM "public_kv"').fetchall())
+    assert got == {1: "a1"}
+
+    # crash-before-confirm replay: duplicates land raw, the view absorbs
+    sink.insert(b2, "public", "kv")
+    assert con.execute('SELECT count(*) FROM "public_kv_raw"').fetchone()[0] == 6
+    assert dict(con.execute('SELECT id, v FROM "public_kv"').fetchall()) == {1: "a1"}
+
+
+def test_writer_options():
+    opts = JdbcSinkOptions(url="jdbc:postgresql://h/db", user="u", password="p")
+    w = opts.writer_options("public_kv_raw")
+    assert w["dbtable"] == "public_kv_raw"
+    assert w["batchsize"] == "250"
+    assert w["user"] == "u"
+    # no credentials leak when unset
+    assert "password" not in JdbcSinkOptions(url="x").writer_options("t")

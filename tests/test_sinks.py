@@ -299,3 +299,57 @@ def test_compaction_view_sql_asof_golden():
     assert asof.replace(
         "FROM `r`\n  WHERE lsn IS NULL OR lsn <= 42", "FROM `r`"
     ) == base
+
+
+def test_warehouse_replayed_epoch_is_skipped(spark, tmp_path):
+    """Exactly-once raw appends: a committed epoch replay is a no-op."""
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "example", PAYLOAD, ["id"]))
+    batch = _env_rows(
+        spark,
+        [(10, None, {"id": 1, "v": "a"}), (11, None, {"id": 2, "v": "b"})],
+    )
+    r1 = sink.insert(batch, "public", "example", epoch=0)
+    assert r1 == InsertResult(2, 11)
+    assert sink.committed_epoch("public", "example") == 0
+
+    # at-least-once delivery replays epoch 0 → skipped outright
+    r2 = sink.insert(batch, "public", "example", epoch=0)
+    assert r2 == InsertResult(0, None)
+
+    raw = spark.read.parquet(
+        str(tmp_path / "wh" / "public_example_raw")
+    )
+    assert raw.count() == 2
+
+    # the next epoch lands normally
+    batch2 = _env_rows(spark, [(20, None, {"id": 3, "v": "c"})])
+    r3 = sink.insert(batch2, "public", "example", epoch=1)
+    assert r3 == InsertResult(1, 20)
+    assert sink.committed_epoch("public", "example") == 1
+
+
+def test_warehouse_half_written_epoch_replay_is_idempotent(spark, tmp_path):
+    """Crash after the parquet write but before the ledger commit: the
+    replay dynamically overwrites the epoch's own partitions, so rows
+    never double."""
+    import os as _os
+
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "example", PAYLOAD, ["id"]))
+    batch = _env_rows(
+        spark,
+        [(10, None, {"id": 1, "v": "a"}), (11, None, {"id": 2, "v": "b"})],
+    )
+    sink.insert(batch, "public", "example", epoch=0)
+    # simulate the crash window: files are on disk, ledger is not
+    _os.remove(sink._epochs_path("public", "example"))
+    assert sink.committed_epoch("public", "example") is None
+
+    r = sink.insert(batch, "public", "example", epoch=0)
+    assert r == InsertResult(2, 11)  # rewrites, and re-accounts, epoch 0
+
+    raw = spark.read.parquet(str(tmp_path / "wh" / "public_example_raw"))
+    assert raw.count() == 2  # not 4: overwrite, not append
+    view = sink.install_view("public", "example")
+    assert {x.id for x in spark.table(view).collect()} == {1, 2}
