@@ -25,6 +25,7 @@ from pgsink_spark.operators import multimodal as _mm
 from pgsink_spark.operators import packing as _packing  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import privacy as _privacy  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import relational as _rel
+from pgsink_spark.operators import retrieval as _retrieval  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import sampling as _sampling  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import similarity as _sim
 from pgsink_spark.operators import skew as _skew  # noqa: F401 — registers into _rel.QUERIES
@@ -91,6 +92,12 @@ _ROUND3_PRIORITY = [
     "mm_frame_sample",
     "mm_embedding_topk",
     # new round-3 queries append here (through slot 50)
+    "bm25_search",
+    "tfidf_top_terms",
+    "dedup_dupfrac_ngram",
+    "d59_grouped_percentiles",
+    "d60_grouped_moments",
+    "stream_interval_join",
 ]
 
 _ROUND2_PRIORITY = [

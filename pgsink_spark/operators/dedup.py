@@ -769,3 +769,80 @@ def contamination_check(
         .select("eval_id", "corpus_id")
         .orderBy("eval_id", "corpus_id")
     )
+
+
+from pgsink_spark.operators.relational import query  # noqa: E402 — shared registry
+
+
+@query(
+    "dedup_dupfrac_ngram",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 5
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+      FROM w, unnest(range(1, len(w) - 3)) AS t(i)
+    ),
+    dup AS (
+      SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c FROM g GROUP BY g)
+      WHERE c > 1
+    )
+    SELECT doc_id,
+           CAST(ROUND(CAST(AVG(CASE WHEN d.g IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                           AS DECIMAL(18,8)), 6) AS DOUBLE) AS dup_frac
+    FROM g LEFT JOIN dup d USING (g)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_dupfrac_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-5-gram fraction (the span-memorization
+    metric of exact-substring train-data dedup: what share of a doc's
+    5-gram INSTANCES also occur in at least one other document).
+
+    Plan: positional 5-grams (no array_distinct — instances, not sets)
+    explode row-locally; one shuffle groups them by gram to learn which
+    grams are cross-document; the flag joins back on the gram key and a
+    per-doc average folds it down. No all-pairs stage — cost is
+    O(postings), the same inverted-index discipline as the Jaccard
+    path. At 100 TB the gram key is the only shuffle axis and hot
+    boilerplate grams cap out at a count aggregate, never a fan-out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = 5
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    ).where(F.size("w") >= n)
+    idx = ", ".join(f"w[i+{j}]" for j in range(n))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w)-{n}),"
+                f" i -> concat_ws(' ', {idx}))"
+            )
+        ).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .where(F.col("c") > 1)
+        .select("g")
+    )
+    flagged = grams.join(dup.withColumn("is_dup", F.lit(1.0)), "g", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.coalesce(F.col("is_dup"), F.lit(0.0))).cast(
+                    "decimal(18,8)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("dup_frac")
+        )
+        .orderBy("doc_id")
+    )

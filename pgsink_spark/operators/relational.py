@@ -2454,3 +2454,80 @@ def d58_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "d59_grouped_percentiles",
+    """
+    SELECT event_type,
+           CAST(ROUND(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,8)), 6)
+                AS DOUBLE) AS p50,
+           CAST(ROUND(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,8)), 6)
+                AS DOUBLE) AS p90,
+           CAST(ROUND(CAST(quantile_cont(value, 0.99) AS DECIMAL(18,8)), 6)
+                AS DOUBLE) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d59_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (`percentile`, the
+    sort-based exact twin of d35's approx sketch; both engines use the
+    same linear-interpolation definition, so values hash-match after
+    the 6-dp rounding discipline).
+
+    Scale note: exact percentiles buffer each group's values — correct
+    for the cardinality-bounded monitoring rollup this models (5 event
+    types). At 100 TB with huge groups the approx sketch (d35) is the
+    production path; this is its exactness reference.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            rnd(F.col("p")[0].cast("decimal(18,8)"), 6).alias("p50"),
+            rnd(F.col("p")[1].cast("decimal(18,8)"), 6).alias("p90"),
+            rnd(F.col("p")[2].cast("decimal(18,8)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "d60_grouped_moments",
+    """
+    SELECT event_type,
+           CAST(ROUND(CAST(stddev_samp(value) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS sd,
+           CAST(ROUND(CAST(var_samp(value) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS var,
+           CAST(ROUND(CAST(corr(value, CAST(user_id AS DOUBLE))
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS corr_user
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d60_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: sample stddev/variance and
+    Pearson correlation. Spark computes these with single-pass
+    merge-able moment accumulators (partial agg → final merge), so the
+    plan is one shuffle over 5 groups at any scale; the 4-dp rounding
+    absorbs the merge-order float noise that makes raw moments
+    run-order-dependent on a parallel engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            rnd(F.stddev_samp("value").cast("decimal(18,6)"), 4).alias("sd"),
+            rnd(F.var_samp("value").cast("decimal(18,6)"), 4).alias("var"),
+            rnd(
+                F.corr("value", F.col("user_id").cast("double")).cast(
+                    "decimal(18,6)"
+                ),
+                4,
+            ).alias("corr_user"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,188 @@
+"""Text retrieval scoring: BM25 search and per-document TF-IDF terms.
+
+A training-data pipeline uses these constantly — keyword search over a
+corpus for curation/debugging, and TF-IDF term extraction for topic
+profiling and near-duplicate triage. Both are pure relational plans:
+
+- one whitespace-tokenize + explode (row-local, codegen),
+- partial-aggregated (doc, term) counts — the map-side combine collapses
+  each partition's postings before the shuffle,
+- corpus statistics (N, avgdl) as a 1-row broadcast cross join, never a
+  driver-side collect,
+- document-frequency joins keyed on the term — the only shuffles.
+
+At 100 TB the plan is the standard distributed inverted-index build:
+everything is keyed by term or doc_id, no all-pairs stage anywhere, and
+the query-term filter lands BEFORE the tf aggregation so the scored
+postings are |query terms| columns wide, not |vocabulary|.
+
+Scores are rounded to 6 decimals inside a DECIMAL cast on both engines
+(the repo's cross-engine float discipline), and every ORDER BY ranks the
+*rounded* score with a doc_id tiebreak so the top-k cut is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsink_spark.operators.relational import query
+from pgsink_spark.sources.fixtures import load_table
+
+# BM25 free parameters (the universal Robertson/Sparck-Jones defaults)
+K1 = 1.2
+B = 0.75
+
+BM25_TERMS = ["hash", "join", "scan"]
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+
+
+def _round6(c: F.Column) -> F.Column:
+    return F.round(c.cast("decimal(18,8)"), 6).cast("double")
+
+
+def bm25_score(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+    """Top-k documents by BM25 against a bag of query terms.
+
+    idf uses the +1-smoothed log form (Lucene's variant):
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` — strictly positive, so a
+    term present in every document still contributes.
+    """
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (K1 + 1) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * norm).alias("score"))
+        .select("doc_id", _round6(F.col("score")).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(k)
+
+
+@query(
+    "bm25_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks WHERE tok IN ('hash', 'join', 'scan')
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+    SELECT doc_id,
+           CAST(ROUND(CAST(SUM(
+             ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * (1.2 + 1)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ) AS DECIMAL(18,8)), 6) AS DOUBLE) AS bm25
+    FROM tf
+    JOIN dfreq USING (tok)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the documents corpus (top 10)."""
+    return bm25_score(load_table(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM toks GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(ROUND(CAST(
+               tf.tf * ln((1 + n.n_docs) / (1 + dfreq.df))
+             AS DECIMAL(18,8)), 6) AS DOUBLE) AS tfidf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf FROM (
+      SELECT scored.*,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    ORDER BY doc_id, tfidf DESC, tok
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf).
+
+    The rank window is keyed by doc_id — no global window anywhere —
+    and ranks the ROUNDED score so the per-doc cut can't flip on
+    cross-engine float noise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            _round6(
+                F.col("tf")
+                * F.log((1 + F.col("n_docs")) / (1 + F.col("df")))
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .drop("rk")
+        .orderBy("doc_id", F.desc("tfidf"), "tok")
+    )

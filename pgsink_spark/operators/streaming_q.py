@@ -201,3 +201,82 @@ def stream_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts")
     )
+
+
+@query(
+    "stream_interval_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(CAST(p.ts AS TIMESTAMP))
+                - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS gap_us
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP)
+         <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join as a REAL Structured Streaming run:
+    clicks joined to the same user's purchases within the next 10
+    minutes, both sides watermarked so join state expires at
+    O(rate × horizon) (stream.py stream_stream_interval_join), run
+    availableNow into a memory sink and hash-checked against the batch
+    range-join oracle.
+
+    This is the streaming twin of d4's theta/range join: equality on
+    user_id keys the shuffle; the two-sided time bound is what lets
+    Spark drop buffered rows once the opposing watermark passes — the
+    property that keeps the operator viable on unbounded streams.
+    """
+    from pgsink_spark.streaming.stream import stream_stream_interval_join
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    run = next(_RUN)
+    src = f"/tmp/pgsink_sij_src_{h}"
+    ck = f"/tmp/pgsink_sij_ck_{h}_{os.getpid()}_{run}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    clicks = raw.where(F.col("event_type") == "click")
+    purchases = raw.where(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(
+        clicks, purchases, watermark="10 minutes", horizon="10 minutes"
+    )
+    name = f"sij_{h}_{os.getpid()}_{run}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("next_event_id").alias("purchase_id"),
+            (
+                F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+            ).alias("gap_us"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
