@@ -98,6 +98,10 @@ _ROUND3_PRIORITY = [
     "d59_grouped_percentiles",
     "d60_grouped_moments",
     "stream_interval_join",
+    "d61_distribution_windows",
+    "d62_regression_agg",
+    "semdedup_cluster_prune",
+    "bloom_decontaminate",  # rows-only: probabilistic triage by design
 ]
 
 _ROUND2_PRIORITY = [

@@ -846,3 +846,108 @@ def dedup_dupfrac_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def build_eval_bloom(
+    sh_eval: DataFrame, n_bits: int = 1 << 20, k: int = 4
+) -> "bytes":
+    """Bloom bitset over the eval set's shingles (k seeded xxhash64
+    positions per shingle). The eval side of decontamination is small
+    by construction (a benchmark suite, not the corpus), so collecting
+    its bit positions is a control-plane aggregation — the bitset
+    (n_bits/8 bytes, default 128 KiB) then broadcasts to every
+    executor, replacing the shingle join entirely."""
+    import numpy as np
+
+    positions = (
+        sh_eval.select(
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.abs(F.xxhash64("shingle", F.lit(i)))
+                            % F.lit(n_bits)
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in positions:
+        p = row["p"]
+        bits[p >> 3] |= 1 << (p & 7)
+    return bits.tobytes()
+
+
+def bloom_contaminated(
+    docs: DataFrame,
+    bloom: bytes,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+    min_hits: int = 5,
+) -> DataFrame:
+    """Corpus docs flagged by the broadcast Bloom filter: a doc is
+    flagged when ≥ ``min_hits`` of its 3-gram shingles test positive.
+
+    Zero shuffles and zero joins: the membership test is a row-local
+    Arrow-batched kernel over the broadcast bitset. Bloom filters
+    admit false POSITIVES only, so the flagged set is a superset of
+    the truly contaminated docs (pinned in test_dedup) — the correct
+    direction for decontamination triage, where flagged docs go to the
+    exact Jaccard verifier (contamination_check) and everything else
+    skips it. At 100 TB this is the only affordable first pass: the
+    corpus is touched once, map-only."""
+    import pandas as pd
+
+    sh = word_shingles(docs, 3)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            (F.abs(F.xxhash64("shingle", F.lit(i))) % F.lit(n_bits)).alias(
+                f"h{i}"
+            )
+            for i in range(k)
+        ],
+    )
+
+    def probe(batches):
+        import numpy as np
+
+        bits = np.frombuffer(bloom, dtype=np.uint8)
+        for pdf in batches:
+            hs = [pdf[f"h{i}"].to_numpy() for i in range(k)]
+            hit = np.ones(len(pdf), dtype=bool)
+            for h in hs:
+                hit &= (bits[h >> 3] >> (h & 7) & 1).astype(bool)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hit": hit})
+
+    hits = hashed.mapInPandas(probe, "doc_id long, hit boolean")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.sum(F.col("hit").cast("long")).alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query("bloom_decontaminate")  # rows-only: probabilistic (FP-only) triage
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination triage: corpus docs sharing ≥5
+    3-gram shingles with the eval set's Bloom bitset (same eval split
+    as contamination_check). Approximate BY DESIGN — false positives
+    possible, false negatives impossible below the filter's FP floor —
+    so the registry check is rows-only; the superset guarantee vs the
+    exact path is pinned in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh_eval = word_shingles(
+        docs.where(F.col("doc_id") < EVAL_SPLIT_ID), 3
+    )
+    bloom = build_eval_bloom(sh_eval)
+    return bloom_contaminated(
+        docs.where(F.col("doc_id") >= EVAL_SPLIT_ID), bloom
+    )

@@ -2531,3 +2531,79 @@ def d60_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "d61_distribution_windows",
+    """
+    WITH t AS (
+      SELECT event_type, event_id, value,
+             CAST(ROUND(CAST(cume_dist() OVER w AS DECIMAL(18,8)), 6)
+                  AS DOUBLE) AS cd,
+             CAST(ROUND(CAST(percent_rank() OVER w AS DECIMAL(18,8)), 6)
+                  AS DOUBLE) AS pr
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    )
+    SELECT event_type, event_id, value, cd, pr
+    FROM t
+    WHERE pr >= 0.99
+    ORDER BY event_type, value, event_id
+    """,
+)
+def d61_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist / percent_rank per group with a top-percentile cut —
+    the "flag the 99th-percentile outliers" monitoring query. The
+    window is keyed by event_type (parallel per group, never global),
+    ordered deterministically on (value, event_id) so both engines
+    agree on rank positions, and the rounded distribution values are
+    the comparison surface.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            rnd(F.cume_dist().over(w).cast("decimal(18,8)"), 6).alias("cd"),
+            rnd(F.percent_rank().over(w).cast("decimal(18,8)"), 6).alias("pr"),
+        )
+        .where(F.col("pr") >= 0.99)
+        .orderBy("event_type", "value", "event_id")
+    )
+
+
+@query(
+    "d62_regression_agg",
+    """
+    SELECT event_type,
+           CAST(ROUND(CAST(regr_slope(value, CAST(user_id AS DOUBLE))
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS slope,
+           CAST(ROUND(CAST(regr_intercept(value, CAST(user_id AS DOUBLE))
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS intercept,
+           CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d62_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates per group (regr_slope/intercept/
+    count) — the trend-fit rollup. Like d60's moments these are
+    single-pass merge-able accumulators (one shuffle over 5 groups at
+    any scale); 4-dp rounding absorbs merge-order float noise.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            rnd(F.regr_slope("value", u).cast("decimal(18,6)"), 4).alias("slope"),
+            rnd(
+                F.regr_intercept("value", u).cast("decimal(18,6)"), 4
+            ).alias("intercept"),
+            F.regr_count("value", u).cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -512,3 +512,75 @@ def ann_ivf_kmeans_topk(
         .select("q_id", "vec_id", "rnk")
         .orderBy("q_id", "rnk")
     )
+
+
+from pgsink_spark.operators.relational import query  # noqa: E402 — shared registry
+
+
+@query(
+    "semdedup_cluster_prune",
+    """
+    WITH p AS (
+      SELECT b.vec_id AS vec_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4
+      GROUP BY b.vec_id
+    )
+    SELECT e.vec_id, e.label, (p.vec_id IS NULL) AS keep
+    FROM embeddings e LEFT JOIN p USING (vec_id)
+    ORDER BY e.vec_id
+    """,
+)
+def semdedup_cluster_prune(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: prune, WITHIN each semantic
+    cluster, every vector that has an earlier (smaller vec_id)
+    same-cluster neighbor with cosine ≥ t.
+
+    The fixture's ``label`` column is the cluster id (the kmeans
+    assignment SemDeDup would compute — the in-repo kmeans path is
+    ann_ivf_kmeans_topk's Lloyd iterations). Restricting comparisons to
+    cluster-mates is the SemDeDup bargain: cross-cluster duplicates are
+    out of scope by design, which turns the quadratic corpus problem
+    into per-cluster tiles.
+
+    Plan: one shuffle keyed on the cluster id, then one NumPy GEMM per
+    cluster inside applyInPandas (Arrow batches; the FAISS-style inner
+    loop). At 100 TB cost is Σ |cluster|² over balanced kmeans cells —
+    the published SemDeDup scaling — and the keep decision never leaves
+    the cluster tile, so there is no second shuffle.
+    """
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        order = pdf.sort_values("vec_id")
+        E = np.stack(order["e"].to_numpy())
+        U = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = U @ U.T
+        n = len(order)
+        removed = np.zeros(n, dtype=bool)
+        iu, ju = np.triu_indices(n, k=1)
+        removed[np.unique(ju[S[iu, ju] >= threshold])] = True
+        return pd.DataFrame(
+            {
+                "vec_id": order["vec_id"].to_numpy(),
+                "label": order["label"].to_numpy(),
+                "keep": ~removed,
+            }
+        )
+
+    return (
+        e.groupBy("label")
+        .applyInPandas(prune, "vec_id long, label int, keep boolean")
+        .orderBy("vec_id")
+    )

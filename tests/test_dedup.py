@@ -104,3 +104,31 @@ def test_registered_cap_is_transparent_on_fixtures(spark, sf_dir):
         assert capped == base
     finally:
         sets.unpersist()
+
+
+def test_bloom_decontaminate_is_superset_of_exact(spark, sf_dir):
+    """Bloom triage admits false positives only: every corpus doc the
+    exact Jaccard scan flags must be in the Bloom-flagged set."""
+    from pgsink_spark.operators.dedup import (
+        bloom_decontaminate,
+        contamination_check,
+    )
+
+    flagged = {
+        r["doc_id"] for r in bloom_decontaminate(spark, sf_dir).collect()
+    }
+    exact = {
+        r["corpus_id"] for r in contamination_check(spark, sf_dir).collect()
+    }
+    assert exact <= flagged
+    # and it actually triages: a meaningful share of the corpus skips
+    # the exact verifier
+    from pgsink_spark.operators.dedup import EVAL_SPLIT_ID
+    from pgsink_spark.sources.fixtures import load_table
+
+    n_corpus = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") >= EVAL_SPLIT_ID)
+        .count()
+    )
+    assert len(flagged) < n_corpus

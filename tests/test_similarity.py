@@ -121,3 +121,33 @@ def test_ivf_kmeans_pruned_probe_runs(spark, sf_dir):
         per_q.setdefault(r.q_id, []).append(r.rnk)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_semdedup_consistent_with_exact_pairs(spark, sf_dir):
+    """semdedup prunes exactly the vectors that have an earlier
+    same-cluster neighbor in the EXACT cosine pair list — the blocked
+    dedup is its ground truth restricted to cluster-mates."""
+    from pgsink_spark.operators.similarity import (
+        dedup_embedding_pairs,
+        semdedup_cluster_prune,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    same_cluster_pairs = [
+        (r["d1"], r["d2"])
+        for r in dedup_embedding_pairs(spark, sf_dir).collect()
+        if labels[r["d1"]] == labels[r["d2"]]
+    ]
+    expect_removed = {d2 for _, d2 in same_cluster_pairs}
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup_cluster_prune(spark, sf_dir).collect()
+    }
+    removed = {v for v, keep in got.items() if not keep}
+    assert removed == expect_removed
