@@ -93,6 +93,16 @@ HEADLINE = [
     "d56_time_range_frame",
     "d57_table_diff",
     "d58_histogram",
+    # round-3 additions (retrieval + scale-path dedup/triage + stats)
+    "bm25_search",
+    "tfidf_top_terms",
+    "dedup_dupfrac_ngram",
+    "semdedup_cluster_prune",
+    "bloom_decontaminate",
+    "d59_grouped_percentiles",
+    "d60_grouped_moments",
+    "d61_distribution_windows",
+    "d62_regression_agg",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -89,3 +89,22 @@ REGISTRY_SCHEMA = T.StructType(
         T.StructField("spec_json", T.StringType(), False),
     ]
 )
+
+
+def entry_from_relation(rel) -> SchemaEntry:
+    """A7 schema-from-relation: the typed SchemaEntry a pgoutput
+    Relation message announces (column names + type OIDs + key flags —
+    reference pkg/logical/decoder.go Relation / pkg/changelog schema
+    marshaling). ``rel`` is duck-typed (namespace, name, columns with
+    .name/.type_oid/.key) so the changelog layer never imports the wire
+    decoder."""
+    from pgsink_spark.changelog.types import spark_type_for
+
+    payload = T.StructType(
+        [
+            T.StructField(c.name, spark_type_for(c.type_oid), True)
+            for c in rel.columns
+        ]
+    )
+    keys = [c.name for c in rel.columns if c.key]
+    return SchemaEntry(rel.namespace, rel.name, payload, keys)

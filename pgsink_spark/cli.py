@@ -136,25 +136,65 @@ def cmd_serve(args) -> int:
 
 
 def cmd_stream(args) -> int:
-    """Capture → pgoutput streaming source → NDJSON sink, availableNow."""
+    """Capture → pgoutput streaming source → sink, availableNow.
+
+    ``--sink ndjson`` (default) appends generic envelopes as NDJSON;
+    ``--sink warehouse`` runs the full typed warehouse path: relation
+    messages in the capture announce each table's schema (A7
+    entry_from_relation), the generic map envelope is cast to the typed
+    payload (cast_envelope), and raw appends are exactly-once via the
+    epoch ledger (epoch = Spark batch id)."""
     from pgsink_spark.session import get_spark
     from pgsink_spark.streaming.datasource import register
 
     spark = get_spark("pgsink-stream")
     register(spark)
-    out = os.path.join(args.root, "sink", "modifications")
 
-    def sink(df, _bid):
-        from pyspark.sql import functions as F
+    if getattr(args, "sink", "ndjson") == "warehouse":
+        from pgsink_spark.changelog.envelope import cast_envelope
+        from pgsink_spark.changelog.registry import entry_from_relation
+        from pgsink_spark.sinks.warehouse import WarehouseSink
+        from pgsink_spark.streaming.datasource import read_capture
+        from pgsink_spark.streaming.decoder import Relation, decode_message
 
-        from pgsink_spark.changelog.envelope import operation
+        out = os.path.join(args.root, "sink", "warehouse")
+        wh = WarehouseSink(spark, out)
+        # schema discovery: relation messages are the capture's DDL
+        entries = {}
+        for buf in read_capture(args.capture):
+            msg = decode_message(buf)
+            if isinstance(msg, Relation):
+                e = entry_from_relation(msg)
+                wh.handle_schema(e)
+                entries[(e.namespace, e.name)] = e
 
-        (
-            df.withColumn("operation", operation())
-            .write.mode("append")
-            .partitionBy("namespace", "name")
-            .json(out)
-        )
+        def sink(df, batch_id):
+            from pyspark.sql import functions as F
+
+            # per-table loop is control-plane-sized (table count, not
+            # row count); each table's slice writes as one typed batch
+            for (ns, name), e in entries.items():
+                part = df.where(
+                    (F.col("namespace") == ns) & (F.col("name") == name)
+                )
+                wh.insert(
+                    cast_envelope(part, e.payload), ns, name, epoch=batch_id
+                )
+
+    else:
+        out = os.path.join(args.root, "sink", "modifications")
+
+        def sink(df, _bid):
+            from pyspark.sql import functions as F
+
+            from pgsink_spark.changelog.envelope import operation
+
+            (
+                df.withColumn("operation", operation())
+                .write.mode("append")
+                .partitionBy("namespace", "name")
+                .json(out)
+            )
 
     q = (
         spark.readStream.format("pgoutput")
@@ -244,6 +284,13 @@ def build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("stream", help="stream a pgoutput capture")
     st.add_argument("action", choices=["run"])
     st.add_argument("--capture", required=True)
+    st.add_argument(
+        "--sink",
+        choices=["ndjson", "warehouse"],
+        default="ndjson",
+        help="ndjson: generic envelopes; warehouse: typed raw tables "
+        "+ compaction views, exactly-once epoch appends",
+    )
     st.set_defaults(fn=cmd_stream)
 
     c = sub.add_parser(

@@ -173,23 +173,60 @@ def _pair_jaccard(
     """
     sh = sets.select("doc_id", F.explode("shingles").alias("s"))
     if max_shingle_freq is not None:
-        # Four branches read the exploded postings (hot count, both
-        # self-join sides, hot-doc collect); materialize the explode
-        # once instead of re-running it per branch.
-        sh = sh.localCheckpoint(eager=True)
-        # Hot-set learning is a map-side-combinable count aggregate
-        # (partial agg collapses the postings to one row per distinct
-        # shingle before the shuffle), and the hot list broadcasts, so
-        # the cap adds no full-postings shuffle: the cold self-join
-        # below is the SAME plan as the uncapped path, minus the keys
-        # whose freq² fan-out the cap exists to prevent.
-        hot = (
-            sh.groupBy("s")
-            .count()
-            .where(F.col("count") > max_shingle_freq)
-            .select("s")
-        )
-        cold = sh.join(F.broadcast(hot), "s", "left_anti")
+        # ADAPTIVE hot-set learning. The hot-shingle count aggregate is
+        # map-side-combinable (partial agg collapses the postings to one
+        # row per distinct shingle before the shuffle), and the hot SET
+        # is small by construction — ≤ postings/cap keys CAN exceed the
+        # cap, and in a healthy corpus almost none do. So learn it
+        # first, bounded, and pick the cheapest plan:
+        #   empty hot set   → the capped plan IS the uncapped plan; run
+        #                     it verbatim (zero cap overhead — the
+        #                     common case, incl. these fixtures).
+        #   small hot set   → inline it as literals: a row-local isin
+        #                     filter + array_intersect correction, no
+        #                     anti/semi joins, no postings checkpoint.
+        #   huge hot set    → (pathological boilerplate corpus) fall
+        #                     back to the broadcast-join plan.
+        _HOT_INLINE_LIMIT = 4096
+        hot_ids = [
+            r["s"]
+            for r in (
+                sh.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") > max_shingle_freq)
+                .select("s")
+                .limit(_HOT_INLINE_LIMIT + 1)
+                .collect()
+            )
+        ]
+        if not hot_ids:
+            max_shingle_freq = None
+    if max_shingle_freq is not None:
+        if len(hot_ids) <= _HOT_INLINE_LIMIT:
+            hot_arr = F.array(*[F.lit(int(x)) for x in hot_ids])
+            cold = sh.where(~F.col("s").isin(hot_ids))
+            doc_hot = sets.select(
+                "doc_id",
+                F.array_intersect("shingles", hot_arr).alias("hs"),
+            ).where(F.size("hs") > 0)
+        else:
+            # both self-join sides + the semi-join branch re-read the
+            # exploded postings; materialize the explode once
+            sh = sh.localCheckpoint(eager=True)
+            hot = (
+                sh.groupBy("s")
+                .count()
+                .where(F.col("count") > max_shingle_freq)
+                .select("s")
+            )
+            cold = sh.join(F.broadcast(hot), "s", "left_anti")
+            # per-doc HOT shingles: a few entries per doc by
+            # construction (only above-cap shingles land here)
+            doc_hot = (
+                sh.join(F.broadcast(hot), "s", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.collect_set("s").alias("hs"))
+            )
         a = cold.select(F.col("doc_id").alias("d1"), "s")
         b = cold.select(F.col("doc_id").alias("d2"), "s")
         cold_inter = (
@@ -197,14 +234,6 @@ def _pair_jaccard(
             .where(F.col("d1") < F.col("d2"))
             .groupBy("d1", "d2")
             .agg(F.count(F.lit(1)).alias("inter_cold"))
-        )
-        # per-doc HOT shingles: a few entries per doc by construction
-        # (only shingles above the cap land here), so the collect_set
-        # runs over the tiny semi-join survivors
-        doc_hot = (
-            sh.join(F.broadcast(hot), "s", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.collect_set("s").alias("hs"))
         )
         h1 = doc_hot.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
         h2 = doc_hot.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))

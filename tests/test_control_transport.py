@@ -232,3 +232,72 @@ def test_cli_compact_roundtrip(spark, tmp_path, capsys):
         (r["payload"]["id"], r["payload"]["v"], r["operation"])
         for r in live.collect()
     ] == [(1, "b", "UPDATE")]
+
+
+def test_cli_stream_run_warehouse_sink(tmp_path, spark, capsys):
+    """CLI stream --sink warehouse: relation messages announce the
+    schema, envelopes land typed in the raw table (exactly-once
+    epochs), and the installed compaction view serves the logical
+    state. Re-running the same command redelivers nothing (checkpoint)
+    and re-appends nothing (epoch ledger)."""
+    import datetime
+    from datetime import timezone
+
+    from pgsink_spark.streaming.datasource import append_capture
+    from pgsink_spark.streaming.decoder import (
+        Relation,
+        RelationColumn,
+        encode_begin,
+        encode_commit,
+        encode_delete,
+        encode_insert,
+        encode_relation,
+        encode_update,
+    )
+
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    rel = Relation(
+        16384, "public", "example", 0,
+        (RelationColumn(True, "id", 20, 0xFFFFFFFF),
+         RelationColumn(False, "v", 25, 0xFFFFFFFF)),
+    )
+    cap = str(tmp_path / "wal.capture")
+    append_capture(cap, [
+        encode_begin(100, ts, 7), encode_relation(rel),
+        encode_insert(rel.oid, (b"1", b"a")),
+        encode_insert(rel.oid, (b"2", b"b")),
+        encode_commit(0, 100, 101, ts),
+        encode_begin(200, ts, 8), encode_relation(rel),
+        encode_update(rel.oid, (b"1", b"a2"), old=(b"1", b"a")),
+        encode_delete(rel.oid, old=(b"2", b"b")),
+        encode_commit(0, 200, 201, ts),
+    ])
+    root = str(tmp_path / "state")
+    argv = ["--root", root, "stream", "run", "--capture", cap,
+            "--sink", "warehouse"]
+    assert main(argv) == 0
+
+    raw_path = os.path.join(root, "sink", "warehouse", "public_example_raw")
+    raw = spark.read.parquet(raw_path)
+    assert raw.count() == 4
+    # typed payload (bigint id, not string) — the cast stage ran
+    assert dict(raw.select("payload.id").dtypes)["id"] == "bigint"
+
+    from pgsink_spark.sinks.warehouse import WarehouseSink
+    from pgsink_spark.changelog.registry import SchemaEntry
+    from pyspark.sql import types as T
+
+    wh = WarehouseSink(spark, os.path.join(root, "sink", "warehouse"))
+    wh.handle_schema(SchemaEntry(
+        "public", "example",
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("v", T.StringType())]),
+        ["id"],
+    ))
+    view = wh.install_view("public", "example")
+    got = {(r["id"], r["v"]) for r in spark.table(view).collect()}
+    assert got == {(1, "a2")}
+
+    # idempotent re-run: checkpoint + epoch ledger → still 4 raw rows
+    assert main(argv) == 0
+    assert spark.read.parquet(raw_path).count() == 4
