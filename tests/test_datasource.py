@@ -51,6 +51,21 @@ def _txn(lsn, xid, *rows):
     ]
 
 
+def _read_rows(reader, part):
+    """Flatten the reader's Arrow batches back to row tuples (the
+    pre-Arrow test shape: maps as dicts, columns positional)."""
+    out = []
+    for batch in reader.read(part):
+        for r in batch.to_pylist():
+            out.append((
+                r["timestamp"], r["namespace"], r["name"], r["lsn"],
+                r["sequence"],
+                None if r["before"] is None else dict(r["before"]),
+                None if r["after"] is None else dict(r["after"]),
+            ))
+    return out
+
+
 def test_capture_roundtrip(tmp_path):
     path = str(tmp_path / "wal.capture")
     msgs = _txn(100, 7, (1, "a"), (2, "b"))
@@ -67,12 +82,12 @@ def test_reader_offsets_and_range_reads(tmp_path):
     assert reader.latestOffset() == {"lsn": 200}
 
     (part,) = reader.partitions({"lsn": 0}, {"lsn": 200})
-    rows = list(reader.read(part))
+    rows = _read_rows(reader, part)
     assert [(r[3], r[6]["id"]) for r in rows] == [(100, "1"), (200, "2")]
 
     # half-open range: a second batch starting at 100 excludes txn 100
     (part2,) = reader.partitions({"lsn": 100}, {"lsn": 200})
-    rows2 = list(reader.read(part2))
+    rows2 = _read_rows(reader, part2)
     assert [(r[3], r[6]["id"]) for r in rows2] == [(200, "2")]
 
 
@@ -157,3 +172,76 @@ def test_streaming_source_e2e_with_restart(spark, tmp_path):
     finally:
         q2.stop()
         q2.awaitTermination()
+
+
+def test_capture_index_tail_scan_and_seek(tmp_path):
+    """The commit-boundary index scans only appended bytes per refresh
+    and a range read decodes only bytes past the seek point (plus the
+    relation frames it replays) — O(new data), not O(file)."""
+    from pgsink_spark.streaming.datasource import CaptureIndex
+
+    path = str(tmp_path / "wal.capture")
+    append_capture(path, _txn(100, 7, (1, "a")) + _txn(200, 8, (2, "b")))
+    idx = CaptureIndex(path)
+    assert idx.refresh() == 200
+    scanned_once = idx.scanned
+    assert idx.refresh() == 200          # no new bytes → no rescan
+    assert idx.scanned == scanned_once
+
+    append_capture(path, _txn(300, 9, (3, "c")))
+    assert idx.refresh() == 300
+    assert idx.scanned > scanned_once
+
+    # seek for a read starting after lsn 200 lands past txn 200's
+    # commit and carries the two relation frames seen before it
+    seek, rels = idx.seek_point(200)
+    assert seek > 0
+    assert len(rels) == 2
+
+    reader = PgoutputStreamReader({"path": path})
+    parts = reader.partitions({"lsn": 200}, {"lsn": 300})
+    assert parts[0].seek_offset == seek
+    rows = _read_rows(reader, parts[0])
+    assert [(r[3], r[6]["id"]) for r in rows] == [(300, "3")]
+
+    # a full-range read through the seek machinery equals a cold scan
+    cold = PgoutputStreamReader({"path": path})
+    all_rows = _read_rows(cold, cold.partitions({"lsn": 0}, {"lsn": 300})[0])
+    assert [(r[3], r[6]["id"]) for r in all_rows] == [
+        (100, "1"), (200, "2"), (300, "3"),
+    ]
+
+
+def test_capture_index_seek_survives_schema_change(tmp_path):
+    """A relation re-sent with a new column BEFORE the seek point is
+    the one the replay registers (last relation wins)."""
+    from pgsink_spark.streaming.datasource import CaptureIndex
+    from pgsink_spark.streaming.decoder import encode_update
+
+    rel_v2 = Relation(
+        16384, "public", "example", 0,
+        (RelationColumn(True, "id", 20, 0xFFFFFFFF),
+         RelationColumn(False, "v", 25, 0xFFFFFFFF),
+         RelationColumn(False, "extra", 20, 0xFFFFFFFF)),
+    )
+    path = str(tmp_path / "wal.capture")
+    append_capture(path, _txn(100, 7, (1, "a")))
+    append_capture(path, [
+        encode_begin(200, TS, 8), encode_relation(rel_v2),
+        encode_insert(rel_v2.oid, (b"2", b"b", b"9")),
+        encode_commit(0, 200, 201, TS),
+    ])
+    append_capture(path, [
+        encode_begin(300, TS, 9),
+        encode_insert(rel_v2.oid, (b"3", b"c", b"10")),
+        encode_commit(0, 300, 301, TS),
+    ])
+    idx = CaptureIndex(path)
+    idx.refresh()
+    seek, rels = idx.seek_point(200)
+    assert len(rels) == 2  # v1 + v2 frames, replayed in order
+
+    reader = PgoutputStreamReader({"path": path})
+    rows = _read_rows(reader, reader.partitions({"lsn": 200}, {"lsn": 300})[0])
+    # the v2 relation (3 columns) marshals the post-seek insert
+    assert rows[0][6] == {"id": "3", "v": "c", "extra": "10"}

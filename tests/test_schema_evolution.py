@@ -139,3 +139,59 @@ def test_schema_evolution_through_compactor(spark, tmp_path):
 
     got = {r["id"]: (r["v"], r["w"]) for r in tbl.read().collect()}
     assert got == {1: ("a2", 7), 2: ("b", 42)}
+
+
+def test_schema_evolution_through_cli_warehouse_stream(tmp_path, spark):
+    """ALTER TABLE ADD COLUMN mid-capture, through the WHOLE streaming
+    front door (CLI stream --sink warehouse): the re-sent Relation
+    message widens the discovered schema, pre-ALTER rows serve NULL for
+    the new column via the merged read, and the compaction view serves
+    the union shape."""
+    import os
+
+    from pgsink_spark.cli import main
+    from pgsink_spark.streaming.datasource import append_capture
+
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    rel_v1 = Relation(
+        16384, "public", "example", 0,
+        (RelationColumn(True, "id", 20, 0xFFFFFFFF),
+         RelationColumn(False, "v", 25, 0xFFFFFFFF)),
+    )
+    rel_v2 = Relation(
+        16384, "public", "example", 0,
+        (RelationColumn(True, "id", 20, 0xFFFFFFFF),
+         RelationColumn(False, "v", 25, 0xFFFFFFFF),
+         RelationColumn(False, "extra", 20, 0xFFFFFFFF)),
+    )
+    cap = str(tmp_path / "wal.capture")
+    append_capture(cap, [
+        encode_begin(100, ts, 7), encode_relation(rel_v1),
+        encode_insert(rel_v1.oid, (b"1", b"a")),
+        encode_commit(0, 100, 101, ts),
+        # ALTER lands: the relation is re-sent with the new column
+        encode_begin(200, ts, 8), encode_relation(rel_v2),
+        encode_insert(rel_v2.oid, (b"2", b"b", b"42")),
+        encode_commit(0, 200, 201, ts),
+    ])
+    root = str(tmp_path / "state")
+    assert main(["--root", root, "stream", "run", "--capture", cap,
+                 "--sink", "warehouse"]) == 0
+
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "sink", "warehouse", "public_example_raw")
+    )
+    rows = {r["payload"]["id"]: r["payload"] for r in raw.collect()}
+    assert rows[2]["extra"] == 42          # typed through the v2 cast
+    assert rows[1]["extra"] is None        # pre-ALTER row: NULL-filled
+
+    wh = WarehouseSink(spark, os.path.join(root, "sink", "warehouse"))
+    payload_v2 = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("extra", T.LongType()),
+    ])
+    wh.handle_schema(SchemaEntry("public", "example", payload_v2, ["id"]))
+    view = wh.install_view("public", "example")
+    got = {(r["id"], r["v"], r["extra"]) for r in spark.table(view).collect()}
+    assert got == {(1, "a", None), (2, "b", 42)}
