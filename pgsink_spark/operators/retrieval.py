@@ -52,36 +52,72 @@ def bm25_score(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
     idf uses the +1-smoothed log form (Lucene's variant):
     ``ln(1 + (N - df + 0.5) / (df + 0.5))`` — strictly positive, so a
     term present in every document still contributes.
+
+    Plan: with a small KNOWN query-term list there is no reason to
+    build an inverted index — per-document term frequencies and length
+    are row-local array expressions (``size(filter(tokens, …))``), so
+    the whole query is ONE scan + one single-row stats aggregate
+    (N, avgdl, per-term df — broadcast back) + a TakeOrdered top-k.
+    No (doc, term) shuffle, no doc-keyed join anywhere; at 100 TB the
+    cost is the scan. (The inverted-index build lives on in
+    tfidf_top_terms, where every term in the vocabulary is scored.)
     """
-    toks = _tokens(docs)
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
+    # let-idiom: bind the token array as a lambda variable so projection
+    # collapse cannot inline the split() into every per-term filter
+    # (3 query terms would otherwise re-tokenize the text 4× per row)
+    for t in terms:
+        if "'" in t or "\\" in t:
+            raise ValueError(f"query term needs escaping: {t!r}")
+    fields = ", ".join(
+        f"size(filter(w, x -> x = '{t}')) as tf_{i}"
+        for i, t in enumerate(terms)
     )
-    stats = dl.agg(
+    per_doc = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(array(split(lower(text), ' ')),"
+            f" w -> struct(size(w) as dl, {fields}))[0]"
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.dl").cast("double").alias("dl"),
+        *[
+            F.col(f"s.tf_{i}").cast("double").alias(f"tf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    tf = (
-        toks.where(F.col("tok").isin(terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    dfreq = tf.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    norm = F.col("tf") * (K1 + 1) / (
-        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
-    )
+
+    def term_score(i: int) -> F.Column:
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5)
+        )
+        norm = tf * (K1 + 1) / (
+            tf + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(tf > 0, idf * norm).otherwise(F.lit(0.0))
+
     scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(idf * norm).alias("score"))
-        .select("doc_id", _round6(F.col("score")).alias("bm25"))
+        per_doc.crossJoin(F.broadcast(stats))
+        # absent-terms-only docs are not hits (oracle: inner join on tf)
+        .where(
+            sum((F.col(f"tf_{i}") > 0).cast("int") for i in range(len(terms)))
+            > 0
+        )
+        .select(
+            "doc_id",
+            _round6(
+                sum(term_score(i) for i in range(len(terms)))
+            ).alias("bm25"),
+        )
     )
     return scored.orderBy(F.desc("bm25"), "doc_id").limit(k)
 
