@@ -917,10 +917,18 @@ def bloom_contaminated(
     bloom: bytes,
     n_bits: int = 1 << 20,
     k: int = 4,
-    min_hits: int = 5,
+    threshold: float = CONTAMINATION_THRESHOLD,
 ) -> DataFrame:
-    """Corpus docs flagged by the broadcast Bloom filter: a doc is
-    flagged when ≥ ``min_hits`` of its 3-gram shingles test positive.
+    """Corpus docs flagged by the broadcast Bloom filter.
+
+    The cut is RELATIVE with provable recall: Jaccard(e, c) ≥ t forces
+    |e ∩ c| ≥ t·|c| / (1 + t), so a corpus doc can reach the exact
+    threshold only if at least a t/(1+t) fraction of its own shingles
+    lies in the eval union — and the Bloom filter never misses a true
+    member. Any doc below the cut is therefore PROVABLY below the
+    exact Jaccard threshold against every eval doc; the triage loses
+    nothing (false positives only, from Bloom collisions and from the
+    union-vs-single-doc relaxation).
 
     Zero shuffles and zero joins: the membership test is a row-local
     Arrow-batched kernel over the broadcast bitset. Bloom filters
@@ -954,11 +962,15 @@ def bloom_contaminated(
                 hit &= (bits[h >> 3] >> (h & 7) & 1).astype(bool)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "hit": hit})
 
+    min_frac = threshold / (1.0 + threshold)
     hits = hashed.mapInPandas(probe, "doc_id long, hit boolean")
     return (
         hits.groupBy("doc_id")
-        .agg(F.sum(F.col("hit").cast("long")).alias("n_hits"))
-        .where(F.col("n_hits") >= min_hits)
+        .agg(
+            F.sum(F.col("hit").cast("long")).alias("n_hits"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n_hits") >= F.col("n") * F.lit(min_frac))
         .select("doc_id")
         .orderBy("doc_id")
     )
@@ -966,12 +978,13 @@ def bloom_contaminated(
 
 @query("bloom_decontaminate")  # rows-only: probabilistic (FP-only) triage
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter decontamination triage: corpus docs sharing ≥5
-    3-gram shingles with the eval set's Bloom bitset (same eval split
-    as contamination_check). Approximate BY DESIGN — false positives
-    possible, false negatives impossible below the filter's FP floor —
-    so the registry check is rows-only; the superset guarantee vs the
-    exact path is pinned in tests/test_dedup.py."""
+    """Bloom-filter decontamination triage: corpus docs whose shingle
+    hit-fraction against the eval Bloom bitset reaches t/(1+t) (the
+    bound Jaccard ≥ t implies; same eval split and threshold as
+    contamination_check). Approximate BY DESIGN — false positives
+    possible, false negatives impossible — so the registry check is
+    rows-only; the superset guarantee vs the exact path is pinned in
+    tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     sh_eval = word_shingles(
         docs.where(F.col("doc_id") < EVAL_SPLIT_ID), 3
