@@ -337,3 +337,45 @@ def test_runtime_bloom_filter_on_selective_fact_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bm25_single_scan_single_shuffle(spark):
+    """BM25 must stay the one-scan plan: row-local tf/dl, 1-row stats
+    broadcast, top-k — the only exchange is the final ordering."""
+    from pgsink_spark.operators.retrieval import bm25_search
+    df = bm25_search(spark, SF)
+    assert exchange_count(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_one_shuffle_on_cluster_id(spark):
+    """SemDeDup is one cluster-keyed exchange + per-cluster GEMM tiles
+    (+ the deterministic output sort) — never an all-pairs join."""
+    from pgsink_spark.operators.similarity import semdedup_cluster_prune
+    df = semdedup_cluster_prune(spark, SF)
+    assert exchange_count(df) <= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_bloom_triage_is_join_free(spark):
+    """The Bloom decontamination pass must stay map-only: membership
+    probes against the broadcast bitset, no join operator anywhere."""
+    from pgsink_spark.operators.dedup import bloom_decontaminate
+    df = bloom_decontaminate(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+
+
+def test_dupfrac_is_gram_keyed_only(spark):
+    """Duplicated-ngram fraction: shuffles keyed on the gram (+ final
+    per-doc fold + output sort); no cartesian stage."""
+    from pgsink_spark.operators.dedup import dedup_dupfrac_ngram
+    df = dedup_dupfrac_ngram(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
