@@ -213,6 +213,44 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    """One tick of the reference binary's main loop (cmd/pgsink/cmd/
+    app.go:97-478 wires subscription manager + import manager/workers +
+    sink into one process): reconcile the publication against the
+    catalog, enqueue + drain import jobs for newly published tables,
+    then drain the CDC capture into the warehouse sink. availableNow
+    semantics — each invocation converges to current state and exits,
+    so cron/systemd owns the cadence (the Spark-operational analogue of
+    the reference's long-running loops)."""
+    from pgsink_spark.control.publication import reconcile
+    from pgsink_spark.session import get_spark
+
+    spark = get_spark("pgsink-run")
+    api = make_api(args.root)
+    catalog = spark.createDataFrame(
+        fixture_catalog(args.source), "namespace string, name string"
+    )
+    include = args.include.split(",") if args.include else None
+    exclude = args.exclude.split(",") if args.exclude else None
+    added, removed = reconcile(
+        spark, catalog, api.publication, ["public"], include, exclude
+    )
+    for ns, name in added:
+        api.jobs.enqueue(api.subscription_id, ns, name)
+    for ns, name in removed:
+        api.jobs.expire(ns, name)
+    save_publication(args.root, api.publication)
+    print(f"reconciled added={len(added)} removed={len(removed)}")
+
+    done = run_imports(args.root, args.source, spark)
+    print(f"completed_jobs={done}")
+
+    if args.capture and os.path.exists(args.capture):
+        args.sink = "warehouse"
+        cmd_stream(args)
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Maintain a materialized most-recent-row table from raw envelope
     parquet: merge new batches incrementally, optionally GC tombstones.
@@ -292,6 +330,18 @@ def build_parser() -> argparse.ArgumentParser:
         "+ compaction views, exactly-once epoch appends",
     )
     st.set_defaults(fn=cmd_stream)
+
+    r = sub.add_parser(
+        "run", help="one reconcile → import → stream tick (app.go loop)"
+    )
+    r.add_argument("--source", default="/root/testdata/sf0.001")
+    r.add_argument("--capture", default=None,
+                   help="pgoutput capture to drain into the warehouse sink")
+    r.add_argument("--include", default=None,
+                   help="comma-separated namespace.name allow-list")
+    r.add_argument("--exclude", default=None,
+                   help="comma-separated namespace.name deny-list")
+    r.set_defaults(fn=cmd_run)
 
     c = sub.add_parser(
         "compact", help="incrementally compact raw envelopes to latest-per-key"

@@ -301,3 +301,61 @@ def test_cli_stream_run_warehouse_sink(tmp_path, spark, capsys):
     # idempotent re-run: checkpoint + epoch ledger → still 4 raw rows
     assert main(argv) == 0
     assert spark.read.parquet(raw_path).count() == 4
+
+
+def test_cli_run_one_tick(tmp_path, spark, capsys):
+    """`run` = the reference binary's whole lifecycle in one tick:
+    reconcile publishes the watched tables, imports backfill them into
+    the sink, and the CDC capture drains into the warehouse — then a
+    second tick is a no-op (reconcile converged, jobs drained, stream
+    checkpointed)."""
+    import datetime
+    from datetime import timezone
+
+    from pgsink_spark.streaming.datasource import append_capture
+    from pgsink_spark.streaming.decoder import (
+        Relation,
+        RelationColumn,
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+    )
+
+    ts = datetime.datetime(2024, 3, 1, tzinfo=timezone.utc)
+    rel = Relation(
+        16384, "public", "kv", 0,
+        (RelationColumn(True, "id", 20, 0xFFFFFFFF),
+         RelationColumn(False, "v", 25, 0xFFFFFFFF)),
+    )
+    cap = str(tmp_path / "wal.capture")
+    append_capture(cap, [
+        encode_begin(100, ts, 7), encode_relation(rel),
+        encode_insert(rel.oid, (b"1", b"a")),
+        encode_commit(0, 100, 101, ts),
+    ])
+    root = str(tmp_path / "state")
+    argv = ["--root", root, "run", "--capture", cap,
+            "--include", "public.nation,public.region"]
+    assert main(argv) == 0
+    out = capsys.readouterr().out
+    assert "reconciled added=2 removed=0" in out
+    assert "completed_jobs=2" in out
+
+    # imports landed in the NDJSON sink
+    back = spark.read.json(os.path.join(root, "sink", "modifications"))
+    assert back.where("name = 'nation'").count() == 25
+    # the CDC capture landed in the warehouse raw table
+    raw = spark.read.parquet(
+        os.path.join(root, "sink", "warehouse", "public_kv_raw")
+    )
+    assert raw.count() == 1
+
+    # second tick: converged — nothing re-added, re-imported, re-sunk
+    assert main(argv) == 0
+    out2 = capsys.readouterr().out
+    assert "reconciled added=0 removed=0" in out2
+    assert "completed_jobs=0" in out2
+    assert spark.read.parquet(
+        os.path.join(root, "sink", "warehouse", "public_kv_raw")
+    ).count() == 1
