@@ -94,14 +94,54 @@ UNSUPPORTED: frozenset[str] = frozenset(
 _BY_OID: dict[int, str] = {oid: name for name, (oid, _) in _SCALARS.items()}
 _BY_OID.update({oid: name for name, (oid, _) in _ARRAYS.items()})
 
+# Extended tier: types the reference REJECTS (mappings.go Unsupported —
+# "can't parse them into a sensibly common Golang type") but Spark can
+# carry losslessly in their Postgres text form. Opt-in via
+# ``extended=True`` so the default contract stays reject-on-sight
+# parity; a pipeline that needs uuid/interval/inet columns flips the
+# flag instead of forking the registry.
+_EXTENDED_SCALARS: dict[str, tuple[int, T.DataType]] = {
+    "uuid": (2950, T.StringType()),
+    "interval": (1186, T.StringType()),
+    "inet": (869, T.StringType()),
+    "macaddr": (829, T.StringType()),
+    "bpchar": (1042, T.StringType()),
+    "bit": (1560, T.StringType()),
+    "varbit": (1562, T.StringType()),
+    "int4range": (3904, T.StringType()),
+    "int8range": (3926, T.StringType()),
+    "numrange": (3906, T.StringType()),
+    "tsrange": (3908, T.StringType()),
+    "tstzrange": (3910, T.StringType()),
+    "daterange": (3912, T.StringType()),
+}
+_EXTENDED_ARRAYS: dict[str, tuple[int, str]] = {
+    "_uuid": (2951, "uuid"),
+    "_bpchar": (1014, "bpchar"),
+    "_jsonb": (3807, "jsonb"),
+    "_bytea": (1001, "bytea"),
+}
+_EXT_BY_OID: dict[int, str] = {
+    oid: name for name, (oid, _) in _EXTENDED_SCALARS.items()
+}
+_EXT_BY_OID.update({oid: name for name, (oid, _) in _EXTENDED_ARRAYS.items()})
 
-def spark_type_for(pg_type: str | int, numeric_as_double: bool = False) -> T.DataType:
+
+def spark_type_for(
+    pg_type: str | int,
+    numeric_as_double: bool = False,
+    extended: bool = False,
+) -> T.DataType:
     """Spark DataType for a Postgres type name or OID.
 
     Raises ``UnregisteredType`` for anything outside the registry — the
-    same contract as the reference's decoder.
+    same contract as the reference's decoder. ``extended=True``
+    additionally accepts the reference's Unsupported list as lossless
+    text/binary columns (see _EXTENDED_SCALARS).
     """
     name = _BY_OID.get(pg_type) if isinstance(pg_type, int) else pg_type
+    if name is None and extended and isinstance(pg_type, int):
+        name = _EXT_BY_OID.get(pg_type)
     if name is None:
         raise UnregisteredType(pg_type)
     if name in _SCALARS:
@@ -112,6 +152,14 @@ def spark_type_for(pg_type: str | int, numeric_as_double: bool = False) -> T.Dat
     if name in _ARRAYS:
         elem = spark_type_for(_ARRAYS[name][1], numeric_as_double)
         return T.ArrayType(elem, containsNull=True)
+    if extended:
+        if name in _EXTENDED_SCALARS:
+            return _EXTENDED_SCALARS[name][1]
+        if name in _EXTENDED_ARRAYS:
+            elem = spark_type_for(
+                _EXTENDED_ARRAYS[name][1], numeric_as_double, extended=True
+            )
+            return T.ArrayType(elem, containsNull=True)
     raise UnregisteredType(name)
 
 

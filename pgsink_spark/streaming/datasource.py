@@ -185,15 +185,29 @@ class PgoutputStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.start_from = int(options.get("startlsn", "0"))
+        # backpressure (the reference bounds its channel buffers,
+        # importer.go:107; Spark sources bound the OFFSET RANGE):
+        # each micro-batch advances at most this many commits past the
+        # last planned offset, so a deep capture backlog drains as
+        # bounded batches instead of one giant catch-up batch
+        self.max_commits = int(options.get("maxcommitspertrigger", "0"))
         # driver-side tail index: each poll scans only appended bytes,
         # each batch read seeks — O(new data) per batch, not O(file)
         self._index = CaptureIndex(self.path)
+        self._last_planned = self.start_from
 
     def initialOffset(self) -> dict:
         return {"lsn": self.start_from}
 
     def latestOffset(self) -> dict:
-        return {"lsn": max(self.start_from, self._index.refresh())}
+        top = max(self.start_from, self._index.refresh())
+        if self.max_commits > 0:
+            start = self._last_planned
+            ahead = [lsn for lsn, _off, _n in self._index.commits if lsn > start]
+            if len(ahead) > self.max_commits:
+                top = ahead[self.max_commits - 1]
+        self._last_planned = max(self._last_planned, top)
+        return {"lsn": top}
 
     def partitions(self, start: dict, end: dict):
         # WAL order is a single logical log; one partition per

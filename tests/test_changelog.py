@@ -166,3 +166,31 @@ def test_table_diff_and_includes(spark):
     incl = {(r[0], r[1]) for r in table_includes(a, b).collect()}
     assert diff == {("public", "a"), ("other", "c")}
     assert incl == {("public", "b")}
+
+
+def test_extended_type_tier_opt_in():
+    """Default contract: reject-on-sight parity with the reference's
+    Unsupported list. extended=True carries those types as lossless
+    text/binary instead."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from pgsink_spark.changelog.types import UnregisteredType, spark_type_for
+
+    for t in ("uuid", "interval", "inet", "int8range"):
+        with pytest.raises(UnregisteredType):
+            spark_type_for(t)
+        assert spark_type_for(t, extended=True) == T.StringType()
+    # OID lookups too (2950 = uuid), and extended arrays keep elements
+    with pytest.raises(UnregisteredType):
+        spark_type_for(2950)
+    assert spark_type_for(2950, extended=True) == T.StringType()
+    assert spark_type_for("_uuid", extended=True) == T.ArrayType(
+        T.StringType(), True
+    )
+    assert spark_type_for("_bytea", extended=True) == T.ArrayType(
+        T.BinaryType(), True
+    )
+    # geometry stays rejected even extended (no lossless scalar form)
+    with pytest.raises(UnregisteredType):
+        spark_type_for("point", extended=True)

@@ -245,3 +245,25 @@ def test_capture_index_seek_survives_schema_change(tmp_path):
     rows = _read_rows(reader, reader.partitions({"lsn": 200}, {"lsn": 300})[0])
     # the v2 relation (3 columns) marshals the post-seek insert
     assert rows[0][6] == {"id": "3", "v": "c", "extra": "10"}
+
+
+def test_max_commits_per_trigger_bounds_each_batch(tmp_path):
+    """Backpressure: with maxcommitspertrigger=1 a 3-txn backlog plans
+    three bounded offset ranges instead of one catch-up batch."""
+    path = str(tmp_path / "wal.capture")
+    append_capture(
+        path,
+        _txn(100, 7, (1, "a")) + _txn(200, 8, (2, "b")) + _txn(300, 9, (3, "c")),
+    )
+    reader = PgoutputStreamReader(
+        {"path": path, "maxcommitspertrigger": "1"}
+    )
+    assert reader.latestOffset() == {"lsn": 100}
+    assert reader.latestOffset() == {"lsn": 200}
+    assert reader.latestOffset() == {"lsn": 300}
+    assert reader.latestOffset() == {"lsn": 300}  # drained → stable
+
+    # unbounded reader still jumps straight to the top
+    assert PgoutputStreamReader({"path": path}).latestOffset() == {
+        "lsn": 300
+    }
