@@ -218,6 +218,25 @@ class WarehouseSink:
         self.spark.table(view).write.mode("overwrite").parquet(path)
         return path
 
+    def install_snapshot(self, asof_lsn: int) -> dict[tuple[str, str], str]:
+        """Transactionally-consistent cross-table snapshot: the as-of
+        view of EVERY registered table at one confirmed LSN.
+
+        WAL order is a single total order across tables, so electing
+        most-recent-rows with the same ``lsn <= X`` cut in every view
+        reproduces exactly the multi-table state that existed when X
+        was confirmed — a foreign key written before X and its parent
+        row written after X can never both appear. This is the
+        cross-table consistency the reference gets implicitly from
+        replaying one slot; here it is a read-time guarantee any
+        asof_lsn can serve retroactively (the raw tables are
+        append-only). Returns {(namespace, name): view_name}.
+        """
+        return {
+            key: self.install_view(key[0], key[1], asof_lsn=asof_lsn)
+            for key in sorted(self._keys)
+        }
+
     def install_view(
         self, namespace: str, name: str, asof_lsn: int | None = None
     ) -> str:

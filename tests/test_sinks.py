@@ -353,3 +353,30 @@ def test_warehouse_half_written_epoch_replay_is_idempotent(spark, tmp_path):
     assert raw.count() == 2  # not 4: overwrite, not append
     view = sink.install_view("public", "example")
     assert {x.id for x in spark.table(view).collect()} == {1, 2}
+
+
+def test_cross_table_snapshot_is_transactionally_consistent(spark, tmp_path):
+    """install_snapshot(X) serves every table as of confirmed LSN X:
+    a transaction that wrote both tables after X appears in neither."""
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "parent", PAYLOAD, ["id"]))
+    sink.handle_schema(SchemaEntry("public", "child", PAYLOAD, ["id"]))
+
+    def env(rows, name):
+        df = _env_rows(spark, rows)
+        return df.withColumn("name", F.lit(name))
+
+    # txn at lsn 10 writes parent+child; txn at lsn 20 writes both again
+    sink.insert(env([(10, None, {"id": 1, "v": "p1"}),
+                     (20, None, {"id": 2, "v": "p2"})], "parent"),
+                "public", "parent")
+    sink.insert(env([(10, None, {"id": 1, "v": "c1"}),
+                     (20, None, {"id": 2, "v": "c2"})], "child"),
+                "public", "child")
+
+    views = sink.install_snapshot(asof_lsn=15)
+    assert set(views) == {("public", "parent"), ("public", "child")}
+    p = {r["id"] for r in spark.table(views[("public", "parent")]).collect()}
+    c = {r["id"] for r in spark.table(views[("public", "child")]).collect()}
+    # the lsn-20 transaction is absent from BOTH tables — consistent cut
+    assert p == {1} and c == {1}
