@@ -197,8 +197,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    dfreq = toks.groupBy("tok").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
+    # document frequency FROM the tf aggregate: tf rows are unique per
+    # (doc, term), so df is a plain count — this reuses the postings
+    # shuffle instead of running a second countDistinct pass over the
+    # raw exploded tokens (at 100 TB that pass is a full extra shuffle)
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
     )
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (

