@@ -84,12 +84,14 @@ _ROUND3_PRIORITY = [
     "d56_time_range_frame",
     "d57_table_diff",
     "d58_histogram",
+    "quality_gopher_rules",
     # rows-only by declared design (approximate ANN / stub video codec
-    # / float-topk ties)
+    # / float-topk ties). mm_frame_sample yields its slot to the
+    # oracle-checked gopher rules this round (deferred to round 4 —
+    # it is the weakest-check form and its sibling probes are in-window)
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_ivf_kmeans_topk",
-    "mm_frame_sample",
     "mm_embedding_topk",
     # new round-3 queries append here (through slot 50)
     "bm25_search",

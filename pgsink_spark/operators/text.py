@@ -230,3 +230,82 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id ORDER BY doc_id
     """,
 }
+
+
+from pgsink_spark.operators.relational import query  # noqa: E402 — shared registry
+
+
+@query(
+    "quality_gopher_rules",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS ws,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+             CAST(length(lower(text)) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_words,
+             (n_chars - (n_words - 1)) * 1.0 / n_words AS mean_wlen,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(ws, ['the','be','to','of','and',
+                  'that','have','with'])) AS BIGINT) AS n_stop_kinds
+      FROM t
+    )
+    SELECT doc_id,
+           (n_words BETWEEN 50 AND 100000) AS ok_words,
+           (mean_wlen BETWEEN 3 AND 10) AS ok_wlen,
+           (n_alpha * 1.0 / n_words >= 0.8) AS ok_alpha,
+           (n_stop_kinds >= 2) AS ok_stop,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (mean_wlen BETWEEN 3 AND 10)
+            AND (n_alpha * 1.0 / n_words >= 0.8)
+            AND (n_stop_kinds >= 2)) AS keep
+    FROM f ORDER BY doc_id
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1,
+    public): word-count bounds, mean-word-length bounds, alphabetic
+    word fraction, and stopword-diversity — each surfaced as its own
+    flag plus the conjunction, so downstream mixes can relax individual
+    rules. All row-local column expressions (codegen; the mean word
+    length is pure arithmetic on lengths — no second tokenize), zero
+    shuffles before the output sort; at 100 TB this is a map-only scan,
+    the cheapest possible corpus gate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.lower(F.col("text"))
+    stop = F.array(*[F.lit(s) for s in
+                     ("the", "be", "to", "of", "and", "that", "have", "with")])
+    base = docs.select(
+        "doc_id",
+        F.split(text, " ").alias("ws"),
+        F.size(F.split(text, " ")).cast("bigint").alias("n_words"),
+        F.length(text).cast("bigint").alias("n_chars"),
+    ).select(
+        "doc_id",
+        "n_words",
+        ((F.col("n_chars") - (F.col("n_words") - 1)) * 1.0 / F.col("n_words")
+         ).alias("mean_wlen"),
+        F.size(F.expr("filter(ws, w -> w rlike '[a-z]')"))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(F.array_intersect(F.col("ws"), stop))
+        .cast("bigint")
+        .alias("n_stop_kinds"),
+    )
+    ok_words = F.col("n_words").between(50, 100000)
+    ok_wlen = F.col("mean_wlen").between(3, 10)
+    ok_alpha = F.col("n_alpha") * 1.0 / F.col("n_words") >= 0.8
+    ok_stop = F.col("n_stop_kinds") >= 2
+    return base.select(
+        "doc_id",
+        ok_words.alias("ok_words"),
+        ok_wlen.alias("ok_wlen"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_wlen & ok_alpha & ok_stop).alias("keep"),
+    ).orderBy("doc_id")
