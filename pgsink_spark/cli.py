@@ -196,19 +196,43 @@ def cmd_stream(args) -> int:
                 .json(out)
             )
 
-    q = (
-        spark.readStream.format("pgoutput")
-        .option("path", args.capture)
-        .load()
-        .writeStream.foreachBatch(sink)
-        .option(
-            "checkpointLocation",
-            os.path.join(args.root, "checkpoints", "stream"),
+    max_commits = getattr(args, "max_commits", 0)
+
+    def run_once():
+        reader = spark.readStream.format("pgoutput").option(
+            "path", args.capture
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        if max_commits:
+            reader = reader.option(
+                "maxcommitspertrigger", str(max_commits)
+            )
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                os.path.join(args.root, "checkpoints", "stream"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if max_commits:
+        # availableNow captures the first (rate-limited) offset and
+        # stops there, so a bounded drain loops availableNow runs —
+        # each advances ≤ max_commits commits. The capture is finite,
+        # so the run count is known up front from the commit index
+        # (+1 no-op run so the final batch's offset gets committed).
+        from pgsink_spark.streaming.datasource import CaptureIndex
+
+        idx = CaptureIndex(args.capture)
+        idx.refresh()
+        n_runs = (len(idx.commits) + max_commits - 1) // max_commits + 1
+        for _ in range(n_runs):
+            run_once()
+    else:
+        run_once()
     print(f"streamed to {out}")
     return 0
 
@@ -328,6 +352,13 @@ def build_parser() -> argparse.ArgumentParser:
         default="ndjson",
         help="ndjson: generic envelopes; warehouse: typed raw tables "
         "+ compaction views, exactly-once epoch appends",
+    )
+    st.add_argument(
+        "--max-commits",
+        type=int,
+        default=0,
+        help="bound each micro-batch to N commits (backlog drains as "
+        "bounded batches; 0 = unbounded)",
     )
     st.set_defaults(fn=cmd_stream)
 

@@ -202,10 +202,22 @@ class PgoutputStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         top = max(self.start_from, self._index.refresh())
         if self.max_commits > 0:
-            start = self._last_planned
+            # the planned watermark persists in a sidecar (monotonic,
+            # same OffsetStore contract as the confirmed file) so a
+            # restarted reader — each availableNow run builds a fresh
+            # one — continues the bounded drain instead of re-planning
+            # the same first window. Sizing metadata only: a stale or
+            # shared sidecar can only make a batch larger, never skip
+            # or duplicate data (offsets own correctness).
+            from pgsink_spark.streaming.offsets import OffsetStore
+
+            store = OffsetStore(self.path + ".planned")
+            start = max(self._last_planned, store.confirmed_lsn or 0)
             ahead = [lsn for lsn, _off, _n in self._index.commits if lsn > start]
             if len(ahead) > self.max_commits:
                 top = ahead[self.max_commits - 1]
+            if top > (store.confirmed_lsn or 0):
+                store.confirm(top)
         self._last_planned = max(self._last_planned, top)
         return {"lsn": top}
 

@@ -359,3 +359,44 @@ def test_cli_run_one_tick(tmp_path, spark, capsys):
     assert spark.read.parquet(
         os.path.join(root, "sink", "warehouse", "public_kv_raw")
     ).count() == 1
+
+
+def test_cli_stream_bounded_batches(tmp_path, spark, capsys):
+    """--max-commits 1: the backlog drains fully, one commit per
+    micro-batch (epoch ledger shows multiple epochs)."""
+    import datetime as _dt
+    import json as _json
+    from datetime import timezone as _tz
+
+    from pgsink_spark.streaming.datasource import append_capture
+    from pgsink_spark.streaming.decoder import (
+        Relation,
+        RelationColumn,
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+    )
+
+    ts = _dt.datetime(2024, 3, 1, tzinfo=_tz.utc)
+    rel = Relation(
+        16384, "public", "kv", 0,
+        (RelationColumn(True, "id", 20, 0xFFFFFFFF),
+         RelationColumn(False, "v", 25, 0xFFFFFFFF)),
+    )
+    cap = str(tmp_path / "wal.capture")
+    frames = []
+    for i, lsn in enumerate((100, 200, 300)):
+        frames += [
+            encode_begin(lsn, ts, i + 1), encode_relation(rel),
+            encode_insert(rel.oid, (str(i + 1).encode(), b"x")),
+            encode_commit(0, lsn, lsn + 1, ts),
+        ]
+    append_capture(cap, frames)
+    root = str(tmp_path / "state")
+    assert main(["--root", root, "stream", "run", "--capture", cap,
+                 "--sink", "warehouse", "--max-commits", "1"]) == 0
+    raw_path = os.path.join(root, "sink", "warehouse", "public_kv_raw")
+    assert spark.read.parquet(raw_path).count() == 3
+    ledger = _json.load(open(os.path.join(raw_path, "_epochs.json")))
+    assert ledger["epoch"] >= 2  # three bounded batches, not one
