@@ -103,6 +103,7 @@ HEADLINE = [
     "d60_grouped_moments",
     "d61_distribution_windows",
     "d62_regression_agg",
+    "quality_gopher_rules",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

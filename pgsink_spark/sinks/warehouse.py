@@ -218,6 +218,37 @@ class WarehouseSink:
         self.spark.table(view).write.mode("overwrite").parquet(path)
         return path
 
+    def expire_raw(
+        self, namespace: str, name: str, before_day: str
+    ) -> list[str]:
+        """Retention: drop raw day-partitions older than ``before_day``
+        (ISO date). The reference gets this from BigQuery's
+        dataset-default-table-expiration (sink.go Options
+        DatasetDefaultTableExpiration); on parquet it is partition-
+        directory removal — O(dropped partitions), no rewrite.
+
+        Trade-off is explicit and the caller's: expired history is gone
+        from every as-of view whose cut predates it, so expire only
+        below your compaction/backup horizon. Deletion is
+        directory-atomic per day; readers of surviving days never see a
+        partial state. Works for both layouts (``day=``, ``epoch=/day=``).
+        Returns the removed partition paths.
+        """
+        import shutil
+
+        root = self._raw_path(namespace, name)
+        removed = []
+        if not os.path.isdir(root):
+            return removed
+        for dirpath, dirnames, _files in os.walk(root):
+            for d in list(dirnames):
+                if d.startswith("day=") and d[len("day="):] < before_day:
+                    full = os.path.join(dirpath, d)
+                    shutil.rmtree(full)
+                    dirnames.remove(d)
+                    removed.append(full)
+        return sorted(removed)
+
     def install_snapshot(self, asof_lsn: int) -> dict[tuple[str, str], str]:
         """Transactionally-consistent cross-table snapshot: the as-of
         view of EVERY registered table at one confirmed LSN.

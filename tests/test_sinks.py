@@ -380,3 +380,34 @@ def test_cross_table_snapshot_is_transactionally_consistent(spark, tmp_path):
     c = {r["id"] for r in spark.table(views[("public", "child")]).collect()}
     # the lsn-20 transaction is absent from BOTH tables — consistent cut
     assert p == {1} and c == {1}
+
+
+def test_expire_raw_drops_old_days_only(spark, tmp_path):
+    """Retention (the DatasetDefaultTableExpiration analogue): day
+    partitions below the horizon vanish, newer history and the
+    compaction view over it survive."""
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "example", PAYLOAD, ["id"]))
+    b1 = _env_rows(spark, [(10, None, {"id": 1, "v": "old"})])
+    b2 = _env_rows(spark, [(20, None, {"id": 2, "v": "new"})]).withColumn(
+        "timestamp", F.col("timestamp") + F.expr("interval 10 days")
+    )
+    sink.insert(b1, "public", "example")
+    sink.insert(b2, "public", "example")
+
+    removed = sink.expire_raw("public", "example", before_day="2024-01-05")
+    assert len(removed) == 1 and "day=2024-01-01" in removed[0]
+
+    view = sink.install_view("public", "example")
+    got = {(r["id"], r["v"]) for r in spark.table(view).collect()}
+    assert got == {(2, "new")}  # survivor intact, expired day gone
+
+    # epoch layout: same mechanics one level down
+    sink2 = WarehouseSink(spark, str(tmp_path / "wh2"))
+    sink2.handle_schema(SchemaEntry("public", "t", PAYLOAD, ["id"]))
+    sink2.insert(b1, "public", "t", epoch=0)
+    sink2.insert(b2, "public", "t", epoch=1)
+    removed2 = sink2.expire_raw("public", "t", before_day="2024-01-05")
+    assert len(removed2) == 1 and "epoch=0" in removed2[0]
+    raw = spark.read.parquet(str(tmp_path / "wh2" / "public_t_raw"))
+    assert raw.count() == 1
