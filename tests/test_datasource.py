@@ -267,3 +267,38 @@ def test_max_commits_per_trigger_bounds_each_batch(tmp_path):
     assert PgoutputStreamReader({"path": path}).latestOffset() == {
         "lsn": 300
     }
+
+
+def test_parallel_slices_cover_range_exactly(tmp_path):
+    """maxpartitions=3: the batch splits at commit boundaries into
+    disjoint contiguous slices whose union equals the single-partition
+    read; each slice stops at its own last commit (stop_offset)."""
+    path = str(tmp_path / "wal.capture")
+    frames = []
+    for i in range(9):
+        frames += _txn(100 * (i + 1), i + 1, (i + 1, f"v{i}"))
+    append_capture(path, frames)
+
+    par = PgoutputStreamReader({"path": path, "maxpartitions": "3"})
+    parts = par.partitions({"lsn": 0}, {"lsn": 900})
+    assert len(parts) == 3
+    assert parts[0].start_lsn == 0 and parts[-1].end_lsn == 900
+    # contiguous + disjoint
+    for a, b in zip(parts, parts[1:]):
+        assert a.end_lsn == b.start_lsn
+    assert all(p.stop_offset is not None for p in parts[:-1])
+
+    rows = []
+    for p in parts:
+        rows += _read_rows(par, p)
+    ser = PgoutputStreamReader({"path": path})
+    expected = _read_rows(ser, ser.partitions({"lsn": 0}, {"lsn": 900})[0])
+    assert sorted(r[3] for r in rows) == sorted(r[3] for r in expected)
+    assert {r[6]["id"] for r in rows} == {str(i + 1) for i in range(9)}
+
+    # a mid-stream range also slices cleanly
+    parts2 = par.partitions({"lsn": 300}, {"lsn": 900})
+    got = []
+    for p in parts2:
+        got += _read_rows(par, p)
+    assert sorted(r[3] for r in got) == [400, 500, 600, 700, 800, 900]

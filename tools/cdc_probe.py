@@ -52,6 +52,7 @@ def build_capture(sf_dir: str, path: str) -> int:
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
         f"FROM '{sf_dir}/orders.parquet' ORDER BY o_orderkey"
     ).fetchall()
+    rows = rows * int(os.environ.get("PROBE_REPEAT", "1"))
     ts = datetime.datetime(2024, 6, 1, tzinfo=timezone.utc)
     frames = []
     lsn = 0
@@ -118,6 +119,7 @@ def probe_e2e(path: str, work: str) -> tuple[int, float]:
     q = (
         spark.readStream.format("pgoutput")
         .option("path", path)
+        .option("maxpartitions", os.environ.get("PROBE_PARTS", "8"))
         .load()
         .writeStream.foreachBatch(flush)
         .option("checkpointLocation", os.path.join(work, "ckpt"))
