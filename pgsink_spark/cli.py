@@ -206,6 +206,10 @@ def cmd_stream(args) -> int:
             reader = reader.option(
                 "maxcommitspertrigger", str(max_commits)
             )
+        if getattr(args, "decode_slices", 0):
+            reader = reader.option(
+                "maxpartitions", str(args.decode_slices)
+            )
         q = (
             reader.load()
             .writeStream.foreachBatch(sink)
@@ -352,6 +356,13 @@ def build_parser() -> argparse.ArgumentParser:
         default="ndjson",
         help="ndjson: generic envelopes; warehouse: typed raw tables "
         "+ compaction views, exactly-once epoch appends",
+    )
+    st.add_argument(
+        "--decode-slices",
+        type=int,
+        default=0,
+        help="decode each micro-batch in N parallel commit-range "
+        "slices (0 = single slice, strict arrival order)",
     )
     st.add_argument(
         "--max-commits",
