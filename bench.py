@@ -104,6 +104,8 @@ HEADLINE = [
     "d61_distribution_windows",
     "d62_regression_agg",
     "quality_gopher_rules",
+    "dedup_fuzzy_blocked",
+    "cdc_refresh_endstate",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -993,3 +993,66 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_contaminated(
         docs.where(F.col("doc_id") >= EVAL_SPLIT_ID), bloom
     )
+
+
+@query(
+    "dedup_fuzzy_blocked",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS w,
+             substr(lower(text), 1, 40) AS head
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    k AS (
+      SELECT doc_id, head, w[1] || ' ' || w[2] AS blk FROM d
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+    FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 8
+    ORDER BY d1, d2
+    """,
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance, BLOCKED: candidates must
+    share their first-two-token block key, then the 40-char head's
+    Levenshtein distance (identical definition on both engines) is the
+    verify step. The classic record-linkage shape — blocking key join,
+    never an all-pairs scan; at 100 TB candidate volume is Σ|block|²
+    over short prefix blocks and the quadratic edit-distance kernel
+    runs only on survivors' fixed-length heads (bounded cost per pair).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), " ").alias("w"),
+        F.substring(F.lower("text"), 1, 40).alias("head"),
+    ).where(F.size("w") >= 2)
+    k = d.select(
+        "doc_id",
+        "head",
+        F.concat_ws(" ", F.col("w")[0], F.col("w")[1]).alias("blk"),
+    )
+    a = k.select(
+        F.col("doc_id").alias("d1"),
+        F.col("head").alias("h1"),
+        "blk",
+    )
+    b = k.select(
+        F.col("doc_id").alias("d2"),
+        F.col("head").alias("h2"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("d1") < F.col("d2"))
+        .where(F.levenshtein("h1", "h2") <= 8)
+        .select(
+            "d1",
+            "d2",
+            F.levenshtein("h1", "h2").cast("bigint").alias("dist"),
+        )
+        .orderBy("d1", "d2")
+    )

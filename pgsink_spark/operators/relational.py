@@ -2607,3 +2607,58 @@ def d62_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "cdc_refresh_endstate",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(CAST(o_totalprice * CASE WHEN o_orderkey % 13 = 0
+                                               THEN 2 ELSE 1 END
+                           AS DECIMAL(18,4)), 2) AS DOUBLE) AS tp
+    FROM orders
+    WHERE o_orderkey % 17 <> 0
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_refresh_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-refresh-style churn through the changelog machinery: the
+    orders table baselines as IMPORT envelopes (null LSN), every
+    13th key receives an UPDATE (price doubled) and every 17th a
+    DELETE, and the most-recent-row election — the C2 compaction
+    window, (pk) partitioned, LSN desc nulls last — serves the end
+    state. The oracle states the logical result declaratively, so the
+    hash check proves the ENVELOPE SEMANTICS (null-LSN imports rank
+    below every stream LSN; deletes drop rows; updates supersede),
+    not just arithmetic. One keyed window shuffle; linear at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", dec("o_totalprice").alias("tp")
+    )
+    k = F.col("o_orderkey")
+    base = o.select(
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("lsn"),
+        F.col("tp"),
+        F.lit("IMPORT").alias("op"),
+    )
+    upd = o.where((k % 13 == 0) & (k % 17 != 0)).select(
+        "o_orderkey",
+        (F.lit(1_000_000_000) + k).alias("lsn"),
+        (F.col("tp") * 2).alias("tp"),
+        F.lit("UPDATE").alias("op"),
+    )
+    dele = o.where(k % 17 == 0).select(
+        "o_orderkey",
+        (F.lit(2_000_000_000) + k).alias("lsn"),
+        F.lit(None).cast("decimal(18,4)").alias("tp"),
+        F.lit("DELETE").alias("op"),
+    )
+    env = base.unionByName(upd).unionByName(dele)
+    w = W.partitionBy("o_orderkey").orderBy(F.col("lsn").desc_nulls_last())
+    return (
+        env.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .select("o_orderkey", rnd(F.col("tp"), 2).alias("tp"))
+        .orderBy("o_orderkey")
+    )
