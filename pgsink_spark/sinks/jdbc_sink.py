@@ -217,3 +217,97 @@ class JdbcWarehouseSink:
             )
         got = obs.get
         return InsertResult(got["n"], got["max_lsn"])
+
+
+def staging_table_name(namespace: str, name: str) -> str:
+    return f"{namespace}_{name}_staging"
+
+
+def staging_table_ddl(entry: SchemaEntry) -> str:
+    """Staging table: same shape as the raw table, truncated per batch."""
+    ddl = raw_table_ddl(entry)
+    return ddl.replace(
+        quote_ident(raw_table_name(entry.namespace, entry.name)),
+        quote_ident(staging_table_name(entry.namespace, entry.name)),
+        1,
+    )
+
+
+def compacted_table_ddl(entry: SchemaEntry) -> str:
+    """Materialized latest-rows table keyed on the pk (the remote twin
+    of sinks/compactor.py's KeyedCompactedTable)."""
+    cols = [
+        f"{quote_ident(f.name)} {sql_type_of(f.dataType)}"
+        for f in entry.payload.fields
+    ]
+    cols += ['"_timestamp" TIMESTAMP', '"_lsn" BIGINT', '"_sequence" BIGINT']
+    pk = ", ".join(quote_ident(c) for c in entry.key_columns)
+    table = quote_ident(f"{entry.namespace}_{entry.name}_compacted")
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} (\n  "
+        + ",\n  ".join(cols)
+        + f",\n  PRIMARY KEY ({pk})\n)"
+    )
+
+
+def upsert_from_staging_sql(entry: SchemaEntry) -> list[str]:
+    """Fold one staged envelope batch into the compacted table.
+
+    Three ANSI-ish statements (every one executed against DuckDB in
+    tests; Postgres runs them verbatim — ON CONFLICT is common to
+    both):
+
+    1. upsert each staged key's MOST RECENT non-DELETE image, electing
+       by (timestamp, lsn, sequence) inside the staging batch, and
+       applying it only if newer than the stored row (the same
+       monotonic guard the reference's view election encodes — replays
+       and out-of-order batches cannot regress a row);
+    2. delete keys whose newest staged image is a DELETE and is newer
+       than the stored row;
+    3. truncate staging for the next batch.
+    """
+    ns, name = entry.namespace, entry.name
+    staging = quote_ident(staging_table_name(ns, name))
+    compacted = quote_ident(f"{ns}_{name}_compacted")
+    pk_cols = [quote_ident(c) for c in entry.key_columns]
+    pk = ", ".join(pk_cols)
+    payload = [quote_ident(f.name) for f in entry.payload.fields]
+    all_cols = payload + ['"_timestamp"', '"_lsn"', '"_sequence"']
+    sets = ", ".join(f"{c} = excluded.{c}" for c in all_cols if c not in pk_cols)
+    newer = (
+        '(excluded."_timestamp", coalesce(excluded."_lsn", -1),'
+        ' coalesce(excluded."_sequence", -1))'
+        f' > ({compacted}."_timestamp", coalesce({compacted}."_lsn", -1),'
+        f' coalesce({compacted}."_sequence", -1))'
+    )
+    elect = (
+        f"SELECT {', '.join(all_cols)} FROM (\n"
+        f"  SELECT {', '.join(all_cols)}, \"_operation\",\n"
+        f"         ROW_NUMBER() OVER (PARTITION BY {pk}\n"
+        f"           ORDER BY \"_timestamp\" DESC, \"_lsn\" DESC NULLS LAST,\n"
+        f"                    \"_sequence\" DESC NULLS LAST) AS rn\n"
+        f"  FROM {staging}\n"
+        f") t WHERE rn = 1 AND \"_operation\" != 'DELETE'"
+    )
+    upsert = (
+        f"INSERT INTO {compacted} ({', '.join(all_cols)})\n{elect}\n"
+        f"ON CONFLICT ({pk}) DO UPDATE SET {sets}\n"
+        f"WHERE {newer}"
+    )
+    pk_eq = " AND ".join(f"c.{c} = t.{c}" for c in pk_cols)
+    delete = (
+        f"DELETE FROM {compacted} c WHERE EXISTS (\n"
+        f"  SELECT 1 FROM (\n"
+        f"    SELECT {pk}, \"_operation\", \"_timestamp\", \"_lsn\", \"_sequence\",\n"
+        f"           ROW_NUMBER() OVER (PARTITION BY {pk}\n"
+        f"             ORDER BY \"_timestamp\" DESC, \"_lsn\" DESC NULLS LAST,\n"
+        f"                      \"_sequence\" DESC NULLS LAST) AS rn\n"
+        f"    FROM {staging}\n"
+        f"  ) t WHERE rn = 1 AND t.\"_operation\" = 'DELETE' AND {pk_eq}\n"
+        f"    AND (t.\"_timestamp\", coalesce(t.\"_lsn\", -1),"
+        f" coalesce(t.\"_sequence\", -1))\n"
+        f"      > (c.\"_timestamp\", coalesce(c.\"_lsn\", -1),"
+        f" coalesce(c.\"_sequence\", -1))\n"
+        f")"
+    )
+    return [upsert, delete, f"DELETE FROM {staging}"]

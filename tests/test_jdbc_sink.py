@@ -146,3 +146,60 @@ def test_writer_options():
     assert w["user"] == "u"
     # no credentials leak when unset
     assert "password" not in JdbcSinkOptions(url="x").writer_options("t")
+
+
+def test_staging_merge_on_duckdb(spark):
+    """The staging → compacted merge runs verbatim on DuckDB: newest
+    non-DELETE image upserts (monotonic guard), newest DELETE removes,
+    staging truncates, and a replay of the same batch is a no-op."""
+    from pgsink_spark.sinks.jdbc_sink import (
+        compacted_table_ddl,
+        staging_table_ddl,
+        upsert_from_staging_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(staging_table_ddl(ENTRY))
+    con.execute(compacted_table_ddl(ENTRY))
+
+    def stage(rows):
+        con.executemany(
+            'INSERT INTO "public_kv_staging" VALUES (?, ?, ?, ?, ?, ?, ?)',
+            rows,
+        )
+
+    def merge():
+        for sql in upsert_from_staging_sql(ENTRY):
+            con.execute(sql)
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 2)
+    # batch 1: insert id=1,2; update id=1 in the same batch (elects lsn 12)
+    stage([
+        (t0, 10, 1, "INSERT", 1, "a0", None),
+        (t0, 11, 1, "INSERT", 2, "b0", None),
+        (t0, 12, 2, "UPDATE", 1, "a1", None),
+    ])
+    merge()
+    got = dict(con.execute('SELECT id, v FROM "public_kv_compacted"').fetchall())
+    assert got == {1: "a1", 2: "b0"}
+    assert con.execute('SELECT count(*) FROM "public_kv_staging"').fetchone()[0] == 0
+
+    # batch 2: delete id=2, stale replayed update of id=1 (older — ignored)
+    stage([
+        (t1, 20, 1, "DELETE", 2, "b0", None),
+        (t0, 11, 1, "UPDATE", 1, "stale", None),
+    ])
+    merge()
+    got = dict(con.execute('SELECT id, v FROM "public_kv_compacted"').fetchall())
+    assert got == {1: "a1"}  # delete applied, stale image rejected
+
+    # at-least-once: replaying batch 2 wholesale changes nothing
+    stage([
+        (t1, 20, 1, "DELETE", 2, "b0", None),
+        (t0, 11, 1, "UPDATE", 1, "stale", None),
+    ])
+    merge()
+    assert dict(
+        con.execute('SELECT id, v FROM "public_kv_compacted"').fetchall()
+    ) == {1: "a1"}
