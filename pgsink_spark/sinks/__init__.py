@@ -17,7 +17,11 @@ from pgsink_spark.sinks.instrumented import (
     observed_write,
 )
 from pgsink_spark.sinks.file_sink import FileSink
-from pgsink_spark.sinks.jdbc_sink import JdbcSinkOptions, JdbcWarehouseSink
+from pgsink_spark.sinks.jdbc_sink import (
+    JdbcCompactedSink,
+    JdbcSinkOptions,
+    JdbcWarehouseSink,
+)
 from pgsink_spark.sinks.warehouse import WarehouseSink, compaction_view_sql
 
 __all__ = [
@@ -26,6 +30,7 @@ __all__ = [
     "SinkMetrics",
     "observed_write",
     "InsertResult",
+    "JdbcCompactedSink",
     "JdbcSinkOptions",
     "JdbcWarehouseSink",
     "WarehouseSink",

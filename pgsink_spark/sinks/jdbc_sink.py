@@ -311,3 +311,41 @@ def upsert_from_staging_sql(entry: SchemaEntry) -> list[str]:
         f")"
     )
     return [upsert, delete, f"DELETE FROM {staging}"]
+
+
+class JdbcCompactedSink(JdbcWarehouseSink):
+    """JDBC sink variant maintaining a MATERIALIZED compacted table
+    remotely (the connector twin of sinks/compactor.py): each batch
+    stages executor-side, then one merge transaction folds it in.
+    Readers hit an indexed primary-key table instead of a view over
+    raw history; replays and out-of-order batches are absorbed by the
+    merge's monotonic newer-than guard."""
+
+    def _sync(self, entry: SchemaEntry) -> None:
+        self._entries[(entry.namespace, entry.name)] = entry
+        self.execute(staging_table_ddl(entry))
+        self.execute(compacted_table_ddl(entry))
+
+    def insert(self, env: DataFrame, namespace: str, name: str) -> InsertResult:
+        from pyspark.sql import Observation
+
+        entry = self._entries[(namespace, name)]
+        staging = staging_table_name(namespace, name)
+        flat = flatten_envelope(env)
+        obs = Observation()
+        observed = flat.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.max("_lsn").alias("max_lsn")
+        )
+        if self._write_batch is not None:
+            self._write_batch(observed, staging)
+        else:
+            (
+                observed.write.format("jdbc")
+                .options(**self.options.writer_options(staging))
+                .mode("append")
+                .save()
+            )
+        for sql in upsert_from_staging_sql(entry):
+            self.execute(sql)
+        got = obs.get
+        return InsertResult(got["n"], got["max_lsn"])

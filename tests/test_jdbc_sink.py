@@ -203,3 +203,51 @@ def test_staging_merge_on_duckdb(spark):
     assert dict(
         con.execute('SELECT id, v FROM "public_kv_compacted"').fetchall()
     ) == {1: "a1"}
+
+
+def test_jdbc_compacted_sink_end_to_end(spark):
+    """The compacted-sink variant: batches stage + merge, the keyed
+    table serves the logical state directly, replay is a no-op."""
+    from pgsink_spark.sinks.jdbc_sink import JdbcCompactedSink
+
+    con = duckdb.connect()
+
+    def execute(sql):
+        con.execute(sql)
+
+    def write_batch(df, table):
+        pdf = df.toPandas()
+        con.register("batch_df", pdf)
+        con.execute(f'INSERT INTO "{table}" SELECT * FROM batch_df')
+        con.unregister("batch_df")
+
+    sink = JdbcCompactedSink(
+        JdbcSinkOptions(url="jdbc:duckdb:"), execute, write_batch=write_batch
+    )
+    sink.handle_schema(ENTRY)
+
+    b1 = _env(
+        spark,
+        [
+            (10, None, {"id": 1, "v": "a0", "tags": None}),
+            (11, None, {"id": 2, "v": "b0", "tags": None}),
+        ],
+    )
+    assert sink.insert(b1, "public", "kv") == InsertResult(2, 11)
+    b2 = _env(
+        spark,
+        [
+            (20, {"id": 1, "v": "a0", "tags": None}, {"id": 1, "v": "a1", "tags": None}),
+            (21, {"id": 2, "v": "b0", "tags": None}, None),
+        ],
+    ).withColumn("timestamp", F.col("timestamp") + F.expr("interval 1 hour"))
+    assert sink.insert(b2, "public", "kv") == InsertResult(2, 21)
+
+    got = dict(con.execute('SELECT id, v FROM "public_kv_compacted"').fetchall())
+    assert got == {1: "a1"}
+
+    # at-least-once replay of batch 2: absorbed by the merge guard
+    sink.insert(b2, "public", "kv")
+    assert dict(
+        con.execute('SELECT id, v FROM "public_kv_compacted"').fetchall()
+    ) == {1: "a1"}
