@@ -101,7 +101,9 @@ def to_envelope(
     )
 
 
-def cast_envelope(env: DataFrame, payload: T.StructType) -> DataFrame:
+def cast_envelope(
+    env: DataFrame, payload: T.StructType, strict: bool = True
+) -> DataFrame:
     """Generic wire envelope → typed envelope (the schema-cast stage).
 
     The streaming source emits payload images as ``map<string,string>``
@@ -112,15 +114,28 @@ def cast_envelope(env: DataFrame, payload: T.StructType) -> DataFrame:
     name and CAST to the field's Spark type, nulls and absent keys
     flowing through as NULL. Pure column expressions — the cast runs in
     whole-stage codegen, no Python.
+
+    ``strict=True`` (default) is fail-stop under ANSI mode: a datum the
+    declared type cannot parse kills the batch — the reference's
+    posture (a decode error fails the subscription rather than
+    corrupting the sink). ``strict=False`` swaps in ``try_cast`` so
+    malformed values land as NULL and the stream survives — choose it
+    only with a downstream quarantine/audit on NULLs that the source
+    said were non-null.
     """
 
     def img(col: str) -> Column:
         m = F.col(col)
+        cast = (
+            (lambda c, t: c.cast(t))
+            if strict
+            else (lambda c, t: c.try_cast(t))
+        )
         return F.when(
             m.isNotNull(),
             F.struct(
                 *[
-                    m.getItem(f.name).cast(f.dataType).alias(f.name)
+                    cast(m.getItem(f.name), f.dataType).alias(f.name)
                     for f in payload.fields
                 ]
             ),

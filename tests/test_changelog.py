@@ -194,3 +194,40 @@ def test_extended_type_tier_opt_in():
     # geometry stays rejected even extended (no lossless scalar form)
     with pytest.raises(UnregisteredType):
         spark_type_for("point", extended=True)
+
+
+def test_cast_envelope_strict_vs_lenient(spark):
+    """Schema-cast posture: strict (default) fail-stops on a malformed
+    datum under ANSI mode — the reference's decode-error contract —
+    while strict=False quarantines it as NULL and the batch survives."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from pgsink_spark.changelog.envelope import cast_envelope
+    from pgsink_spark.streaming.datasource import GENERIC_ENVELOPE
+
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 1), "public", "kv", 10, 1,
+         None, {"id": "1", "v": "a"}),
+        (datetime.datetime(2024, 1, 1), "public", "kv", 20, 1,
+         None, {"id": "oops", "v": "b"}),  # malformed bigint
+    ]
+    env = spark.createDataFrame(rows, GENERIC_ENVELOPE)
+
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        cast_envelope(env, payload).collect()
+
+    got = {r["lsn"]: r["after"]["id"]
+           for r in cast_envelope(env, payload, strict=False).collect()}
+    assert got == {10: 1, 20: None}  # quarantined as NULL, batch survives
+    # absent map keys are NULL in both modes
+    env2 = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1), "public", "kv", 30, 1,
+          None, {"id": "3"})], GENERIC_ENVELOPE)
+    row = cast_envelope(env2, payload).collect()[0]
+    assert row["after"]["id"] == 3 and row["after"]["v"] is None
