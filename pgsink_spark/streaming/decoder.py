@@ -187,9 +187,43 @@ def _tuple_data(r: _Reader) -> tuple:
 
 
 def decode_message(buf: bytes):
-    """Decode one pgoutput message; raises ValueError on unknown kinds."""
+    """Decode one pgoutput message; raises ValueError on unknown kinds.
+
+    Dispatch compares the raw kind byte (no chr()) ordered by stream
+    frequency — DML first, then txn framing — since this runs once per
+    wire message on the decode hot path.
+    """
     r = _Reader(buf)
-    kind = chr(r.u8())
+    k = buf[0]
+    r.pos = 1
+    if k == 0x49:  # 'I'
+        oid = r.u32()
+        tag = chr(r.u8())
+        if tag != "N":
+            raise ValueError(f"insert expects 'N' tuple, got {tag!r}")
+        return Insert(oid, _tuple_data(r))
+    if k == 0x55:  # 'U'
+        oid = r.u32()
+        old = key = None
+        tag = chr(r.u8())
+        if tag == "K":
+            key = _tuple_data(r)
+            tag = chr(r.u8())
+        elif tag == "O":
+            old = _tuple_data(r)
+            tag = chr(r.u8())
+        if tag != "N":
+            raise ValueError(f"update expects 'N' tuple, got {tag!r}")
+        return Update(oid, old, key, _tuple_data(r))
+    if k == 0x44:  # 'D'
+        oid = r.u32()
+        tag = chr(r.u8())
+        if tag == "K":
+            return Delete(oid, None, _tuple_data(r))
+        if tag == "O":
+            return Delete(oid, _tuple_data(r), None)
+        raise ValueError(f"delete expects 'K'/'O' tuple, got {tag!r}")
+    kind = chr(k)
     if kind == "B":
         return Begin(r.u64(), pg_timestamp(r.i64()), r.u32())
     if kind == "C":
@@ -214,33 +248,6 @@ def decode_message(buf: bytes):
         return Relation(oid, ns, name, ident, cols)
     if kind == "Y":
         return TypeMessage(r.u32(), r.cstring(), r.cstring())
-    if kind == "I":
-        oid = r.u32()
-        tag = chr(r.u8())
-        if tag != "N":
-            raise ValueError(f"insert expects 'N' tuple, got {tag!r}")
-        return Insert(oid, _tuple_data(r))
-    if kind == "U":
-        oid = r.u32()
-        old = key = None
-        tag = chr(r.u8())
-        if tag == "K":
-            key = _tuple_data(r)
-            tag = chr(r.u8())
-        elif tag == "O":
-            old = _tuple_data(r)
-            tag = chr(r.u8())
-        if tag != "N":
-            raise ValueError(f"update expects 'N' tuple, got {tag!r}")
-        return Update(oid, old, key, _tuple_data(r))
-    if kind == "D":
-        oid = r.u32()
-        tag = chr(r.u8())
-        if tag == "K":
-            return Delete(oid, None, _tuple_data(r))
-        if tag == "O":
-            return Delete(oid, _tuple_data(r), None)
-        raise ValueError(f"delete expects 'K'/'O' tuple, got {tag!r}")
     if kind == "T":
         n = r.i32()
         options = r.u8()

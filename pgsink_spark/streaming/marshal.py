@@ -152,6 +152,14 @@ class RelationCache:
     def register(self, rel: Relation) -> None:
         self._rels[rel.oid] = rel
         self._parsers[rel.oid] = [text_parser_for(c.type_oid) for c in rel.columns]
+        # precomputed (name, parser) pairs: decode_tuple runs once per
+        # DML row, so attribute/zip construction is paid at relation
+        # registration (rare) instead of per row (hot)
+        self._cols: dict[int, list] = getattr(self, "_cols", {})
+        self._cols[rel.oid] = [
+            (c.name, p)
+            for c, p in zip(rel.columns, self._parsers[rel.oid])
+        ]
 
     def get(self, oid: int) -> Relation:
         try:
@@ -162,16 +170,19 @@ class RelationCache:
             ) from None
 
     def decode_tuple(self, oid: int, tup: tuple, fallback: dict | None = None) -> dict:
-        rel = self.get(oid)
-        parsers = self._parsers[oid]
+        try:
+            cols = self._cols[oid]
+        except (AttributeError, KeyError):
+            self.get(oid)  # raises the canonical unknown-oid error
+            raise
         row: dict = {}
-        for col, parser, el in zip(rel.columns, parsers, tup):
+        for (name, parser), el in zip(cols, tup):
             if el is None:
-                row[col.name] = None
+                row[name] = None
             elif el is UNCHANGED:
-                row[col.name] = (fallback or {}).get(col.name)
+                row[name] = (fallback or {}).get(name)
             else:
-                row[col.name] = parser(el.decode("utf-8"))
+                row[name] = parser(el.decode("utf-8"))
         return row
 
 
