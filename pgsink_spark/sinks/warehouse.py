@@ -218,6 +218,78 @@ class WarehouseSink:
         self.spark.table(view).write.mode("overwrite").parquet(path)
         return path
 
+    # ------------------------------------------------------------------
+    # Snapshot manifests. Directory-listing reads (install_view) can
+    # observe a concurrent insert's files before its commit — the
+    # classic eventually-consistent-listing hazard every table format
+    # (Delta/Iceberg) exists to fix. The additive fix here is a
+    # versioned manifest: after each committed insert the writer lists
+    # the table's data files into _manifest/v{N}.json and flips the
+    # LATEST pointer with an atomic rename; snapshot readers load the
+    # pointer and read EXACTLY that file list, so an in-flight batch's
+    # files are invisible until committed. Caveat (documented, same as
+    # any MVCC-without-GC): an epoch replay's dynamic overwrite may
+    # delete files older manifests name — replays happen only during
+    # recovery, and LATEST always points at a post-commit list.
+    def _manifest_dir(self, namespace: str, name: str) -> str:
+        return os.path.join(self._raw_path(namespace, name), "_manifest")
+
+    def commit_manifest(self, namespace: str, name: str) -> int:
+        """Publish the current committed file set; returns the version."""
+        root = self._raw_path(namespace, name)
+        mdir = self._manifest_dir(namespace, name)
+        os.makedirs(mdir, exist_ok=True)
+        files = []
+        for dirpath, dirnames, fnames in os.walk(root):
+            dirnames[:] = [d for d in dirnames if d != "_manifest"]
+            for f in fnames:
+                if f.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(dirpath, f), root)
+                    )
+        latest = os.path.join(mdir, "LATEST")
+        version = self.manifest_version(namespace, name) + 1
+        vpath = os.path.join(mdir, f"v{version}.json")
+        tmp = vpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": sorted(files)}, f)
+        os.replace(tmp, vpath)
+        tmp = latest + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, latest)
+        return version
+
+    def manifest_version(self, namespace: str, name: str) -> int:
+        try:
+            with open(
+                os.path.join(self._manifest_dir(namespace, name), "LATEST")
+            ) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 0
+
+    def read_snapshot(
+        self, namespace: str, name: str, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot-isolated raw read: exactly one manifest's files."""
+        root = self._raw_path(namespace, name)
+        v = version or self.manifest_version(namespace, name)
+        if v == 0:
+            raise FileNotFoundError(
+                f"no committed manifest for {namespace}.{name}"
+            )
+        with open(
+            os.path.join(self._manifest_dir(namespace, name), f"v{v}.json")
+        ) as f:
+            files = json.load(f)["files"]
+        paths = [os.path.join(root, p) for p in files]
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", root)
+            .parquet(*paths)
+        )
+
     def expire_raw(
         self, namespace: str, name: str, before_day: str
     ) -> list[str]:

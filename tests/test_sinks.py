@@ -411,3 +411,33 @@ def test_expire_raw_drops_old_days_only(spark, tmp_path):
     assert len(removed2) == 1 and "epoch=0" in removed2[0]
     raw = spark.read.parquet(str(tmp_path / "wh2" / "public_t_raw"))
     assert raw.count() == 1
+
+
+def test_snapshot_manifest_hides_uncommitted_files(spark, tmp_path):
+    """Snapshot reads see EXACTLY the committed manifest: files that
+    appear in the directory without a manifest commit (an in-flight or
+    failed batch) are invisible; a later commit makes them visible;
+    old versions remain readable (time travel by version)."""
+    import shutil as _sh
+
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "example", PAYLOAD, ["id"]))
+    b1 = _env_rows(spark, [(10, None, {"id": 1, "v": "a"})])
+    sink.insert(b1, "public", "example")
+    v1 = sink.commit_manifest("public", "example")
+    assert v1 == 1
+    assert sink.read_snapshot("public", "example").count() == 1
+
+    # an in-flight batch lands files in the directory, NO commit yet
+    b2 = _env_rows(spark, [(20, None, {"id": 2, "v": "b"})])
+    sink.insert(b2, "public", "example")
+    # listing-based read sees 2 rows; snapshot read still sees 1
+    raw_path = str(tmp_path / "wh" / "public_example_raw")
+    assert spark.read.parquet(raw_path).count() == 2
+    assert sink.read_snapshot("public", "example").count() == 1
+
+    v2 = sink.commit_manifest("public", "example")
+    assert v2 == 2
+    assert sink.read_snapshot("public", "example").count() == 2
+    # version time travel: v1 still serves the old snapshot
+    assert sink.read_snapshot("public", "example", version=1).count() == 1
