@@ -106,6 +106,7 @@ HEADLINE = [
     "quality_gopher_rules",
     "dedup_fuzzy_blocked",
     "cdc_refresh_endstate",
+    "d63_interpolate_linear",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -2662,3 +2662,107 @@ def cdc_refresh_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", rnd(F.col("tp"), 2).alias("tp"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "d63_interpolate_linear",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS a
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ), span AS (
+      SELECT user_id, min(day_ts) AS t0, max(day_ts) AS t1
+      FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS day_ts
+      FROM span
+    ), j AS (
+      SELECT g.user_id, g.day_ts, d.a,
+             CASE WHEN d.a IS NULL THEN NULL ELSE g.day_ts END AS known_ts
+      FROM grid g LEFT JOIN daily d
+        ON g.user_id = d.user_id AND g.day_ts = d.day_ts
+    ), ctx AS (
+      SELECT user_id, day_ts, a,
+             LAST_VALUE(a IGNORE NULLS) OVER w_asc AS pa,
+             LAST_VALUE(known_ts IGNORE NULLS) OVER w_asc AS pd,
+             FIRST_VALUE(a IGNORE NULLS) OVER w_desc AS na,
+             FIRST_VALUE(known_ts IGNORE NULLS) OVER w_desc AS nd
+      FROM j
+      WINDOW
+        w_asc AS (PARTITION BY user_id ORDER BY day_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_desc AS (PARTITION BY user_id ORDER BY day_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(day_ts AS DATE) AS day,
+           CAST(ROUND(CAST(
+             CASE WHEN a IS NOT NULL THEN a
+                  ELSE pa + (na - pa)
+                       * date_diff('day', pd, day_ts)
+                       / date_diff('day', pd, nd)
+             END AS DECIMAL(18,8)), 6) AS DOUBLE) AS v
+    FROM ctx ORDER BY user_id, day
+    """,
+)
+def d63_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + LINEAR interpolation (d45's LOCF sibling): per-user
+    daily grid; gap days take the line between the surrounding known
+    points, fractioned by integer day distance (exact arithmetic, so
+    the float path is engine-identical before the 6-dp rounding).
+
+    Same plan skeleton as d45 — one keyed rollup, row-local grid
+    explode, one equi-join, two user-keyed windows (forward and
+    backward fill context). Everything shuffles on user_id; grid size
+    scales with user spans, not corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day_ts"), "value"
+    )
+    daily = ev.groupBy("user_id", "day_ts").agg(
+        (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day_ts").alias("t0"), F.max("day_ts").alias("t1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(t0, t1, interval 1 day)")
+        ).alias("day_ts"),
+    )
+    j = grid.join(daily, ["user_id", "day_ts"], "left").withColumn(
+        "known_ts", F.when(F.col("a").isNotNull(), F.col("day_ts"))
+    )
+    w_asc = (
+        W.partitionBy("user_id")
+        .orderBy("day_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_desc = (
+        W.partitionBy("user_id")
+        .orderBy("day_ts")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    ctx = j.select(
+        "user_id",
+        "day_ts",
+        "a",
+        F.last("a", ignorenulls=True).over(w_asc).alias("pa"),
+        F.last("known_ts", ignorenulls=True).over(w_asc).alias("pd"),
+        F.first("a", ignorenulls=True).over(w_desc).alias("na"),
+        F.first("known_ts", ignorenulls=True).over(w_desc).alias("nd"),
+    )
+    frac = F.datediff(F.col("day_ts"), F.col("pd")) / F.datediff(
+        F.col("nd"), F.col("pd")
+    )
+    v = F.when(F.col("a").isNotNull(), F.col("a")).otherwise(
+        F.col("pa") + (F.col("na") - F.col("pa")) * frac
+    )
+    return ctx.select(
+        "user_id",
+        F.col("day_ts").cast("date").alias("day"),
+        rnd(v.cast("decimal(18,8)"), 6).alias("v"),
+    ).orderBy("user_id", "day")
