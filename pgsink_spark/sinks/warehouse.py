@@ -341,23 +341,35 @@ class WarehouseSink:
         }
 
     def install_view(
-        self, namespace: str, name: str, asof_lsn: int | None = None
+        self,
+        namespace: str,
+        name: str,
+        asof_lsn: int | None = None,
+        snapshot: bool = False,
     ) -> str:
         """Register raw scan + compaction view; return the view name.
 
         ``asof_lsn`` installs the time-travel variant (suffixed
         ``_asof``) serving the table's state as of that confirmed LSN.
+        ``snapshot=True`` backs the view with the latest committed
+        manifest instead of a directory listing, so concurrent
+        in-flight batches are invisible to readers.
         """
         raw_view = self._raw_name(namespace, name)
         keys = self._keys[(namespace, name)]
-        (
-            # mergeSchema: after an ALTER TABLE ADD COLUMN the raw path
-            # holds files with the pre- and post-ALTER payload structs;
-            # merged reads serve NULL for the new column on old rows
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(self._raw_path(namespace, name))
-            .createOrReplaceTempView(raw_view)
-        )
+        if snapshot:
+            self.read_snapshot(namespace, name).createOrReplaceTempView(
+                raw_view
+            )
+        else:
+            (
+                # mergeSchema: after an ALTER TABLE ADD COLUMN the raw
+                # path holds files with pre- and post-ALTER payload
+                # structs; merged reads serve NULL for the new column
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self._raw_path(namespace, name))
+                .createOrReplaceTempView(raw_view)
+            )
         view = f"{namespace}_{name}"
         if asof_lsn is not None:
             view = f"{view}_asof"

@@ -302,3 +302,51 @@ def test_parallel_slices_cover_range_exactly(tmp_path):
     for p in parts2:
         got += _read_rows(par, p)
     assert sorted(r[3] for r in got) == [400, 500, 600, 700, 800, 900]
+
+
+def test_capture_index_property_random_streams(tmp_path):
+    """Property: for ANY transaction layout and ANY split point, the
+    seek-based range read equals the cold full-scan read filtered to
+    the same range (hypothesis over txn counts/sizes/relation resends)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pgsink_spark.streaming.decoder import encode_update
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        txn_sizes=st.lists(st.integers(1, 4), min_size=1, max_size=12),
+        resend_every=st.integers(1, 5),
+        split_at=st.integers(0, 12),
+        data=st.data(),
+    )
+    def check(txn_sizes, resend_every, split_at, data):
+        import uuid
+
+        path = str(tmp_path / f"cap_{uuid.uuid4().hex}.capture")
+        frames = []
+        row_id = 0
+        for t, size in enumerate(txn_sizes):
+            lsn = 100 * (t + 1)
+            frames.append(encode_begin(lsn, TS, t + 1))
+            if t % resend_every == 0:
+                frames.append(encode_relation(REL))
+            for _ in range(size):
+                row_id += 1
+                frames.append(
+                    encode_insert(REL.oid, (str(row_id).encode(), b"v"))
+                )
+            frames.append(encode_commit(0, lsn, lsn + 1, TS))
+        append_capture(path, frames)
+        top = 100 * len(txn_sizes)
+        start = min(split_at, len(txn_sizes)) * 100
+
+        cold = PgoutputStreamReader({"path": path})
+        full = _read_rows(cold, cold.partitions({"lsn": 0}, {"lsn": top})[0])
+        expect = [r for r in full if r[3] > start]
+
+        warm = PgoutputStreamReader({"path": path})
+        warm.latestOffset()
+        got = _read_rows(warm, warm.partitions({"lsn": start}, {"lsn": top})[0])
+        assert got == expect
+
+    check()

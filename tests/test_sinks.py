@@ -441,3 +441,25 @@ def test_snapshot_manifest_hides_uncommitted_files(spark, tmp_path):
     assert sink.read_snapshot("public", "example").count() == 2
     # version time travel: v1 still serves the old snapshot
     assert sink.read_snapshot("public", "example", version=1).count() == 1
+
+
+def test_snapshot_backed_view(spark, tmp_path):
+    """install_view(snapshot=True): the compaction view serves the
+    committed manifest — an in-flight batch is invisible until its
+    manifest commit."""
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "example", PAYLOAD, ["id"]))
+    sink.insert(
+        _env_rows(spark, [(10, None, {"id": 1, "v": "a"})]),
+        "public", "example",
+    )
+    sink.commit_manifest("public", "example")
+    sink.insert(  # in-flight: no manifest commit
+        _env_rows(spark, [(20, None, {"id": 2, "v": "b"})]),
+        "public", "example",
+    )
+    view = sink.install_view("public", "example", snapshot=True)
+    assert {r["id"] for r in spark.table(view).collect()} == {1}
+    sink.commit_manifest("public", "example")
+    view = sink.install_view("public", "example", snapshot=True)
+    assert {r["id"] for r in spark.table(view).collect()} == {1, 2}
