@@ -95,6 +95,48 @@ def _wav_for(doc_id: int) -> tuple[bytes, int, int]:
     return codecs.encode_wav(s, SAMPLE_RATE), amp, n
 
 
+# PFV ("PNG-frame video") container: the documented stand-in for a real
+# video codec — `PFV1` magic, u32 frame count, then length-prefixed REAL
+# PNG frames. The container is ours (no stdlib video codec exists), but
+# every extracted frame decodes with the real PNG path, so the frame-
+# sampling pipeline is exercised end-to-end on genuine image bytes.
+_PFV_MAGIC = b"PFV1"
+
+
+def encode_pfv(frames: list[bytes]) -> bytes:
+    import struct as _struct
+
+    out = [_PFV_MAGIC, _struct.pack(">I", len(frames))]
+    for f in frames:
+        out.append(_struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def pfv_frame(content: bytes, idx: int) -> bytes | None:
+    """Frame ``idx``'s PNG bytes, or None when not a PFV container."""
+    import struct as _struct
+
+    if not content.startswith(_PFV_MAGIC):
+        return None
+    (n,) = _struct.unpack_from(">I", content, 4)
+    if not (0 <= idx < n):
+        raise IndexError(f"frame {idx} of {n}")
+    pos = 8
+    for i in range(n):
+        (ln,) = _struct.unpack_from(">I", content, pos)
+        pos += 4
+        if i == idx:
+            return content[pos : pos + ln]
+        pos += ln
+    raise AssertionError("unreachable")
+
+
+def _pfv_for(doc_id: int) -> tuple[bytes, int]:
+    n = doc_id % 7 + 2
+    return encode_pfv([_png_for(doc_id * 31 + k)[0] for k in range(n)]), n
+
+
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from ``documents``: REAL PNG
     and WAV payloads (closed-form content, see module header) plus
@@ -128,11 +170,11 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                                rate=SAMPLE_RATE))
                     )
                 else:
-                    content = hashlib.md5(str(text).encode()).digest()
+                    content, n_frames = _pfv_for(doc_id)
                     rows.append(
                         (doc_id, "video", content,
-                         _meta("stub", dur=doc_id % 60000,
-                               frames=doc_id % 30 + 1))
+                         _meta("pfv", dur=doc_id % 60000,
+                               frames=n_frames))
                     )
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "content", "metadata"]
@@ -299,7 +341,9 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "frame_idx": pdf["frame_idx"],
                     "frame": [
-                        _frame_bytes_stub(c, i)
+                        pfv_frame(c, i)
+                        if c.startswith(_PFV_MAGIC)
+                        else _frame_bytes_stub(c, i)
                         for c, i in zip(pdf["content"], pdf["frame_idx"])
                     ],
                 }

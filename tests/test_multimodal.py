@@ -39,7 +39,10 @@ def test_media_table_schema(spark, sf_dir):
     rows = media.orderBy("media_id").limit(3).collect()
     assert codecs.is_png(bytes(rows[0]["content"]))   # doc 0 → image
     assert codecs.is_wav(bytes(rows[1]["content"]))   # doc 1 → audio
-    assert len(bytes(rows[2]["content"])) == 16       # doc 2 → stub digest
+    from pgsink_spark.operators.multimodal import pfv_frame
+    # doc 2 → PFV video container whose frames are REAL PNGs
+    assert bytes(rows[2]["content"]).startswith(b"PFV1")
+    assert codecs.is_png(pfv_frame(bytes(rows[2]["content"]), 0))
 
 
 def test_decode_matches_closed_form(spark, sf_dir):
@@ -164,3 +167,26 @@ def test_audio_windows_real_rms_and_no_shuffle(spark, sf_dir):
         .collect()
     }
     assert per_clip == want
+
+
+def test_sampled_frames_are_real_decodable_pngs(spark, sf_dir):
+    """Frame sampling now crosses a REAL codec boundary: every sampled
+    frame from the PFV container decodes with the real PNG path and
+    matches the closed-form pixel prediction for its (video, frame)."""
+    from pgsink_spark.operators.multimodal import (
+        IMG_W,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, sf_dir)
+    frames = sample_frames(media, every_n=1).orderBy("media_id", "frame_idx")
+    rows = frames.limit(12).collect()
+    assert rows
+    for r in rows:
+        png = bytes(r["frame"])
+        assert codecs.is_png(png)
+        px = codecs.decode_png(png).reshape(-1, IMG_W)
+        src = r["media_id"] * 31 + r["frame_idx"]
+        assert px.shape == (16 + src % 16, IMG_W)
+        assert px[0, 0] == (src % 160) % 256
