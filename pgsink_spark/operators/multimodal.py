@@ -320,8 +320,8 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
     The frame *indices* are computed relationally (sequence + explode —
     cheap, JVM-side); only the per-frame byte extraction crosses the
-    codec boundary, Arrow-batched. Video decode is the stub (no stdlib
-    codec)."""
+    codec boundary, Arrow-batched. PFV containers yield their REAL PNG
+    frame bytes; unknown containers fall back to the digest stub."""
     vids = media.where(F.col("media_type") == "video").select(
         "media_id",
         "content",
