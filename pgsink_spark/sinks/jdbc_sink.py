@@ -313,24 +313,58 @@ def upsert_from_staging_sql(entry: SchemaEntry) -> list[str]:
     return [upsert, delete, f"DELETE FROM {staging}"]
 
 
+def epoch_table_ddl(namespace: str, name: str) -> str:
+    table = quote_ident(f"{namespace}_{name}_epochs")
+    return f"CREATE TABLE IF NOT EXISTS {table} (epoch BIGINT PRIMARY KEY)"
+
+
 class JdbcCompactedSink(JdbcWarehouseSink):
     """JDBC sink variant maintaining a MATERIALIZED compacted table
     remotely (the connector twin of sinks/compactor.py): each batch
     stages executor-side, then one merge transaction folds it in.
     Readers hit an indexed primary-key table instead of a view over
     raw history; replays and out-of-order batches are absorbed by the
-    merge's monotonic newer-than guard."""
+    merge's monotonic newer-than guard.
+
+    ``fetch(sql) -> rows`` (optional) unlocks remote EXACTLY-ONCE:
+    committed epoch ids live in a ``<table>_epochs`` warehouse table
+    written in the same ``execute`` stream as the merge, so a replayed
+    foreachBatch epoch is skipped before it stages. Staging is cleared
+    at the START of each insert — a crash that left a half-staged
+    batch behind can never leak into the next batch's merge.
+    """
+
+    def __init__(self, options, execute, write_batch=None, fetch=None):
+        super().__init__(options, execute, write_batch=write_batch)
+        self.fetch = fetch
 
     def _sync(self, entry: SchemaEntry) -> None:
         self._entries[(entry.namespace, entry.name)] = entry
         self.execute(staging_table_ddl(entry))
         self.execute(compacted_table_ddl(entry))
+        self.execute(epoch_table_ddl(entry.namespace, entry.name))
 
-    def insert(self, env: DataFrame, namespace: str, name: str) -> InsertResult:
+    def insert(
+        self,
+        env: DataFrame,
+        namespace: str,
+        name: str,
+        epoch: int | None = None,
+    ) -> InsertResult:
         from pyspark.sql import Observation
 
         entry = self._entries[(namespace, name)]
         staging = staging_table_name(namespace, name)
+        epochs = quote_ident(f"{namespace}_{name}_epochs")
+        if epoch is not None and self.fetch is not None:
+            seen = self.fetch(
+                f"SELECT count(*) FROM {epochs} WHERE epoch = {int(epoch)}"
+            )
+            if seen and seen[0][0]:
+                return InsertResult(0, None)
+        # clean slate: a crashed pre-merge batch's staging rows must
+        # not pollute this batch's election
+        self.execute(f"DELETE FROM {quote_ident(staging)}")
         flat = flatten_envelope(env)
         obs = Observation()
         observed = flat.observe(
@@ -347,5 +381,7 @@ class JdbcCompactedSink(JdbcWarehouseSink):
             )
         for sql in upsert_from_staging_sql(entry):
             self.execute(sql)
+        if epoch is not None:
+            self.execute(f"INSERT INTO {epochs} VALUES ({int(epoch)})")
         got = obs.get
         return InsertResult(got["n"], got["max_lsn"])

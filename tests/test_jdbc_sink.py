@@ -251,3 +251,45 @@ def test_jdbc_compacted_sink_end_to_end(spark):
     assert dict(
         con.execute('SELECT id, v FROM "public_kv_compacted"').fetchall()
     ) == {1: "a1"}
+
+
+def test_jdbc_compacted_sink_remote_exactly_once(spark):
+    """With a fetch callable, a replayed epoch is skipped before it
+    stages; a crashed half-staged batch is cleared at the next insert."""
+    from pgsink_spark.sinks.jdbc_sink import JdbcCompactedSink
+
+    con = duckdb.connect()
+
+    def execute(sql):
+        con.execute(sql)
+
+    def fetch(sql):
+        return con.execute(sql).fetchall()
+
+    def write_batch(df, table):
+        pdf = df.toPandas()
+        con.register("batch_df", pdf)
+        con.execute(f'INSERT INTO "{table}" SELECT * FROM batch_df')
+        con.unregister("batch_df")
+
+    sink = JdbcCompactedSink(
+        JdbcSinkOptions(url="jdbc:duckdb:"), execute,
+        write_batch=write_batch, fetch=fetch,
+    )
+    sink.handle_schema(ENTRY)
+
+    b1 = _env(spark, [(10, None, {"id": 1, "v": "a", "tags": None})])
+    assert sink.insert(b1, "public", "kv", epoch=0) == InsertResult(1, 10)
+    # replay of epoch 0: skipped outright, nothing re-staged or merged
+    assert sink.insert(b1, "public", "kv", epoch=0) == InsertResult(0, None)
+    assert con.execute('SELECT count(*) FROM "public_kv_compacted"').fetchone()[0] == 1
+
+    # crash window: a half-staged batch with NO merge left behind
+    con.execute(
+        'INSERT INTO "public_kv_staging" VALUES '
+        "(TIMESTAMP '2030-01-01', 99, 1, 'INSERT', 9, 'ghost', NULL)"
+    )
+    b2 = _env(spark, [(20, None, {"id": 2, "v": "b", "tags": None})])
+    assert sink.insert(b2, "public", "kv", epoch=1) == InsertResult(1, 20)
+    got = dict(con.execute('SELECT id, v FROM "public_kv_compacted"').fetchall())
+    assert got == {1: "a", 2: "b"}  # the ghost row never merged
