@@ -177,9 +177,13 @@ def cmd_stream(args) -> int:
                 part = df.where(
                     (F.col("namespace") == ns) & (F.col("name") == name)
                 )
-                wh.insert(
+                res = wh.insert(
                     cast_envelope(part, e.payload), ns, name, epoch=batch_id
                 )
+                if res.count:
+                    # publish the committed snapshot so readers never
+                    # observe a mid-batch file set
+                    wh.commit_manifest(ns, name)
 
     else:
         out = os.path.join(args.root, "sink", "modifications")

@@ -400,3 +400,47 @@ def test_cli_stream_bounded_batches(tmp_path, spark, capsys):
     assert spark.read.parquet(raw_path).count() == 3
     ledger = _json.load(open(os.path.join(raw_path, "_epochs.json")))
     assert ledger["epoch"] >= 2  # three bounded batches, not one
+
+
+def test_cli_warehouse_stream_publishes_snapshots(tmp_path, spark):
+    """The CLI warehouse stream commits a snapshot manifest per table
+    batch, so snapshot reads work out of the box on streamed tables."""
+    import datetime as _dt
+    from datetime import timezone as _tz
+
+    from pgsink_spark.changelog.registry import SchemaEntry
+    from pgsink_spark.sinks.warehouse import WarehouseSink
+    from pgsink_spark.streaming.datasource import append_capture
+    from pgsink_spark.streaming.decoder import (
+        Relation,
+        RelationColumn,
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+    )
+    from pyspark.sql import types as T
+
+    ts = _dt.datetime(2024, 3, 1, tzinfo=_tz.utc)
+    rel = Relation(
+        16384, "public", "kv", 0,
+        (RelationColumn(True, "id", 20, 0xFFFFFFFF),
+         RelationColumn(False, "v", 25, 0xFFFFFFFF)),
+    )
+    cap = str(tmp_path / "wal.capture")
+    append_capture(cap, [
+        encode_begin(100, ts, 7), encode_relation(rel),
+        encode_insert(rel.oid, (b"1", b"a")),
+        encode_commit(0, 100, 101, ts),
+    ])
+    root = str(tmp_path / "state")
+    assert main(["--root", root, "stream", "run", "--capture", cap,
+                 "--sink", "warehouse"]) == 0
+
+    wh = WarehouseSink(spark, os.path.join(root, "sink", "warehouse"))
+    wh.handle_schema(SchemaEntry(
+        "public", "kv",
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("v", T.StringType())]), ["id"]))
+    assert wh.manifest_version("public", "kv") >= 1
+    assert wh.read_snapshot("public", "kv").count() == 1
