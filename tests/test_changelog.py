@@ -231,3 +231,41 @@ def test_cast_envelope_strict_vs_lenient(spark):
           None, {"id": "3"})], GENERIC_ENVELOPE)
     row = cast_envelope(env2, payload).collect()[0]
     assert row["after"]["id"] == 3 and row["after"]["v"] is None
+
+
+def test_envelope_avro_schema():
+    """Serializer-plane parity (pkg/changelog/serialize): the Avro
+    record for a typed envelope — valid per Avro's own rules (single
+    named payload record, referenced by name on reuse; nullable unions
+    defaulting null)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from pgsink_spark.changelog import SchemaEntry
+    from pgsink_spark.changelog.avro import avro_type_of, envelope_avro_schema
+
+    payload = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DecimalType(12, 2)),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    schema = envelope_avro_schema(SchemaEntry("public", "orders", payload, ["id"]))
+    _json.dumps(schema)  # serializable end-to-end
+
+    fields = {f["name"]: f for f in schema["fields"]}
+    assert fields["lsn"]["type"] == ["null", "long"]
+    before_t = fields["before"]["type"][1]
+    assert before_t["type"] == "record"
+    by_name = {f["name"]: f for f in before_t["fields"]}
+    assert by_name["price"]["type"][1]["logicalType"] == "decimal"
+    assert by_name["tags"]["type"][1]["items"] == "string"
+    assert by_name["ts"]["type"][1]["logicalType"] == "timestamp-micros"
+    # after references the payload record BY NAME (no redefinition)
+    assert fields["after"]["type"][1] == before_t["name"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        avro_type_of(T.MapType(T.LongType(), T.StringType()))
