@@ -72,7 +72,9 @@ def read_capture(path: str) -> list[bytes]:
 
 def iter_capture_from(path: str, offset: int = 0):
     """Yield (byte_offset, frame) from ``offset`` (a frame boundary)."""
-    with open(path, "rb") as f:
+    # 1 MiB buffer: frames are tiny (tens of bytes), so the default
+    # 8 KiB buffer pays a syscall every ~200 frames on the decode path
+    with open(path, "rb", buffering=1 << 20) as f:
         f.seek(offset)
         pos = offset
         while True:
