@@ -82,3 +82,93 @@ def test_foreachbatch_availablenow_stream(spark, tmp_path):
     )
     stream2.awaitTermination(120)
     assert cur.curated().count() == accepted
+
+
+def test_curator_fed_by_cdc_source(spark, tmp_path):
+    """Flagship integration: documents arrive as CDC INSERT envelopes
+    through the DSv2 source, the typed cast projects them back to rows,
+    and the incremental curator consumes them per micro-batch — final
+    curated set equals batch curation over the same rows."""
+    import duckdb
+    from datetime import datetime, timezone
+
+    from pgsink_spark.changelog.envelope import cast_envelope
+    from pgsink_spark.streaming.datasource import append_capture, register
+    from pgsink_spark.streaming.decoder import (
+        Relation,
+        RelationColumn,
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+    )
+    from pyspark.sql import types as T
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+        " ORDER BY doc_id LIMIT 60"
+    ).fetchall()
+    rel = Relation(
+        17000, "public", "documents", 0,
+        (RelationColumn(True, "doc_id", 20, 0xFFFFFFFF),
+         RelationColumn(False, "text", 25, 0xFFFFFFFF)),
+    )
+    ts = datetime(2024, 7, 1, tzinfo=timezone.utc)
+    frames = []
+    for t in range(3):  # three transactions → at least one batch each
+        lsn = 100 * (t + 1)
+        frames.append(encode_begin(lsn, ts, t + 1))
+        if t == 0:
+            frames.append(encode_relation(rel))
+        for doc_id, text in rows[t * 20 : (t + 1) * 20]:
+            frames.append(
+                encode_insert(rel.oid, (str(doc_id).encode(), text.encode()))
+            )
+        frames.append(encode_commit(0, lsn, lsn + 1, ts))
+    cap = str(tmp_path / "wal.capture")
+    append_capture(cap, frames)
+
+    register(spark)
+    payload = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    cur = IncrementalCurator(spark, str(tmp_path / "cur"))
+
+    def flush(df, _bid):
+        docs = cast_envelope(df, payload).select("after.doc_id", "after.text")
+        if docs.take(1):
+            cur.apply_batch(docs)
+
+    q = (
+        spark.readStream.format("pgoutput")
+        .option("path", cap)
+        .option("maxcommitspertrigger", "1")
+        .load()
+        .writeStream.foreachBatch(flush)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # bounded drain: loop availableNow until all three txns consumed
+    for _ in range(4):
+        q = (
+            spark.readStream.format("pgoutput")
+            .option("path", cap)
+            .option("maxcommitspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(flush)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch_cur = IncrementalCurator(spark, str(tmp_path / "cur_batch"))
+    src = spark.createDataFrame(rows, payload)
+    batch_cur.apply_batch(src)
+
+    got = {r["doc_id"] for r in cur.curated().collect()}
+    want = {r["doc_id"] for r in batch_cur.curated().collect()}
+    assert got == want and len(want) > 0
