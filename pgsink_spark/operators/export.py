@@ -40,3 +40,76 @@ def write_sorted_shards(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+class StreamingShardExport:
+    """foreachBatch shard appender: each micro-batch lands as
+    range-sharded, internally-sorted parquet under its own ``epoch=N``
+    partition, exactly-once via the same ledger/dynamic-overwrite
+    pattern as the warehouse raw tables.
+
+    The resulting layout is the streaming curriculum shape: shards are
+    globally sorted WITHIN an epoch and epochs concatenate in arrival
+    order — exactly what a trainer consuming a growing corpus wants
+    (new data appends at the end; every epoch's shards still prune by
+    parquet min/max). A replayed epoch overwrites only its own
+    partition, so at-least-once delivery cannot duplicate shards.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        sort_cols: list[str],
+        shards_per_batch: int = 8,
+    ):
+        self.spark = spark
+        self.path = path
+        self.sort_cols = sort_cols
+        self.shards_per_batch = shards_per_batch
+
+    def _ledger(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_epochs.json")
+
+    def committed_epoch(self) -> int | None:
+        import json
+        import os
+
+        try:
+            with open(self._ledger()) as f:
+                return json.load(f)["epoch"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def apply_batch(self, df: DataFrame, epoch: int) -> int:
+        import json
+        import os
+
+        done = self.committed_epoch()
+        if done is not None and epoch <= done:
+            return 0
+        (
+            df.repartitionByRange(
+                self.shards_per_batch, *[F.col(c) for c in self.sort_cols]
+            )
+            .sortWithinPartitions(*self.sort_cols)
+            .withColumn("epoch", F.lit(int(epoch)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(self.path)
+        )
+        tmp = self._ledger() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": int(epoch)}, f)
+        os.replace(tmp, self._ledger())
+        return 1
+
+    def read(self) -> DataFrame:
+        """Epoch-ordered read (global curriculum order: epoch, key)."""
+        return (
+            self.spark.read.parquet(self.path)
+            .orderBy("epoch", *self.sort_cols)
+        )

@@ -57,3 +57,40 @@ def test_sorted_shards_prune_on_range_predicate(spark, sf_dir, tmp_path):
             if st.min <= lo[1] and st.max >= lo[0]:
                 touching += 1
     assert 0 < touching < len(files)
+
+
+def test_streaming_shard_export_epochs(spark, tmp_path):
+    """Epoch appends: each batch's shards are internally sorted with
+    disjoint ranges; a replayed epoch is skipped; the reader serves
+    (epoch, key) order."""
+    from pgsink_spark.operators.export import StreamingShardExport
+
+    ex = StreamingShardExport(
+        spark, str(tmp_path / "shards"), ["doc_id"], shards_per_batch=4
+    )
+    b1 = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    b2 = spark.range(100, 160).withColumnRenamed("id", "doc_id")
+    assert ex.apply_batch(b1, 0) == 1
+    assert ex.apply_batch(b2, 1) == 1
+    assert ex.apply_batch(b2, 1) == 0  # replay skipped
+
+    out = ex.read().collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids == sorted(ids) and len(ids) == 160
+
+    # per-epoch shard files carry disjoint sorted ranges
+    import os
+
+    import pyarrow.parquet as pq
+
+    e0 = os.path.join(str(tmp_path / "shards"), "epoch=0")
+    ranges = []
+    for f in sorted(os.listdir(e0)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(e0, f), columns=["doc_id"])
+            col = t.column("doc_id").to_pylist()
+            assert col == sorted(col)
+            ranges.append((min(col), max(col)))
+    ranges.sort()
+    for (a, b), (c, d) in zip(ranges, ranges[1:]):
+        assert b < c  # disjoint
