@@ -372,3 +372,39 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         & (F.col("r.ts") <= F.col("l.ts") + F.expr("interval 15 minutes")),
     )
     assert len(rows) == batch.count() > 0
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    """The registered stream-stream interval join (a REAL watermarked
+    streaming run) equals the batch range join over the same events."""
+    from pgsink_spark.operators import streaming_q  # noqa: F401 — registers
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    got = QUERIES["stream_interval_join"](spark, sf_dir).collect()
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    want = (
+        c.join(
+            p,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") > F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("interval 10 minutes")),
+        )
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+        .collect()
+    )
+    assert [(r["user_id"], r["click_id"], r["purchase_id"]) for r in got] == [
+        (r["user_id"], r["click_id"], r["purchase_id"]) for r in want
+    ]
