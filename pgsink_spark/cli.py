@@ -283,6 +283,20 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """ANALYZE-style table statistics (one scan, one aggregation)."""
+    from pgsink_spark.operators.relational import profile_table
+    from pgsink_spark.session import get_spark
+
+    spark = get_spark("pgsink-stats")
+    df = spark.read.parquet(
+        os.path.join(args.source, f"{args.table}.parquet")
+    )
+    stats = profile_table(df)
+    print(json.dumps(stats, indent=2, default=str))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Maintain a materialized most-recent-row table from raw envelope
     parquet: merge new batches incrementally, optionally GC tombstones.
@@ -388,6 +402,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--exclude", default=None,
                    help="comma-separated namespace.name deny-list")
     r.set_defaults(fn=cmd_run)
+
+    sa = sub.add_parser("stats", help="one-pass table column statistics")
+    sa.add_argument("table")
+    sa.add_argument("--source", default="/root/testdata/sf0.001")
+    sa.set_defaults(fn=cmd_stats)
 
     c = sub.add_parser(
         "compact", help="incrementally compact raw envelopes to latest-per-key"

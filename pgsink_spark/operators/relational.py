@@ -2766,3 +2766,39 @@ def d63_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_ts").cast("date").alias("day"),
         rnd(v.cast("decimal(18,8)"), 6).alias("v"),
     ).orderBy("user_id", "day")
+
+
+def profile_table(df: "DataFrame") -> dict:
+    """ANALYZE-style one-pass column statistics: per column min/max,
+    null count, and approximate distinct count, plus the row count —
+    all in ONE aggregation (partial/final merge, a single scan at any
+    scale). Complex-typed columns report nulls only (no ordering).
+    Returns a plain dict, JSON-ready for catalogs/monitoring."""
+    import pyspark.sql.types as _T
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    orderable = {}
+    for f in df.schema.fields:
+        c = f.name
+        ok = not isinstance(
+            f.dataType, (_T.ArrayType, _T.MapType, _T.StructType, _T.BinaryType)
+        )
+        orderable[c] = ok
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"))
+        if ok:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+            aggs.append(F.approx_count_distinct(c).alias(f"__d_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    out = {"rows": row["__rows"], "columns": {}}
+    for f in df.schema.fields:
+        c = f.name
+        col = {"type": f.dataType.simpleString(), "nulls": row[f"__n_{c}"]}
+        if orderable[c]:
+            col.update(
+                min=row[f"__min_{c}"],
+                max=row[f"__max_{c}"],
+                approx_distinct=row[f"__d_{c}"],
+            )
+        out["columns"][c] = col
+    return out

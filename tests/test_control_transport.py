@@ -444,3 +444,16 @@ def test_cli_warehouse_stream_publishes_snapshots(tmp_path, spark):
                       T.StructField("v", T.StringType())]), ["id"]))
     assert wh.manifest_version("public", "kv") >= 1
     assert wh.read_snapshot("public", "kv").count() == 1
+
+
+def test_cli_stats(tmp_path, spark, capsys):
+    """stats: one-pass ANALYZE output with min/max/nulls/ndv."""
+    import json as _json
+
+    assert main(["--root", str(tmp_path), "stats", "region",
+                 "--source", "/root/testdata/sf0.001"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["rows"] == 5
+    assert out["columns"]["r_regionkey"]["min"] == 0
+    assert out["columns"]["r_regionkey"]["max"] == 4
+    assert out["columns"]["r_regionkey"]["nulls"] == 0
