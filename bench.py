@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_fuzzy_blocked",
     "cdc_refresh_endstate",
     "d63_interpolate_linear",
+    "mm_frame_stats",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -576,3 +576,64 @@ def mm_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return brute_force_topk(emb, q, k=5).orderBy("q_id", "rnk")
+
+
+@query(
+    "mm_frame_stats",
+    """
+    WITH v AS (
+      SELECT doc_id, doc_id % 7 + 2 AS n_frames FROM documents
+      WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT v.doc_id, t.k,
+             16 + (v.doc_id * 31 + t.k) % 16 AS h,
+             (v.doc_id * 31 + t.k) % 160 AS px0
+      FROM v, unnest(range(v.n_frames)) AS t(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(h) AS BIGINT) AS sum_heights,
+           CAST(sum(px0) AS BIGINT) AS sum_px0
+    FROM f GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def mm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO plane, oracle-checked: sample EVERY frame from the PFV
+    containers, decode each frame with the REAL PNG path (inflate +
+    unfilter), and aggregate per-video frame statistics. The oracle
+    derives the identical numbers from the closed-form synthesis
+    without touching any bytes — so a hash match proves the container
+    walk, the per-frame PNG decode, and the aggregation end to end.
+
+    Plan: frame indices explode relationally; the only Python is the
+    Arrow-batched frame-extract + decode kernel; stats fold with one
+    media_id-keyed aggregation. Frames never shuffle — the decode
+    happens where the blob row lives and only (id, h, px0) rows move.
+    """
+    media = synthesize_media(spark, sf_dir)
+    frames = sample_frames(media, every_n=1)
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs, p0 = [], []
+            for b in pdf["frame"]:
+                px = codecs.decode_png(bytes(b)).reshape(-1, IMG_W)
+                hs.append(px.shape[0])
+                p0.append(int(px[0, 0]))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "h": hs, "px0": p0}
+            )
+
+    per_frame = frames.mapInPandas(
+        stats, "media_id long, h long, px0 long"
+    )
+    return (
+        per_frame.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("h").alias("sum_heights"),
+            F.sum("px0").alias("sum_px0"),
+        )
+        .orderBy("media_id")
+    )
