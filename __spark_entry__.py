@@ -36,15 +36,75 @@ from pgsink_spark.operators import text as _text
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks exactly the first 50 registry entries per round
-# (CORRECTNESS_r01/r02: 50 rows each, cut in registration order).
+# (CORRECTNESS_r01..r03: 50 rows each, cut in registration order).
 # Registry order therefore rotates per round so the union of rounds
-# covers every query. Round 3 leads with the single round-2 hash
-# failure (tpch_q12 — oracle HUGEINT→float64 dtype, fixed with a
-# BIGINT cast) and mm_decode_stats (now backed by a real PNG/WAV
-# codec oracle instead of rows-only), then every query that has no
-# driver row in r01∪r02 — oracle-checked first, rows-only last —
-# then new round-3 queries. Queries already green in r01∪r02 sit
-# after slot 50; see VERIFICATION.md for the rotation ledger.
+# covers every query. Round 4 leads with the 5 queries that have
+# never seen a driver row (added after the r3 gate closed), then the
+# round-4 falsifiability upgrades: recall-gate twins for the
+# approximate ANN family, the HLL error-bound gate (d35 is now
+# oracle-checked), and the frame-sample closed-form oracle
+# (mm_frame_sample is now oracle-checked too). Remaining slots
+# re-confirm the oldest driver rows (round-1 vintage) so every green
+# claim stays fresh. See VERIFICATION.md for the rotation ledger.
+_ROUND4_PRIORITY = [
+    # never driver-checked (post-r3-gate additions) — hard-signal first
+    "cdc_refresh_endstate",
+    "d63_interpolate_linear",
+    "dedup_fuzzy_blocked",
+    "mm_frame_stats",
+    "mm_frame_sample",  # NEW closed-form decode oracle this round
+    # round-4 falsifiability upgrades (all oracle-checked)
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "ann_kmeans_recall",
+    "mm_embedding_recall",
+    "d35_approx_distinct",  # now a bound-gate with an exact-count oracle
+]
+
+# round-1-vintage green rows re-confirmed in remaining r4 slots
+_ROUND1_VINTAGE = [
+    "a5_keyset_scan",
+    "a16_compaction_view",
+    "a3_total_order",
+    "a17_claim_predicate",
+    "b5_anti_join_diff",
+    "b1_filter_limit",
+    "b2_inner_join",
+    "b3_left_join_inlist",
+    "b4_latest_per_key",
+    "b6_semi_join",
+    "b7_include_exclude",
+    "b11_scalar_fns",
+    "b12_arith_update",
+    "b13_count",
+    "d1_filter_pushdown",
+    "d2_join_agg_topk",
+    "d2b_broadcast_join",
+    "d3_outer_join_agg",
+    "d4_range_join",
+    "d5_tpch_q1",
+    "d6_count_distinct",
+    "d7_rollup",
+    "d8_rank_topk",
+    "d9_lag_lead",
+    "d10_running_sum",
+    "d11_topk_order",
+    "d12_intersect",
+    "d13_string_fns",
+    "d14_date_trunc",
+    "d15_array_fns",
+    "d16_json_fns",
+    "d17_tumbling_window",
+    "d18_distinct_dedup",
+    "d19_udf_parity",
+    "d22_asof_join",
+    "d24_percentiles",
+    "d25_set_ops",
+    "d26_cube",
+    "d27_date_arithmetic",
+    "d28_grouping_sets",
+]
+
 _ROUND3_PRIORITY = [
     # round-2 non-green rows, fixed this round
     "tpch_q12_priority_lateness",
@@ -213,9 +273,9 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["text_fingerprint"] = _text.text_fingerprint
 
     ordered: dict[str, QueryFn] = {}
-    for name in _ROUND3_PRIORITY:
+    for name in _ROUND4_PRIORITY + _ROUND1_VINTAGE:
         ordered[name] = queries[name]
-    for name in _ROUND2_PRIORITY:
+    for name in _ROUND3_PRIORITY + _ROUND2_PRIORITY:
         if name not in ordered:
             ordered[name] = queries[name]
     for name, fn in queries.items():

@@ -62,11 +62,17 @@ class StreamingShardExport:
         path: str,
         sort_cols: list[str],
         shards_per_batch: int = 8,
+        stream_id: str = "default",
     ):
         self.spark = spark
         self.path = path
         self.sort_cols = sort_cols
         self.shards_per_batch = shards_per_batch
+        # ledger identity (Delta txnAppId pattern): pass the streaming
+        # query's checkpoint-scoped id so a rebuilt checkpoint (batch
+        # ids restarting at 0) gets a fresh high-water mark instead of
+        # silently skipping every batch against the old one
+        self.stream_id = stream_id
 
     def _ledger(self) -> str:
         import os
@@ -75,21 +81,29 @@ class StreamingShardExport:
 
     def committed_epoch(self) -> int | None:
         import json
-        import os
 
         try:
             with open(self._ledger()) as f:
-                return json.load(f)["epoch"]
-        except (OSError, ValueError, KeyError):
+                data = json.load(f)
+        except (OSError, ValueError):
             return None
+        if "streams" in data:
+            return data["streams"].get(self.stream_id)
+        return data.get("epoch") if self.stream_id == "default" else None
 
     def apply_batch(self, df: DataFrame, epoch: int) -> int:
         import json
         import os
 
         done = self.committed_epoch()
-        if done is not None and epoch <= done:
+        if done is not None and epoch == done:
             return 0
+        if done is not None and epoch < done:
+            raise RuntimeError(
+                f"epoch regression for export at {self.path} stream "
+                f"{self.stream_id!r}: got {epoch}, committed {done}. "
+                f"A rebuilt checkpoint must use a new stream_id."
+            )
         (
             df.repartitionByRange(
                 self.shards_per_batch, *[F.col(c) for c in self.sort_cols]
@@ -101,9 +115,18 @@ class StreamingShardExport:
             .partitionBy("epoch")
             .parquet(self.path)
         )
+        try:
+            with open(self._ledger()) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            data = {}
+        streams = data.get("streams", {})
+        if "epoch" in data and "default" not in streams:  # legacy upgrade
+            streams["default"] = data["epoch"]
+        streams[self.stream_id] = int(epoch)
         tmp = self._ledger() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"epoch": int(epoch)}, f)
+            json.dump({"streams": streams}, f)
         os.replace(tmp, self._ledger())
         return 1
 

@@ -552,12 +552,57 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id, doc_id % 7 + 2 AS n_frames FROM documents
+      WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT v.doc_id, t.k
+      FROM v, unnest(range(0, CAST(v.n_frames AS BIGINT), 2)) AS t(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(k AS INTEGER) AS frame_idx,
+           CAST(16 + (doc_id * 31 + k) % 16 AS INTEGER) AS frame_h,
+           CAST((doc_id * 31 + k) % 160 AS INTEGER) AS frame_px0
+    FROM f ORDER BY media_id, frame_idx
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every-10th-frame sample of the video rows (frame ids only — the
-    blob column stays distributed). Stub codec → rows-only check."""
+    """Every-2nd-frame sample of the video rows, each sampled frame
+    decoded with the REAL PNG path and reduced to (height, first
+    pixel). Oracle-checked: the synthesis closed form predicts both
+    the sampled index set (stride-2 over n_frames = doc_id%7+2) and
+    each frame's decoded stats, so a hash match proves the stride
+    arithmetic, the PFV container walk, and the per-frame decode.
+
+    Plan: indices explode relationally (JVM sequence/explode); the
+    blob column never shuffles — extraction + decode run where the
+    video row lives and only (id, idx, h, px0) rows move."""
+    frames = sample_frames(synthesize_media(spark, sf_dir), every_n=2)
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs, p0 = [], []
+            for b in pdf["frame"]:
+                px = codecs.decode_png(bytes(b)).reshape(-1, IMG_W)
+                hs.append(px.shape[0])
+                p0.append(int(px[0, 0]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_h": hs,
+                    "frame_px0": p0,
+                }
+            )
+
     return (
-        sample_frames(synthesize_media(spark, sf_dir), every_n=10)
-        .select("media_id", "frame_idx")
+        frames.mapInPandas(
+            stats, "media_id long, frame_idx int, frame_h int, frame_px0 int"
+        )
         .orderBy("media_id", "frame_idx")
     )
 
@@ -576,6 +621,48 @@ def mm_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return brute_force_topk(emb, q, k=5).orderBy("q_id", "rnk")
+
+
+@query(
+    "mm_embedding_recall",
+    "SELECT CAST(0 AS BIGINT) AS q_id, TRUE AS recall_ok",
+)
+def mm_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable gate for the multimodal→similarity interop: the
+    same media-feature top-5 computed by TWO independent kernels —
+    the JVM ``zip_with``/``aggregate`` fold (brute_force_topk) and the
+    Arrow-batched NumPy scorer (cosine_topk_pandas) — must agree on
+    ≥4/5 of the neighbor SET (a boundary tie may legally swap the
+    5th member between kernels; everything is deterministic, so the
+    boolean cannot flap). The oracle predicts TRUE; a broken featurizer,
+    fold, or Arrow scorer flips it and the hash goes red — replacing
+    the old rows-only shrug for this slot."""
+    from pgsink_spark.operators.similarity import brute_force_topk
+
+    feats = extract_features(synthesize_media(spark, sf_dir), dim=16)
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"), F.col("embedding")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    jvm_top = brute_force_topk(emb, q, k=5).select("vec_id")
+
+    from pgsink_spark.operators.similarity import cosine_topk_pandas
+
+    q_vec = [
+        float(x)
+        for x in q.select("q_emb").head()["q_emb"]  # 1-row control read
+    ]
+    np_top = (
+        cosine_topk_pandas(
+            emb.where(F.col("vec_id") != 0), q_vec, k=5
+        ).select("vec_id")
+    )
+    n_hit = jvm_top.join(np_top, on="vec_id", how="left_semi").count()
+    return spark.createDataFrame(
+        [(0, n_hit >= 4)], "q_id long, recall_ok boolean"
+    )
 
 
 @query(

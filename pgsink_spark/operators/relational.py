@@ -1447,17 +1447,32 @@ def d34_exists_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d35_approx_distinct")
+@query(
+    "d35_approx_distinct",
+    """
+    SELECT COUNT(DISTINCT o_custkey) AS exact_cust, TRUE AS within_bound
+    FROM orders
+    """,
+)
 def d35_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct counts (rows-only check: the
-    sketch estimate is engine-specific by construction). At 100 TB this
-    replaces exact COUNT(DISTINCT) — constant memory per group, partial
-    sketch merge instead of a key shuffle. rsd=0.01 keeps the estimate
-    within ~1% of d6_count_distinct's exact answer."""
+    """HyperLogLog++ approximate distinct count, gated against its own
+    published error bound: the sketch estimate is engine-specific, but
+    |approx − exact| / exact ≤ 5·rsd is a deterministic boolean the
+    DuckDB oracle predicts as TRUE (exact side reproduced in SQL) —
+    so a broken sketch merge goes red instead of rows-only. At 100 TB
+    the sketch replaces exact COUNT(DISTINCT): constant memory per
+    group, partial merge instead of a key shuffle."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_cust"),
         F.count_distinct(F.col("o_custkey")).alias("exact_cust"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.01)
+                - F.count_distinct(F.col("o_custkey"))
+            )
+            / F.count_distinct(F.col("o_custkey"))
+            <= 0.05
+        ).alias("within_bound"),
     )
 
 

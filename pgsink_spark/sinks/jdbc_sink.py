@@ -50,6 +50,10 @@ _SQL_TYPES: list[tuple[type, str]] = [
     (T.BooleanType, "BOOLEAN"),
     (T.DateType, "DATE"),
     (T.TimestampType, "TIMESTAMP"),
+    # plain Postgres `timestamp` (OID 1114) maps to TimestampNTZ in the
+    # type registry — without this row it fell through to TEXT and a
+    # real JDBC append of a timestamp payload column broke
+    (T.TimestampNTZType, "TIMESTAMP"),
     (T.BinaryType, "BYTEA"),
     (T.StringType, "TEXT"),
 ]
@@ -382,6 +386,12 @@ class JdbcCompactedSink(JdbcWarehouseSink):
         for sql in upsert_from_staging_sql(entry):
             self.execute(sql)
         if epoch is not None:
-            self.execute(f"INSERT INTO {epochs} VALUES ({int(epoch)})")
+            # conflict-tolerant: a crash-replayed epoch (or running
+            # without `fetch`) re-runs the idempotent merge and must
+            # not wedge the stream on an epoch-PK violation
+            self.execute(
+                f"INSERT INTO {epochs} VALUES ({int(epoch)}) "
+                f"ON CONFLICT (epoch) DO NOTHING"
+            )
         got = obs.get
         return InsertResult(got["n"], got["max_lsn"])

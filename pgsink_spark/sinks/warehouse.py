@@ -104,18 +104,42 @@ class WarehouseSink:
         # leading underscore: Spark partition discovery ignores _ files
         return os.path.join(self._raw_path(namespace, name), "_epochs.json")
 
-    def committed_epoch(self, namespace: str, name: str) -> int | None:
+    def committed_epoch(
+        self, namespace: str, name: str, stream_id: str = "default"
+    ) -> int | None:
+        """Last committed epoch FOR THIS STREAM. The ledger is keyed by
+        a caller-supplied stream identity (pass the streaming query's
+        checkpoint-scoped id — the Delta txnAppId pattern): a rebuilt
+        checkpoint restarts batch ids at 0 under a NEW stream id, so
+        the old stream's high-water mark can no longer silently skip
+        every replayed batch (the data-loss mode the round-3 advice
+        flagged)."""
         try:
             with open(self._epochs_path(namespace, name)) as f:
-                return json.load(f)["epoch"]
-        except (OSError, ValueError, KeyError):
+                data = json.load(f)
+        except (OSError, ValueError):
             return None
+        if "streams" in data:
+            return data["streams"].get(stream_id)
+        # legacy single-epoch ledger ⇒ it belonged to "default"
+        return data.get("epoch") if stream_id == "default" else None
 
-    def _commit_epoch(self, namespace: str, name: str, epoch: int) -> None:
+    def _commit_epoch(
+        self, namespace: str, name: str, epoch: int, stream_id: str = "default"
+    ) -> None:
         path = self._epochs_path(namespace, name)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            data = {}
+        streams = data.get("streams", {})
+        if "epoch" in data and "default" not in streams:  # legacy upgrade
+            streams["default"] = data["epoch"]
+        streams[stream_id] = int(epoch)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"epoch": int(epoch)}, f)
+            json.dump({"streams": streams}, f)
         os.replace(tmp, path)
 
     def _sync_table(self, entry: SchemaEntry) -> None:
@@ -132,6 +156,7 @@ class WarehouseSink:
         name: str,
         cluster: bool = True,
         epoch: int | None = None,
+        stream_id: str = "default",
     ) -> InsertResult:
         """Append one envelope batch into the table's raw storage.
 
@@ -159,9 +184,21 @@ class WarehouseSink:
         from pyspark.sql import Observation
 
         if epoch is not None:
-            done = self.committed_epoch(namespace, name)
-            if done is not None and epoch <= done:
+            done = self.committed_epoch(namespace, name, stream_id)
+            if done is not None and epoch == done:
+                # crash-replay of the last committed batch: skip (the
+                # checkpointed offsets make the replay deterministic)
                 return InsertResult(0, None)
+            if done is not None and epoch < done:
+                # epochs only move forward within one stream identity;
+                # going backwards means a checkpoint was reset against
+                # an existing sink — fail loudly instead of silently
+                # skipping (or double-writing) history
+                raise RuntimeError(
+                    f"epoch regression for {namespace}.{name} stream "
+                    f"{stream_id!r}: got {epoch}, committed {done}. "
+                    f"A rebuilt checkpoint must use a new stream_id."
+                )
 
         keys = self._keys.get((namespace, name), [])
         out = env.select(
@@ -193,7 +230,7 @@ class WarehouseSink:
                 .partitionBy("epoch", "day")
                 .parquet(self._raw_path(namespace, name))
             )
-            self._commit_epoch(namespace, name, epoch)
+            self._commit_epoch(namespace, name, epoch, stream_id)
         else:
             (
                 observed.write.mode("append")
@@ -319,6 +356,11 @@ class WarehouseSink:
                     shutil.rmtree(full)
                     dirnames.remove(d)
                     removed.append(full)
+        if removed and self.manifest_version(namespace, name) > 0:
+            # republish so the LATEST manifest stops naming deleted
+            # files — otherwise snapshot reads fail with missing-file
+            # errors until the next commit_manifest
+            self.commit_manifest(namespace, name)
         return sorted(removed)
 
     def install_snapshot(self, asof_lsn: int) -> dict[tuple[str, str], str]:

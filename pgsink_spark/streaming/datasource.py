@@ -204,6 +204,12 @@ class PgoutputStreamReader(DataSourceStreamReader):
         # bounded batches instead of one giant catch-up batch
         self.max_commits = int(options.get("maxcommitspertrigger", "0"))
         self.options_maxpartitions = int(options.get("maxpartitions", "1"))
+        # scope for the planned-watermark sidecar (bounded drain). Two
+        # queries reading the same capture with the same scope would
+        # share one watermark and the later one would lose backpressure
+        # pacing — pass a per-query id (e.g. derived from the
+        # checkpoint location) to give each drain its own sidecar.
+        self.drain_id = options.get("drainid", "")
         # driver-side tail index: each poll scans only appended bytes,
         # each batch read seeks — O(new data) per batch, not O(file)
         self._index = CaptureIndex(self.path)
@@ -221,10 +227,14 @@ class PgoutputStreamReader(DataSourceStreamReader):
             # one — continues the bounded drain instead of re-planning
             # the same first window. Sizing metadata only: a stale or
             # shared sidecar can only make a batch larger, never skip
-            # or duplicate data (offsets own correctness).
+            # or duplicate data (offsets own correctness; partitions()
+            # reads strictly (start, end] from the checkpointed start).
+            # The sidecar is scoped by `drainid` so concurrent queries
+            # over one capture don't share a watermark.
             from pgsink_spark.streaming.offsets import OffsetStore
 
-            store = OffsetStore(self.path + ".planned")
+            suffix = f".planned.{self.drain_id}" if self.drain_id else ".planned"
+            store = OffsetStore(self.path + suffix)
             start = max(self._last_planned, store.confirmed_lsn or 0)
             ahead = [lsn for lsn, _off, _n in self._index.commits if lsn > start]
             if len(ahead) > self.max_commits:

@@ -350,3 +350,35 @@ def test_capture_index_property_random_streams(tmp_path):
         assert got == expect
 
     check()
+
+
+def test_drain_sidecar_is_scoped_per_query(tmp_path):
+    """Two bounded-drain readers over ONE capture with distinct
+    drainid values keep independent planned watermarks — without the
+    scope the second query lost all backpressure pacing (round-3
+    advice). Same drainid (or none) shares the sidecar as before."""
+    import os
+
+    path = str(tmp_path / "wal.capture")
+    append_capture(
+        path,
+        _txn(100, 7, (1, "a")) + _txn(200, 8, (2, "b")) + _txn(300, 9, (3, "c")),
+    )
+    r1 = PgoutputStreamReader(
+        {"path": path, "maxcommitspertrigger": "1", "drainid": "qa"}
+    )
+    r2 = PgoutputStreamReader(
+        {"path": path, "maxcommitspertrigger": "1", "drainid": "qb"}
+    )
+    assert r1.latestOffset() == {"lsn": 100}
+    assert r1.latestOffset() == {"lsn": 200}
+    # qb starts its own drain from the beginning, one commit at a time
+    assert r2.latestOffset() == {"lsn": 100}
+    assert sorted(
+        f for f in os.listdir(tmp_path) if f.startswith("wal.capture.planned")
+    ) == ["wal.capture.planned.qa", "wal.capture.planned.qb"]
+    # a restarted qa reader resumes ITS drain where it left off
+    r1b = PgoutputStreamReader(
+        {"path": path, "maxcommitspertrigger": "1", "drainid": "qa"}
+    )
+    assert r1b.latestOffset() == {"lsn": 300}

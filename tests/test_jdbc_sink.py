@@ -19,6 +19,7 @@ from pyspark.sql import types as T
 from pgsink_spark.changelog import SchemaEntry, envelope_schema
 from pgsink_spark.sinks.generic import InsertResult
 from pgsink_spark.sinks.jdbc_sink import (
+    JdbcCompactedSink,
     JdbcSinkOptions,
     JdbcWarehouseSink,
     compaction_view_ddl,
@@ -293,3 +294,105 @@ def test_jdbc_compacted_sink_remote_exactly_once(spark):
     assert sink.insert(b2, "public", "kv", epoch=1) == InsertResult(1, 20)
     got = dict(con.execute('SELECT id, v FROM "public_kv_compacted"').fetchall())
     assert got == {1: "a", 2: "b"}  # the ghost row never merged
+
+
+def test_timestamp_ntz_payload_column_maps_to_timestamp():
+    """Plain Postgres `timestamp` (OID 1114) arrives as TimestampNTZ;
+    it must land as a SQL TIMESTAMP column, not the TEXT fallback
+    (round-3 advice: the TEXT fallthrough broke real JDBC appends)."""
+    assert sql_type_of(T.TimestampNTZType()) == "TIMESTAMP"
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("seen_at", T.TimestampNTZType()),
+            T.StructField("seen_at_tz", T.TimestampType()),
+        ]
+    )
+    entry = SchemaEntry("public", "ts", payload, ["id"])
+    con = duckdb.connect()
+    con.execute(raw_table_ddl(entry))
+    types = {
+        r[0]: r[1] for r in con.execute("DESCRIBE public_ts_raw").fetchall()
+    }
+    assert types["seen_at"] == "TIMESTAMP"
+    assert types["seen_at_tz"] == "TIMESTAMP"
+
+
+def test_timestamp_payload_column_roundtrips_through_compacted(spark):
+    """A timestamp-typed payload column flows raw→staging→merge into
+    the compacted table as a real TIMESTAMP value."""
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("seen_at", T.TimestampNTZType()),
+        ]
+    )
+    entry = SchemaEntry("public", "tsc", payload, ["id"])
+    con = duckdb.connect()
+
+    def execute(sql):
+        con.execute(sql)
+
+    def write_batch(df, table):
+        pdf = df.toPandas()
+        con.register("batch_df", pdf)
+        con.execute(f'INSERT INTO "{table}" SELECT * FROM batch_df')
+        con.unregister("batch_df")
+
+    sink = JdbcCompactedSink(
+        JdbcSinkOptions(url="jdbc:duckdb:"), execute, write_batch=write_batch
+    )
+    sink.handle_schema(entry)
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 45)
+    env = spark.createDataFrame(
+        [
+            (
+                datetime.datetime(2024, 1, 1),
+                "public",
+                "tsc",
+                10,
+                0,
+                None,
+                {"id": 1, "seen_at": ts},
+            )
+        ],
+        envelope_schema(payload),
+    )
+    sink.insert(env, "public", "tsc")
+    got = con.execute(
+        "SELECT id, seen_at FROM public_tsc_compacted"
+    ).fetchall()
+    assert got == [(1, ts)]
+    coltype = {
+        r[0]: r[1]
+        for r in con.execute("DESCRIBE public_tsc_compacted").fetchall()
+    }["seen_at"]
+    assert coltype == "TIMESTAMP"
+
+
+def test_epoch_replay_without_fetch_does_not_wedge(spark):
+    """epoch set but fetch=None: the crash-replayed epoch re-runs the
+    idempotent merge and the epoch record insert must not blow up on
+    the PK (round-3 advice: plain INSERT wedged the stream)."""
+    con = duckdb.connect()
+
+    def execute(sql):
+        con.execute(sql)
+
+    def write_batch(df, table):
+        pdf = df.toPandas()
+        con.register("batch_df", pdf)
+        con.execute(f'INSERT INTO "{table}" SELECT * FROM batch_df')
+        con.unregister("batch_df")
+
+    sink = JdbcCompactedSink(
+        JdbcSinkOptions(url="jdbc:duckdb:"), execute, write_batch=write_batch
+    )
+    sink.handle_schema(ENTRY)
+    env = _env(spark, [(10, None, {"id": 1, "v": "a", "tags": None})])
+    sink.insert(env, "public", "kv", epoch=5)
+    # replay of the same epoch: merge is idempotent, epoch insert is
+    # conflict-tolerant — no PK violation, no wedged stream
+    sink.insert(env, "public", "kv", epoch=5)
+    assert con.execute("SELECT count(*) FROM public_kv_compacted").fetchone()[0] == 1
+    assert con.execute("SELECT count(*) FROM public_kv_epochs").fetchone()[0] == 1

@@ -151,3 +151,59 @@ def test_semdedup_consistent_with_exact_pairs(spark, sf_dir):
     }
     removed = {v for v, keep in got.items() if not keep}
     assert removed == expect_removed
+
+
+def test_multiprobe_lsh_superset_of_single_probe(spark, sf_dir):
+    """Radius-1 multi-probe scans a strict superset of the single-probe
+    candidate set, so its top-k cosines are >= the single-probe ones
+    per query (the classic multi-probe guarantee)."""
+    single = {
+        (r.q_id, r.vec_id, r.rnk)
+        for r in sim.ann_lsh_topk(
+            spark, sf_dir, n_planes=4, probe_radius=0
+        ).collect()
+    }
+    multi_rows = sim.ann_lsh_topk(
+        spark, sf_dir, n_planes=4, probe_radius=1
+    ).collect()
+    multi = {(r.q_id, r.vec_id, r.rnk) for r in multi_rows}
+    # every query that had single-probe results still has results, and
+    # the multi-probe result for a query is at least as large
+    from collections import Counter
+
+    per_q_single = Counter(q for q, _, _ in single)
+    per_q_multi = Counter(q for q, _, _ in multi)
+    for q, n in per_q_single.items():
+        assert per_q_multi[q] >= n
+
+
+def test_multiprobe_full_radius_equals_bruteforce(spark, sf_dir):
+    """With 1 plane and radius 1 every bucket (both of them) is probed,
+    so multi-probe must reproduce the exact brute-force result."""
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    full = {
+        (r.q_id, r.vec_id)
+        for r in sim.ann_lsh_topk(
+            spark, sf_dir, n_planes=1, probe_radius=1
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_recall_gates_pass_and_are_deterministic(spark, sf_dir):
+    """The three ANN recall gates emit (n_queries=5, recall_ok=True) at
+    every fixture SF (floors are >=2x under measured hits), twice in a
+    row (determinism: hash planes, seeded kmeans, fixture labels)."""
+    for fn in (
+        sim.ann_ivf_recall,
+        sim.ann_lsh_recall,
+        sim.ann_kmeans_recall,
+    ):
+        for _ in range(2):
+            rows = fn(spark, sf_dir).collect()
+            assert len(rows) == 1
+            assert rows[0]["n_queries"] == 5
+            assert rows[0]["recall_ok"] is True

@@ -463,3 +463,84 @@ def test_snapshot_backed_view(spark, tmp_path):
     sink.commit_manifest("public", "example")
     view = sink.install_view("public", "example", snapshot=True)
     assert {r["id"] for r in spark.table(view).collect()} == {1, 2}
+
+
+def test_warehouse_epoch_ledger_is_stream_scoped(spark, tmp_path):
+    """A rebuilt checkpoint restarts batch ids at 0 under a NEW stream
+    id — the old stream's high-water mark must not silently skip its
+    batches (round-3 advice: that was silent data loss)."""
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "example", PAYLOAD, ["id"]))
+    b1 = _env_rows(spark, [(10, None, {"id": 1, "v": "a"})])
+    sink.insert(b1, "public", "example", epoch=3, stream_id="q1")
+    assert sink.committed_epoch("public", "example", "q1") == 3
+    # fresh checkpoint (new stream id) starts at epoch 0 and WRITES
+    b2 = _env_rows(spark, [(20, None, {"id": 2, "v": "b"})])
+    r = sink.insert(b2, "public", "example", epoch=0, stream_id="q2")
+    assert r == InsertResult(1, 20)
+    assert sink.committed_epoch("public", "example", "q2") == 0
+    assert sink.committed_epoch("public", "example", "q1") == 3
+
+
+def test_warehouse_epoch_regression_fails_loudly(spark, tmp_path):
+    """Same stream id going backwards = checkpoint reset against an
+    existing sink → loud error, not a silent skip."""
+    import pytest as _pytest
+
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "example", PAYLOAD, ["id"]))
+    b = _env_rows(spark, [(10, None, {"id": 1, "v": "a"})])
+    sink.insert(b, "public", "example", epoch=2)
+    # replay of the committed epoch is the legal crash-recovery case
+    assert sink.insert(b, "public", "example", epoch=2) == InsertResult(0, None)
+    with _pytest.raises(RuntimeError, match="epoch regression"):
+        sink.insert(b, "public", "example", epoch=1)
+
+
+def test_expire_raw_republishes_manifest(spark, tmp_path):
+    """After retention deletes day partitions, snapshot reads must keep
+    working: expire_raw republishes the manifest (round-3 advice: the
+    stale LATEST manifest named deleted files)."""
+    import datetime as _dt
+
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "example", PAYLOAD, ["id"]))
+    schema = envelope_schema(PAYLOAD)
+    old = spark.createDataFrame(
+        [(_dt.datetime(2023, 1, 1), "public", "example", 10, 0, None,
+          {"id": 1, "v": "old"})],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(_dt.datetime(2024, 6, 1), "public", "example", 20, 0, None,
+          {"id": 2, "v": "new"})],
+        schema,
+    )
+    sink.insert(old, "public", "example")
+    sink.insert(new, "public", "example")
+    v1 = sink.commit_manifest("public", "example")
+    removed = sink.expire_raw("public", "example", "2024-01-01")
+    assert removed  # the 2023 partition went away
+    assert sink.manifest_version("public", "example") == v1 + 1
+    snap = sink.read_snapshot("public", "example")
+    assert [r["payload"]["v"] for r in snap.collect()] == ["new"]
+
+
+def test_shard_export_ledger_is_stream_scoped(spark, tmp_path):
+    """StreamingShardExport: same stream-identity contract as the
+    warehouse ledger — new stream id starts fresh; regression raises."""
+    import pytest as _pytest
+
+    from pgsink_spark.operators.export import StreamingShardExport
+
+    path = str(tmp_path / "shards")
+    ex1 = StreamingShardExport(spark, path, ["id"], stream_id="q1")
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    assert ex1.apply_batch(df, 4) == 1
+    assert ex1.apply_batch(df, 4) == 0  # replay of committed epoch
+    with _pytest.raises(RuntimeError, match="epoch regression"):
+        ex1.apply_batch(df, 3)
+    ex2 = StreamingShardExport(spark, path, ["id"], stream_id="q2")
+    assert ex2.committed_epoch() is None
+    assert ex2.apply_batch(df, 0) == 1
+    assert ex1.committed_epoch() == 4
