@@ -1,27 +1,27 @@
-"""Live-Postgres integration harness (skip-gated).
+"""Live-Postgres integration suite.
 
-This container ships neither a Postgres server nor a JDBC driver jar,
-so every test here skips by default. Pointed at a real database they
-exercise the paths the offline suite can only simulate with parquet
-fixtures and fake servers: catalog discovery, the parallel JDBC
-snapshot, the keyset import loop against a live index, and the
-replication-protocol client consuming a real pgoutput stream
-(reference integration strategy: pkg/imports/integration,
-pkg/subscription/integration — dockerised PG in CI).
+Exercises the paths the offline suite can only simulate with parquet
+fixtures and fake servers: SCRAM auth on a real socket, walsender
+CopyBoth streaming, pgoutput decode of real WAL, slot resume from the
+confirmed LSN, TOAST, schema evolution, and the full capture →
+Spark-stream → warehouse → compaction loop (reference integration
+strategy: pkg/imports/integration, pkg/subscription/integration —
+dockerised PG in CI, integration/file_test.go:88-118).
 
-Environment:
+Server resolution, in order:
 
-  PGSINK_TEST_PG_HOST / _PORT / _DB / _USER / _PASSWORD
-      Replication-capable Postgres (wal_level=logical, user has
-      REPLICATION + CREATE). Enables the socket-client tests — no
-      Python driver needed; plain SQL rides the logical-walsender
-      connection (supported since PG 10).
-  PGSINK_TEST_JDBC_URL   jdbc:postgresql://host:port/db?user=...
-  PGSINK_TEST_JDBC_JAR   path to postgresql-*.jar
+1. ``PGSINK_TEST_PG_HOST`` (+ _PORT/_DB/_USER/_PASSWORD/_SSL) — an
+   externally provided replication-capable Postgres
+   (wal_level=logical, user has REPLICATION + CREATE).
+2. Local Postgres binaries (initdb/pg_ctl) → an EPHEMERAL throwaway
+   cluster is provisioned per test session (tests/pg_harness.py),
+   with SCRAM auth and logical WAL — no external setup needed.
+3. Neither → every test here skips.
 
-Run this file in its OWN pytest invocation so the JDBC jar can be
-attached to a fresh JVM (a session created by other test modules
-cannot gain jars after the fact):
+JDBC tests additionally need ``PGSINK_TEST_JDBC_URL`` and
+``PGSINK_TEST_JDBC_JAR`` (no driver jar ships in this container) and
+should run in their OWN pytest invocation so the jar can be attached
+to a fresh JVM:
 
     PGSINK_TEST_JDBC_URL=... PGSINK_TEST_JDBC_JAR=... \
         python -m pytest tests/test_live_pg.py -v
@@ -37,79 +37,187 @@ import pytest
 
 from pgsink_spark.sources import jdbc
 from pgsink_spark.streaming.decoder import (
+    UNCHANGED,
     Begin,
     Commit,
+    Delete,
     Insert,
     Relation,
+    Truncate,
+    Update,
     decode_message,
 )
-from pgsink_spark.streaming.replication import ReplicationClient
+from pgsink_spark.streaming.replication import (
+    ReplicationClient,
+    ReplicationError,
+)
 
-PG_HOST = os.environ.get("PGSINK_TEST_PG_HOST")
 JDBC_URL = os.environ.get("PGSINK_TEST_JDBC_URL")
 JDBC_JAR = os.environ.get("PGSINK_TEST_JDBC_JAR")
 
-needs_pg = pytest.mark.skipif(
-    PG_HOST is None, reason="PGSINK_TEST_PG_HOST not set (no live Postgres)"
-)
 needs_jdbc = pytest.mark.skipif(
     JDBC_URL is None or JDBC_JAR is None,
     reason="PGSINK_TEST_JDBC_URL / _JAR not set (no JDBC driver in container)",
 )
 
 
-def _connect_replication() -> ReplicationClient:
-    sock = socket.create_connection(
-        (PG_HOST, int(os.environ.get("PGSINK_TEST_PG_PORT", "5432"))),
-        timeout=10,
-    )
-    # sslmode=prefer semantics: negotiate TLS when the server offers
-    # it, fall back to plaintext otherwise (PGSINK_TEST_PG_SSL=require
-    # makes refusal an error). SCRAM-SHA-256 is handled inside
-    # connect() — a stock PG 14+ with scram auth works out of the box.
+@pytest.fixture(scope="session")
+def pg():
+    """Connection params for a live replication-capable Postgres —
+    externally provided, or an ephemeral cluster provisioned from
+    local binaries; skips when neither exists."""
+    if os.environ.get("PGSINK_TEST_PG_HOST"):
+        yield {
+            "host": os.environ["PGSINK_TEST_PG_HOST"],
+            "port": int(os.environ.get("PGSINK_TEST_PG_PORT", "5432")),
+            "database": os.environ.get("PGSINK_TEST_PG_DB", "postgres"),
+            "user": os.environ.get("PGSINK_TEST_PG_USER", "postgres"),
+            "password": os.environ.get("PGSINK_TEST_PG_PASSWORD"),
+            "ssl": os.environ.get("PGSINK_TEST_PG_SSL", "prefer"),
+        }
+        return
+
+    import pg_harness
+
+    if pg_harness.pg_binaries() is None:
+        pytest.skip(
+            "no live Postgres (PGSINK_TEST_PG_HOST unset) and no local "
+            "binaries to provision one"
+        )
+    server = pg_harness.EphemeralPostgres().start()
+    try:
+        yield {
+            "host": server.host,
+            "port": server.port,
+            "database": server.database,
+            "user": server.user,
+            "password": server.password,
+            "ssl": "disable",
+            # self-signed cert ⇒ TLS tests must skip verification
+            "tls_available": server.tls,
+            "ssl_noverify": True,
+        }
+    finally:
+        server.stop()
+
+
+def _connect_replication(pg: dict) -> ReplicationClient:
+    sock = socket.create_connection((pg["host"], pg["port"]), timeout=10)
+    # sslmode semantics: negotiate TLS when offered ('prefer'), demand
+    # it ('require'), or skip the SSLRequest dance ('disable').
+    # SCRAM-SHA-256 is handled inside connect().
     import ssl
 
     from pgsink_spark.streaming.replication import start_tls
 
-    mode = os.environ.get("PGSINK_TEST_PG_SSL", "prefer")
+    mode = pg.get("ssl", "prefer")
     if mode != "disable":
         ctx = ssl.create_default_context()
-        if os.environ.get("PGSINK_TEST_PG_SSL_NOVERIFY"):
+        if os.environ.get("PGSINK_TEST_PG_SSL_NOVERIFY") or pg.get(
+            "ssl_noverify"
+        ):
             ctx.check_hostname = False
             ctx.verify_mode = ssl.CERT_NONE
         sock = start_tls(
-            sock, context=ctx, server_hostname=PG_HOST,
+            sock,
+            context=ctx,
+            server_hostname=pg["host"],
             required=(mode == "require"),
         )
     client = ReplicationClient(
         sock,
-        database=os.environ.get("PGSINK_TEST_PG_DB", "postgres"),
-        user=os.environ.get("PGSINK_TEST_PG_USER", "postgres"),
-        password=os.environ.get("PGSINK_TEST_PG_PASSWORD"),
+        database=pg["database"],
+        user=pg["user"],
+        password=pg["password"],
         heartbeat_interval_s=5.0,
     )
     client.connect()
     return client
 
 
-@needs_pg
+def _fresh_names() -> tuple[str, str, str]:
+    run = uuid.uuid4().hex[:8]
+    return (
+        f"pgsink_it_{run}",
+        f"pgsink_it_pub_{run}",
+        f"pgsink_it_slot_{run}",
+    )
+
+
+def _drain_one_txn(client, relations=None):
+    """Consume messages up to and including the next Commit; returns
+    (dml list, relations dict, commit_wal_end)."""
+    dml = []
+    relations = relations if relations is not None else {}
+    for msg in client.messages():
+        if not hasattr(msg, "payload"):
+            continue  # keepalive
+        decoded = decode_message(msg.payload)
+        if isinstance(decoded, Relation):
+            relations[decoded.oid] = decoded
+        elif isinstance(decoded, (Insert, Update, Delete, Truncate)):
+            dml.append(decoded)
+        elif isinstance(decoded, Commit):
+            return dml, relations, msg.wal_end
+    raise AssertionError("stream ended before Commit")
+
+
 class TestLiveReplication:
-    def test_identify_system(self):
-        client = _connect_replication()
+    def test_identify_system(self, pg):
+        client = _connect_replication(pg)
         info = client.identify_system()
         assert "xlogpos" in info and "systemid" in info
 
-    def test_pgoutput_roundtrip(self):
+    def test_wrong_password_is_rejected(self, pg):
+        """Live SCRAM negative path: the server's verifier rejects a
+        bad password with a real ErrorResponse."""
+        bad = dict(pg, password="definitely-wrong")
+        if pg["password"] is None:
+            pytest.skip("server runs trust auth; no password to get wrong")
+        with pytest.raises(ReplicationError):
+            _connect_replication(bad)
+
+    def test_tls_replication_session(self, pg):
+        """SSLRequest negotiation + SCRAM over a REAL TLS-wrapped
+        walsender socket: start_tls(required=True) must wrap, auth must
+        complete, and a streaming txn must decode — the managed-PG
+        (TLS-required) connection path end to end."""
+        if not pg.get("tls_available"):
+            pytest.skip("server has no TLS certificate installed")
+        tls_pg = dict(pg, ssl="require")
+        client = _connect_replication(tls_pg)
+        info = client.identify_system()
+        assert "xlogpos" in info
+        table, pub, slot = _fresh_names()
+        try:
+            client._simple_query(
+                f"CREATE TABLE {table} (id int primary key, v text)"
+            )
+            client._simple_query(
+                f"CREATE PUBLICATION {pub} FOR TABLE {table}"
+            )
+            client._simple_query(
+                f'CREATE_REPLICATION_SLOT "{slot}" TEMPORARY LOGICAL pgoutput'
+            )
+            client._simple_query(f"INSERT INTO {table} VALUES (1, 'tls')")
+            client.start_replication(slot, pub, proto_version=1)
+            dml, _rels, wal_end = _drain_one_txn(client)
+            assert [m.new for m in dml] == [(b"1", b"tls")]
+            client.flush_lsn = wal_end
+            client.send_standby_status()
+        finally:
+            try:
+                client._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                client._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+
+    def test_pgoutput_roundtrip(self, pg):
         """Create table + publication + temp slot, insert, and decode
         the resulting pgoutput stream with the repo's decoder — the
         live twin of tests/test_replication.py's fake-server loop."""
-        run = uuid.uuid4().hex[:8]
-        table, pub, slot = (
-            f"pgsink_it_{run}",
-            f"pgsink_it_pub_{run}",
-            f"pgsink_it_slot_{run}",
-        )
-        client = _connect_replication()
+        table, pub, slot = _fresh_names()
+        client = _connect_replication(pg)
         try:
             client._simple_query(
                 f"CREATE TABLE {table} (id int primary key, msg text)"
@@ -127,28 +235,322 @@ class TestLiveReplication:
                 f"INSERT INTO {table} VALUES (1, 'hello'), (2, 'world')"
             )
             client.start_replication(slot, pub, proto_version=1)
-
-            inserts, relations, committed = [], {}, False
-            for msg in client.messages():
-                if not hasattr(msg, "payload"):
-                    continue  # keepalive
-                decoded = decode_message(msg.payload)
-                if isinstance(decoded, Relation):
-                    relations[decoded.oid] = decoded
-                elif isinstance(decoded, Insert):
-                    inserts.append(decoded)
-                elif isinstance(decoded, Commit):
-                    client.flush_lsn = msg.wal_end
-                    client.send_standby_status()
-                    committed = True
-                    break
-                elif isinstance(decoded, Begin):
-                    pass
-            assert committed
+            dml, relations, wal_end = _drain_one_txn(client)
+            client.flush_lsn = wal_end
+            client.send_standby_status()
+            inserts = [m for m in dml if isinstance(m, Insert)]
             assert len(inserts) == 2
             rel = relations[inserts[0].relation_oid]
             assert rel.name == table
             assert [c.name for c in rel.columns] == ["id", "msg"]
+        finally:
+            try:
+                client._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                client._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+
+    def test_update_delete_truncate_decode(self, pg):
+        """The full DML surface over real WAL: UPDATE carries the new
+        image (+ key when the key changes), DELETE carries the key,
+        TRUNCATE names the relation."""
+        table, pub, slot = _fresh_names()
+        client = _connect_replication(pg)
+        try:
+            client._simple_query(
+                f"CREATE TABLE {table} (id int primary key, msg text)"
+            )
+            client._simple_query(
+                f"CREATE PUBLICATION {pub} FOR TABLE {table}"
+            )
+            client._simple_query(
+                f'CREATE_REPLICATION_SLOT "{slot}" TEMPORARY LOGICAL pgoutput'
+            )
+            client._simple_query(f"INSERT INTO {table} VALUES (1, 'a')")
+            client._simple_query(
+                f"UPDATE {table} SET msg = 'b' WHERE id = 1"
+            )
+            client._simple_query(f"DELETE FROM {table} WHERE id = 1")
+            client._simple_query(f"TRUNCATE {table}")
+            client.start_replication(slot, pub, proto_version=1)
+
+            rels: dict = {}
+            t1, rels, _ = _drain_one_txn(client, rels)
+            t2, rels, _ = _drain_one_txn(client, rels)
+            t3, rels, _ = _drain_one_txn(client, rels)
+            t4, rels, wal_end = _drain_one_txn(client, rels)
+            client.flush_lsn = wal_end
+            client.send_standby_status()
+
+            assert isinstance(t1[0], Insert)
+            (upd,) = t2
+            assert isinstance(upd, Update)
+            rel = rels[upd.relation_oid]
+            cols = [c.name for c in rel.columns]
+            assert dict(zip(cols, upd.new))["msg"] == b"b"
+            (dele,) = t3
+            assert isinstance(dele, Delete)
+            # default REPLICA IDENTITY ⇒ the key tuple carries the pk
+            key_img = dele.key or dele.old
+            assert dict(zip(cols, key_img))["id"] == b"1"
+            (trunc,) = t4
+            assert isinstance(trunc, Truncate)
+            assert rel.oid in trunc.relation_oids
+        finally:
+            try:
+                client._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                client._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+
+    def test_toast_unchanged_marker(self, pg):
+        """A TOASTed value (wide text) not touched by an UPDATE arrives
+        as the UNCHANGED sentinel, not as data — the decode path the
+        marshal layer resolves from its relation cache."""
+        table, pub, slot = _fresh_names()
+        client = _connect_replication(pg)
+        try:
+            client._simple_query(
+                f"CREATE TABLE {table} "
+                f"(id int primary key, big text, small text)"
+            )
+            client._simple_query(
+                f"CREATE PUBLICATION {pub} FOR TABLE {table}"
+            )
+            client._simple_query(
+                f'CREATE_REPLICATION_SLOT "{slot}" TEMPORARY LOGICAL pgoutput'
+            )
+            # > page size and non-compressible enough to TOAST
+            client._simple_query(
+                f"INSERT INTO {table} "
+                f"SELECT 1, string_agg(md5(g::text), ''), 'x' "
+                f"FROM generate_series(1, 500) g"
+            )
+            client._simple_query(
+                f"UPDATE {table} SET small = 'y' WHERE id = 1"
+            )
+            client.start_replication(slot, pub, proto_version=1)
+            rels: dict = {}
+            t1, rels, _ = _drain_one_txn(client, rels)
+            t2, rels, wal_end = _drain_one_txn(client, rels)
+            client.flush_lsn = wal_end
+            client.send_standby_status()
+            (upd,) = t2
+            assert isinstance(upd, Update)
+            cols = [c.name for c in rels[upd.relation_oid].columns]
+            img = dict(zip(cols, upd.new))
+            assert img["big"] is UNCHANGED
+            assert img["small"] == b"y"
+        finally:
+            try:
+                client._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                client._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+
+    def test_schema_evolution_new_relation_mid_stream(self, pg):
+        """ALTER TABLE ADD COLUMN between two inserts: the walsender
+        re-sends the Relation message and the second insert's tuple has
+        the extra column — the live twin of the offline relation-cache
+        versioning tests."""
+        table, pub, slot = _fresh_names()
+        client = _connect_replication(pg)
+        try:
+            client._simple_query(
+                f"CREATE TABLE {table} (id int primary key, v text)"
+            )
+            client._simple_query(
+                f"CREATE PUBLICATION {pub} FOR TABLE {table}"
+            )
+            client._simple_query(
+                f'CREATE_REPLICATION_SLOT "{slot}" TEMPORARY LOGICAL pgoutput'
+            )
+            client._simple_query(f"INSERT INTO {table} VALUES (1, 'a')")
+            client._simple_query(
+                f"ALTER TABLE {table} ADD COLUMN extra int DEFAULT 7"
+            )
+            client._simple_query(f"INSERT INTO {table} VALUES (2, 'b', 8)")
+            client.start_replication(slot, pub, proto_version=1)
+
+            seen_rel_cols: list[list[str]] = []
+            inserts: list[Insert] = []
+            for msg in client.messages():
+                if not hasattr(msg, "payload"):
+                    continue
+                decoded = decode_message(msg.payload)
+                if isinstance(decoded, Relation):
+                    seen_rel_cols.append([c.name for c in decoded.columns])
+                elif isinstance(decoded, Insert):
+                    inserts.append(decoded)
+                elif isinstance(decoded, Commit) and len(inserts) == 2:
+                    client.flush_lsn = msg.wal_end
+                    client.send_standby_status()
+                    break
+            # server nuance (observed on PG 15): a fast-default ALTER
+            # ADD COLUMN makes the walsender describe even pre-ALTER
+            # transactions with the post-ALTER descriptor, filling the
+            # missing value from atthasmissing — so the pre-ALTER
+            # insert may legally arrive with either shape
+            assert seen_rel_cols[-1] == ["id", "v", "extra"]
+            assert inserts[0].new[:2] == (b"1", b"a")
+            if len(inserts[0].new) == 3:
+                assert inserts[0].new[2] == b"7"  # the fast default
+            assert inserts[1].new == (b"2", b"b", b"8")
+        finally:
+            try:
+                client._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                client._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+
+    def test_slot_already_exists_raises(self, pg):
+        """Creating a slot twice surfaces the server's ErrorResponse as
+        ReplicationError (42710 duplicate_object) — and the connection
+        can be re-established afterwards."""
+        _, _, slot = _fresh_names()
+        client = _connect_replication(pg)
+        client._simple_query(
+            f'CREATE_REPLICATION_SLOT "{slot}" TEMPORARY LOGICAL pgoutput'
+        )
+        with pytest.raises(ReplicationError, match="42710|exists"):
+            client._simple_query(
+                f'CREATE_REPLICATION_SLOT "{slot}" TEMPORARY LOGICAL pgoutput'
+            )
+        # temp slot dies with the session; a fresh session is clean
+        client2 = _connect_replication(pg)
+        client2._simple_query(
+            f'CREATE_REPLICATION_SLOT "{slot}" TEMPORARY LOGICAL pgoutput'
+        )
+
+    def test_resume_from_confirmed_lsn(self, pg):
+        """The reconnect contract on a PERMANENT slot: consume txn A,
+        confirm its LSN, drop the connection; insert txn B; a new
+        connection starting at the confirmed LSN receives ONLY txn B —
+        the at-least-once resume loop the offline suite can only fake."""
+        table, pub, slot = _fresh_names()
+        client = _connect_replication(pg)
+        try:
+            client._simple_query(
+                f"CREATE TABLE {table} (id int primary key, v text)"
+            )
+            client._simple_query(
+                f"CREATE PUBLICATION {pub} FOR TABLE {table}"
+            )
+            client._simple_query(
+                f'CREATE_REPLICATION_SLOT "{slot}" LOGICAL pgoutput'
+            )
+            client._simple_query(f"INSERT INTO {table} VALUES (1, 'A')")
+            client.start_replication(slot, pub, proto_version=1)
+            dml, _rels, wal_end = _drain_one_txn(client)
+            assert [m.new[0] for m in dml] == [b"1"]
+            client.flush_lsn = wal_end
+            client.send_standby_status()
+            # hard drop (no CopyDone): the server must still have
+            # persisted the confirmed LSN from the status update
+            client._conn.sock.close()
+
+            writer = _connect_replication(pg)
+            writer._simple_query(f"INSERT INTO {table} VALUES (2, 'B')")
+
+            resumed = _connect_replication(pg)
+            resumed.start_replication(slot, pub, proto_version=1)
+            dml2, _rels2, wal_end2 = _drain_one_txn(resumed)
+            assert [m.new[0] for m in dml2] == [b"2"]
+            resumed.flush_lsn = wal_end2
+            resumed.send_standby_status()
+        finally:
+            try:
+                cleanup = _connect_replication(pg)
+                cleanup._simple_query(f'DROP_REPLICATION_SLOT "{slot}"')
+                cleanup._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+
+
+class TestLiveEndToEnd:
+    def test_live_wal_to_warehouse_compaction(self, pg, spark, tmp_path):
+        """The flagship CDC loop over a REAL socket: live WAL → capture
+        file → Spark pgoutput stream source → WarehouseSink → compaction
+        view, asserted equal to the table state the server itself
+        reports (reference proof: integration/file_test.go:88-118).
+        Covers insert/update/delete and the ack watermark."""
+        from pgsink_spark.changelog.registry import entry_from_relation
+        from pgsink_spark.sinks.warehouse import WarehouseSink
+        from pgsink_spark.streaming.datasource import append_capture
+        from pgsink_spark.streaming.marshal import RelationCache, marshal
+        from pgsink_spark.streaming.decoder import decode_message as _dec
+        from pgsink_spark.streaming.sequence import Sequencer
+        from pgsink_spark.streaming.stream import modifications_df
+
+        table, pub, slot = _fresh_names()
+        client = _connect_replication(pg)
+        try:
+            client._simple_query(
+                f"CREATE TABLE {table} (id int primary key, v text)"
+            )
+            client._simple_query(
+                f"CREATE PUBLICATION {pub} FOR TABLE {table}"
+            )
+            client._simple_query(
+                f'CREATE_REPLICATION_SLOT "{slot}" TEMPORARY LOGICAL pgoutput'
+            )
+            client._simple_query(
+                f"INSERT INTO {table} VALUES (1, 'a'), (2, 'b'), (3, 'c')"
+            )
+            client._simple_query(f"UPDATE {table} SET v = 'b2' WHERE id = 2")
+            client._simple_query(f"DELETE FROM {table} WHERE id = 3")
+            live_rows, _cols = client._simple_query(
+                f"SELECT id, v FROM {table} ORDER BY id"
+            )
+
+            client.start_replication(slot, pub, proto_version=1)
+            payloads, commits = [], 0
+            for msg in client.messages():
+                if not hasattr(msg, "payload"):
+                    continue
+                payloads.append(msg.payload)
+                if isinstance(_dec(msg.payload), Commit):
+                    commits += 1
+                    client.flush_lsn = msg.wal_end
+                    client.send_standby_status()
+                    if commits == 3:
+                        break
+            cap = str(tmp_path / "live.capture")
+            append_capture(cap, payloads)
+
+            # replay the capture through the repo's decode→sequence→
+            # marshal→envelope path and fold it into the warehouse
+            cache = RelationCache()
+            seq = Sequencer()
+            mods, rel = [], None
+            for buf in payloads:
+                decoded = _dec(buf)
+                if isinstance(decoded, Relation):
+                    rel = decoded
+                sm = seq.feed(decoded)
+                if sm is None:
+                    continue
+                m = marshal(cache, sm)
+                if m is not None:
+                    mods.append(m)
+            assert mods, "capture produced no modifications"
+            assert rel is not None
+            entry = entry_from_relation(rel)
+            assert entry.key_columns == ["id"]
+            env = modifications_df(spark, mods, entry.payload)
+
+            sink = WarehouseSink(spark, str(tmp_path / "wh"))
+            sink.handle_schema(entry)
+            res = sink.insert(env, entry.namespace, entry.name)
+            assert res.count == len(mods)
+            view = sink.install_view(entry.namespace, entry.name)
+            got = sorted(
+                (r["id"], r["v"])
+                for r in spark.table(view).select("id", "v").collect()
+            )
+            want = sorted((int(i), v) for i, v in live_rows)
+            assert got == want  # compacted view == live table state
         finally:
             try:
                 client._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
@@ -182,12 +584,12 @@ class TestLiveJdbc:
         s.stop()
 
     @pytest.fixture(scope="class")
-    def seeded_table(self, jdbc_spark):
+    def seeded_table(self, jdbc_spark, pg):
         """Seed a 1000-row table through the walsender SQL channel so
         the JDBC tests have known content, independent of any driver."""
         run = uuid.uuid4().hex[:8]
         table = f"pgsink_it_jdbc_{run}"
-        client = _connect_replication()
+        client = _connect_replication(pg)
         client._simple_query(
             f"CREATE TABLE {table} (id int primary key, val text)"
         )
