@@ -85,8 +85,10 @@ def cmd_tables(args) -> int:
     return 0
 
 
-def run_imports(root: str, source: str, spark=None) -> int:
-    """Drain claimable jobs: fixture source → envelope → file sink."""
+def run_imports(root: str, source: str, spark=None, metrics=None) -> int:
+    """Drain claimable jobs: fixture source → envelope → file sink.
+    ``metrics`` (a SinkMetrics) collects insert histograms for the
+    /metrics exposition."""
     from pgsink_spark.imports.importer import Importer
     from pgsink_spark.session import get_spark
     from pgsink_spark.sinks.file_sink import FileSink
@@ -95,7 +97,9 @@ def run_imports(root: str, source: str, spark=None) -> int:
     spark = spark or get_spark("pgsink-import")
     jobs = ImportJobStore(os.path.join(root, "jobs.json"))
     sink = FileSink(os.path.join(root, "sink"))
-    inserter = InstrumentedInserter(lambda env, ns, name: sink.insert(env))
+    inserter = InstrumentedInserter(
+        lambda env, ns, name: sink.insert(env), metrics=metrics
+    )
     importer = Importer(jobs, inserter)
     done = 0
     while (job := jobs.claim()) is not None:
@@ -120,8 +124,22 @@ def cmd_serve(args) -> int:
     from pgsink_spark.control.server import ControlServer
 
     api = make_api(args.root)
+
+    def metrics_text() -> str:
+        # serve the last `run` tick's exposition (empty doc before the
+        # first tick) — the scrape surface of cmd_run's metrics.prom
+        try:
+            with open(os.path.join(args.root, "metrics.prom")) as f:
+                return f.read()
+        except OSError:
+            return ""
+
     server = ControlServer(
-        api, lambda: fixture_catalog(args.source), args.host, args.port
+        api,
+        lambda: fixture_catalog(args.source),
+        args.host,
+        args.port,
+        metrics_text=metrics_text,
     )
     server.start()
     print(f"control API listening on {server.address}")
@@ -274,12 +292,26 @@ def cmd_run(args) -> int:
     save_publication(args.root, api.publication)
     print(f"reconciled added={len(added)} removed={len(removed)}")
 
-    done = run_imports(args.root, args.source, spark)
+    from pgsink_spark.sinks.instrumented import SinkMetrics
+
+    metrics = SinkMetrics()
+    done = run_imports(args.root, args.source, spark, metrics=metrics)
     print(f"completed_jobs={done}")
 
     if args.capture and os.path.exists(args.capture):
         args.sink = "warehouse"
         cmd_stream(args)
+
+    # publish the tick's metrics in Prometheus text exposition — the
+    # one-tick analogue of the reference's scraped /metrics endpoint
+    # (`serve` reads this file for live scrapes; a node-exporter
+    # textfile collector can pick it up directly)
+    from pgsink_spark.control.metrics_export import render_prometheus
+
+    prom = os.path.join(args.root, "metrics.prom")
+    with open(prom, "w") as f:
+        f.write(render_prometheus(metrics))
+    print(f"metrics written to {prom}")
     return 0
 
 

@@ -11,6 +11,14 @@ cmd/pgsink/cmd/app.go:409-478):
   (api/subscriptions.go:51-126 AddTable action)
 - ``POST /api/tables/stop``           → expire jobs + unpublish
   (api/subscriptions.go:128-153 StopTable action)
+- ``GET  /api/subscriptions/current`` → Subscription resource
+  (design/api.go:137-145; the goa 201-on-Get quirk is preserved)
+- ``POST /api/subscriptions/current/actions/add-table``  → 201 + Subscription
+- ``POST /api/subscriptions/current/actions/stop-table`` → 202 + Subscription
+  (design/api.go:147-172; payload field names schema/name)
+- ``GET  /api/imports``               → Import job rows, ISO datetimes
+  (design/api.go:201-270)
+- ``GET  /metrics``                   → Prometheus text exposition
 
 Spark-first note: the handlers only touch driver-side control state
 (publication set + job store) — no Spark job runs per request, so the
@@ -30,7 +38,11 @@ from typing import Callable
 from pgsink_spark.control.tables_api import TablesAPI
 
 
-def _make_handler(api: TablesAPI, catalog: Callable[[], list[tuple[str, str]]]):
+def _make_handler(
+    api: TablesAPI,
+    catalog: Callable[[], list[tuple[str, str]]],
+    metrics_text: Callable[[], str] | None = None,
+):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -50,6 +62,26 @@ def _make_handler(api: TablesAPI, catalog: Callable[[], list[tuple[str, str]]]):
         def do_GET(self):
             if self.path == "/api/health":
                 self._json(200, {"status": "healthy"})
+            elif self.path == "/metrics":
+                # Prometheus text exposition (reference scrapes the
+                # process's /metrics — docker-compose.yml:25-60)
+                if metrics_text is None:
+                    self._json(404, {"error": "metrics not wired"})
+                    return
+                data = metrics_text().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif self.path == "/api/subscriptions/current":
+                # goa quirk preserved: Subscriptions.Get responds 201
+                # (api/design/api.go:137-145, Response(StatusCreated))
+                self._json(201, api.subscription())
+            elif self.path in ("/api/imports", "/api/imports/"):
+                self._json(200, api.list_imports())
             elif self.path.startswith("/api/tables"):
                 rows = [asdict(t) for t in api.list_tables(catalog())]
                 self._json(200, {"tables": rows})
@@ -59,11 +91,23 @@ def _make_handler(api: TablesAPI, catalog: Callable[[], list[tuple[str, str]]]):
         def do_POST(self):
             try:
                 body = self._body()
-                ns, name = body["namespace"], body["name"]
+                # subscription routes speak the goa payload field names
+                # (schema/name, SubscriptionPublishedTable); the legacy
+                # tables routes keep namespace/name
+                ns = body.get("namespace", body.get("schema"))
+                name = body["name"]
+                if ns is None:
+                    raise KeyError("namespace")
             except (KeyError, json.JSONDecodeError):
                 self._json(400, {"error": "namespace and name required"})
                 return
-            if self.path == "/api/tables/add":
+            if self.path == "/api/subscriptions/current/actions/add-table":
+                api.add_table(ns, name)
+                self._json(201, api.subscription())
+            elif self.path == "/api/subscriptions/current/actions/stop-table":
+                api.stop_table(ns, name)
+                self._json(202, api.subscription())
+            elif self.path == "/api/tables/add":
                 job = api.add_table(ns, name)
                 self._json(
                     201,
@@ -93,9 +137,10 @@ class ControlServer:
         catalog: Callable[[], list[tuple[str, str]]],
         host: str = "127.0.0.1",
         port: int = 0,
+        metrics_text: Callable[[], str] | None = None,
     ):
         self._httpd = ThreadingHTTPServer(
-            (host, port), _make_handler(api, catalog)
+            (host, port), _make_handler(api, catalog, metrics_text)
         )
         self._thread: threading.Thread | None = None
 

@@ -91,3 +91,43 @@ class TablesAPI:
         expired = self.jobs.expire(namespace, name)
         self.publication.remove(namespace, name)
         return expired
+
+    # -- subscription-level surface (api/design/api.go:131-199) ---------
+    def subscription(self) -> dict:
+        """The Subscription resource: id + published tables (the shape
+        goa generates for Subscriptions.Get/AddTable/StopTable)."""
+        return {
+            "id": self.subscription_id,
+            "published_tables": [
+                {"schema": ns, "name": name}
+                for ns, name in sorted(self.publication.get_tables())
+            ],
+        }
+
+    def list_imports(self) -> list[dict]:
+        """The Imports.List resource rows (api/design/api.go:201-216,
+        Import type :218-270): every job, timestamps as ISO datetimes."""
+        from datetime import datetime, timezone
+
+        def iso(ts: float | None) -> str | None:
+            if ts is None:
+                return None
+            return datetime.fromtimestamp(ts, tz=timezone.utc).isoformat()
+
+        return [
+            {
+                "id": j.id,
+                "subscription_id": j.subscription_id,
+                "schema": j.schema,
+                "table_name": j.table_name,
+                "completed_at": iso(j.completed_at),
+                "created_at": iso(j.created_at),
+                "updated_at": iso(j.updated_at),
+                "expired_at": iso(j.expired_at),
+                "error": j.error,
+                "error_count": j.error_count,
+                "last_error_at": iso(j.last_error_at),
+                "rows_processed_total": j.rows_processed_total,
+            }
+            for j in self.jobs.all()
+        ]

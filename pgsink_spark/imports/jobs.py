@@ -10,19 +10,24 @@ Schema and semantics follow the reference's ``pgsink.import_jobs`` table
 - never-errored jobs are claimed first (``ORDER BY error IS NULL DESC``);
 - progress updates bump ``cursor`` and ``rows_processed_total``
   (pkg/imports/importer.go:143-160);
-- acquiring is mutually exclusive (the reference uses
-  ``FOR UPDATE SKIP LOCKED``; here a claim set over a driver-local
-  store — the control plane is tiny and single-driver, while the data
-  plane stays fully distributed).
+- acquiring is mutually exclusive ACROSS DRIVERS (the reference uses
+  ``FOR UPDATE SKIP LOCKED``, pkg/imports/worker.go:165-187; here an
+  atomic-rename lease file per job under ``<path>.leases/`` — O_EXCL
+  creation is the filesystem's row lock, stale leases past
+  ``lease_ttl_s`` are stolen with a rename race that only one claimant
+  can win, and every mutator merges its dirty jobs over the on-disk
+  state so two drivers progressing different jobs never clobber each
+  other's updates).
 
 Persistence is an atomically-replaced JSON file; swap for a Delta table
-with optimistic transactions in a multi-driver deployment.
+with optimistic transactions when the queue outgrows one filesystem.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import socket as _socket
 import tempfile
 import time
 from dataclasses import asdict, dataclass, field
@@ -53,12 +58,19 @@ class ImportJobStore:
         path: str,
         retry_interval_s: float = 5.0,
         max_backoff_s: float = 3600.0,
+        owner: str | None = None,
+        lease_ttl_s: float = 300.0,
     ):
         self.path = path
         self.retry_interval_s = retry_interval_s
         self.max_backoff_s = max_backoff_s
+        # claim identity: distinct per driver process (the pid in a
+        # FOR UPDATE SKIP LOCKED world); tests inject fixed owners
+        self.owner = owner or f"{_socket.gethostname()}:{os.getpid()}"
+        self.lease_ttl_s = lease_ttl_s
         self._jobs: dict[int, ImportJob] = {}
         self._claimed: set[int] = set()
+        self._dirty: set[int] = set()
         self._next_id = 1
         if os.path.exists(path):
             self._load()
@@ -71,6 +83,24 @@ class ImportJobStore:
         self._next_id = data["next_id"]
 
     def _save(self) -> None:
+        """Merge-write: overlay this driver's dirty jobs on the on-disk
+        state, so concurrent drivers committing different jobs never
+        undo each other (each driver only mutates jobs it holds leases
+        on, so the per-job overlay is conflict-free)."""
+        if os.path.exists(self.path):
+            try:
+                with open(self.path) as f:
+                    disk = json.load(f)
+                merged = {j["id"]: ImportJob(**j) for j in disk["jobs"]}
+                self._next_id = max(self._next_id, disk["next_id"])
+            except (OSError, ValueError):
+                merged = {}
+        else:
+            merged = {}
+        for jid in self._dirty:
+            if jid in self._jobs:
+                merged[jid] = self._jobs[jid]
+        self._jobs = merged
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
         with os.fdopen(fd, "w") as f:
             json.dump(
@@ -81,11 +111,65 @@ class ImportJobStore:
                 f,
             )
         os.replace(tmp, self.path)
+        self._dirty.clear()
+
+    # -- cross-process lease (the FOR UPDATE SKIP LOCKED analogue) ------
+    def _lease_path(self, job_id: int) -> str:
+        return os.path.join(f"{self.path}.leases", f"{job_id}.lease")
+
+    def _acquire_lease(self, job_id: int, now: float) -> bool:
+        """Atomically take the per-job lease; steal it only when it is
+        older than ``lease_ttl_s`` (crashed claimant). Exactly one
+        claimant can win either path: O_EXCL creation for a fresh
+        lease, a rename race for a stale one."""
+        os.makedirs(f"{self.path}.leases", exist_ok=True)
+        lease = self._lease_path(job_id)
+        payload = json.dumps({"owner": self.owner, "at": now}).encode()
+
+        def try_create() -> bool:
+            try:
+                fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            return True
+
+        if try_create():
+            return True
+        try:
+            with open(lease) as f:
+                held = json.load(f)
+        except (OSError, ValueError):
+            held = {}
+        if now - held.get("at", now) <= self.lease_ttl_s:
+            return False  # live lease, someone else's claim
+        # stale: only one stealer wins the rename
+        steal = f"{lease}.steal.{os.getpid()}.{time.monotonic_ns()}"
+        try:
+            os.rename(lease, steal)
+        except OSError:
+            return False
+        os.remove(steal)
+        return try_create()
+
+    def _release_lease(self, job_id: int) -> None:
+        lease = self._lease_path(job_id)
+        try:
+            with open(lease) as f:
+                held = json.load(f)
+            if held.get("owner") == self.owner:
+                os.remove(lease)
+        except (OSError, ValueError):
+            pass
 
     # -- queue ops (reference manager.go / worker.go) -------------------
     def enqueue(self, subscription_id: str, schema: str, table_name: str) -> ImportJob:
+        if os.path.exists(self.path):
+            self._load()  # pick up other drivers' enqueues for next_id
         job = ImportJob(self._next_id, subscription_id, schema, table_name)
         self._jobs[job.id] = job
+        self._dirty.add(job.id)
         self._next_id += 1
         self._save()
         return job
@@ -104,24 +188,32 @@ class ImportJobStore:
         return now > (j.last_error_at or 0) + self.backoff_s(j.error_count)
 
     def claim(self, now: float | None = None) -> ImportJob | None:
-        """Claim one job: never-errored first, then oldest."""
+        """Claim one job: never-errored first, then oldest. The claim
+        is arbitrated ACROSS drivers by the per-job lease file, so two
+        stores over one queue path can never hand out the same job —
+        a claimant that loses the lease race simply moves to the next
+        candidate (SKIP LOCKED semantics)."""
         now = time.time() if now is None else now
+        if os.path.exists(self.path):
+            self._load()  # see other drivers' completions/errors
         candidates = [j for j in self._jobs.values() if self._claimable(j, now)]
-        if not candidates:
-            return None
         candidates.sort(key=lambda j: (j.error is not None, j.id))
-        job = candidates[0]
-        self._claimed.add(job.id)
-        return job
+        for job in candidates:
+            if self._acquire_lease(job.id, now):
+                self._claimed.add(job.id)
+                return job
+        return None
 
     def release(self, job_id: int) -> None:
         self._claimed.discard(job_id)
+        self._release_lease(job_id)
 
     def update_progress(self, job_id: int, cursor: str | None, rows: int) -> None:
         j = self._jobs[job_id]
         j.cursor = cursor
         j.rows_processed_total += rows
         j.updated_at = time.time()
+        self._dirty.add(job_id)
         self._save()
 
     def record_error(self, job_id: int, message: str) -> None:
@@ -131,14 +223,18 @@ class ImportJobStore:
         j.last_error_at = time.time()
         j.updated_at = time.time()
         self._claimed.discard(job_id)
+        self._dirty.add(job_id)
         self._save()
+        self._release_lease(job_id)
 
     def complete(self, job_id: int) -> None:
         j = self._jobs[job_id]
         j.completed_at = time.time()
         j.updated_at = time.time()
         self._claimed.discard(job_id)
+        self._dirty.add(job_id)
         self._save()
+        self._release_lease(job_id)
 
     def expire(self, schema: str, table_name: str) -> int:
         """Expire open jobs for a table (reference api/subscriptions.go:128-153)."""
@@ -153,6 +249,8 @@ class ImportJobStore:
                 j.expired_at = time.time()
                 j.updated_at = time.time()
                 self._claimed.discard(j.id)
+                self._dirty.add(j.id)
+                self._release_lease(j.id)
                 n += 1
         if n:
             self._save()

@@ -70,7 +70,9 @@ class SchemaHandler:
 
     ``sync`` is the sink-specific DDL callback; it runs once per novel
     fingerprint per table (reference schema_handler.go:61-105 — outcome
-    "noop" on fingerprint hit, "update" on change).
+    "noop" on fingerprint hit, "update" on change, "failed" when the
+    DDL raises; a failed sync is NOT cached, so the next batch retries
+    it instead of silently skipping the migration).
     """
 
     def __init__(self, sync: Callable[[SchemaEntry], None]):
@@ -82,6 +84,9 @@ class SchemaHandler:
         fp = entry.fingerprint
         if self._seen.get(key) == fp:
             return "noop"
-        self._sync(entry)
+        try:
+            self._sync(entry)
+        except Exception:
+            return "failed"
         self._seen[key] = fp
         return "update"

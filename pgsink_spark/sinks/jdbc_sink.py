@@ -75,6 +75,41 @@ def raw_table_name(namespace: str, name: str) -> str:
     return f"{namespace}_{name}_raw"
 
 
+def migration_ddl(
+    old: SchemaEntry | None, new: SchemaEntry, table: str
+) -> list[str]:
+    """ALTER statements evolving an EXISTING warehouse table from the
+    ``old`` payload shape to ``new`` (CREATE IF NOT EXISTS cannot):
+
+    - added column  → ``ADD COLUMN IF NOT EXISTS`` (nullable; old rows
+      read NULL — the reference's idempotent-sync add-column outcome,
+      pkg/sinks/generic/schema_handler.go:61-105);
+    - type change   → ``ALTER COLUMN ... SET DATA TYPE`` (the widening
+      path int→bigint / float→double; both Postgres and DuckDB run
+      this syntax verbatim);
+    - dropped column → NO DDL: the column stays as a tombstone and new
+      rows leave it NULL, so history remains queryable and a re-added
+      column finds its slot (warehouse semantics — upstream drops must
+      never destroy sink history).
+    """
+    if old is None:
+        return []
+    old_types = {f.name: f.dataType for f in old.payload.fields}
+    out: list[str] = []
+    for f in new.payload.fields:
+        if f.name not in old_types:
+            out.append(
+                f"ALTER TABLE {quote_ident(table)} ADD COLUMN IF NOT EXISTS "
+                f"{quote_ident(f.name)} {sql_type_of(f.dataType)}"
+            )
+        elif old_types[f.name] != f.dataType:
+            out.append(
+                f"ALTER TABLE {quote_ident(table)} ALTER COLUMN "
+                f"{quote_ident(f.name)} SET DATA TYPE {sql_type_of(f.dataType)}"
+            )
+    return out
+
+
 def raw_table_ddl(entry: SchemaEntry) -> str:
     """CREATE TABLE IF NOT EXISTS for the raw envelope table.
 
@@ -192,10 +227,18 @@ class JdbcWarehouseSink:
 
     def _sync(self, entry: SchemaEntry) -> None:
         """Idempotent DDL sync, fingerprint-cached by SchemaHandler —
-        one CREATE TABLE + view (re)install per schema version, exactly
-        the reference's schema-handler contract."""
-        self._entries[(entry.namespace, entry.name)] = entry
+        CREATE TABLE for a new table, ALTER migration for an evolved
+        one, then the view (re)install, exactly the reference's
+        schema-handler contract (add-column / widen flow through;
+        drop-column leaves a tombstone)."""
+        key = (entry.namespace, entry.name)
+        old = self._entries.get(key)
+        self._entries[key] = entry
         self.execute(raw_table_ddl(entry))
+        for sql in migration_ddl(
+            old, entry, raw_table_name(entry.namespace, entry.name)
+        ):
+            self.execute(sql)
         self.execute(compaction_view_ddl(entry))
 
     def handle_schema(self, entry: SchemaEntry) -> str:
@@ -343,10 +386,19 @@ class JdbcCompactedSink(JdbcWarehouseSink):
         self.fetch = fetch
 
     def _sync(self, entry: SchemaEntry) -> None:
-        self._entries[(entry.namespace, entry.name)] = entry
+        key = (entry.namespace, entry.name)
+        old = self._entries.get(key)
+        self._entries[key] = entry
         self.execute(staging_table_ddl(entry))
         self.execute(compacted_table_ddl(entry))
         self.execute(epoch_table_ddl(entry.namespace, entry.name))
+        # schema drift flows through BOTH halves of the merge pair
+        for table in (
+            staging_table_name(entry.namespace, entry.name),
+            f"{entry.namespace}_{entry.name}_compacted",
+        ):
+            for sql in migration_ddl(old, entry, table):
+                self.execute(sql)
 
     def insert(
         self,

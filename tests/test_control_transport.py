@@ -459,3 +459,62 @@ def test_cli_stats(tmp_path, spark, capsys):
     assert out["columns"]["r_regionkey"]["min"] == 0
     assert out["columns"]["r_regionkey"]["max"] == 4
     assert out["columns"]["r_regionkey"]["nulls"] == 0
+
+
+def _get_with_status(url: str) -> tuple[int, dict]:
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post_with_status(url: str, body: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_subscription_and_imports_routes(sf_dir, tmp_path):
+    """The subscription-level surface (api/design/api.go:131-270):
+    Get/AddTable/StopTable return the Subscription resource with goa's
+    status codes (201/201/202), and /api/imports lists job rows with
+    ISO datetimes — end to end against the real ControlServer."""
+    root = str(tmp_path / "state")
+    api = make_api(root)
+    server = ControlServer(api, lambda: fixture_catalog(sf_dir)).start()
+    try:
+        base = server.address
+        code, sub = _get_with_status(f"{base}/api/subscriptions/current")
+        assert code == 201  # goa Response(StatusCreated) on Get
+        assert sub == {"id": "default", "published_tables": []}
+
+        code, sub = _post_with_status(
+            f"{base}/api/subscriptions/current/actions/add-table",
+            {"schema": "public", "name": "nation"},  # goa payload names
+        )
+        assert code == 201
+        assert sub["published_tables"] == [
+            {"schema": "public", "name": "nation"}
+        ]
+
+        code, imports = _get_with_status(f"{base}/api/imports")
+        assert code == 200
+        (row,) = imports
+        assert (row["schema"], row["table_name"]) == ("public", "nation")
+        assert row["subscription_id"] == "default"
+        assert row["completed_at"] is None and row["error"] is None
+        assert row["created_at"].endswith("+00:00")  # ISO, UTC
+
+        code, sub = _post_with_status(
+            f"{base}/api/subscriptions/current/actions/stop-table",
+            {"schema": "public", "name": "nation"},
+        )
+        assert code == 202
+        assert sub["published_tables"] == []
+        _code, imports = _get_with_status(f"{base}/api/imports")
+        assert imports[0]["expired_at"] is not None
+    finally:
+        server.stop()

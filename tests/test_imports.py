@@ -179,3 +179,83 @@ def test_importer_with_instrumented_insert(spark, sf_dir, store):
     assert m.rows_total["public.nation"] == nation.count()
     assert m.batches_total["public.nation"] == len(sink.batches)
     assert m.insert_duration["public.nation"].n == len(sink.batches)
+
+
+def test_two_drivers_never_double_claim(tmp_path):
+    import time
+
+    """Multi-driver SKIP LOCKED semantics (reference
+    pkg/imports/worker.go:165-187): two stores over ONE queue path —
+    distinct owners, like two driver processes — claim concurrently;
+    no job is handed out twice, every claimable job is handed out
+    exactly once, and never-errored-first ordering holds per claimer."""
+    path = str(tmp_path / "jobs.json")
+    a = ImportJobStore(path, owner="driver-a")
+    for i in range(10):
+        a.enqueue("sub", "public", f"t{i}")
+    # one errored job: must sort after the fresh ones for both claimers
+    a.record_error(1, "boom")
+    b = ImportJobStore(path, owner="driver-b")
+
+    now = time.time() + 10_000  # past any backoff
+    seen_a, seen_b = [], []
+    while True:
+        ja = a.claim(now=now)
+        jb = b.claim(now=now)
+        if ja is None and jb is None:
+            break
+        if ja is not None:
+            seen_a.append(ja.id)
+        if jb is not None:
+            seen_b.append(jb.id)
+    assert not (set(seen_a) & set(seen_b)), "double-claim across drivers"
+    assert sorted(seen_a + seen_b) == list(range(1, 11))
+    # backoff ordering: the errored job is the LAST claim overall
+    all_claims = []
+    for i in range(max(len(seen_a), len(seen_b))):
+        if i < len(seen_a):
+            all_claims.append(seen_a[i])
+        if i < len(seen_b):
+            all_claims.append(seen_b[i])
+    assert all_claims[-1] == 1
+
+
+def test_two_drivers_threaded_claims_are_disjoint(tmp_path):
+    """Thread-level race: two claimers hammer one queue concurrently;
+    the lease's O_EXCL arbitration keeps the claim sets disjoint."""
+    import threading
+
+    path = str(tmp_path / "jobs.json")
+    seed = ImportJobStore(path, owner="seed")
+    for i in range(40):
+        seed.enqueue("sub", "public", f"t{i}")
+
+    results: dict[str, list[int]] = {"a": [], "b": []}
+
+    def worker(key: str):
+        store = ImportJobStore(path, owner=f"driver-{key}")
+        while (j := store.claim()) is not None:
+            results[key].append(j.id)
+
+    ta = threading.Thread(target=worker, args=("a",))
+    tb = threading.Thread(target=worker, args=("b",))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not (set(results["a"]) & set(results["b"]))
+    assert sorted(results["a"] + results["b"]) == list(range(1, 41))
+
+
+def test_stale_lease_is_stolen_after_ttl(tmp_path):
+    import time
+
+    """A crashed claimant's lease (never released) is taken over once
+    it ages past lease_ttl_s — and not a moment before."""
+    path = str(tmp_path / "jobs.json")
+    crashed = ImportJobStore(path, owner="crashed", lease_ttl_s=3600)
+    crashed.enqueue("sub", "public", "t")
+    now = time.time()
+    assert crashed.claim(now=now) is not None
+    # simulated crash: no release. A fresh driver can't take the lease
+    successor = ImportJobStore(path, owner="successor", lease_ttl_s=3600)
+    assert successor.claim(now=now + 10) is None
+    # ...until the ttl passes
+    assert successor.claim(now=now + 3601).id == 1

@@ -195,3 +195,170 @@ def test_schema_evolution_through_cli_warehouse_stream(tmp_path, spark):
     view = wh.install_view("public", "example")
     got = {(r["id"], r["v"], r["extra"]) for r in spark.table(view).collect()}
     assert got == {(1, "a", None), (2, "b", 42)}
+
+
+# ---------------------------------------------------------------------------
+# round-4: drift through the JDBC staging-merge sink (type widening,
+# add-column, drop-column tombstones) with noop/update/failed outcomes
+# (reference pkg/sinks/generic/schema_handler.go:61-105)
+
+
+def _duck_sink(spark):
+    import duckdb
+
+    from pgsink_spark.sinks.jdbc_sink import JdbcCompactedSink, JdbcSinkOptions
+
+    con = duckdb.connect()
+    executed: list[str] = []
+
+    def execute(sql):
+        executed.append(sql)
+        con.execute(sql)
+
+    def write_batch(df, table):
+        # column-name-aware insert (the Spark JDBC writer inserts by
+        # name too) — positional SELECT * breaks under drift
+        pdf = df.toPandas()
+        cols = ", ".join(f'"{c}"' for c in pdf.columns)
+        con.register("batch_df", pdf)
+        con.execute(
+            f'INSERT INTO "{table}" ({cols}) SELECT {cols} FROM batch_df'
+        )
+        con.unregister("batch_df")
+
+    sink = JdbcCompactedSink(
+        JdbcSinkOptions(url="jdbc:duckdb:"), execute, write_batch=write_batch
+    )
+    return sink, con, executed
+
+
+def _jdbc_env(spark, payload, rows, lsn0=10):
+    from pgsink_spark.changelog import envelope_schema
+
+    full = [
+        (
+            datetime.datetime(2024, 1, 1, 0, 0, s),
+            "public",
+            "drift",
+            lsn0 + s,
+            s,
+            None,
+            r,
+        )
+        for s, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(full, envelope_schema(payload))
+
+
+def test_jdbc_type_widening_flows_through_merge(spark):
+    """int32 → int64 widening mid-stream: the migration ALTERs both
+    staging and compacted, and a post-widen value beyond 2^31 lands."""
+    v1 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("n", T.IntegerType())]
+    )
+    v2 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("n", T.LongType())]
+    )
+    sink, con, executed = _duck_sink(spark)
+    assert sink.handle_schema(SchemaEntry("public", "drift", v1, ["id"])) == "update"
+    sink.insert(_jdbc_env(spark, v1, [{"id": 1, "n": 5}]), "public", "drift")
+
+    assert sink.handle_schema(SchemaEntry("public", "drift", v2, ["id"])) == "update"
+    assert any("SET DATA TYPE BIGINT" in s for s in executed)
+    big = 2**40
+    sink.insert(
+        _jdbc_env(spark, v2, [{"id": 2, "n": big}], lsn0=20),
+        "public",
+        "drift",
+    )
+    got = dict(
+        con.execute("SELECT id, n FROM public_drift_compacted").fetchall()
+    )
+    assert got == {1: 5, 2: big}
+    types = {
+        r[0]: r[1]
+        for r in con.execute("DESCRIBE public_drift_compacted").fetchall()
+    }
+    assert types["n"] == "BIGINT"
+
+
+def test_jdbc_add_column_and_drop_tombstone(spark):
+    """ADD COLUMN flows through (old rows read NULL); a DROPPED column
+    stays as a tombstone — new rows leave it NULL, already-compacted
+    rows keep their last value, and history is still queryable."""
+    v1 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("a", T.StringType())]
+    )
+    v2 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    v3 = T.StructType(  # upstream dropped `a`
+        [T.StructField("id", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    sink, con, executed = _duck_sink(spark)
+    e1, e2, e3 = (
+        SchemaEntry("public", "drift", v, ["id"]) for v in (v1, v2, v3)
+    )
+    assert sink.handle_schema(e1) == "update"
+    assert sink.handle_schema(e1) == "noop"  # fingerprint hit
+    sink.insert(_jdbc_env(spark, v1, [{"id": 1, "a": "x"}]), "public", "drift")
+
+    assert sink.handle_schema(e2) == "update"
+    assert any("ADD COLUMN IF NOT EXISTS" in s for s in executed)
+    sink.insert(
+        _jdbc_env(spark, v2, [{"id": 2, "a": "y", "b": "B2"}], lsn0=20),
+        "public",
+        "drift",
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT id, a, b FROM public_drift_compacted"
+        ).fetchall()
+    }
+    assert got == {1: ("x", None), 2: ("y", "B2")}  # old row: NULL b
+
+    # drop `a` upstream: no destructive DDL, tombstone retained
+    assert sink.handle_schema(e3) == "update"
+    assert not any("DROP COLUMN" in s for s in executed)
+    sink.insert(
+        _jdbc_env(spark, v3, [{"id": 3, "b": "B3"}], lsn0=30),
+        "public",
+        "drift",
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT id, a, b FROM public_drift_compacted ORDER BY id"
+        ).fetchall()
+    }
+    assert got == {1: ("x", None), 2: ("y", "B2"), 3: (None, "B3")}
+
+
+def test_schema_handler_failed_outcome_retries(spark):
+    """A raising sync reports "failed" and is NOT fingerprint-cached,
+    so the next batch retries the migration instead of skipping it."""
+    from pgsink_spark.sinks.generic import SchemaHandler
+
+    calls = {"n": 0}
+
+    def sync(entry):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("warehouse down")
+
+    h = SchemaHandler(sync)
+    entry = SchemaEntry(
+        "public",
+        "drift",
+        T.StructType([T.StructField("id", T.LongType())]),
+        ["id"],
+    )
+    assert h.handle(entry) == "failed"
+    assert h.handle(entry) == "update"  # retried, now cached
+    assert h.handle(entry) == "noop"
+    assert calls["n"] == 2
