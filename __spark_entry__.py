@@ -59,6 +59,13 @@ _ROUND4_PRIORITY = [
     "ann_kmeans_recall",
     "mm_embedding_recall",
     "d35_approx_distinct",  # now a bound-gate with an exact-count oracle
+    # new round-4 operators (all oracle-checked) — in-window so they
+    # get a driver row THIS round instead of repeating the round-3
+    # late-addition gap
+    "retrieval_rrf",
+    "dsir_importance",
+    "text_kn_bigram",
+    "d64_gaps_islands",
 ]
 
 # round-1-vintage green rows re-confirmed in remaining r4 slots
@@ -99,10 +106,6 @@ _ROUND1_VINTAGE = [
     "d19_udf_parity",
     "d22_asof_join",
     "d24_percentiles",
-    "d25_set_ops",
-    "d26_cube",
-    "d27_date_arithmetic",
-    "d28_grouping_sets",
 ]
 
 _ROUND3_PRIORITY = [

@@ -108,6 +108,13 @@ HEADLINE = [
     "cdc_refresh_endstate",
     "d63_interpolate_linear",
     "mm_frame_stats",
+    # round-4 additions (hybrid retrieval, data selection, LM stats,
+    # gaps-and-islands, frame-decode oracle path)
+    "retrieval_rrf",
+    "dsir_importance",
+    "text_kn_bigram",
+    "d64_gaps_islands",
+    "mm_frame_sample",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -319,3 +319,113 @@ def d48_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the oracle spells the naive 5-scan UNION ALL the single-pass
     plan replaces."""
     return profile(load_table(spark, sf_dir, "documents"))
+
+
+DSIR_BUCKETS = 64  # hashed-feature dimensionality
+DSIR_TARGET_LANG = "en"  # the fixture's majority language as target
+
+
+@query(
+    "dsir_importance",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS bucket
+      FROM toks
+    ),
+    tgt AS (
+      SELECT bucket, CAST(count(*) AS DOUBLE) AS c FROM b
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+    ),
+    src AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY bucket),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS nt,
+             CAST(count(*) AS DOUBLE) AS ns
+      FROM b
+    ),
+    lr AS (
+      SELECT src.bucket,
+             ln((COALESCE(tgt.c, 0) + 1) / (tot.nt + {DSIR_BUCKETS}))
+             - ln((src.c + 1) / (tot.ns + {DSIR_BUCKETS})) AS llr
+      FROM src LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    )
+    SELECT b.doc_id,
+           CAST(ROUND(CAST(SUM(lr.llr) AS DECIMAL(18,8)), 6) AS DOUBLE)
+             AS log_weight
+    FROM b JOIN lr USING (bucket)
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: hashed-unigram bucket features,
+    per-document log importance = Σ_w ln(p_target(b(w)) / p_source(b(w)))
+    with Laplace smoothing — the published data-selection-via-
+    importance-resampling recipe (target = the corpus's English slice,
+    source = everything). Feed the weights to sample_weighted for the
+    resampling step.
+
+    Cross-engine determinism: the feature hash is the first 8 hex
+    chars of md5 (identical bytes in Spark and DuckDB) so oracle and
+    engine agree bucket-for-bucket. Plan: one tokenize/hash pass, two
+    bucket-keyed aggregates (64 rows each — broadcast back), then one
+    doc-keyed sum; at 100 TB the only corpus-sized shuffle is the
+    final per-document aggregation.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS,
+        )
+    )
+    tgt = (
+        toks.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    src = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("cs")
+    )
+    tot = toks.agg(
+        F.sum(
+            (F.col("lang") == DSIR_TARGET_LANG).cast("double")
+        ).alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("ns"),
+    )
+    lr = (
+        src.join(tgt, on="bucket", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
+                    / (F.col("nt") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("cs") + 1) / (F.col("ns") + DSIR_BUCKETS))
+            ).alias("llr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), on="bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("llr").cast("decimal(18,8)"), 6)
+            .cast("double")
+            .alias("log_weight")
+        )
+        .orderBy("doc_id")
+    )

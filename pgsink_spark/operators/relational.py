@@ -2817,3 +2817,62 @@ def profile_table(df: "DataFrame") -> dict:
             )
         out["columns"][c] = col
     return out
+
+
+@query(
+    "d64_gaps_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '2020-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+      FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           MAX(len) AS longest_streak
+    FROM islands GROUP BY user_id ORDER BY user_id
+    """,
+)
+def d64_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-D64 gaps-and-islands: per-user consecutive-active-day streaks
+    (count + longest), the classic sessionized-retention SQL idiom —
+    the day-granular sibling of d23's gap sessionization.
+
+    Plan: one distinct over (user, day), one user-keyed window (the
+    row_number-difference island trick keeps everything inside the
+    per-user partition), two keyed aggregations. No global window, no
+    self-join — at 100 TB cost is one shuffle on user_id.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("2020-01-01"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )

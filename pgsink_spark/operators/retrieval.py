@@ -24,6 +24,7 @@ Scores are rounded to 6 decimals inside a DECIMAL cast on both engines
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pgsink_spark.operators.relational import query
@@ -225,4 +226,200 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .drop("rk")
         .orderBy("doc_id", F.desc("tfidf"), "tok")
+    )
+
+
+RRF_K = 60  # the universal reciprocal-rank-fusion constant
+RRF_DEPTH = 50  # depth of each input ranking
+
+
+@query(
+    "retrieval_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks WHERE tok IN ('hash', 'join', 'scan')
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    bm25 AS (
+      SELECT doc_id,
+             CAST(ROUND(CAST(SUM(
+               ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ) AS DECIMAL(18,8)), 6) AS DOUBLE) AS s
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM bm25 QUALIFY r <= {RRF_DEPTH}
+    ),
+    sem AS (
+      SELECT b.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS r
+      FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+      QUALIFY r <= {RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             CAST(ROUND(CAST(
+               COALESCE(1.0 / ({RRF_K} + lex.r), 0)
+               + COALESCE(1.0 / ({RRF_K} + sem.r), 0)
+             AS DECIMAL(18,8)), 6) AS DOUBLE) AS rrf
+      FROM lex FULL OUTER JOIN sem USING (doc_id)
+    )
+    SELECT doc_id, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 keyword
+    ranking and an embedding-cosine ranking (probe = vec_id 0, the two
+    fixture tables share the 0..N id space) each contribute
+    ``1/(60+rank)`` for their top-50; top-10 fused documents win.
+
+    RRF is the standard zero-tuning hybrid-search combiner (the
+    rank-based fusion every RAG stack ships). Plan shape: both input
+    rankings are top-50 cuts — tiny — so the fusion join is
+    control-plane sized regardless of corpus scale; the heavy lifting
+    stays in the two underlying rankings, each already audited (BM25:
+    one scan + 1-row stats broadcast; cosine: one broadcast-probe
+    pass). The fused score rounds before the final cut so the top-10
+    cannot flip on cross-engine float noise.
+    """
+    from pgsink_spark.operators.similarity import as_double, cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = (
+        bm25_score(docs, BM25_TERMS, k=RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+            .alias("r_lex"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("q_emb")
+    )
+    sem = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("q_emb"), as_double(F.col("embedding"))).alias("cos"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cos").desc(), "doc_id"))
+            .alias("r_sem"),
+        )
+        .where(F.col("r_sem") <= RRF_DEPTH)
+    )
+    fused = (
+        lex.join(sem, on="doc_id", how="full_outer")
+        .select(
+            "doc_id",
+            _round6(
+                F.coalesce(1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("r_sem")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+KN_DISCOUNT = 0.75  # the canonical Kneser-Ney absolute discount
+
+
+@query(
+    "text_kn_bigram",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    bg AS (
+      SELECT l[i.i] AS w1, l[i.i + 1] AS w2
+      FROM docs, LATERAL (
+        SELECT unnest(generate_series(1, len(l) - 1)) AS i) i
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
+            FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS c1, CAST(count(*) AS DOUBLE) AS n1_fw
+           FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1_bw
+             FROM c12 GROUP BY w2),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM c12)
+    SELECT w1, w2, CAST(c12.c AS BIGINT) AS cnt,
+           CAST(ROUND(CAST(
+             GREATEST(c12.c - {KN_DISCOUNT}, 0) / c1.c1
+             + ({KN_DISCOUNT} * c1.n1_fw / c1.c1) * (cont.n1_bw / t.n_types)
+           AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_kn
+    FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN t
+    ORDER BY cnt DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (D = 0.75) for the
+    corpus's 20 most frequent bigrams — the LM-data-prep statistic
+    (continuation counts are the novelty signal quality pipelines use;
+    the smoothing math is the published Chen–Goodman form).
+
+    Plan: bigrams come from one row-local zip of each token array with
+    its own tail (no self-join on positions); every aggregate after
+    that is keyed by w1, w2, or the pair — partial-aggregated shuffles
+    over the bigram vocabulary, never the corpus. The type total and
+    interpolation constants ride a 1-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split(F.lower("text"), " ").alias("l")
+    )
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1_fw"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n1_bw")
+    )
+    t = c12.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    return (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("cnt"),
+            _round6(
+                F.greatest(F.col("c") - KN_DISCOUNT, F.lit(0.0)) / F.col("c1")
+                + (KN_DISCOUNT * F.col("n1_fw") / F.col("c1"))
+                * (F.col("n1_bw") / F.col("n_types"))
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(20)
     )

@@ -518,3 +518,46 @@ def test_http_subscription_and_imports_routes(sf_dir, tmp_path):
         assert imports[0]["expired_at"] is not None
     finally:
         server.stop()
+
+
+def test_typed_client_full_lifecycle(sf_dir, tmp_path):
+    """The typed ControlClient (reference api/client.go parity) drives
+    every route against the real server: health, subscription
+    add/stop, imports listing, tables status, metrics exposition."""
+    from pgsink_spark.control.client import ControlClient, PublishedTable
+
+    root = str(tmp_path / "state")
+    api = make_api(root)
+    server = ControlServer(
+        api,
+        lambda: fixture_catalog(sf_dir),
+        metrics_text=lambda: "# TYPE pgsink_sink_rows_total counter\n",
+    ).start()
+    try:
+        c = ControlClient(server.address)
+        assert c.health()
+        assert c.get_subscription().published_tables == ()
+
+        sub = c.add_table("public", "nation")
+        assert sub.id == "default"
+        assert sub.published_tables == (
+            PublishedTable(schema="public", name="nation"),
+        )
+        (imp,) = c.list_imports()
+        assert (imp.schema, imp.table_name) == ("public", "nation")
+        assert imp.completed_at is None and imp.error_count == 0
+
+        nation = next(
+            t for t in c.list_tables() if t.name == "nation"
+        )
+        assert nation.publication_status == "active"
+        assert nation.import_status == "scheduled"
+
+        sub = c.stop_table("public", "nation")
+        assert sub.published_tables == ()
+        (imp,) = c.list_imports()
+        assert imp.expired_at is not None
+
+        assert "pgsink_sink_rows_total" in c.metrics_text()
+    finally:
+        server.stop()

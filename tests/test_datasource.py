@@ -128,7 +128,11 @@ def test_streaming_source_e2e_with_restart(spark, tmp_path):
             .start()
         )
 
-    def wait_for(cond, timeout_s=60.0):
+    def wait_for(cond, timeout_s=150.0):
+        # generous ceiling: under full-suite load a 300 ms-trigger
+        # micro-batch can take tens of seconds to schedule (observed
+        # flake at 60 s with 32 busy cores); the happy path returns in
+        # ~2 s regardless
         deadline = time.time() + timeout_s
         while time.time() < deadline:
             if cond():

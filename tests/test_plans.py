@@ -379,3 +379,26 @@ def test_dupfrac_is_gram_keyed_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert has_partial_aggregate(df)
+
+
+def test_dsir_stats_broadcast_single_doc_shuffle(spark):
+    """DSIR: the 64-row bucket statistics ride broadcasts; the only
+    corpus-sized shuffle is the final per-document sum (plus AQE's
+    coalesce bookkeeping)."""
+    from pgsink_spark.operators import corpus  # noqa: F401 — registers query
+
+    df = rel.QUERIES["dsir_importance"](spark, SF)
+    assert broadcast_join_count(df) >= 2  # lr join + tot cross join
+    assert has_partial_aggregate(df)
+
+
+def test_kn_bigram_no_self_join(spark):
+    """KN bigrams come from a row-local zip, not a positional
+    self-join: no join operator over the token table at all, and every
+    aggregate is partial-first."""
+    from pgsink_spark.operators import retrieval  # noqa: F401 — registers query
+
+    df = rel.QUERIES["text_kn_bigram"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert has_partial_aggregate(df)

