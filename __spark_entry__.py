@@ -66,6 +66,7 @@ _ROUND4_PRIORITY = [
     "dsir_importance",
     "text_kn_bigram",
     "d64_gaps_islands",
+    "mm_keyframes",
 ]
 
 # round-1-vintage green rows re-confirmed in remaining r4 slots
@@ -105,7 +106,6 @@ _ROUND1_VINTAGE = [
     "d18_distinct_dedup",
     "d19_udf_parity",
     "d22_asof_join",
-    "d24_percentiles",
 ]
 
 _ROUND3_PRIORITY = [

@@ -115,6 +115,7 @@ HEADLINE = [
     "text_kn_bigram",
     "d64_gaps_islands",
     "mm_frame_sample",
+    "mm_keyframes",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -724,3 +724,82 @@ def mm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+KEYFRAME_DELTA = 8.0  # mean-brightness jump that defines a scene cut
+
+
+@query(
+    "mm_keyframes",
+    f"""
+    WITH v AS (
+      SELECT doc_id, doc_id % 7 + 2 AS n_frames FROM documents
+      WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT v.doc_id, t.k,
+             ((v.doc_id * 31 + t.k) % 160)
+               + {(IMG_W - 1) / 2}
+               + (16 + (v.doc_id * 31 + t.k) % 16 - 1) / 2.0 AS mean_px
+      FROM v, unnest(range(v.n_frames)) AS t(k)
+    ),
+    d AS (
+      SELECT doc_id, k, mean_px,
+             LAG(mean_px) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+      FROM f
+    )
+    SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx, mean_px
+    FROM d
+    WHERE prev IS NULL OR ABS(mean_px - prev) >= {KEYFRAME_DELTA}
+    ORDER BY media_id, frame_idx
+    """,
+)
+def mm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe (scene-cut) selection over the video plane: decode
+    EVERY frame with the real PNG path, compute its mean brightness,
+    and keep frame 0 plus every frame whose mean jumps ≥ 8 levels from
+    its predecessor — the standard frame-difference shot detector,
+    downstream of which a captioning/embedding stage would run only on
+    keyframes.
+
+    Oracle-checked end to end: the synthesis closed form predicts each
+    frame's exact mean (the per-frame division is exact in binary —
+    the same argument mm_decode_stats relies on), so the DuckDB oracle
+    reproduces the selection relationally while Spark must actually
+    inflate and unfilter every frame.
+
+    Plan: blob-local decode (mapInPandas where the video row lives),
+    then one media_id-keyed window for the lag — the only shuffle
+    carries (id, idx, mean) triples, never pixels.
+    """
+    frames = sample_frames(synthesize_media(spark, sf_dir), every_n=1)
+
+    def means(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ms = []
+            for b in pdf["frame"]:
+                px = codecs.decode_png(bytes(b))
+                ms.append(float(px.sum()) / px.size)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "mean_px": ms,
+                }
+            )
+
+    from pyspark.sql import Window as W
+
+    per_frame = frames.mapInPandas(
+        means, "media_id long, frame_idx int, mean_px double"
+    )
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    d = per_frame.withColumn("prev", F.lag("mean_px").over(w))
+    return (
+        d.where(
+            F.col("prev").isNull()
+            | (F.abs(F.col("mean_px") - F.col("prev")) >= KEYFRAME_DELTA)
+        )
+        .select("media_id", "frame_idx", "mean_px")
+        .orderBy("media_id", "frame_idx")
+    )

@@ -314,20 +314,25 @@ def retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = emb.where(F.col("vec_id") == 0).select(
         as_double(F.col("embedding")).alias("q_emb")
     )
-    sem = (
+    # top-50 via orderBy+limit (TakeOrderedAndProject — per-partition
+    # partial top-k, no global window over the corpus), THEN rank the
+    # 50 survivors; a global row_number here would single-partition the
+    # whole corpus at scale
+    sem_top = (
         emb.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(probe))
         .select(
             F.col("vec_id").alias("doc_id"),
             cosine(F.col("q_emb"), as_double(F.col("embedding"))).alias("cos"),
         )
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(W.orderBy(F.col("cos").desc(), "doc_id"))
-            .alias("r_sem"),
-        )
-        .where(F.col("r_sem") <= RRF_DEPTH)
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    sem = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cos").desc(), "doc_id"))
+        .alias("r_sem"),
     )
     fused = (
         lex.join(sem, on="doc_id", how="full_outer")

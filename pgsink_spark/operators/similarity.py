@@ -206,14 +206,18 @@ def ann_lsh_topk(
     spark: SparkSession,
     sf_dir: str,
     k: int = 5,
-    n_planes: int = 6,
-    probe_radius: int = 0,
+    n_planes: int = 4,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """LSH-bucketed ANN (the other scale path next to IVF): bucket the
     corpus by random-hyperplane signature, search each query only
     within its probe buckets.
 
-    ``probe_radius`` enables multi-probe LSH: radius r probes every
+    The REGISTERED default is the multi-probe configuration (4 planes,
+    radius 1 → probes 5/16 buckets) — single-probe on this weakly
+    clustered fixture has near-zero recall, and an engine should not
+    ship a default its own recall gate would fail. ``probe_radius``
+    selects the probe set: radius r probes every
     bucket within Hamming distance r of the query's own signature
     (r=0 → classic single-bucket; r=1 → 1+n_planes buckets). Flipping
     sign bits is exactly the published multi-probe trick — recall

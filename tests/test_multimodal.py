@@ -190,3 +190,24 @@ def test_sampled_frames_are_real_decodable_pngs(spark, sf_dir):
         src = r["media_id"] * 31 + r["frame_idx"]
         assert px.shape == (16 + src % 16, IMG_W)
         assert px[0, 0] == (src % 160) % 256
+
+
+def test_keyframes_subset_and_first_frame_kept(spark, sf_dir):
+    """Every video contributes frame 0; keyframes are a subset of the
+    decoded frame set; each kept frame's mean matches the closed-form
+    synthesis prediction exactly."""
+    from pgsink_spark.operators.multimodal import IMG_W, mm_keyframes
+
+    rows = mm_keyframes(spark, sf_dir).collect()
+    by_vid: dict[int, list] = {}
+    for r in rows:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    for vid, frames in by_vid.items():
+        assert frames[0]["frame_idx"] == 0
+        n = vid % 7 + 2
+        for fr in frames:
+            assert 0 <= fr["frame_idx"] < n
+            fid = vid * 31 + fr["frame_idx"]
+            h = 16 + fid % 16
+            expect = (fid % 160) + (IMG_W - 1) / 2 + (h - 1) / 2
+            assert fr["mean_px"] == expect
