@@ -315,6 +315,63 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_capture(args) -> int:
+    """LIVE CDC tick: connect to a real Postgres over the socket
+    client (TLS + SCRAM as needed), converge slot + publication, and
+    drain the WAL backlog into a capture file — the upstream half of
+    the reference binary's loop; `stream run` / `run --capture` is the
+    downstream half. availableNow semantics: each invocation catches
+    up to the server's current WAL position and exits."""
+    import socket as _socket
+
+    from pgsink_spark.streaming.live import (
+        capture_to_file,
+        ensure_publication,
+        ensure_slot,
+        sync_publication_tables,
+    )
+    from pgsink_spark.streaming.replication import ReplicationClient, start_tls
+
+    sock = _socket.create_connection((args.host, args.port), timeout=10)
+    if args.ssl != "disable":
+        import ssl as _ssl
+
+        ctx = _ssl.create_default_context()
+        if os.environ.get("PGSINK_TEST_PG_SSL_NOVERIFY"):
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+        sock = start_tls(
+            sock, context=ctx, server_hostname=args.host,
+            required=(args.ssl == "require"),
+        )
+    client = ReplicationClient(
+        sock, database=args.db, user=args.user, password=args.password,
+        heartbeat_interval_s=5.0,
+    )
+    client.connect()
+    created_pub = ensure_publication(client, args.publication)
+    if args.tables:
+        desired = {
+            tuple(t.split(".", 1)) for t in args.tables.split(",") if t
+        }
+        added, removed = sync_publication_tables(
+            client, args.publication, desired
+        )
+        print(f"publication converged added={len(added)} removed={len(removed)}"
+              f" created={created_pub}")
+    created = ensure_slot(client, args.slot)
+    print(f"slot {'created' if created else 'exists'}: {args.slot}")
+    report = capture_to_file(
+        client, args.slot, args.publication, args.out,
+        max_txns=args.max_txns,
+    )
+    print(
+        f"captured transactions={report.transactions} "
+        f"messages={report.messages} last_commit_lsn={report.last_commit_lsn}"
+    )
+    return 0
+
+
 def cmd_stats(args) -> int:
     """ANALYZE-style table statistics (one scan, one aggregation)."""
     from pgsink_spark.operators.relational import profile_table
@@ -434,6 +491,27 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--exclude", default=None,
                    help="comma-separated namespace.name deny-list")
     r.set_defaults(fn=cmd_run)
+
+    cp = sub.add_parser(
+        "capture",
+        help="drain a LIVE Postgres logical slot into a capture file "
+        "(availableNow; slot + publication converged first)",
+    )
+    cp.add_argument("--host", required=True)
+    cp.add_argument("--port", type=int, default=5432)
+    cp.add_argument("--db", default="postgres")
+    cp.add_argument("--user", default="postgres")
+    cp.add_argument("--password", default=None)
+    cp.add_argument("--ssl", choices=["disable", "prefer", "require"],
+                    default="prefer")
+    cp.add_argument("--slot", required=True)
+    cp.add_argument("--publication", required=True)
+    cp.add_argument("--tables", default=None,
+                    help="comma-separated namespace.name list to converge "
+                    "the publication to (omit to leave membership as-is)")
+    cp.add_argument("--out", required=True, help="capture file to append to")
+    cp.add_argument("--max-txns", type=int, default=None)
+    cp.set_defaults(fn=cmd_capture)
 
     sa = sub.add_parser("stats", help="one-pass table column statistics")
     sa.add_argument("table")

@@ -287,7 +287,18 @@ class ReplicationClient:
             elif kind == "Z":
                 return rows, cols
             elif kind == "E":
-                raise ReplicationError(_error_fields(payload))
+                # consume through ReadyForQuery before raising — the
+                # backend always finishes the error cycle with Z, and
+                # leaving it unread desyncs the NEXT query (it would
+                # see the stale Z and return empty). Found live: a
+                # caught slot-exists error made the following
+                # IDENTIFY_SYSTEM come back empty.
+                err = _error_fields(payload)
+                while True:
+                    kind2, _p2 = self._conn.read_message()
+                    if kind2 == "Z":
+                        break
+                raise ReplicationError(err)
             elif kind in ("S", "N"):
                 continue
             else:
@@ -316,7 +327,15 @@ class ReplicationClient:
                 self._last_status_at = self._clock()
                 return
             if kind == "E":
-                raise ReplicationError(_error_fields(payload))
+                # drain the error cycle's ReadyForQuery so a caller
+                # retrying START_REPLICATION on the same connection
+                # (slot-busy backoff) starts from a clean protocol state
+                err = _error_fields(payload)
+                while True:
+                    kind2, _p2 = self._conn.read_message()
+                    if kind2 == "Z":
+                        break
+                raise ReplicationError(err)
             if kind in ("S", "N"):
                 continue
             raise ReplicationError(f"expected CopyBothResponse, got {kind!r}")
@@ -357,6 +376,15 @@ class ReplicationClient:
                 >= self.heartbeat_interval_s
             ):
                 self.send_standby_status(reply_requested=False)
+
+    def close(self) -> None:
+        """Drop the connection (releases any replication slot this
+        walsender session holds — the server frees it when the backend
+        exits)."""
+        try:
+            self._conn.sock.close()
+        except OSError:
+            pass
 
     def send_standby_status(self, reply_requested: bool = False) -> None:
         """'r' update: written/flushed/applied = confirmed flush LSN."""

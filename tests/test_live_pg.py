@@ -643,3 +643,178 @@ class TestLiveJdbc:
             cursor = ids[-1]
             seen += len(ids)
         assert seen == 1000
+
+
+class TestLiveOperationalLoop:
+    def test_publication_and_slot_management(self, pg):
+        """Live manager surface: ensure_publication / ALTER-based table
+        sync / idempotent slot creation against the real catalog."""
+        from pgsink_spark.streaming.live import (
+            ensure_publication,
+            ensure_slot,
+            publication_tables,
+            sync_publication_tables,
+        )
+
+        run = uuid.uuid4().hex[:8]
+        t1, t2 = f"pgsink_m1_{run}", f"pgsink_m2_{run}"
+        pub, slot = f"pgsink_mpub_{run}", f"pgsink_mslot_{run}"
+        client = _connect_replication(pg)
+        try:
+            for t in (t1, t2):
+                client._simple_query(
+                    f"CREATE TABLE {t} (id int primary key)"
+                )
+            assert ensure_publication(client, pub) is True
+            assert ensure_publication(client, pub) is False  # idempotent
+            added, removed = sync_publication_tables(
+                client, pub, {("public", t1), ("public", t2)}
+            )
+            assert added == {("public", t1), ("public", t2)} and not removed
+            assert publication_tables(client, pub) == {
+                ("public", t1),
+                ("public", t2),
+            }
+            added, removed = sync_publication_tables(
+                client, pub, {("public", t1)}
+            )
+            assert not added and removed == {("public", t2)}
+
+            assert ensure_slot(client, slot) is True
+            assert ensure_slot(client, slot) is False  # 42710 → converged
+        finally:
+            try:
+                cleanup = _connect_replication(pg)
+                cleanup._simple_query(f'DROP_REPLICATION_SLOT "{slot}"')
+                cleanup._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                cleanup._simple_query(f"DROP TABLE IF EXISTS {t1}")
+                cleanup._simple_query(f"DROP TABLE IF EXISTS {t2}")
+            except Exception:
+                pass
+
+    def test_capture_to_file_drains_and_resumes(self, pg, tmp_path):
+        """availableNow capture: drain the backlog to the capture file,
+        confirm at each commit; a SECOND capture run (fresh connection)
+        picks up only transactions written after the first drain."""
+        from pgsink_spark.streaming.datasource import read_capture
+        from pgsink_spark.streaming.live import (
+            capture_to_file,
+            ensure_publication,
+            ensure_slot,
+            sync_publication_tables,
+        )
+
+        run = uuid.uuid4().hex[:8]
+        table = f"pgsink_cap_{run}"
+        pub, slot = f"pgsink_cappub_{run}", f"pgsink_capslot_{run}"
+        cap = str(tmp_path / "live.capture")
+        client = _connect_replication(pg)
+        try:
+            client._simple_query(
+                f"CREATE TABLE {table} (id int primary key, v text)"
+            )
+            ensure_publication(client, pub)
+            sync_publication_tables(client, pub, {("public", table)})
+            ensure_slot(client, slot)
+            client._simple_query(f"INSERT INTO {table} VALUES (1, 'a')")
+            client._simple_query(f"INSERT INTO {table} VALUES (2, 'b')")
+            r1 = capture_to_file(client, slot, pub, cap)
+            assert r1.transactions == 2
+            client.close()  # release the slot for the next tick
+            ids = []
+            for buf in read_capture(cap):
+                d = decode_message(buf)
+                if isinstance(d, Insert):
+                    ids.append(d.new[0])
+            assert ids == [b"1", b"2"]
+
+            # second tick: only the new transaction flows
+            writer = _connect_replication(pg)
+            writer._simple_query(f"INSERT INTO {table} VALUES (3, 'c')")
+            client2 = _connect_replication(pg)
+            r2 = capture_to_file(client2, slot, pub, cap)
+            assert r2.transactions == 1
+            ids2 = []
+            for buf in read_capture(cap):
+                d = decode_message(buf)
+                if isinstance(d, Insert):
+                    ids2.append(d.new[0])
+            assert ids2 == [b"1", b"2", b"3"]
+        finally:
+            try:
+                cleanup = _connect_replication(pg)
+                cleanup._simple_query(f'DROP_REPLICATION_SLOT "{slot}"')
+                cleanup._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+
+    def test_cli_capture_then_stream_to_warehouse(self, pg, spark, tmp_path):
+        """The COMPLETE reference loop as two CLI ticks against a real
+        server: `capture` (connect, converge publication+slot, drain
+        WAL) then `stream run --sink warehouse`; the compaction view
+        must equal the live table state."""
+        import os as _os
+
+        from pgsink_spark.cli import main
+
+        run = uuid.uuid4().hex[:8]
+        table = f"pgsink_cli_{run}"
+        pub, slot = f"pgsink_clipub_{run}", f"pgsink_clislot_{run}"
+        cap = str(tmp_path / "cli.capture")
+        root = str(tmp_path / "state")
+        seed = _connect_replication(pg)
+        try:
+            seed._simple_query(
+                f"CREATE TABLE {table} (id int primary key, v text)"
+            )
+            argv = [
+                "--root", root, "capture",
+                "--host", pg["host"], "--port", str(pg["port"]),
+                "--db", pg["database"], "--user", pg["user"],
+                "--ssl", "disable",
+                "--slot", slot, "--publication", pub,
+                "--tables", f"public.{table}",
+                "--out", cap,
+            ]
+            if pg["password"]:
+                argv += ["--password", pg["password"]]
+            # tick 0 converges slot + publication (nothing to drain yet:
+            # the slot only sees WAL written after it exists — pre-slot
+            # rows are the import path's job, as in the reference)
+            assert main(argv) == 0
+            seed._simple_query(
+                f"INSERT INTO {table} VALUES (1, 'a'), (2, 'b')"
+            )
+            seed._simple_query(f"UPDATE {table} SET v = 'b2' WHERE id = 2")
+            # tick 1 drains the two transactions into the capture file
+            assert main(argv) == 0
+            assert main(["--root", root, "stream", "run",
+                         "--capture", cap, "--sink", "warehouse"]) == 0
+
+            raw_root = _os.path.join(root, "sink", "warehouse")
+            raw = spark.read.option("mergeSchema", "true").parquet(
+                _os.path.join(raw_root, f"public_{table}_raw")
+            )
+            raw.createOrReplaceTempView("cli_live_raw")
+            from pgsink_spark.sinks.warehouse import compaction_view_sql
+
+            spark.sql(
+                compaction_view_sql("cli_live_view", "cli_live_raw", ["id"])
+            )
+            got = sorted(
+                (r["id"], r["v"])
+                for r in spark.table("cli_live_view").collect()
+            )
+            live_rows, _ = seed._simple_query(
+                f"SELECT id, v FROM {table} ORDER BY id"
+            )
+            assert got == [(int(i), v) for i, v in live_rows]
+        finally:
+            try:
+                cleanup = _connect_replication(pg)
+                cleanup._simple_query(f'DROP_REPLICATION_SLOT "{slot}"')
+                cleanup._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
