@@ -1809,14 +1809,17 @@ def d45_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-observation-carried-forward on empty days — the
     regularization step feature pipelines run before sequence models.
 
-    Plan shape: the daily rollup is one partial+final hash agg; the
-    grid is a row-local ``sequence``/``explode`` off the per-user span
-    (no driver loop, no cross join against a calendar table); the gap
-    join is an equi-join on (user, day); LOCF is one window per user —
-    everything shuffles on user_id, so one AQE-coalesced exchange
-    chain serves rollup, join, and fill. Grid rows scale with
-    user-spans, not corpus size, and skew only if one user spans
-    decades (bound the span or split the grid by month at 100 TB).
+    Plan shape (round-4 rewrite): the daily rollup is one partial+final
+    hash agg; each observation then OWNS the gap segment up to the next
+    observation (``lead`` over the user partition) and explodes it
+    row-locally — segment days inherit the observation's value, which
+    IS last-observation-carried-forward, so the old grid⋈daily join
+    and the IGNORE-NULLS fill window disappear entirely. One scan
+    (the previous shape scanned+aggregated events twice — span agg and
+    join side never hit exchange reuse), one agg shuffle, one
+    user-keyed window. Grid rows scale with user-spans, not corpus
+    size, and skew only if one user spans decades (bound the span or
+    split the grid by month at 100 TB).
     avg is exact-decimal-sum / count, UNROUNDED: a final ROUND(x, 4)
     hit a half-way boundary at sf0.1 where Spark (half-up) and DuckDB
     (rint half-even) disagree — the raw float64 division is
@@ -1831,29 +1834,36 @@ def d45_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a"
         ),
     )
-    grid = (
-        daily.groupBy("user_id")
-        .agg(F.min("day_ts").alias("t0"), F.max("day_ts").alias("t1"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("t0", "t1", F.expr("INTERVAL 1 DAY"))
-            ).alias("day_ts"),
-        )
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("day_ts")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    wlead = W.partitionBy("user_id").orderBy("day_ts")
+    seg = daily.withColumn("next_ts", F.lead("day_ts").over(wlead))
     return (
-        grid.join(daily, ["user_id", "day_ts"], "left")
+        seg.select(
+            "user_id",
+            "n",
+            "a",
+            F.col("day_ts").alias("obs_ts"),
+            F.explode(
+                F.sequence(
+                    "day_ts",
+                    F.coalesce(
+                        F.col("next_ts") - F.expr("INTERVAL 1 DAY"),
+                        F.col("day_ts"),
+                    ),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("grid_ts"),
+        )
         .select(
             "user_id",
-            F.col("day_ts").cast("date").alias("day"),
-            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
-            F.col("a").alias("avg_value"),
-            F.last("a", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("grid_ts").cast("date").alias("day"),
+            F.when(F.col("grid_ts") == F.col("obs_ts"), F.col("n"))
+            .otherwise(0)
+            .cast("bigint")
+            .alias("n_events"),
+            F.when(
+                F.col("grid_ts") == F.col("obs_ts"), F.col("a")
+            ).alias("avg_value"),
+            F.col("a").alias("filled_value"),
         )
         .orderBy("user_id", "day")
     )
