@@ -929,12 +929,18 @@ def tpch_q21_suppliers_kept_waiting(
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+    # two-level aggregation instead of two countDistinct on one key:
+    # a double distinct-agg rewrites into an Expand that pushes every
+    # line through the shuffle 3x. Collapsing to (order, supplier)
+    # first lets the partial agg compress map-side, and the second agg
+    # is plain counts over the already-distinct pairs.
+    per_pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("supp_late").cast("long")).alias("n_late_supp"),
+        F.max(F.when(F.col("supp_late"), F.col("l_suppkey"))).alias(
             "late_supp"
         ),
     )
