@@ -402,3 +402,14 @@ def test_kn_bigram_no_self_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert has_partial_aggregate(df)
+
+
+def test_q21_has_no_expand(spark):
+    """q21's per-order supplier facts use two-level aggregation, not a
+    double countDistinct — the distinct-agg Expand (3x shuffle volume)
+    must not reappear."""
+    from pgsink_spark.operators import tpch  # noqa: F401 — registers query
+
+    df = rel.QUERIES["tpch_q21_suppliers_kept_waiting"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
