@@ -325,30 +325,34 @@ def cmd_capture(args) -> int:
     import socket as _socket
 
     from pgsink_spark.streaming.live import (
-        capture_to_file,
+        capture_with_retry,
         ensure_publication,
         ensure_slot,
         sync_publication_tables,
     )
     from pgsink_spark.streaming.replication import ReplicationClient, start_tls
 
-    sock = _socket.create_connection((args.host, args.port), timeout=10)
-    if args.ssl != "disable":
-        import ssl as _ssl
+    def connect() -> ReplicationClient:
+        sock = _socket.create_connection((args.host, args.port), timeout=10)
+        if args.ssl != "disable":
+            import ssl as _ssl
 
-        ctx = _ssl.create_default_context()
-        if os.environ.get("PGSINK_TEST_PG_SSL_NOVERIFY"):
-            ctx.check_hostname = False
-            ctx.verify_mode = _ssl.CERT_NONE
-        sock = start_tls(
-            sock, context=ctx, server_hostname=args.host,
-            required=(args.ssl == "require"),
+            ctx = _ssl.create_default_context()
+            if os.environ.get("PGSINK_TEST_PG_SSL_NOVERIFY"):
+                ctx.check_hostname = False
+                ctx.verify_mode = _ssl.CERT_NONE
+            sock = start_tls(
+                sock, context=ctx, server_hostname=args.host,
+                required=(args.ssl == "require"),
+            )
+        client = ReplicationClient(
+            sock, database=args.db, user=args.user, password=args.password,
+            heartbeat_interval_s=5.0,
         )
-    client = ReplicationClient(
-        sock, database=args.db, user=args.user, password=args.password,
-        heartbeat_interval_s=5.0,
-    )
-    client.connect()
+        client.connect()
+        return client
+
+    client = connect()
     created_pub = ensure_publication(client, args.publication)
     if args.tables:
         desired = {
@@ -361,8 +365,9 @@ def cmd_capture(args) -> int:
               f" created={created_pub}")
     created = ensure_slot(client, args.slot)
     print(f"slot {'created' if created else 'exists'}: {args.slot}")
-    report = capture_to_file(
-        client, args.slot, args.publication, args.out,
+    client.close()  # the drain loop dials its own connections
+    report = capture_with_retry(
+        connect, args.slot, args.publication, args.out,
         max_txns=args.max_txns,
     )
     print(

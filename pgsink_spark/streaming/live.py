@@ -109,6 +109,66 @@ class CaptureReport:
     last_commit_lsn: int
 
 
+def capture_with_retry(
+    connect,
+    slot: str,
+    publication: str,
+    out_path: str,
+    max_txns: int | None = None,
+    max_reconnects: int = 5,
+    backoff_s: float = 0.2,
+) -> CaptureReport:
+    """Reconnecting drain loop: run ``capture_to_file`` and, when the
+    connection drops mid-stream (killed walsender, network blip, failed
+    primary), dial again via ``connect()`` and resume FROM THE SLOT'S
+    CONFIRMED LSN — the reference's reconnect posture
+    (pkg/subscription stream restart). Commit-atomic appends +
+    confirm-after-append mean a retry can neither lose an acked
+    transaction nor write a duplicate one: everything before the last
+    confirm is on disk exactly once, everything after it replays.
+
+    ``connect`` is a zero-arg callable returning a fresh connected
+    ``ReplicationClient``. Counts aggregate across attempts via the
+    per-commit callback, so the report reflects actual captured work
+    even when an attempt dies midway.
+    """
+    import time as _time
+
+    totals = {"txns": 0, "msgs": 0, "last": 0}
+
+    def on_commit(n_msgs: int, commit_lsn: int) -> None:
+        totals["txns"] += 1
+        totals["msgs"] += n_msgs
+        totals["last"] = commit_lsn
+
+    attempts = 0
+    while True:
+        client = connect()
+        try:
+            remaining = (
+                None if max_txns is None else max_txns - totals["txns"]
+            )
+            if remaining is not None and remaining <= 0:
+                break
+            capture_to_file(
+                client,
+                slot,
+                publication,
+                out_path,
+                max_txns=remaining,
+                on_commit=on_commit,
+            )
+            break  # clean availableNow completion
+        except (ReplicationError, OSError):
+            attempts += 1
+            if attempts > max_reconnects:
+                raise
+            _time.sleep(backoff_s * attempts)
+        finally:
+            client.close()
+    return CaptureReport(totals["txns"], totals["msgs"], totals["last"])
+
+
 def capture_to_file(
     client: ReplicationClient,
     slot: str,
@@ -116,6 +176,7 @@ def capture_to_file(
     out_path: str,
     max_txns: int | None = None,
     proto_version: int = 1,
+    on_commit=None,
 ) -> CaptureReport:
     """availableNow drain: stream the slot into ``out_path`` until the
     WAL position observed at connect time is reached (or ``max_txns``
@@ -129,7 +190,19 @@ def capture_to_file(
     disk. Restarting simply resumes from the slot's confirmed LSN —
     the same at-least-once + read-time-dedup posture as the reference.
     """
+    import os as _os
     import time as _time
+
+    # the capture file is the durable cursor: a crash BETWEEN append
+    # and confirm makes the server resend the last transaction, so on
+    # (re)start we read the file's highest commit LSN and drop any
+    # replayed transaction at or below it — appends stay exactly-once
+    # even though delivery is at-least-once
+    from pgsink_spark.streaming.datasource import _scan_commits
+
+    already = (
+        _scan_commits(out_path) if _os.path.exists(out_path) else 0
+    )
 
     target = parse_lsn(client.identify_system()["xlogpos"])
     # a just-dropped previous holder's walsender may still be winding
@@ -158,12 +231,28 @@ def capture_to_file(
             pending.append(msg.payload)
             decoded = decode_message(msg.payload)
             if isinstance(decoded, Commit):
+                if decoded.commit_lsn <= already:
+                    # replay of a transaction already on disk (crashed
+                    # in the append→confirm window): re-confirm, don't
+                    # re-append, don't re-count
+                    pending = []
+                    client.flush_lsn = msg.wal_end
+                    client.send_standby_status()
+                    if msg.wal_end >= target:
+                        break
+                    continue
                 append_capture(out_path, pending)
-                messages += len(pending)
+                n_pending = len(pending)
+                messages += n_pending
                 pending = []
                 txns += 1
                 last_commit = decoded.commit_lsn
                 client.flush_lsn = msg.wal_end
+                # count as soon as the append is durable — the confirm
+                # send can die on a dropped connection, and the work is
+                # already on disk (the retry will skip, not redo, it)
+                if on_commit is not None:
+                    on_commit(n_pending, decoded.commit_lsn)
                 client.send_standby_status()
                 if max_txns is not None and txns >= max_txns:
                     break

@@ -818,3 +818,64 @@ class TestLiveOperationalLoop:
                 cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
             except Exception:
                 pass
+
+
+class TestLiveReconnect:
+    def test_capture_with_retry_after_backend_termination(self, pg, tmp_path):
+        """Kill a real backend under the drain loop: the first
+        connection from the factory is terminated server-side
+        (pg_terminate_backend) before it can stream; capture_with_retry
+        dials again and drains everything exactly once."""
+        from pgsink_spark.streaming.datasource import read_capture
+        from pgsink_spark.streaming.live import (
+            capture_with_retry,
+            ensure_publication,
+            ensure_slot,
+            sync_publication_tables,
+        )
+
+        run = uuid.uuid4().hex[:8]
+        table = f"pgsink_kill_{run}"
+        pub, slot = f"pgsink_killpub_{run}", f"pgsink_killslot_{run}"
+        cap = str(tmp_path / "kill.capture")
+        admin = _connect_replication(pg)
+        try:
+            admin._simple_query(
+                f"CREATE TABLE {table} (id int primary key, v text)"
+            )
+            ensure_publication(admin, pub)
+            sync_publication_tables(admin, pub, {("public", table)})
+            ensure_slot(admin, slot)
+            admin._simple_query(f"INSERT INTO {table} VALUES (1, 'a')")
+            admin._simple_query(f"INSERT INTO {table} VALUES (2, 'b')")
+
+            doomed = _connect_replication(pg)
+            rows, _ = doomed._simple_query("SELECT pg_backend_pid()")
+            pid = rows[0][0]
+            admin._simple_query(f"SELECT pg_terminate_backend({pid})")
+
+            clients = [doomed]  # first: the terminated corpse
+
+            def connect():
+                if clients:
+                    return clients.pop(0)
+                return _connect_replication(pg)
+
+            report = capture_with_retry(
+                connect, slot, pub, cap, max_reconnects=3
+            )
+            assert report.transactions == 2
+            ids = [
+                decode_message(b).new[0]
+                for b in read_capture(cap)
+                if isinstance(decode_message(b), Insert)
+            ]
+            assert ids == [b"1", b"2"]
+        finally:
+            try:
+                cleanup = _connect_replication(pg)
+                cleanup._simple_query(f'DROP_REPLICATION_SLOT "{slot}"')
+                cleanup._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
