@@ -103,9 +103,15 @@ def run_imports(root: str, source: str, spark=None, metrics=None) -> int:
     importer = Importer(jobs, inserter)
     done = 0
     while (job := jobs.claim()) is not None:
-        table = spark.read.parquet(
-            os.path.join(source, f"{job.table_name}.parquet")
-        )
+        src = os.path.join(source, f"{job.table_name}.parquet")
+        if not os.path.exists(src):
+            # live-catalog tables have no local snapshot source in this
+            # container (needs the JDBC jar) — record the failure with
+            # backoff instead of crashing the tick; the CDC stream
+            # still carries the table's changes
+            jobs.record_error(job.id, f"no snapshot source: {src}")
+            continue
+        table = spark.read.parquet(src)
         # fixture pk convention: first column (o_orderkey, n_nationkey…);
         # a live deployment resolves it via sources.jdbc.discover_primary_key
         pk = table.columns[0]
@@ -277,8 +283,18 @@ def cmd_run(args) -> int:
 
     spark = get_spark("pgsink-run")
     api = make_api(args.root)
+    if getattr(args, "pg_host", None):
+        # live tick: the catalog IS the server's (the import manager's
+        # discovery query, run over the walsender channel)
+        from pgsink_spark.streaming.live import list_tables
+
+        live_client = _connect_pg(args)
+        catalog_rows = list_tables(live_client)
+        live_client.close()
+    else:
+        catalog_rows = fixture_catalog(args.source)
     catalog = spark.createDataFrame(
-        fixture_catalog(args.source), "namespace string, name string"
+        catalog_rows, "namespace string, name string"
     )
     include = args.include.split(",") if args.include else None
     exclude = args.exclude.split(",") if args.exclude else None
@@ -291,6 +307,32 @@ def cmd_run(args) -> int:
         api.jobs.expire(ns, name)
     save_publication(args.root, api.publication)
     print(f"reconciled added={len(added)} removed={len(removed)}")
+
+    if getattr(args, "pg_host", None):
+        # live tick: drain the real server's WAL into the root capture
+        # (publication converged to the locally published table set),
+        # then fall through to the normal capture→warehouse stream
+        cap_args = argparse.Namespace(
+            root=args.root,
+            host=args.pg_host,
+            port=args.pg_port,
+            db=args.pg_db,
+            user=args.pg_user,
+            password=args.pg_password,
+            ssl=args.pg_ssl,
+            slot=args.slot,
+            publication=args.publication,
+            tables=",".join(
+                f"{ns}.{name}"
+                for ns, name in sorted(api.publication.get_tables())
+            )
+            or None,
+            out=os.path.join(args.root, "wal.capture"),
+            max_txns=None,
+        )
+        cmd_capture(cap_args)
+        if os.path.exists(cap_args.out):
+            args.capture = cap_args.out
 
     from pgsink_spark.sinks.instrumented import SinkMetrics
 
@@ -315,6 +357,40 @@ def cmd_run(args) -> int:
     return 0
 
 
+def _connect_pg_params(host, port, db, user, password, ssl_mode):
+    """One connected ReplicationClient (TLS + SCRAM as needed)."""
+    import socket as _socket
+
+    from pgsink_spark.streaming.replication import ReplicationClient, start_tls
+
+    sock = _socket.create_connection((host, port), timeout=10)
+    if ssl_mode != "disable":
+        import ssl as _ssl
+
+        ctx = _ssl.create_default_context()
+        if os.environ.get("PGSINK_TEST_PG_SSL_NOVERIFY"):
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+        sock = start_tls(
+            sock, context=ctx, server_hostname=host,
+            required=(ssl_mode == "require"),
+        )
+    client = ReplicationClient(
+        sock, database=db, user=user, password=password,
+        heartbeat_interval_s=5.0,
+    )
+    client.connect()
+    return client
+
+
+def _connect_pg(args):
+    """Client from the `run` command's --pg-* argument block."""
+    return _connect_pg_params(
+        args.pg_host, args.pg_port, args.pg_db, args.pg_user,
+        args.pg_password, args.pg_ssl,
+    )
+
+
 def cmd_capture(args) -> int:
     """LIVE CDC tick: connect to a real Postgres over the socket
     client (TLS + SCRAM as needed), converge slot + publication, and
@@ -322,35 +398,18 @@ def cmd_capture(args) -> int:
     the reference binary's loop; `stream run` / `run --capture` is the
     downstream half. availableNow semantics: each invocation catches
     up to the server's current WAL position and exits."""
-    import socket as _socket
-
     from pgsink_spark.streaming.live import (
         capture_with_retry,
         ensure_publication,
         ensure_slot,
         sync_publication_tables,
     )
-    from pgsink_spark.streaming.replication import ReplicationClient, start_tls
 
-    def connect() -> ReplicationClient:
-        sock = _socket.create_connection((args.host, args.port), timeout=10)
-        if args.ssl != "disable":
-            import ssl as _ssl
-
-            ctx = _ssl.create_default_context()
-            if os.environ.get("PGSINK_TEST_PG_SSL_NOVERIFY"):
-                ctx.check_hostname = False
-                ctx.verify_mode = _ssl.CERT_NONE
-            sock = start_tls(
-                sock, context=ctx, server_hostname=args.host,
-                required=(args.ssl == "require"),
-            )
-        client = ReplicationClient(
-            sock, database=args.db, user=args.user, password=args.password,
-            heartbeat_interval_s=5.0,
+    def connect():
+        return _connect_pg_params(
+            args.host, args.port, args.db, args.user, args.password,
+            args.ssl,
         )
-        client.connect()
-        return client
 
     client = connect()
     created_pub = ensure_publication(client, args.publication)
@@ -495,6 +554,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated namespace.name allow-list")
     r.add_argument("--exclude", default=None,
                    help="comma-separated namespace.name deny-list")
+    # live mode: with --pg-host the tick FIRST drains the live WAL into
+    # <root>/wal.capture (converging publication+slot to the include
+    # list), then streams that capture into the warehouse — the whole
+    # reference binary loop against a real server in one invocation
+    r.add_argument("--pg-host", default=None)
+    r.add_argument("--pg-port", type=int, default=5432)
+    r.add_argument("--pg-db", default="postgres")
+    r.add_argument("--pg-user", default="postgres")
+    r.add_argument("--pg-password", default=None)
+    r.add_argument("--pg-ssl", choices=["disable", "prefer", "require"],
+                   default="prefer")
+    r.add_argument("--slot", default="pgsink")
+    r.add_argument("--publication", default="pgsink")
     r.set_defaults(fn=cmd_run)
 
     cp = sub.add_parser(

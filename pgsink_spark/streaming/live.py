@@ -57,6 +57,21 @@ def ensure_slot(client: ReplicationClient, slot: str) -> bool:
         raise
 
 
+def list_tables(
+    client: ReplicationClient, schemas: tuple[str, ...] = ("public",)
+) -> list[tuple[str, str]]:
+    """Live catalog discovery: base tables in the given schemas (the
+    reference's import-manager catalog query, run over the walsender's
+    simple-query channel)."""
+    in_list = ", ".join(f"'{s}'" for s in schemas)
+    rows, _ = client._simple_query(
+        "SELECT table_schema, table_name FROM information_schema.tables "
+        f"WHERE table_schema IN ({in_list}) AND table_type = 'BASE TABLE' "
+        "ORDER BY 1, 2"
+    )
+    return [(r[0], r[1]) for r in rows]
+
+
 def publication_tables(
     client: ReplicationClient, publication: str
 ) -> set[tuple[str, str]]:

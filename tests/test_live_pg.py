@@ -879,3 +879,67 @@ class TestLiveReconnect:
                 cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
             except Exception:
                 pass
+
+
+class TestLiveRunTick:
+    def test_cli_run_live_ticks(self, pg, spark, tmp_path):
+        """`run --pg-host ...` is the WHOLE reference binary against a
+        real server in one invocation: live catalog discovery →
+        publication reconcile (local + server-side) → slot creation →
+        WAL drain → warehouse stream. Tick 1 converges infrastructure;
+        DML lands; tick 2 drains it and the compaction view equals the
+        live table state."""
+        import os as _os
+
+        from pgsink_spark.cli import main
+        from pgsink_spark.sinks.warehouse import compaction_view_sql
+
+        run = uuid.uuid4().hex[:8]
+        table = f"pgsink_tick_{run}"
+        pub, slot = f"pgsink_tickpub_{run}", f"pgsink_tickslot_{run}"
+        root = str(tmp_path / "state")
+        admin = _connect_replication(pg)
+        argv = [
+            "--root", root, "run",
+            "--include", f"public.{table}",
+            "--pg-host", pg["host"], "--pg-port", str(pg["port"]),
+            "--pg-db", pg["database"], "--pg-user", pg["user"],
+            "--pg-ssl", "disable",
+            "--slot", slot, "--publication", pub,
+        ]
+        if pg["password"]:
+            argv += ["--pg-password", pg["password"]]
+        try:
+            admin._simple_query(
+                f"CREATE TABLE {table} (id int primary key, v text)"
+            )
+            assert main(argv) == 0  # tick 1: infra converges
+            admin._simple_query(
+                f"INSERT INTO {table} VALUES (1, 'a'), (2, 'b')"
+            )
+            admin._simple_query(f"DELETE FROM {table} WHERE id = 1")
+            assert main(argv) == 0  # tick 2: drain + sink
+
+            raw = spark.read.option("mergeSchema", "true").parquet(
+                _os.path.join(
+                    root, "sink", "warehouse", f"public_{table}_raw"
+                )
+            )
+            raw.createOrReplaceTempView("tick_raw")
+            spark.sql(compaction_view_sql("tick_view", "tick_raw", ["id"]))
+            got = sorted(
+                (r["id"], r["v"])
+                for r in spark.table("tick_view").collect()
+            )
+            live_rows, _ = admin._simple_query(
+                f"SELECT id, v FROM {table} ORDER BY id"
+            )
+            assert got == [(int(i), v) for i, v in live_rows] == [(2, "b")]
+        finally:
+            try:
+                cleanup = _connect_replication(pg)
+                cleanup._simple_query(f'DROP_REPLICATION_SLOT "{slot}"')
+                cleanup._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
