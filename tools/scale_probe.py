@@ -1,0 +1,150 @@
+"""Scale-up probe: run representative queries on a key-shifted N×
+replica of sf0.1 and report wall-time ratios vs sf0.1.
+
+The point is falsifying the 100 TB story at the scale this container
+can hold: a query whose cost is a single scan + keyed shuffles should
+grow ≲ N×; anything super-linear flags an all-pairs or global-state
+smell. Facts (lineitem/orders/events/documents/embeddings) are
+replicated with shifted keys; dimensions stay fixed (the realistic
+shape — fact growth dominates).
+
+Usage: python tools/scale_probe.py [factor] [out_dir]
+Prints one ratio line per query and a final JSON summary.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pgsink_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+SHIFT = 10_000_000
+
+PROBES = [
+    "d5_tpch_q1",
+    "tpch_q21_suppliers_kept_waiting",
+    "d64_gaps_islands",
+    "d45_resample_locf",
+    "dsir_importance",
+    "text_kn_bigram",
+    "retrieval_rrf",
+    "bm25_search",
+    "dedup_exact",
+    "mm_keyframes",
+    "d22_asof_join",
+    "d8_rank_topk",
+]
+
+
+def build_replica(spark, factor: int, out: str) -> None:
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return
+    os.makedirs(out, exist_ok=True)
+
+    def copies(df, shift_exprs):
+        parts = []
+        for k in range(factor):
+            d = df
+            for col, fn in shift_exprs.items():
+                d = d.withColumn(col, fn(k))
+            parts.append(d)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    def shifted(col, k):
+        return F.col(col) + F.lit(k * SHIFT)
+
+    tbl = lambda name: spark.read.parquet(f"{BASE}/{name}.parquet")  # noqa: E731
+
+    # facts: keys shift per copy; text varies so exact-dup collapse
+    # doesn't erase the scale-up for text operators
+    copies(
+        tbl("documents"),
+        {
+            "doc_id": lambda k: shifted("doc_id", k),
+            "text": lambda k: F.concat(
+                F.col("text"), F.lit(f" variant{k}")
+            ),
+        },
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    copies(
+        tbl("embeddings"),
+        {"vec_id": lambda k: shifted("vec_id", k)},
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    copies(
+        tbl("events"),
+        {
+            "event_id": lambda k: shifted("event_id", k),
+            "user_id": lambda k: F.col("user_id") + F.lit(k * 1_000_000),
+        },
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    copies(
+        tbl("orders"),
+        {"o_orderkey": lambda k: shifted("o_orderkey", k)},
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    copies(
+        tbl("lineitem"),
+        {"l_orderkey": lambda k: shifted("l_orderkey", k)},
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    for dim in ("part", "supplier", "nation", "customer", "region"):
+        tbl(dim).write.mode("overwrite").parquet(f"{out}/{dim}.parquet")
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write("ok")
+
+
+def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        gc.collect()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else f"/tmp/pgsink_scale_{factor}x"
+    )
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    spark = get_spark("scale-probe")
+    build_replica(spark, factor, out)
+
+    results = {}
+    for name in PROBES:
+        fn = qs[name]
+        fn(spark, "/root/testdata/sf0.001")  # plan/codegen warm
+        t1 = time_query(spark, fn, BASE)
+        tn = time_query(spark, fn, out)
+        results[name] = {
+            "sf01_s": round(t1, 3),
+            "nx_s": round(tn, 3),
+            "ratio": round(tn / t1, 2),
+        }
+        print(
+            f"{name:35s} sf0.1={t1:6.2f}s {factor}x={tn:6.2f}s "
+            f"ratio={tn / t1:.2f}"
+        )
+    print(json.dumps({"factor": factor, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
