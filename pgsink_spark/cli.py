@@ -85,10 +85,16 @@ def cmd_tables(args) -> int:
     return 0
 
 
-def run_imports(root: str, source: str, spark=None, metrics=None) -> int:
+def run_imports(
+    root: str, source: str, spark=None, metrics=None, live_client=None
+) -> int:
     """Drain claimable jobs: fixture source → envelope → file sink.
     ``metrics`` (a SinkMetrics) collects insert histograms for the
-    /metrics exposition."""
+    /metrics exposition. ``live_client`` (a connected
+    ReplicationClient) enables the socket-channel backfill for tables
+    with no local snapshot source: keyset pages stream over the
+    walsender connection into the warehouse raw table, so the
+    compaction view serves imported + CDC rows together."""
     from pgsink_spark.imports.importer import Importer
     from pgsink_spark.session import get_spark
     from pgsink_spark.sinks.file_sink import FileSink
@@ -102,13 +108,60 @@ def run_imports(root: str, source: str, spark=None, metrics=None) -> int:
     )
     importer = Importer(jobs, inserter)
     done = 0
+    warehouse = None
     while (job := jobs.claim()) is not None:
         src = os.path.join(source, f"{job.table_name}.parquet")
         if not os.path.exists(src):
-            # live-catalog tables have no local snapshot source in this
-            # container (needs the JDBC jar) — record the failure with
-            # backoff instead of crashing the tick; the CDC stream
-            # still carries the table's changes
+            if live_client is not None:
+                from pgsink_spark.changelog.registry import SchemaEntry
+                from pgsink_spark.imports.live_import import import_table
+                from pgsink_spark.sinks.warehouse import WarehouseSink
+
+                if warehouse is None:
+                    warehouse = WarehouseSink(
+                        spark, os.path.join(root, "sink", "warehouse")
+                    )
+
+                # the raw table is epoch-partitioned by the CDC stream,
+                # so import batches write under their own epoch range
+                # (1e9+) and ledger stream ("import") — same layout,
+                # disjoint partitions, independent exactly-once cursor
+                state = {"epoch": None}
+
+                def on_batch(env, payload, pk, _job=job):
+                    warehouse.handle_schema(
+                        SchemaEntry(
+                            _job.schema, _job.table_name, payload, [pk]
+                        )
+                    )
+                    if state["epoch"] is None:
+                        base = warehouse.committed_epoch(
+                            _job.schema, _job.table_name, "import"
+                        )
+                        state["epoch"] = (
+                            base + 1 if base is not None else 1_000_000_000
+                        )
+                    warehouse.insert(
+                        env, _job.schema, _job.table_name,
+                        epoch=state["epoch"], stream_id="import",
+                    )
+                    state["epoch"] += 1
+
+                try:
+                    res = import_table(
+                        spark, live_client, job.schema, job.table_name,
+                        on_batch,
+                    )
+                except Exception as e:  # noqa: BLE001 — job-scoped failure
+                    jobs.record_error(job.id, str(e))
+                    continue
+                jobs.update_progress(job.id, cursor=None, rows=res.rows)
+                jobs.complete(job.id)
+                done += 1
+                continue
+            # no snapshot source and no live connection — record the
+            # failure with backoff instead of crashing the tick; the
+            # CDC stream still carries the table's changes
             jobs.record_error(job.id, f"no snapshot source: {src}")
             continue
         table = spark.read.parquet(src)
@@ -337,7 +390,17 @@ def cmd_run(args) -> int:
     from pgsink_spark.sinks.instrumented import SinkMetrics
 
     metrics = SinkMetrics()
-    done = run_imports(args.root, args.source, spark, metrics=metrics)
+    live_client = (
+        _connect_pg(args) if getattr(args, "pg_host", None) else None
+    )
+    try:
+        done = run_imports(
+            args.root, args.source, spark, metrics=metrics,
+            live_client=live_client,
+        )
+    finally:
+        if live_client is not None:
+            live_client.close()
     print(f"completed_jobs={done}")
 
     if args.capture and os.path.exists(args.capture):

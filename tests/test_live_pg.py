@@ -913,11 +913,21 @@ class TestLiveRunTick:
             admin._simple_query(
                 f"CREATE TABLE {table} (id int primary key, v text)"
             )
-            assert main(argv) == 0  # tick 1: infra converges
+            # PRE-SLOT rows: only the import path can deliver these
+            admin._simple_query(
+                f"INSERT INTO {table} VALUES (10, 'pre'), (11, 'pre2')"
+            )
+            # tick 1: infra converges AND the live keyset backfill
+            # imports the pre-slot rows over the walsender channel
+            assert main(argv) == 0
             admin._simple_query(
                 f"INSERT INTO {table} VALUES (1, 'a'), (2, 'b')"
             )
             admin._simple_query(f"DELETE FROM {table} WHERE id = 1")
+            # CDC must override the imported image of a pre-slot row
+            admin._simple_query(
+                f"UPDATE {table} SET v = 'pre-upd' WHERE id = 10"
+            )
             assert main(argv) == 0  # tick 2: drain + sink
 
             raw = spark.read.option("mergeSchema", "true").parquet(
@@ -934,12 +944,77 @@ class TestLiveRunTick:
             live_rows, _ = admin._simple_query(
                 f"SELECT id, v FROM {table} ORDER BY id"
             )
-            assert got == [(int(i), v) for i, v in live_rows] == [(2, "b")]
+            assert (
+                got
+                == [(int(i), v) for i, v in live_rows]
+                == [(2, "b"), (10, "pre-upd"), (11, "pre2")]
+            )
         finally:
             try:
                 cleanup = _connect_replication(pg)
                 cleanup._simple_query(f'DROP_REPLICATION_SLOT "{slot}"')
                 cleanup._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
                 cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+
+
+class TestLiveImport:
+    def test_socket_keyset_import_types_and_pagination(self, pg, spark):
+        """The JDBC-free backfill: pk discovery from pg_index, keyset
+        pages over the walsender channel, OID-faithful typed parsing
+        (int/text/timestamp/numeric/bool), batch count = ceil(n/limit),
+        union of batches = the exact table."""
+        from pgsink_spark.imports.live_import import (
+            discover_primary_key,
+            import_table,
+            table_columns,
+        )
+
+        run = uuid.uuid4().hex[:8]
+        table = f"pgsink_imp_{run}"
+        client = _connect_replication(pg)
+        try:
+            client._simple_query(
+                f"CREATE TABLE {table} (id int primary key, msg text, "
+                f"seen timestamptz, amount numeric(10,2), ok boolean)"
+            )
+            client._simple_query(
+                f"INSERT INTO {table} "
+                f"SELECT g, 'm' || g, "
+                f"TIMESTAMPTZ '2024-01-01 00:00:00+00' + g * INTERVAL '1 minute', "
+                f"g * 1.25, g % 2 = 0 "
+                f"FROM generate_series(1, 2500) g"
+            )
+            assert discover_primary_key(client, "public", table) == ["id"]
+            cols = [c.name for c in table_columns(client, "public", table)]
+            assert cols == ["id", "msg", "seen", "amount", "ok"]
+
+            batches = []
+
+            def on_batch(env, payload, pk):
+                assert pk == "id"
+                batches.append(env.select("after.*").collect())
+
+            res = import_table(
+                spark, client, "public", table, on_batch, limit=1000
+            )
+            assert (res.rows, res.batches) == (2500, 3)
+            rows = [r for b in batches for r in b]
+            assert len(rows) == 2500
+            byid = {r["id"]: r for r in rows}
+            import datetime as _dt
+            from decimal import Decimal
+
+            r7 = byid[7]
+            assert r7["msg"] == "m7"
+            assert r7["amount"] == Decimal("8.75")
+            assert r7["ok"] is False
+            # session tz is UTC; Spark collects timestamptz as naive UTC
+            assert r7["seen"] == _dt.datetime(2024, 1, 1, 0, 7)
+            assert sorted(byid) == list(range(1, 2501))
+        finally:
+            try:
+                client._simple_query(f"DROP TABLE IF EXISTS {table}")
             except Exception:
                 pass
