@@ -1018,3 +1018,82 @@ class TestLiveImport:
                 client._simple_query(f"DROP TABLE IF EXISTS {table}")
             except Exception:
                 pass
+
+
+class TestLiveMultiTable:
+    def test_two_tables_one_slot_route_to_two_raw_tables(
+        self, pg, spark, tmp_path
+    ):
+        """One publication, one slot, interleaved DML on TWO tables:
+        the capture carries both relations and `stream run --sink
+        warehouse` demultiplexes them into separate typed raw tables,
+        each compaction view matching its live table (A8 router
+        semantics over a real multiplexed WAL)."""
+        import os as _os
+
+        from pgsink_spark.cli import main
+        from pgsink_spark.sinks.warehouse import compaction_view_sql
+
+        run = uuid.uuid4().hex[:8]
+        t1, t2 = f"pgsink_ma_{run}", f"pgsink_mb_{run}"
+        pub, slot = f"pgsink_mtpub_{run}", f"pgsink_mtslot_{run}"
+        cap = str(tmp_path / "multi.capture")
+        root = str(tmp_path / "state")
+        admin = _connect_replication(pg)
+        argv = [
+            "--root", root, "capture",
+            "--host", pg["host"], "--port", str(pg["port"]),
+            "--db", pg["database"], "--user", pg["user"],
+            "--ssl", "disable",
+            "--slot", slot, "--publication", pub,
+            "--tables", f"public.{t1},public.{t2}",
+            "--out", cap,
+        ]
+        if pg["password"]:
+            argv += ["--password", pg["password"]]
+        try:
+            admin._simple_query(
+                f"CREATE TABLE {t1} (id int primary key, v text)"
+            )
+            admin._simple_query(
+                f"CREATE TABLE {t2} (k int primary key, amount numeric(8,2))"
+            )
+            assert main(argv) == 0  # converge infra
+            # interleaved txns across both tables
+            admin._simple_query(f"INSERT INTO {t1} VALUES (1, 'a')")
+            admin._simple_query(f"INSERT INTO {t2} VALUES (10, 1.50)")
+            admin._simple_query(f"INSERT INTO {t1} VALUES (2, 'b')")
+            admin._simple_query(f"UPDATE {t2} SET amount = 2.75 WHERE k = 10")
+            assert main(argv) == 0  # drain both relations
+            assert main(["--root", root, "stream", "run",
+                         "--capture", cap, "--sink", "warehouse"]) == 0
+
+            wh = _os.path.join(root, "sink", "warehouse")
+            raw1 = spark.read.option("mergeSchema", "true").parquet(
+                _os.path.join(wh, f"public_{t1}_raw")
+            )
+            raw1.createOrReplaceTempView("mt_raw1")
+            spark.sql(compaction_view_sql("mt_v1", "mt_raw1", ["id"]))
+            assert sorted(
+                (r["id"], r["v"]) for r in spark.table("mt_v1").collect()
+            ) == [(1, "a"), (2, "b")]
+
+            raw2 = spark.read.option("mergeSchema", "true").parquet(
+                _os.path.join(wh, f"public_{t2}_raw")
+            )
+            raw2.createOrReplaceTempView("mt_raw2")
+            spark.sql(compaction_view_sql("mt_v2", "mt_raw2", ["k"]))
+            rows2 = spark.table("mt_v2").collect()
+            # generic numeric lands as wide decimal; compare by value
+            assert [(r["k"], float(r["amount"])) for r in rows2] == [
+                (10, 2.75)
+            ]
+        finally:
+            try:
+                cleanup = _connect_replication(pg)
+                cleanup._simple_query(f'DROP_REPLICATION_SLOT "{slot}"')
+                cleanup._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                cleanup._simple_query(f"DROP TABLE IF EXISTS {t1}")
+                cleanup._simple_query(f"DROP TABLE IF EXISTS {t2}")
+            except Exception:
+                pass
