@@ -338,6 +338,8 @@ class PgoutputStreamReader(DataSourceStreamReader):
                 c.clear()
             return batch
 
+        if not os.path.exists(partition.path):
+            return  # nothing captured yet: an empty (start==end) batch
         stop = partition.stop_offset
         for _pos, buf in iter_capture_from(
             partition.path, partition.seek_offset
