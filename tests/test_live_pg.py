@@ -1201,3 +1201,130 @@ class TestLiveStreamingSource:
                 cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
             except Exception:
                 pass
+
+
+class TestLiveStreamToWarehouse:
+    def test_live_stream_feeds_warehouse_continuously(
+        self, pg, spark, tmp_path
+    ):
+        """The crown composition: format("pgoutput-live") →
+        foreachBatch → typed WarehouseSink (epoch exactly-once,
+        stream-scoped ledger) while DML happens on the live server;
+        the compaction view converges to the server's table state."""
+        import time as _time
+
+        from pgsink_spark.changelog.envelope import cast_envelope
+        from pgsink_spark.changelog.registry import entry_from_relation
+        from pgsink_spark.sinks.warehouse import WarehouseSink
+        from pgsink_spark.streaming.datasource import read_capture
+        from pgsink_spark.streaming.decoder import Relation as _Rel
+        from pgsink_spark.streaming.live_source import register_live
+
+        run = uuid.uuid4().hex[:8]
+        table = f"pgsink_ws_{run}"
+        pub, slot = f"pgsink_wspub_{run}", f"pgsink_wsslot_{run}"
+        spool = str(tmp_path / "ws.spool")
+        ckpt = str(tmp_path / "ckpt")
+        admin = _connect_replication(pg)
+        register_live(spark)
+        wh = WarehouseSink(spark, str(tmp_path / "wh"))
+        state = {"entry": None}
+
+        def sink(df, batch_id):
+            import os as _os
+
+            if state["entry"] is None:
+                if not _os.path.exists(spool):
+                    return  # nothing captured yet
+                # schema discovery from the spool's relation messages
+                for buf in read_capture(spool):
+                    msg = decode_message(buf)
+                    if isinstance(msg, _Rel) and msg.name == table:
+                        e = entry_from_relation(msg)
+                        wh.handle_schema(e)
+                        state["entry"] = e
+            e = state["entry"]
+            if e is None:
+                return
+            part = df.where(
+                (df["namespace"] == e.namespace) & (df["name"] == e.name)
+            )
+            wh.insert(
+                cast_envelope(part, e.payload),
+                e.namespace,
+                e.name,
+                epoch=batch_id,
+                stream_id="live-ws",
+            )
+
+        def wait_for(cond, timeout_s=120.0):
+            deadline = _time.time() + timeout_s
+            while _time.time() < deadline:
+                if cond():
+                    return True
+                _time.sleep(0.3)
+            return False
+
+        def view_state():
+            try:
+                v = wh.install_view(e_ns, table)
+                return sorted(
+                    (r["id"], r["v"]) for r in spark.table(v).collect()
+                )
+            except Exception:
+                return None
+
+        e_ns = "public"
+        try:
+            admin._simple_query(
+                f"CREATE TABLE {table} (id int primary key, v text)"
+            )
+            reader = (
+                spark.readStream.format("pgoutput-live")
+                .option("pghost", pg["host"])
+                .option("pgport", str(pg["port"]))
+                .option("pgdb", pg["database"])
+                .option("pguser", pg["user"])
+                .option("pgssl", "disable")
+                .option("slot", slot)
+                .option("publication", pub)
+                .option("tables", f"public.{table}")
+                .option("path", spool)
+            )
+            if pg["password"]:
+                reader = reader.option("pgpassword", pg["password"])
+            q = (
+                reader.load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="500 milliseconds")
+                .start()
+            )
+            try:
+                assert wait_for(
+                    lambda: admin._simple_query(
+                        "SELECT 1 FROM pg_replication_slots "
+                        f"WHERE slot_name = '{slot}'"
+                    )[0]
+                )
+                admin._simple_query(
+                    f"INSERT INTO {table} VALUES (1, 'a'), (2, 'b')"
+                )
+                admin._simple_query(
+                    f"UPDATE {table} SET v = 'b2' WHERE id = 2"
+                )
+                admin._simple_query(f"DELETE FROM {table} WHERE id = 1")
+                assert wait_for(
+                    lambda: view_state() == [(2, "b2")]
+                ), f"view never converged: {view_state()}"
+            finally:
+                q.stop()
+                q.awaitTermination()
+        finally:
+            try:
+                cleanup = _connect_replication(pg)
+                cleanup._simple_query(f'DROP_REPLICATION_SLOT "{slot}"')
+                cleanup._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
