@@ -259,3 +259,114 @@ def test_stale_lease_is_stolen_after_ttl(tmp_path):
     assert successor.claim(now=now + 10) is None
     # ...until the ttl passes
     assert successor.claim(now=now + 3601).id == 1
+
+
+def test_two_os_processes_never_double_claim(tmp_path):
+    """The real multi-driver shape: two SEPARATE OS processes hammer
+    one queue path concurrently; the lease files arbitrate. Claims
+    must be disjoint and complete."""
+    import subprocess
+    import sys
+    import textwrap
+
+    path = str(tmp_path / "jobs.json")
+    seed = ImportJobStore(path, owner="seed")
+    for i in range(30):
+        seed.enqueue("sub", "public", f"t{i}")
+
+    worker_src = textwrap.dedent(
+        """
+        import json, sys
+        sys.path.insert(0, "/root/repo")
+        from pgsink_spark.imports.jobs import ImportJobStore
+
+        path, owner, out = sys.argv[1:4]
+        store = ImportJobStore(path, owner=owner)
+        got = []
+        while (j := store.claim()) is not None:
+            got.append(j.id)
+        with open(out, "w") as f:
+            json.dump(got, f)
+        """
+    )
+    script = tmp_path / "worker.py"
+    script.write_text(worker_src)
+    outs = [str(tmp_path / "a.json"), str(tmp_path / "b.json")]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), path, f"driver-{k}", out],
+            cwd="/",
+        )
+        for k, out in zip("ab", outs)
+    ]
+    for p in procs:
+        assert p.wait(timeout=60) == 0
+    import json as _json
+
+    a = _json.load(open(outs[0]))
+    b = _json.load(open(outs[1]))
+    assert not (set(a) & set(b)), "double-claim across processes"
+    assert sorted(a + b) == list(range(1, 31))
+
+
+def test_lease_claim_interleavings_property(tmp_path):
+    """Property test: ANY interleaving of claim/complete/error/release
+    across two stores over one queue keeps the invariants — a job is
+    never claimable by both at once, completed jobs stay completed,
+    and errored jobs only come back after backoff."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.sampled_from(["claim", "complete", "error", "release"]),
+            ),
+            min_size=5,
+            max_size=40,
+        )
+    )
+    def run(ops):
+        import os
+        import shutil
+        import time as _t
+
+        root = str(tmp_path / f"q{abs(hash(tuple(ops))) % 10**8}")
+        os.makedirs(root, exist_ok=True)
+        path = os.path.join(root, "jobs.json")
+        seed = ImportJobStore(path, owner="seed")
+        for i in range(4):
+            seed.enqueue("sub", "public", f"t{i}")
+        stores = {
+            "a": ImportJobStore(path, owner="a"),
+            "b": ImportJobStore(path, owner="b"),
+        }
+        held: dict[str, list[int]] = {"a": [], "b": []}
+        now = _t.time() + 10_000  # far past any backoff
+        for who, op in ops:
+            s = stores[who]
+            if op == "claim":
+                j = s.claim(now=now)
+                if j is not None:
+                    # invariant: nobody else holds it
+                    other = "b" if who == "a" else "a"
+                    assert j.id not in held[other], (who, j.id, held)
+                    held[who].append(j.id)
+            elif op == "complete" and held[who]:
+                s.complete(held[who].pop())
+            elif op == "error" and held[who]:
+                s.record_error(held[who].pop(), "boom")
+            elif op == "release" and held[who]:
+                s.release(held[who].pop())
+        # completed jobs never reappear
+        done = {
+            j.id for j in stores["a"].all() if j.completed_at is not None
+        }
+        for s in stores.values():
+            while (j := s.claim(now=now)) is not None:
+                assert j.id not in done
+        shutil.rmtree(root, ignore_errors=True)
+
+    run()
