@@ -67,6 +67,7 @@ _ROUND4_PRIORITY = [
     "text_kn_bigram",
     "d64_gaps_islands",
     "mm_keyframes",
+    "pipeline_curate_pack",
 ]
 
 # round-1-vintage green rows re-confirmed in remaining r4 slots
@@ -105,7 +106,6 @@ _ROUND1_VINTAGE = [
     "d17_tumbling_window",
     "d18_distinct_dedup",
     "d19_udf_parity",
-    "d22_asof_join",
 ]
 
 _ROUND3_PRIORITY = [

@@ -116,6 +116,7 @@ HEADLINE = [
     "d64_gaps_islands",
     "mm_frame_sample",
     "mm_keyframes",
+    "pipeline_curate_pack",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

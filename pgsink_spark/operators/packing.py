@@ -254,3 +254,96 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+def _kept_sql() -> str:
+    """The curation pipeline's kept-set as a composable CTE body
+    (identical math to pipeline_curation's oracle)."""
+    from pgsink_spark.operators.curation import _DUCK_QUALITY, QUALITY_KEEP
+    from pgsink_spark.operators.text import _duck_count
+
+    return f"""
+    feat AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+             {_duck_count('the')} AS n_stop,
+             len(lower(text)) AS n_chars,
+             md5(lower(text)) AS fp
+      FROM documents
+    ),
+    curated AS (
+      SELECT doc_id, {_DUCK_QUALITY} AS quality, fp,
+             MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id
+      FROM feat
+    ),
+    kept AS (
+      SELECT doc_id FROM curated
+      WHERE doc_id = canonical_id AND quality >= {QUALITY_KEEP}
+    )"""
+
+
+def _register_curate_pack():
+    # composed at import time so the oracle string can embed the
+    # curation CTE (query() wants a literal at decoration time)
+    oracle = f"""
+    WITH RECURSIVE {_kept_sql()},
+    s AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             {_duckdb_bucket("d.doc_id", BUCKETS)} AS bucket,
+             md5(CAST(d.doc_id AS VARCHAR)) AS h,
+             ROW_NUMBER() OVER (
+               PARTITION BY {_duckdb_bucket("d.doc_id", BUCKETS)}
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      FROM documents d JOIN kept USING (doc_id)
+    ),
+    r AS (
+      SELECT bucket, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.bucket, s.rn, s.doc_id, s.n_tokens,
+             CASE WHEN r.fill + s.n_tokens <= {CAP}
+                  THEN r.bin ELSE r.bin + 1 END,
+             CASE WHEN r.fill + s.n_tokens <= {CAP}
+                  THEN r.fill + s.n_tokens ELSE s.n_tokens END
+      FROM r JOIN s ON s.bucket = r.bucket AND s.rn = r.rn + 1
+    )
+    SELECT doc_id, bucket, bin FROM r ORDER BY doc_id
+    """
+
+    @query("pipeline_curate_pack", oracle)
+    def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The end-to-end training-data shape: curation (lang/quality/
+        exact-dedup canonical election) feeding greedy sequence packing
+        — only KEPT documents are packed, exactly the handoff a real
+        pipeline makes between cleaning and batch construction.
+
+        Plan: curation is one fingerprint shuffle; the kept set semi-
+        joins the corpus (broadcast at this SF; hash join keyed on
+        doc_id at scale); packing adds its single bucket shuffle. The
+        recursive-CTE oracle replays the identical composition, so the
+        imperative pack fold stays hash-checked through the whole
+        pipeline, not just in isolation.
+        """
+        from pgsink_spark.operators.curation import pipeline_curation
+
+        kept = (
+            pipeline_curation(spark, sf_dir)
+            .where(F.col("kept"))
+            .select("doc_id")
+        )
+        docs = load_table(spark, sf_dir, "documents").join(
+            kept, on="doc_id", how="left_semi"
+        )
+        s = _with_stream(docs)
+        return (
+            s.groupBy("bucket")
+            .applyInPandas(_pack_bucket, schema=_GREEDY_OUT)
+            .orderBy("doc_id")
+        )
+
+    return pipeline_curate_pack
+
+
+pipeline_curate_pack = _register_curate_pack()

@@ -195,3 +195,45 @@ def test_greedy_fold_property():
             assert sum(fills[b]) + fills[b + 1][0] > packing.CAP
 
     check()
+
+
+def test_curate_pack_packs_exactly_the_kept_set(spark, sf_dir):
+    """Composition invariant: the packed doc set == pipeline_curation's
+    kept set, every bin respects CAP, and bins are densely numbered
+    from 0 within each bucket."""
+    from pgsink_spark.operators.curation import pipeline_curation
+    from pgsink_spark.operators.packing import (
+        CAP,
+        pipeline_curate_pack,
+        _with_stream,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    packed = pipeline_curate_pack(spark, sf_dir).collect()
+    kept = {
+        r["doc_id"]
+        for r in pipeline_curation(spark, sf_dir).where("kept").collect()
+    }
+    assert {r["doc_id"] for r in packed} == kept
+
+    tokens = {
+        r["doc_id"]: r["n_tokens"]
+        for r in _with_stream(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    bins = defaultdict(set)
+    for r in packed:
+        fill[(r["bucket"], r["bin"])] += tokens[r["doc_id"]]
+        bins[r["bucket"]].add(r["bin"])
+    # capacity respected except single oversized docs in their own bin
+    for (bkt, b), f in fill.items():
+        assert f <= CAP or len(
+            [r for r in packed if (r["bucket"], r["bin"]) == (bkt, b)]
+        ) == 1
+    for bkt, ids in bins.items():
+        assert ids == set(range(len(ids)))
