@@ -1328,3 +1328,71 @@ class TestLiveStreamToWarehouse:
                 cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
             except Exception:
                 pass
+
+
+class TestLiveSchemaEvolution:
+    def test_alter_table_between_ticks_flows_to_warehouse(
+        self, pg, spark, tmp_path
+    ):
+        """Live ALTER TABLE ADD COLUMN between two capture ticks: the
+        second tick's relation message carries the new shape, the
+        warehouse raw table holds both file generations, and the
+        merged compaction view serves old rows with NULL and new rows
+        with values — the live twin of test_schema_evolution."""
+        import os as _os
+
+        from pgsink_spark.cli import main
+        from pgsink_spark.sinks.warehouse import compaction_view_sql
+
+        run = uuid.uuid4().hex[:8]
+        table = f"pgsink_evo_{run}"
+        pub, slot = f"pgsink_evopub_{run}", f"pgsink_evoslot_{run}"
+        cap = str(tmp_path / "evo.capture")
+        root = str(tmp_path / "state")
+        admin = _connect_replication(pg)
+        argv = [
+            "--root", root, "capture",
+            "--host", pg["host"], "--port", str(pg["port"]),
+            "--db", pg["database"], "--user", pg["user"],
+            "--ssl", "disable",
+            "--slot", slot, "--publication", pub,
+            "--tables", f"public.{table}",
+            "--out", cap,
+        ]
+        if pg["password"]:
+            argv += ["--password", pg["password"]]
+        try:
+            admin._simple_query(
+                f"CREATE TABLE {table} (id int primary key, v text)"
+            )
+            assert main(argv) == 0  # infra
+            admin._simple_query(f"INSERT INTO {table} VALUES (1, 'a')")
+            assert main(argv) == 0  # tick 1: old shape
+            admin._simple_query(
+                f"ALTER TABLE {table} ADD COLUMN extra int"
+            )
+            admin._simple_query(f"INSERT INTO {table} VALUES (2, 'b', 7)")
+            assert main(argv) == 0  # tick 2: new shape
+            assert main(["--root", root, "stream", "run",
+                         "--capture", cap, "--sink", "warehouse"]) == 0
+
+            raw = spark.read.option("mergeSchema", "true").parquet(
+                _os.path.join(
+                    root, "sink", "warehouse", f"public_{table}_raw"
+                )
+            )
+            raw.createOrReplaceTempView("evo_raw")
+            spark.sql(compaction_view_sql("evo_view", "evo_raw", ["id"]))
+            got = sorted(
+                (r["id"], r["v"], r["extra"])
+                for r in spark.table("evo_view").collect()
+            )
+            assert got == [(1, "a", None), (2, "b", 7)]
+        finally:
+            try:
+                cleanup = _connect_replication(pg)
+                cleanup._simple_query(f'DROP_REPLICATION_SLOT "{slot}"')
+                cleanup._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                cleanup._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
