@@ -1980,44 +1980,62 @@ def d49_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson: parquet TIMESTAMP_NS tails differ from the µs-rebuilt
     column, so raw ts comparisons can diverge at the boundary).
 
-    Plan: one events scan per stage with the event-type filter pushed
-    to parquet; every agg/join keys on user_id, so the whole funnel is
-    one exchange chain on the same key — stage N's output (small,
-    monotonically shrinking) joins stage N+1's filtered scan, and AQE
-    broadcasts the shrinking side automatically at depth.
+    Plan (round-4 rewrite): ONE user-keyed shuffle. The old shape ran
+    a per-stage scan + join chain (7 exchanges in the final plan); the
+    classic one-pass funnel instead collects each user's candidate
+    times in a single aggregation — min view time directly, click and
+    purchase times as sorted arrays — and resolves the strictly-after
+    chain row-locally with ``filter``/``array_min`` (codegen'd
+    higher-order functions, no Python). One 3-counter 1-row agg then
+    unpivots to the stage rows. At 100 TB the only caveat is per-user
+    array width for the mid-funnel event types; a pre-filter on the
+    funnel's event types bounds it (applied here), and a pathological
+    power-user is exactly the row AQE's skew split handles.
     """
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).where(F.col("event_type").isin("view", "click", "purchase"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "t1"
+        ),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("us"))
+            )
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("us"))
+            )
+        ).alias("purchases"),
     )
-    s1 = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t1"))
+    resolved = per_user.select(
+        "t1",
+        "purchases",
+        F.array_min(
+            F.filter("clicks", lambda x: x > F.col("t1"))
+        ).alias("t2"),
+    ).select(
+        "t1",
+        "t2",
+        F.array_min(
+            F.filter("purchases", lambda x: x > F.col("t2"))
+        ).alias("t3"),
     )
-    s2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .where(F.col("us") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t2"))
+    counts = resolved.agg(
+        F.count("t1").alias("x1_view"),
+        F.count("t2").alias("x2_click"),
+        F.count("t3").alias("x3_purchase"),
     )
-    s3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .where(F.col("us") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t3"))
-    )
-    def stage(df, name):
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("bigint").alias("users"),
-        ).select("stage", "users")
-
     return (
-        stage(s1, "x1_view")
-        .unionByName(stage(s2, "x2_click"))
-        .unionByName(stage(s3, "x3_purchase"))
+        counts.selectExpr(
+            "stack(3, 'x1_view', x1_view, 'x2_click', x2_click,"
+            " 'x3_purchase', x3_purchase) AS (stage, users)"
+        )
+        .select("stage", F.col("users").cast("bigint").alias("users"))
         .orderBy("stage")
     )
 
@@ -2044,26 +2062,30 @@ def d50_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     each of their first 7 day-offsets — the DAU-retention triangle
     behind every growth dashboard.
 
-    Plan: one distinct (user, day) pass, a user-keyed min for the
-    cohort, a user-keyed join back (same exchange chain — AQE reuses
-    the partitioning), and a (cohort, offset) aggregate whose key count
-    is tiny. Day arithmetic is DATE subtraction (integer days) on both
-    engines — no timestamp-precision hazard.
+    Plan (round-4 rewrite): one distinct (user, day) pass, then the
+    cohort day as a user-partition window MIN over the SAME rows — the
+    old separate agg + join-back pair is gone — and a (cohort, offset)
+    aggregate whose key count is tiny. Because activity rows are
+    already distinct on (user, day), each (user, offset) appears once,
+    so the final count is a plain COUNT(*) — the old COUNT(DISTINCT)
+    forced an extra dedup pass for rows that were distinct by
+    construction. Day arithmetic is DATE subtraction (integer days) on
+    both engines — no timestamp-precision hazard.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
     )
     activity = ev.distinct()
-    cohort = activity.groupBy("user_id").agg(F.min("d").alias("c0"))
+    c0 = F.min("d").over(W.partitionBy("user_id"))
     off = F.datediff(F.col("d"), F.col("c0"))
     return (
-        activity.join(cohort, "user_id")
+        activity.withColumn("c0", c0)
         .where(off <= 7)
         .groupBy(
             F.col("c0").alias("cohort_day"),
             off.cast("bigint").alias("day_offset"),
         )
-        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
 

@@ -198,16 +198,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    # document frequency FROM the tf aggregate: tf rows are unique per
-    # (doc, term), so df is a plain count — this reuses the postings
-    # shuffle instead of running a second countDistinct pass over the
-    # raw exploded tokens (at 100 TB that pass is a full extra shuffle)
-    dfreq = tf.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
+    # document frequency as a WINDOW over the tf postings (tf rows are
+    # unique per (doc, term), so a term-partition COUNT is exactly df):
+    # one term-keyed exchange serves the df computation in place — the
+    # old separate groupBy + join-back pair cost two extra shuffles of
+    # the full postings at 100 TB
+    from pyspark.sql.window import Window
+
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("tok")).cast("double")
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "tok")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -218,8 +219,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
     return (
         scored.withColumn("rk", F.row_number().over(w))
