@@ -153,3 +153,59 @@ def test_square_wave_rms_is_amp():
     assert float(np.sqrt(np.mean(f * f))) == float(amp)
     part = f[:333]
     assert float(np.sqrt(np.mean(part * part))) == float(amp)
+
+
+def test_png_roundtrip_property_random_images():
+    """Property: encode→decode is the identity for arbitrary 8-bit
+    images across shapes and channel counts (hypothesis drives the
+    pixel content; zlib + all five scanline filters get exercised by
+    the encoder's per-row filter choice)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from pgsink_spark.functions import codecs
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        img=st.one_of(
+            arrays(np.uint8, st.tuples(st.integers(1, 24), st.integers(1, 24))),
+            arrays(
+                np.uint8,
+                st.tuples(
+                    st.integers(1, 16), st.integers(1, 16), st.just(3)
+                ),
+            ),
+        )
+    )
+    def roundtrip(img):
+        out = codecs.decode_png(codecs.encode_png(img))
+        if img.ndim == 2:
+            out = out.reshape(img.shape)
+        assert out.dtype == np.uint8
+        assert (out == img).all()
+
+    roundtrip()
+
+
+def test_wav_roundtrip_property_random_pcm():
+    """Property: arbitrary 16-bit PCM (mono) round-trips exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from pgsink_spark.functions import codecs
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        pcm=arrays(np.int16, st.integers(1, 4096)),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def roundtrip(pcm, rate):
+        s, r = codecs.decode_wav(codecs.encode_wav(pcm, rate))
+        assert r == rate
+        assert (s.reshape(-1) == pcm).all()
+
+    roundtrip()
