@@ -36,16 +36,87 @@ from pgsink_spark.operators import text as _text
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks exactly the first 50 registry entries per round
-# (CORRECTNESS_r01..r03: 50 rows each, cut in registration order).
+# (CORRECTNESS_r01..r04: 50 rows each, cut in registration order).
 # Registry order therefore rotates per round so the union of rounds
-# covers every query. Round 4 leads with the 5 queries that have
-# never seen a driver row (added after the r3 gate closed), then the
-# round-4 falsifiability upgrades: recall-gate twins for the
-# approximate ANN family, the HLL error-bound gate (d35 is now
-# oracle-checked), and the frame-sample closed-form oracle
-# (mm_frame_sample is now oracle-checked too). Remaining slots
-# re-confirm the oldest driver rows (round-1 vintage) so every green
-# claim stays fresh. See VERIFICATION.md for the rotation ledger.
+# covers every query. Round 5 leads with the never-checked round-5
+# additions, then the ~48 stalest rows — every query whose latest
+# driver row is ROUND-2 vintage (the r4 verdict's top action: after
+# r5 no green claim is older than two rounds). The five legacy
+# rows-only registrations (raw approximate outputs whose recall/bound
+# twins are oracle-checked and green) are DEMOTED to the permanent
+# registry tail — they never consume a gate slot again. See
+# VERIFICATION.md for the rotation ledger.
+_ROUND5_PRIORITY = [
+    # never driver-checked (round-5 additions) — hard-signal first
+    "a5b_keyset_composite",
+    # round-2-vintage rows, oldest evidence in the registry:
+    # the three round-1 failures whose fixes were last proven in r2
+    "d21_text_group",
+    "d23_session_gap",
+    "b8_array_agg",
+    # the d36–d44 block
+    "d36_sliding_window",
+    "d37_json_struct_map",
+    "d38_lateral_explode",
+    "d39_scalar_subquery",
+    "d40_conditional_agg",
+    "d41_regex_translate",
+    "d42_range_frame",
+    "d43_keyed_running_sum",
+    "d44_salted_join",
+    # sampling / split trio + curation + text ops
+    "sample_hash_10pct",
+    "train_test_split",
+    "stratified_sample",
+    "pipeline_curation",
+    "text_repetition",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    # the TPC-H module (q12 is r3-vintage and sits out this window;
+    # q21 was REWRITTEN in r4 — its driver row predates the rewrite)
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q02_min_cost_supplier",
+    "tpch_q04_order_priority",
+    "tpch_q06_forecast_revenue",
+    "tpch_q07_volume_shipping",
+    "tpch_q08_market_share",
+    "tpch_q09_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_relationship",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q22_global_sales_opportunity",
+    # the six dedup families + similarity trio
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_cluster",
+    "d20_similarity_topk",
+    "ann_bruteforce_topk",
+    "dedup_embedding_pairs",
+]
+
+# Raw approximate outputs, rows-only BY DESIGN, each shadowed by a
+# green oracle-checked twin (ann_*_recall, mm_embedding_recall, the
+# superset-pinned bloom tests). Permanently LAST in registry order so
+# they never take a gate slot from an oracle-checked query.
+_DEMOTED_ROWS_ONLY = [
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_ivf_kmeans_topk",
+    "mm_embedding_topk",
+    "bloom_decontaminate",
+]
 _ROUND4_PRIORITY = [
     # never driver-checked (post-r3-gate additions) — hard-signal first
     "cdc_refresh_endstate",
@@ -276,14 +347,19 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["text_fingerprint"] = _text.text_fingerprint
 
     ordered: dict[str, QueryFn] = {}
-    for name in _ROUND4_PRIORITY + _ROUND1_VINTAGE:
+    for name in _ROUND5_PRIORITY:
         ordered[name] = queries[name]
-    for name in _ROUND3_PRIORITY + _ROUND2_PRIORITY:
+    for name in _ROUND4_PRIORITY + _ROUND1_VINTAGE:
         if name not in ordered:
             ordered[name] = queries[name]
+    for name in _ROUND3_PRIORITY + _ROUND2_PRIORITY:
+        if name not in ordered and name not in _DEMOTED_ROWS_ONLY:
+            ordered[name] = queries[name]
     for name, fn in queries.items():
-        if name not in ordered:
+        if name not in ordered and name not in _DEMOTED_ROWS_ONLY:
             ordered[name] = fn
+    for name in _DEMOTED_ROWS_ONLY:
+        ordered[name] = queries[name]
     return ordered, oracles
 
 

@@ -86,15 +86,22 @@ def cmd_tables(args) -> int:
 
 
 def run_imports(
-    root: str, source: str, spark=None, metrics=None, live_client=None
+    root: str, source: str, spark=None, metrics=None, live_client=None,
+    tracer=None,
 ) -> int:
     """Drain claimable jobs: fixture source → envelope → file sink.
     ``metrics`` (a SinkMetrics) collects insert histograms for the
-    /metrics exposition. ``live_client`` (a connected
-    ReplicationClient) enables the socket-channel backfill for tables
-    with no local snapshot source: keyset pages stream over the
-    walsender connection into the warehouse raw table, so the
+    /metrics exposition. ``tracer`` (a control.tracing.Tracer) emits
+    one ``import.job`` span per drained job and a ``sink.insert`` span
+    per batch — the reference's OTel middleware
+    (pkg/sinks/generic/instrumented_inserter.go:40-74). ``live_client``
+    (a connected ReplicationClient) enables the socket-channel backfill
+    for tables with no local snapshot source: keyset pages stream over
+    the walsender connection into the warehouse raw table, so the
     compaction view serves imported + CDC rows together."""
+    import contextlib
+
+    from pgsink_spark.control.tracing import TracedInserter
     from pgsink_spark.imports.importer import Importer
     from pgsink_spark.session import get_spark
     from pgsink_spark.sinks.file_sink import FileSink
@@ -106,6 +113,20 @@ def run_imports(
     inserter = InstrumentedInserter(
         lambda env, ns, name: sink.insert(env), metrics=metrics
     )
+    if tracer is not None:
+        inserter = TracedInserter(inserter, tracer)
+
+    def job_span(job):
+        if tracer is None:
+            return contextlib.nullcontext()
+        return tracer.span(
+            "import.job",
+            **{
+                "pgsink.job_id": job.id,
+                "db.table": f"{job.schema}.{job.table_name}",
+            },
+        )
+
     importer = Importer(jobs, inserter)
     done = 0
     warehouse = None
@@ -128,10 +149,11 @@ def run_imports(
                 # disjoint partitions, independent exactly-once cursor
                 state = {"epoch": None}
 
-                def on_batch(env, payload, pk, _job=job):
+                def on_batch(env, payload, pk_cols, _job=job):
                     warehouse.handle_schema(
                         SchemaEntry(
-                            _job.schema, _job.table_name, payload, [pk]
+                            _job.schema, _job.table_name, payload,
+                            list(pk_cols),
                         )
                     )
                     if state["epoch"] is None:
@@ -148,10 +170,14 @@ def run_imports(
                     state["epoch"] += 1
 
                 try:
-                    res = import_table(
-                        spark, live_client, job.schema, job.table_name,
-                        on_batch,
-                    )
+                    with job_span(job) as _s:
+                        res = import_table(
+                            spark, live_client, job.schema,
+                            job.table_name, on_batch,
+                        )
+                        if _s is not None:
+                            _s.set_attribute("pgsink.rows", res.rows)
+                            _s.set_attribute("pgsink.batches", res.batches)
                 except Exception as e:  # noqa: BLE001 — job-scoped failure
                     jobs.record_error(job.id, str(e))
                     continue
@@ -168,7 +194,11 @@ def run_imports(
         # fixture pk convention: first column (o_orderkey, n_nationkey…);
         # a live deployment resolves it via sources.jdbc.discover_primary_key
         pk = table.columns[0]
-        res = importer.run(job, table, pk)
+        with job_span(job) as _s:
+            res = importer.run(job, table, pk)
+            if _s is not None:
+                _s.set_attribute("pgsink.rows", res.rows)
+                _s.set_attribute("pgsink.batches", res.batches)
         done += 1 if res.done else 0
     return done
 
@@ -332,9 +362,17 @@ def cmd_run(args) -> int:
     so cron/systemd owns the cadence (the Spark-operational analogue of
     the reference's long-running loops)."""
     from pgsink_spark.control.publication import reconcile
+    from pgsink_spark.control.tracing import InMemorySpanExporter, Tracer
     from pgsink_spark.session import get_spark
 
     spark = get_spark("pgsink-run")
+    exporter = InMemorySpanExporter()
+    tracer = Tracer(exporter)
+    # one root span per tick: reconcile / import.job / sink.insert /
+    # stream spans all land in a single trace (manual enter/exit —
+    # the tick body spans the rest of this function)
+    _root_cm = tracer.span("pgsink.run")
+    _root_cm.__enter__()
     api = make_api(args.root)
     if getattr(args, "pg_host", None):
         # live tick: the catalog IS the server's (the import manager's
@@ -351,14 +389,17 @@ def cmd_run(args) -> int:
     )
     include = args.include.split(",") if args.include else None
     exclude = args.exclude.split(",") if args.exclude else None
-    added, removed = reconcile(
-        spark, catalog, api.publication, ["public"], include, exclude
-    )
-    for ns, name in added:
-        api.jobs.enqueue(api.subscription_id, ns, name)
-    for ns, name in removed:
-        api.jobs.expire(ns, name)
-    save_publication(args.root, api.publication)
+    with tracer.span("pgsink.reconcile") as _rs:
+        added, removed = reconcile(
+            spark, catalog, api.publication, ["public"], include, exclude
+        )
+        for ns, name in added:
+            api.jobs.enqueue(api.subscription_id, ns, name)
+        for ns, name in removed:
+            api.jobs.expire(ns, name)
+        save_publication(args.root, api.publication)
+        _rs.set_attribute("pgsink.added", len(added))
+        _rs.set_attribute("pgsink.removed", len(removed))
     print(f"reconciled added={len(added)} removed={len(removed)}")
 
     if getattr(args, "pg_host", None):
@@ -396,7 +437,7 @@ def cmd_run(args) -> int:
     try:
         done = run_imports(
             args.root, args.source, spark, metrics=metrics,
-            live_client=live_client,
+            live_client=live_client, tracer=tracer,
         )
     finally:
         if live_client is not None:
@@ -405,7 +446,10 @@ def cmd_run(args) -> int:
 
     if args.capture and os.path.exists(args.capture):
         args.sink = "warehouse"
-        cmd_stream(args)
+        with tracer.span("pgsink.stream"):
+            cmd_stream(args)
+
+    _root_cm.__exit__(None, None, None)
 
     # publish the tick's metrics in Prometheus text exposition — the
     # one-tick analogue of the reference's scraped /metrics endpoint
@@ -417,6 +461,15 @@ def cmd_run(args) -> int:
     with open(prom, "w") as f:
         f.write(render_prometheus(metrics))
     print(f"metrics written to {prom}")
+
+    # and the tick's trace in OTLP/JSON — the file-receiver analogue
+    # of the reference's Jaeger export (docker-compose.yml:25-60)
+    from pgsink_spark.control.tracing import to_otlp_json
+
+    traces = os.path.join(args.root, "traces.json")
+    with open(traces, "w") as f:
+        f.write(to_otlp_json(exporter.spans))
+    print(f"traces written to {traces}")
     return 0
 
 

@@ -137,3 +137,7 @@ class ControlClient:
             self.base_url + "/metrics", timeout=self.timeout_s
         ) as r:
             return r.read().decode()
+
+    def openapi(self) -> dict:
+        """The served OpenAPI 3.0 document (GET /api/openapi.json)."""
+        return self._get("/api/openapi.json")

@@ -62,6 +62,12 @@ def _make_handler(
         def do_GET(self):
             if self.path == "/api/health":
                 self._json(200, {"status": "healthy"})
+            elif self.path == "/api/openapi.json":
+                # machine-readable spec derived from the dataclass
+                # surface (parity: goa's api/gen/http/openapi3.json)
+                from pgsink_spark.control.openapi import build_spec
+
+                self._json(200, build_spec())
             elif self.path == "/metrics":
                 # Prometheus text exposition (reference scrapes the
                 # process's /metrics — docker-compose.yml:25-60)

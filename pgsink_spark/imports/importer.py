@@ -75,7 +75,7 @@ class Importer:
                 res = self.insert(env, job.schema, job.table_name)
                 n = getattr(res, "count", self.batch_limit)
                 # cursor commits only after the write landed (at-least-once)
-                self.store.update_progress(job.id, str(next_cursor), n)
+                self.store.update_progress(job.id, _cursor_to_text(next_cursor), n)
                 cursor = next_cursor
                 batches += 1
                 rows += n
@@ -91,12 +91,35 @@ class Importer:
         return ImportResult(batches, rows, done)
 
 
-def _parse_cursor(cursor: str, source: DataFrame, pk: str):
-    """Cursor round-trips as text (reference keeps a text cursor column,
-    structure.sql:41); re-type it from the source's pk column."""
-    dt = dict(source.dtypes)[pk]
+def _cursor_to_text(cursor) -> str:
+    """Composite cursors persist as a JSON array; scalars as plain text
+    (reference keeps a text cursor column, structure.sql:41)."""
+    import json
+
+    if isinstance(cursor, tuple):
+        return json.dumps(list(cursor))
+    return str(cursor)
+
+
+def _retype(text: str, dt: str):
     if dt in ("tinyint", "smallint", "int", "bigint"):
-        return int(cursor)
+        return int(text)
     if dt in ("float", "double"):
-        return float(cursor)
-    return cursor
+        return float(text)
+    return text
+
+
+def _parse_cursor(cursor: str, source: DataFrame, pk):
+    """Cursor round-trips as text; re-type it from the source's pk
+    column(s). Composite cursors arrive as a JSON array and come back
+    as the tuple keyset_batch expects."""
+    import json
+
+    dts = dict(source.dtypes)
+    if isinstance(pk, str):
+        return _retype(cursor, dts[pk])
+    vals = json.loads(cursor)
+    return tuple(
+        v if isinstance(v, (int, float)) else _retype(v, dts[c])
+        for c, v in zip(pk, vals)
+    )

@@ -22,21 +22,48 @@ Two Spark shapes, used together:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _pk_list(pk) -> list[str]:
+    return [pk] if isinstance(pk, str) else list(pk)
+
+
+def row_value_gt(pk_cols: list[str], cursor) -> Column:
+    """Lexicographic row-value comparison ``(k1, k2, …) > (c1, c2, …)``
+    as a Spark predicate — the composite-key keyset cursor the
+    reference lacks (pkg/imports/import.go:235-270 refuses >1 pk
+    column; real tables hit that constantly, so this engine extends
+    the contract). Expanded form
+    ``k1 > c1 OR (k1 = c1 AND (k2 > c2 OR …))`` so each leading-column
+    equality chain stays sargable for pushdown."""
+    cur = list(cursor) if isinstance(cursor, (list, tuple)) else [cursor]
+    if len(cur) != len(pk_cols):
+        raise ValueError(
+            f"cursor arity {len(cur)} != pk arity {len(pk_cols)}"
+        )
+    pred = F.col(pk_cols[-1]) > F.lit(cur[-1])
+    for name, val in zip(reversed(pk_cols[:-1]), reversed(cur[:-1])):
+        pred = (F.col(name) > F.lit(val)) | (
+            (F.col(name) == F.lit(val)) & pred
+        )
+    return pred
 
 
 def keyset_batch(
     source: DataFrame,
-    pk: str,
+    pk,
     cursor=None,
     limit: int = 5000,
     materialize: bool = True,
 ) -> tuple[DataFrame, object | None, bool]:
     """One keyset batch: (rows, next_cursor, done).
 
-    ``rows`` is ordered by pk and bounded by ``limit``; ``next_cursor``
-    is the max pk in the batch (None when the batch is empty);
+    ``pk`` is a column name or a LIST of names (composite key —
+    lexicographic row-value pagination). ``rows`` is ordered by pk and
+    bounded by ``limit``; ``next_cursor`` is the max pk in the batch
+    (None when the batch is empty; a tuple for composite keys);
     ``done`` marks a batch smaller than ``limit`` — the scan tail.
 
     With ``materialize`` (the default) the batch is pinned with an eager
@@ -51,31 +78,42 @@ def keyset_batch(
     contract (and saves the double scan). Pass ``materialize=False``
     only for plan inspection of the pre-pinned scan.
     """
+    pks = _pk_list(pk)
     scan = source
     if cursor is not None:
-        scan = scan.where(F.col(pk) > F.lit(cursor))
-    batch = scan.orderBy(pk).limit(limit)
+        scan = scan.where(row_value_gt(pks, cursor))
+    batch = scan.orderBy(*pks).limit(limit)
     if materialize:
         # pk > cursor still reaches the scan (pushdown happens during
         # this one materializing execution); the checkpoint truncates
         # lineage so later readers reuse the stored blocks.
         batch = batch.localCheckpoint(eager=True)
+    # struct max orders lexicographically — one agg yields the
+    # composite cursor without a second ordered scan
     row = batch.agg(
-        F.max(pk).alias("mx"), F.count(F.lit(1)).alias("n")
+        F.max(F.struct(*pks)).alias("mx"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
-    next_cursor = row["mx"]
+    if row["mx"] is None:
+        next_cursor = None
+    elif len(pks) == 1:
+        next_cursor = row["mx"][0]
+    else:
+        next_cursor = tuple(row["mx"])
     done = row["n"] < limit
     return batch, next_cursor, done
 
 
 def partitioned_snapshot(
-    source: DataFrame, pk: str, num_partitions: int = 32
+    source: DataFrame, pk, num_partitions: int = 32
 ) -> DataFrame:
     """Range-partitioned parallel snapshot (initial-fill path).
 
-    ``repartitionByRange`` on the pk mirrors the JDBC partitioned read:
-    each output partition is a contiguous pk range, so a downstream
-    per-partition writer produces the same chunking the reference's
-    cursor loop would, but N-way parallel.
+    ``repartitionByRange`` on the pk (full column list for composite
+    keys) mirrors the JDBC partitioned read: each output partition is a
+    contiguous pk range, so a downstream per-partition writer produces
+    the same chunking the reference's cursor loop would, but N-way
+    parallel.
     """
-    return source.repartitionByRange(num_partitions, F.col(pk))
+    return source.repartitionByRange(
+        num_partitions, *[F.col(c) for c in _pk_list(pk)]
+    )

@@ -35,6 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import types as T
 
 from pgsink_spark.changelog.types import spark_type_for
+from pgsink_spark.sources.jdbc import quote_ident, sql_literal
 from pgsink_spark.streaming.marshal import text_parser_for
 from pgsink_spark.streaming.replication import ReplicationClient
 
@@ -53,7 +54,8 @@ def table_columns(
         "SELECT a.attname, a.atttypid FROM pg_attribute a "
         "JOIN pg_class c ON c.oid = a.attrelid "
         "JOIN pg_namespace n ON n.oid = c.relnamespace "
-        f"WHERE n.nspname = '{namespace}' AND c.relname = '{table}' "
+        f"WHERE n.nspname = {sql_literal(namespace)} "
+        f"AND c.relname = {sql_literal(table)} "
         "AND a.attnum > 0 AND NOT a.attisdropped ORDER BY a.attnum"
     )
     return [LiveColumn(r[0], int(r[1])) for r in rows]
@@ -69,7 +71,8 @@ def discover_primary_key(
         "JOIN pg_namespace n ON n.oid = c.relnamespace "
         "JOIN pg_attribute a ON a.attrelid = c.oid "
         "  AND a.attnum = ANY(i.indkey) "
-        f"WHERE n.nspname = '{namespace}' AND c.relname = '{table}' "
+        f"WHERE n.nspname = {sql_literal(namespace)} "
+        f"AND c.relname = {sql_literal(table)} "
         "AND i.indisprimary "
         "ORDER BY array_position(i.indkey, a.attnum)"
     )
@@ -89,26 +92,48 @@ def keyset_batches(
     client: ReplicationClient,
     namespace: str,
     table: str,
-    pk: str,
+    pk,
     columns: list[LiveColumn],
     limit: int = 1000,
     cursor=None,
 ):
-    """Yield lists of typed row dicts, keyset-paginated on ``pk``.
+    """Yield lists of typed row dicts, keyset-paginated on ``pk`` (one
+    column name or a list — composite keys page with Postgres row-value
+    comparison ``("k1","k2") > (v1,v2)``).
 
     Every batch is bounded server-side and strictly ordered, so the
     loop is resumable from the last row's key — the reference's import
     cursor contract (importer.go:143-160). Values parse through the
     OID registry (the CDC path's parsers), so an unregistered type
-    fails loudly instead of importing garbage.
+    fails loudly instead of importing garbage. Identifiers are
+    double-quoted and cursor values SQL-escaped: both originate outside
+    this code (catalog names, replicated user data), so a quote in
+    either must not break — or inject into — the generated statement.
     """
+    pks = [pk] if isinstance(pk, str) else list(pk)
     parsers = {c.name: text_parser_for(c.type_oid) for c in columns}
-    col_list = ", ".join(f'"{c.name}"' for c in columns)
+    col_list = ", ".join(quote_ident(c.name) for c in columns)
+    qtable = f"{quote_ident(namespace)}.{quote_ident(table)}"
+    qpks = [quote_ident(c) for c in pks]
+    order = ", ".join(qpks)
     while True:
-        where = "" if cursor is None else f"WHERE \"{pk}\" > '{cursor}' "
+        if cursor is None:
+            where = ""
+        else:
+            cur = (
+                list(cursor)
+                if isinstance(cursor, (list, tuple))
+                else [cursor]
+            )
+            if len(qpks) == 1:
+                where = f"WHERE {qpks[0]} > {sql_literal(cur[0])} "
+            else:
+                lhs = "(" + ", ".join(qpks) + ")"
+                rhs = "(" + ", ".join(sql_literal(v) for v in cur) + ")"
+                where = f"WHERE {lhs} > {rhs} "
         rows, cols = client._simple_query(
-            f'SELECT {col_list} FROM {namespace}.{table} {where}'
-            f'ORDER BY "{pk}" LIMIT {int(limit)}'
+            f"SELECT {col_list} FROM {qtable} {where}"
+            f"ORDER BY {order} LIMIT {int(limit)}"
         )
         if not rows:
             return
@@ -118,7 +143,9 @@ def keyset_batches(
             for name, raw in zip(cols, r):
                 d[name] = None if raw is None else parsers[name](raw)
             batch.append(d)
-        cursor = rows[-1][cols.index(pk)]
+        last = rows[-1]
+        vals = tuple(last[cols.index(c)] for c in pks)
+        cursor = vals[0] if len(pks) == 1 else vals
         yield batch
 
 
@@ -126,7 +153,7 @@ def keyset_batches(
 class LiveImportResult:
     rows: int
     batches: int
-    pk: str
+    pk: str  # comma-joined for composite keys
 
 
 def import_table(
@@ -139,22 +166,29 @@ def import_table(
     import_time=None,
 ) -> LiveImportResult:
     """Full live backfill: discover pk + schema, page the table, and
-    hand each batch to ``on_batch(env_df, payload_schema, pk)`` as
+    hand each batch to ``on_batch(env_df, payload_schema, pk_cols)`` as
     typed IMPORT envelopes (timestamp = import time, lsn NULL —
     snapshot rows predate the stream, exactly like the file-sink
-    import path)."""
+    import path). Composite primary keys paginate via row-value
+    cursors; a keyless table is the only refusal (the reference also
+    refuses >1 column, import.go:235-270 — this engine does not).
+
+    Sequence numbers run CONTINUOUSLY across batches: IMPORT rows share
+    a NULL lsn, so (lsn, sequence) stays a total order over the whole
+    import — a per-batch restart at 0 would collide keys across
+    batches and break the envelope ordering contract.
+    """
     import datetime as _dt
 
     from pgsink_spark.changelog import envelope_schema
 
     cols = table_columns(client, namespace, table)
     pk_cols = discover_primary_key(client, namespace, table)
-    if len(pk_cols) != 1:
+    if not pk_cols:
         raise ValueError(
-            f"{namespace}.{table}: need a single-column pk for keyset "
-            f"pagination, found {pk_cols!r}"
+            f"{namespace}.{table}: keyset pagination needs a primary key"
         )
-    pk = pk_cols[0]
+    pk = pk_cols[0] if len(pk_cols) == 1 else pk_cols
     payload = payload_schema(cols)
     ts = import_time or _dt.datetime.now(_dt.timezone.utc)
     n_rows = 0
@@ -163,11 +197,11 @@ def import_table(
         client, namespace, table, pk, cols, limit=limit
     ):
         env_rows = [
-            (ts, namespace, table, None, i, None, row)
+            (ts, namespace, table, None, n_rows + i, None, row)
             for i, row in enumerate(batch)
         ]
         env = spark.createDataFrame(env_rows, envelope_schema(payload))
-        on_batch(env, payload, pk)
+        on_batch(env, payload, pk_cols)
         n_rows += len(batch)
         n_batches += 1
-    return LiveImportResult(n_rows, n_batches, pk)
+    return LiveImportResult(n_rows, n_batches, ",".join(pk_cols))

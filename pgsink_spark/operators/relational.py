@@ -96,6 +96,52 @@ def a5_keyset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a5b_keyset_composite",
+    """
+    WITH b1 AS (
+      SELECT o_custkey, o_orderkey FROM orders
+      ORDER BY o_custkey, o_orderkey LIMIT 200
+    ), cur AS (
+      SELECT o_custkey AS k1, o_orderkey AS k2 FROM b1
+      ORDER BY o_custkey DESC, o_orderkey DESC LIMIT 1
+    )
+    SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus,
+           CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS tp
+    FROM orders o, cur
+    WHERE (o.o_custkey, o.o_orderkey) > (cur.k1, cur.k2)
+    ORDER BY o.o_custkey, o.o_orderkey LIMIT 200
+    """,
+)
+def a5b_keyset_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key keyset pagination: batch 2 of a row-value cursor
+    scan over the two-column key (o_custkey, o_orderkey).
+
+    The reference REFUSES composite primary keys
+    (pkg/imports/import.go:235-270 errors on >1 column); this engine
+    extends the import contract with lexicographic row-value cursors
+    (imports/keyset.row_value_gt) — the expanded
+    ``k1 > c1 OR (k1 = c1 AND k2 > c2)`` predicate pushes to the scan,
+    and the next cursor comes from one struct-max agg (struct ordering
+    IS lexicographic), so each batch costs one bounded read at any
+    scale. This query runs the REAL two-batch driver loop: batch 1
+    yields the cursor, batch 2 is returned and hash-checked against
+    DuckDB's native row-value comparison.
+    """
+    from pgsink_spark.imports.keyset import keyset_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    pk = ["o_custkey", "o_orderkey"]
+    _, cursor, _ = keyset_batch(orders, pk, limit=200)
+    batch2, _, _ = keyset_batch(orders, pk, cursor=cursor, limit=200)
+    return batch2.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        rnd(dec("o_totalprice"), 2).alias("tp"),
+    )
+
+
+@query(
     "a16_compaction_view",
     """
     SELECT user_id, event_type, value FROM (

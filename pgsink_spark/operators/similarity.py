@@ -575,14 +575,19 @@ def _recall_gate(
     )
 
 
-_RECALL_ORACLE = """
-    SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok
+# the probe set is vec_id < _N_RECALL_QUERIES; the oracle row derives
+# from the SAME constant so the two can't drift apart silently
+_N_RECALL_QUERIES = 5
+
+_RECALL_ORACLE = f"""
+    SELECT CAST({_N_RECALL_QUERIES} AS BIGINT) AS n_queries,
+           TRUE AS recall_ok
 """
 
 
 def _exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 5).select(
+    q = emb.where(F.col("vec_id") < _N_RECALL_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         as_double(F.col("embedding")).alias("q_emb"),
     )

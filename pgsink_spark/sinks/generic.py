@@ -70,9 +70,12 @@ class SchemaHandler:
 
     ``sync`` is the sink-specific DDL callback; it runs once per novel
     fingerprint per table (reference schema_handler.go:61-105 — outcome
-    "noop" on fingerprint hit, "update" on change, "failed" when the
-    DDL raises; a failed sync is NOT cached, so the next batch retries
-    it instead of silently skipping the migration).
+    "noop" on fingerprint hit, "update" on change). A raising sync
+    PROPAGATES — the reference returns the error up to the batch, which
+    fails loudly and retries; swallowing it here would let a caller
+    that ignores the outcome string insert rows against a half-migrated
+    table. The fingerprint is only cached after sync succeeds, so the
+    retry re-runs the migration.
     """
 
     def __init__(self, sync: Callable[[SchemaEntry], None]):
@@ -84,9 +87,6 @@ class SchemaHandler:
         fp = entry.fingerprint
         if self._seen.get(key) == fp:
             return "noop"
-        try:
-            self._sync(entry)
-        except Exception:
-            return "failed"
+        self._sync(entry)
         self._seen[key] = fp
         return "update"

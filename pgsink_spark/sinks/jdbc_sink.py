@@ -233,13 +233,17 @@ class JdbcWarehouseSink:
         drop-column leaves a tombstone)."""
         key = (entry.namespace, entry.name)
         old = self._entries.get(key)
-        self._entries[key] = entry
         self.execute(raw_table_ddl(entry))
         for sql in migration_ddl(
             old, entry, raw_table_name(entry.namespace, entry.name)
         ):
             self.execute(sql)
         self.execute(compaction_view_ddl(entry))
+        # commit the cache entry only once every DDL statement landed:
+        # a failed migration must leave `old` in place so the retry
+        # regenerates (and re-issues) the same ALTERs instead of
+        # diffing new-vs-new into a silent no-op
+        self._entries[key] = entry
 
     def handle_schema(self, entry: SchemaEntry) -> str:
         return self._schema_handler.handle(entry)
@@ -388,7 +392,6 @@ class JdbcCompactedSink(JdbcWarehouseSink):
     def _sync(self, entry: SchemaEntry) -> None:
         key = (entry.namespace, entry.name)
         old = self._entries.get(key)
-        self._entries[key] = entry
         self.execute(staging_table_ddl(entry))
         self.execute(compacted_table_ddl(entry))
         self.execute(epoch_table_ddl(entry.namespace, entry.name))
@@ -399,6 +402,8 @@ class JdbcCompactedSink(JdbcWarehouseSink):
         ):
             for sql in migration_ddl(old, entry, table):
                 self.execute(sql)
+        # cache only after all DDL succeeded (see JdbcWarehouseSink._sync)
+        self._entries[key] = entry
 
     def insert(
         self,

@@ -62,7 +62,8 @@ PK_QUERY = """
 (SELECT a.attname
  FROM pg_index i
  JOIN pg_attribute a ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey)
- WHERE i.indrelid = '{qualified}'::regclass AND i.indisprimary) AS pk
+ WHERE i.indrelid = '{qualified}'::regclass AND i.indisprimary
+ ORDER BY array_position(i.indkey, a.attnum)) AS pk
 """
 
 TABLES_QUERY = """
@@ -107,10 +108,33 @@ def snapshot_options(
     return opts
 
 
+def keyset_where_order(pk, cursor) -> tuple[str, str]:
+    """(WHERE clause or '', ORDER BY column list) for a keyset page.
+
+    ``pk`` may be one column name or a list (composite key). Composite
+    cursors render as Postgres row-value comparison
+    ``("k1", "k2") > (v1, v2)`` — native lexicographic semantics, and
+    the planner turns it into an index range scan on the pk index.
+    """
+    pks = [pk] if isinstance(pk, str) else list(pk)
+    qpks = [quote_ident(c) for c in pks]
+    order = ", ".join(qpks)
+    if cursor is None:
+        return "", order
+    cur = list(cursor) if isinstance(cursor, (list, tuple)) else [cursor]
+    if len(cur) != len(pks):
+        raise ValueError(f"cursor arity {len(cur)} != pk arity {len(pks)}")
+    if len(pks) == 1:
+        return f"WHERE {qpks[0]} > {sql_literal(cur[0])}", order
+    lhs = "(" + ", ".join(qpks) + ")"
+    rhs = "(" + ", ".join(sql_literal(v) for v in cur) + ")"
+    return f"WHERE {lhs} > {rhs}", order
+
+
 def keyset_batch_options(
     url: str,
     table: str,
-    pk: str,
+    pk,
     cursor,
     limit: int = 5000,
     **auth,
@@ -118,15 +142,16 @@ def keyset_batch_options(
     """Options for one bounded keyset batch (resumable import loop).
 
     The dbtable subquery keeps the scan indexed and bounded server-side,
-    exactly the reference's import statement shape. Cursor values are
+    exactly the reference's import statement shape (single- OR
+    composite-key; the latter via row-value comparison, which the
+    reference refuses — import.go:235-270). Cursor values are
     SQL-escaped (they originate from table data) and identifiers are
     quoted — Python ``repr`` is not SQL quoting."""
-    qpk = quote_ident(pk)
     qtable = quote_qualified(table)
-    where = f"WHERE {qpk} > {sql_literal(cursor)}" if cursor is not None else ""
+    where, order = keyset_where_order(pk, cursor)
     sub = (
         f"(SELECT * FROM {qtable} {where} "
-        f"ORDER BY {qpk} LIMIT {int(limit)}) AS batch"
+        f"ORDER BY {order} LIMIT {int(limit)}) AS batch"
     )
     return {"url": url, "dbtable": sub, **{k: str(v) for k, v in auth.items()}}
 
@@ -153,8 +178,14 @@ def discover_tables(spark: SparkSession, url: str, schemas: list[str], **auth) -
 def discover_primary_key(
     spark: SparkSession, url: str, namespace: str, name: str, **auth
 ) -> list[str]:
-    """Primary-key column(s); the importer requires exactly one
-    (reference pkg/imports/import.go:235-270 rejects 0 or >1)."""
+    """Primary-key column(s) in index order.
+
+    The reference rejects composite keys outright
+    (pkg/imports/import.go:235-270 errors on >1 column); this engine
+    extends the contract — the keyset path paginates composite keys
+    with row-value cursors (keyset_where_order), so discovery returns
+    the full ordered list and only a keyless table is an error (no
+    cursor is possible without a key)."""
     df = (
         spark.read.format("jdbc")
         .options(
@@ -165,9 +196,9 @@ def discover_primary_key(
         .load()
     )
     cols = [r["attname"] for r in df.collect()]
-    if len(cols) != 1:
+    if not cols:
         raise ValueError(
-            f"table {namespace}.{name} needs exactly one pk column, "
-            f"found {cols!r}"
+            f"table {namespace}.{name} has no primary key — keyset "
+            "import needs one"
         )
     return cols

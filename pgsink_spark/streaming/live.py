@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pgsink_spark.sources.jdbc import quote_ident, sql_literal
 from pgsink_spark.streaming.datasource import append_capture
 from pgsink_spark.streaming.decoder import Commit, decode_message
 from pgsink_spark.streaming.replication import (
@@ -63,7 +64,7 @@ def list_tables(
     """Live catalog discovery: base tables in the given schemas (the
     reference's import-manager catalog query, run over the walsender's
     simple-query channel)."""
-    in_list = ", ".join(f"'{s}'" for s in schemas)
+    in_list = ", ".join(sql_literal(s) for s in schemas)
     rows, _ = client._simple_query(
         "SELECT table_schema, table_name FROM information_schema.tables "
         f"WHERE table_schema IN ({in_list}) AND table_type = 'BASE TABLE' "
@@ -78,7 +79,7 @@ def publication_tables(
     """Current (schema, table) membership from pg_publication_tables."""
     rows, _cols = client._simple_query(
         "SELECT schemaname, tablename FROM pg_publication_tables "
-        f"WHERE pubname = '{publication}'"
+        f"WHERE pubname = {sql_literal(publication)}"
     )
     return {(r[0], r[1]) for r in rows}
 
@@ -86,12 +87,12 @@ def publication_tables(
 def ensure_publication(client: ReplicationClient, publication: str) -> bool:
     """Create the publication (empty) if missing; False when present."""
     rows, _ = client._simple_query(
-        f"SELECT 1 FROM pg_publication WHERE pubname = '{publication}'"
+        f"SELECT 1 FROM pg_publication WHERE pubname = {sql_literal(publication)}"
     )
     if rows:
         return False
     # FOR TABLE with no list isn't valid SQL — create empty and ALTER in
-    client._simple_query(f"CREATE PUBLICATION {publication}")
+    client._simple_query(f"CREATE PUBLICATION {quote_ident(publication)}")
     return True
 
 
@@ -106,13 +107,18 @@ def sync_publication_tables(
     current = publication_tables(client, publication)
     added = desired - current
     removed = current - desired
+    # identifiers come from the live catalog — mixed-case or punctuated
+    # names must round-trip through double-quoting, not break the ALTER
+    qpub = quote_ident(publication)
     for ns, name in sorted(added):
         client._simple_query(
-            f"ALTER PUBLICATION {publication} ADD TABLE {ns}.{name}"
+            f"ALTER PUBLICATION {qpub} ADD TABLE "
+            f"{quote_ident(ns)}.{quote_ident(name)}"
         )
     for ns, name in sorted(removed):
         client._simple_query(
-            f"ALTER PUBLICATION {publication} DROP TABLE {ns}.{name}"
+            f"ALTER PUBLICATION {qpub} DROP TABLE "
+            f"{quote_ident(ns)}.{quote_ident(name)}"
         )
     return added, removed
 

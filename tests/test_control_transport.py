@@ -351,6 +351,36 @@ def test_cli_run_one_tick(tmp_path, spark, capsys):
     )
     assert raw.count() == 1
 
+    # the tick exported ONE OTLP trace: root pgsink.run with
+    # reconcile / per-job import / per-batch insert / stream children,
+    # every span ended with a positive duration
+    import json as _json
+
+    with open(os.path.join(root, "traces.json")) as f:
+        otlp = _json.load(f)
+    spans = otlp["resourceSpans"][0]["scopeSpans"][0]["spans"]
+    by_name = {}
+    for s in spans:
+        by_name.setdefault(s["name"], []).append(s)
+    assert len(by_name["pgsink.run"]) == 1
+    root_span = by_name["pgsink.run"][0]
+    assert len(by_name["import.job"]) == 2  # nation + region
+    assert len(by_name["sink.insert"]) >= 2
+    assert len(by_name["pgsink.reconcile"]) == 1
+    assert len(by_name["pgsink.stream"]) == 1
+    trace_id = root_span["traceId"]
+    for s in spans:
+        assert s["traceId"] == trace_id  # one trace for the tick
+        assert int(s["endTimeUnixNano"]) >= int(s["startTimeUnixNano"])
+        if s["name"] != "pgsink.run":
+            assert "parentSpanId" in s
+    # insert spans carry the row-count attribute
+    ins_attrs = {
+        a["key"]: a["value"]
+        for a in by_name["sink.insert"][0]["attributes"]
+    }
+    assert "pgsink.rows" in ins_attrs
+
     # second tick: converged — nothing re-added, re-imported, re-sunk
     assert main(argv) == 0
     out2 = capsys.readouterr().out
@@ -559,5 +589,76 @@ def test_typed_client_full_lifecycle(sf_dir, tmp_path):
         assert imp.expired_at is not None
 
         assert "pgsink_sink_rows_total" in c.metrics_text()
+    finally:
+        server.stop()
+
+
+def test_openapi_spec_served_and_matches_client(sf_dir, tmp_path):
+    """GET /api/openapi.json (verdict r4 item 8; parity: goa's
+    api/gen/http/openapi3.json): the served document's paths cover
+    every ControlClient method's route with the right verb + status,
+    and the component schemas list EXACTLY the dataclass fields — a
+    field added to the client must appear in the spec (derived, no
+    drift) and vice versa."""
+    import dataclasses
+
+    from pgsink_spark.control import client as client_mod
+    from pgsink_spark.control.client import ControlClient
+
+    root = str(tmp_path / "state")
+    api = make_api(root)
+    server = ControlServer(api, lambda: fixture_catalog(sf_dir)).start()
+    try:
+        c = ControlClient(server.address)
+        spec = c.openapi()
+        assert spec["openapi"].startswith("3.0")
+
+        # every client route is in the spec with the right verb/status
+        expect = {
+            ("/api/health", "get", "200"),
+            ("/api/tables", "get", "200"),
+            ("/api/subscriptions/current", "get", "201"),  # goa quirk
+            ("/api/subscriptions/current/actions/add-table", "post", "201"),
+            ("/api/subscriptions/current/actions/stop-table", "post", "202"),
+            ("/api/imports", "get", "200"),
+            ("/metrics", "get", "200"),
+        }
+        for path, verb, code in expect:
+            op = spec["paths"][path][verb]
+            assert code in op["responses"], (path, verb)
+
+        # schema fields == dataclass fields, exactly
+        schemas = spec["components"]["schemas"]
+        for cls_name in (
+            "TableStatus", "Subscription", "PublishedTable", "Import"
+        ):
+            cls = getattr(client_mod, cls_name)
+            expect_fields = {f.name for f in dataclasses.fields(cls)}
+            got = set(schemas[cls_name]["properties"])
+            assert got == expect_fields, cls_name
+            assert set(schemas[cls_name]["required"]) == expect_fields
+
+        # typed details: nullable optionals, typed arrays, int64 ints
+        imp = schemas["Import"]["properties"]
+        assert imp["completed_at"] == {"type": "string", "nullable": True}
+        assert imp["error_count"] == {"type": "integer", "format": "int64"}
+        sub = schemas["Subscription"]["properties"]
+        assert sub["published_tables"] == {
+            "type": "array",
+            "items": {"$ref": "#/components/schemas/PublishedTable"},
+        }
+
+        # the spec's response schema matches what the live route serves:
+        # a Subscription from add-table has exactly the spec'd fields
+        live = c._post(
+            "/api/subscriptions/current/actions/add-table",
+            {"schema": "public", "name": "nation"},
+        )
+        assert set(live) == set(schemas["Subscription"]["properties"])
+        assert set(live["published_tables"][0]) == set(
+            schemas["PublishedTable"]["properties"]
+        )
+        live_imports = c._get("/api/imports")
+        assert set(live_imports[0]) == set(schemas["Import"]["properties"])
     finally:
         server.stop()

@@ -309,11 +309,32 @@ def test_two_os_processes_never_double_claim(tmp_path):
     assert sorted(a + b) == list(range(1, 31))
 
 
-def test_lease_claim_interleavings_property(tmp_path):
+import pytest as _pytest
+
+
+def _backend_factory(kind: str, queue_path: str):
+    """Per-store lease-backend factory over one shared lease root —
+    the two-backends-one-queue shape verdict r4 item 7 asks for."""
+    from pgsink_spark.imports.jobs import (
+        FileLeaseBackend,
+        LocalConditionalStore,
+        ObjectStoreLeaseBackend,
+    )
+
+    if kind == "file":
+        return lambda: FileLeaseBackend(f"{queue_path}.leases")
+    return lambda: ObjectStoreLeaseBackend(
+        LocalConditionalStore(f"{queue_path}.leases")
+    )
+
+
+@_pytest.mark.parametrize("backend_kind", ["file", "objectstore"])
+def test_lease_claim_interleavings_property(tmp_path, backend_kind):
     """Property test: ANY interleaving of claim/complete/error/release
     across two stores over one queue keeps the invariants — a job is
     never claimable by both at once, completed jobs stay completed,
-    and errored jobs only come back after backoff."""
+    and errored jobs only come back after backoff. Parameterized over
+    BOTH lease backends (POSIX file and object-store conditional-PUT)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -333,15 +354,18 @@ def test_lease_claim_interleavings_property(tmp_path):
         import shutil
         import time as _t
 
-        root = str(tmp_path / f"q{abs(hash(tuple(ops))) % 10**8}")
+        root = str(
+            tmp_path / f"q{backend_kind}{abs(hash(tuple(ops))) % 10**8}"
+        )
         os.makedirs(root, exist_ok=True)
         path = os.path.join(root, "jobs.json")
-        seed = ImportJobStore(path, owner="seed")
+        mk = _backend_factory(backend_kind, path)
+        seed = ImportJobStore(path, owner="seed", lease_backend=mk())
         for i in range(4):
             seed.enqueue("sub", "public", f"t{i}")
         stores = {
-            "a": ImportJobStore(path, owner="a"),
-            "b": ImportJobStore(path, owner="b"),
+            "a": ImportJobStore(path, owner="a", lease_backend=mk()),
+            "b": ImportJobStore(path, owner="b", lease_backend=mk()),
         }
         held: dict[str, list[int]] = {"a": [], "b": []}
         now = _t.time() + 10_000  # far past any backoff
@@ -367,6 +391,122 @@ def test_lease_claim_interleavings_property(tmp_path):
         for s in stores.values():
             while (j := s.claim(now=now)) is not None:
                 assert j.id not in done
-        shutil.rmtree(root, ignore_errors=True)
 
     run()
+
+
+def test_object_store_late_release_cannot_delete_thiefs_lease(tmp_path):
+    """The generation-guarded release: owner A's lease expires, B
+    steals it, then A's LATE release fires — it must NOT delete B's
+    lease (the ADVICE r4 two-concurrent-holders hazard). The etag A
+    recorded no longer matches, so the delete is a no-op and a third
+    claimant C still sees B's live lease."""
+    from pgsink_spark.imports.jobs import (
+        LocalConditionalStore,
+        ObjectStoreLeaseBackend,
+    )
+
+    store = LocalConditionalStore(str(tmp_path / "leases"))
+    a = ObjectStoreLeaseBackend(store)
+    b = ObjectStoreLeaseBackend(store)
+    c = ObjectStoreLeaseBackend(store)
+    assert a.acquire(1, "a", now=1000.0, ttl_s=10.0)
+    # a's lease expires; b steals it
+    assert b.acquire(1, "b", now=1011.0, ttl_s=10.0)
+    # a's late release: stale generation, must not remove b's lease
+    a.release(1, "a")
+    assert not c.acquire(1, "c", now=1012.0, ttl_s=10.0)
+    # b's own release DOES free it
+    b.release(1, "b")
+    assert c.acquire(1, "c", now=1013.0, ttl_s=10.0)
+
+
+def test_file_lease_release_is_owner_checked(tmp_path):
+    """File-backend twin of the late-release test: steal + release
+    serialize on the lease-root flock, so a stale owner's release
+    cannot free the thief's lease."""
+    from pgsink_spark.imports.jobs import FileLeaseBackend
+
+    root = str(tmp_path / "leases")
+    a = FileLeaseBackend(root)
+    b = FileLeaseBackend(root)
+    c = FileLeaseBackend(root)
+    assert a.acquire(1, "a", now=1000.0, ttl_s=10.0)
+    assert b.acquire(1, "b", now=1011.0, ttl_s=10.0)  # steal after ttl
+    a.release(1, "a")  # owner mismatch → no-op
+    assert not c.acquire(1, "c", now=1012.0, ttl_s=10.0)
+    b.release(1, "b")
+    assert c.acquire(1, "c", now=1013.0, ttl_s=10.0)
+
+
+def test_keyset_batch_composite_pagination(spark, sf_dir):
+    """Composite-key pagination reconstructs the table exactly — no
+    row skipped or repeated across batches, batches in lexicographic
+    (o_custkey, o_orderkey) order."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pk = ["o_custkey", "o_orderkey"]
+    total = orders.count()
+    seen = []
+    cursor = None
+    for _ in range(10_000):
+        batch, cursor, done = keyset_batch(orders, pk, cursor, 400)
+        if cursor is None:
+            break
+        keys = [
+            (r["o_custkey"], r["o_orderkey"])
+            for r in batch.select(*pk).collect()
+        ]
+        assert keys == sorted(keys)
+        if seen:
+            assert keys[0] > seen[-1]  # strictly beyond the cursor
+        seen.extend(keys)
+        assert isinstance(cursor, tuple) and len(cursor) == 2
+        if done:
+            break
+    assert len(seen) == total
+    expect = [
+        (r["o_custkey"], r["o_orderkey"])
+        for r in orders.select(*pk).orderBy(*pk).collect()
+    ]
+    assert seen == expect
+
+
+def test_row_value_gt_matches_tuple_semantics(spark):
+    """The expanded OR/AND predicate equals Python tuple comparison on
+    an exhaustive small grid (the lexicographic contract)."""
+    from pgsink_spark.imports.keyset import row_value_gt
+
+    rows = [(a, b, c) for a in range(4) for b in range(4) for c in range(4)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    cur = (1, 2, 3)
+    got = {
+        (r["a"], r["b"], r["c"])
+        for r in df.where(row_value_gt(["a", "b", "c"], cur)).collect()
+    }
+    expect = {t for t in rows if t > cur}
+    assert got == expect
+
+
+def test_importer_composite_key_resumes(spark, sf_dir, store):
+    """End-to-end composite-PK import: stop mid-way, resume from the
+    persisted JSON-array cursor, finish with exact row total."""
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet").limit(95).cache()
+    )
+    total = orders.count()
+    sink = _CaptureSink()
+    store.enqueue("sub", "public", "orders")
+    imp = Importer(store, sink.insert, batch_limit=20)
+    pk = ["o_custkey", "o_orderkey"]
+
+    job = store.claim()
+    r1 = imp.run(job, orders, pk, max_batches=2)
+    assert not r1.done and r1.rows == 40
+    j = store.get(job.id)
+    assert j.cursor is not None and j.cursor.startswith("[")  # JSON array
+
+    job2 = store.claim()
+    assert job2 is not None and job2.id == job.id
+    r2 = imp.run(job2, orders, pk)
+    assert r2.done
+    assert r1.rows + r2.rows == total

@@ -59,3 +59,30 @@ def test_catalog_queries_are_subqueries():
     assert TABLES_QUERY.strip().startswith("(")
     assert PK_QUERY.strip().startswith("(")
     assert "indisprimary" in PK_QUERY
+
+
+def test_keyset_batch_options_composite_row_value():
+    """Composite keys render as Postgres row-value comparison with
+    quoted identifiers and escaped literals (reference refuses >1 pk
+    column — import.go:235-270; this engine pages them)."""
+    from pgsink_spark.sources.jdbc import keyset_batch_options
+
+    o = keyset_batch_options(
+        "jdbc:postgresql://db/x",
+        "public.orders",
+        ["o_custkey", "o_orderkey"],
+        (7, "O'Brien"),
+        50,
+    )
+    sub = o["dbtable"]
+    assert '("o_custkey", "o_orderkey") > (7, \'O\'\'Brien\')' in sub
+    assert 'ORDER BY "o_custkey", "o_orderkey" LIMIT 50' in sub
+
+
+def test_keyset_where_order_arity_mismatch():
+    import pytest
+
+    from pgsink_spark.sources.jdbc import keyset_where_order
+
+    with pytest.raises(ValueError, match="arity"):
+        keyset_where_order(["a", "b"], (1,))

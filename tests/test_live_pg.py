@@ -992,8 +992,8 @@ class TestLiveImport:
 
             batches = []
 
-            def on_batch(env, payload, pk):
-                assert pk == "id"
+            def on_batch(env, payload, pk_cols):
+                assert pk_cols == ["id"]
                 batches.append(env.select("after.*").collect())
 
             res = import_table(
@@ -1016,6 +1016,67 @@ class TestLiveImport:
         finally:
             try:
                 client._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+
+    def test_composite_pk_import_with_hostile_names_and_values(
+        self, pg, spark
+    ):
+        """Composite-PK live import (verdict r4 item 5) + the quoting
+        fixes (ADVICE r4): a MIXED-CASE table with a two-column key
+        whose second column is text CONTAINING SINGLE QUOTES. Row-value
+        keyset cursors page it; identifiers round-trip through
+        double-quoting; cursor literals escape the embedded quote; and
+        envelope sequence numbers run continuously across batches."""
+        from pgsink_spark.imports.live_import import (
+            discover_primary_key,
+            import_table,
+        )
+
+        run = uuid.uuid4().hex[:8]
+        table = f"Pgsink_Comp_{run}"  # mixed case → must be quoted
+        client = _connect_replication(pg)
+        try:
+            client._simple_query(
+                f'CREATE TABLE "{table}" (tenant int, '
+                f'name text, val int, PRIMARY KEY (tenant, name))'
+            )
+            client._simple_query(
+                f'INSERT INTO "{table}" '
+                f"SELECT g / 500, 'O''name-' || (g % 500), g "
+                f"FROM generate_series(0, 2499) g"
+            )
+            assert discover_primary_key(client, "public", table) == [
+                "tenant",
+                "name",
+            ]
+            seqs = []
+            rows = []
+
+            def on_batch(env, payload, pk_cols):
+                assert pk_cols == ["tenant", "name"]
+                for r in env.collect():
+                    seqs.append(r["sequence"])
+                    rows.append(
+                        (r["after"]["tenant"], r["after"]["name"],
+                         r["after"]["val"])
+                    )
+
+            res = import_table(
+                spark, client, "public", table, on_batch, limit=1000
+            )
+            assert (res.rows, res.batches) == (2500, 3)
+            assert res.pk == "tenant,name"
+            # sequences are a continuous total order across batches
+            assert sorted(seqs) == list(range(2500))
+            # union of batches = the exact table, no skip/dup at the
+            # quote-bearing cursor boundaries
+            assert len(rows) == 2500 and len(set(rows)) == 2500
+            vals = sorted(v for _, _, v in rows)
+            assert vals == list(range(2500))
+        finally:
+            try:
+                client._simple_query(f'DROP TABLE IF EXISTS "{table}"')
             except Exception:
                 pass
 

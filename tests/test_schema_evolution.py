@@ -339,9 +339,12 @@ def test_jdbc_add_column_and_drop_tombstone(spark):
     assert got == {1: ("x", None), 2: ("y", "B2"), 3: (None, "B3")}
 
 
-def test_schema_handler_failed_outcome_retries(spark):
-    """A raising sync reports "failed" and is NOT fingerprint-cached,
-    so the next batch retries the migration instead of skipping it."""
+def test_schema_handler_failed_sync_propagates_and_retries(spark):
+    """A raising sync PROPAGATES (reference schema_handler.go returns
+    err — the batch fails loudly) and is NOT fingerprint-cached, so the
+    next batch retries the migration instead of skipping it."""
+    import pytest
+
     from pgsink_spark.sinks.generic import SchemaHandler
 
     calls = {"n": 0}
@@ -358,7 +361,48 @@ def test_schema_handler_failed_outcome_retries(spark):
         T.StructType([T.StructField("id", T.LongType())]),
         ["id"],
     )
-    assert h.handle(entry) == "failed"
+    with pytest.raises(RuntimeError, match="warehouse down"):
+        h.handle(entry)
     assert h.handle(entry) == "update"  # retried, now cached
     assert h.handle(entry) == "noop"
     assert calls["n"] == 2
+
+
+def test_jdbc_sync_failed_migration_reissues_alters(spark):
+    """A failed ALTER must be re-issued on retry: the sink's schema
+    cache commits only after all DDL succeeds, so the retry still diffs
+    old-vs-new (ADVICE r4: entries-before-DDL made the retry a no-op)."""
+    import duckdb
+    import pytest
+
+    from pgsink_spark.sinks.jdbc_sink import JdbcSinkOptions, JdbcWarehouseSink
+
+    con = duckdb.connect()
+    fail_next = {"on": False}
+
+    def execute(sql):
+        if fail_next["on"] and sql.lstrip().upper().startswith("ALTER"):
+            fail_next["on"] = False
+            raise RuntimeError("warehouse down mid-migration")
+        con.execute(sql)
+
+    sink = JdbcWarehouseSink(
+        JdbcSinkOptions(url="jdbc:duckdb:"), execute
+    )
+    v1 = T.StructType([T.StructField("id", T.LongType())])
+    v2 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("a", T.StringType())]
+    )
+    sink.handle_schema(SchemaEntry("public", "drift2", v1, ["id"]))
+    fail_next["on"] = True
+    with pytest.raises(RuntimeError):
+        sink.handle_schema(SchemaEntry("public", "drift2", v2, ["id"]))
+    # retry: the ALTER must be generated again (old entry still v1)
+    sink.handle_schema(SchemaEntry("public", "drift2", v2, ["id"]))
+    cols = {
+        r[1]
+        for r in con.execute(
+            "PRAGMA table_info('public_drift2_raw')"
+        ).fetchall()
+    }
+    assert "a" in cols
