@@ -47,8 +47,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # registry tail — they never consume a gate slot again. See
 # VERIFICATION.md for the rotation ledger.
 _ROUND5_PRIORITY = [
-    # never driver-checked (round-5 additions) — hard-signal first
+    # never driver-checked (round-5 additions) — hard-signal first.
+    # Window budget: 2 new + the 48 round-2-vintage rows = 50; the
+    # round-5 additions beyond these two (stream_dedup_replay,
+    # dedup_lexical_pairs — both oracle-checked and swept at all
+    # three SFs) queue for round 6 rather than displace stale rows.
     "a5b_keyset_composite",
+    "dedup_duplicate_spans",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

@@ -877,6 +877,206 @@ def dedup_dupfrac_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_duplicate_spans",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 5
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS i, array_to_string(w[i:i+4], ' ') AS g
+      FROM w, unnest(range(1, len(w) - 3)) AS t(i)
+    ),
+    dup AS (
+      SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c FROM g GROUP BY g)
+      WHERE c > 1
+    ),
+    pos AS (SELECT doc_id, i FROM g JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM pos
+    )
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS start_tok,
+           CAST(MAX(i) + 4 AS BIGINT) AS end_tok,
+           CAST(MAX(i) - MIN(i) + 5 AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_id, grp
+    HAVING MAX(i) - MIN(i) + 5 >= 8
+    ORDER BY doc_id, start_tok
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token SPANS per document — the output shape
+    of exact-substring training-data dedup (find every range of ≥
+    ``min_tokens`` consecutive tokens that also occurs in another
+    document, so the trainer can cut the span, not the whole doc).
+    Published method: suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"); this
+    is the shuffle-native equivalent over positional 5-grams — a run
+    of k consecutive duplicated 5-gram starts is exactly a duplicated
+    substring of k+4 tokens.
+
+    Plan: positional 5-grams explode row-locally; ONE gram-keyed
+    shuffle learns cross-document grams (same inverted-index
+    discipline as dedup_dupfrac_ngram — hot boilerplate grams cap out
+    at a count, never a fan-out); the dup flag joins back on the gram
+    key; then a doc-keyed window merges consecutive duplicated
+    positions into islands (gaps-and-islands: i - row_number is
+    constant within a run). Both shuffles are key-partitioned and
+    linear in postings — no all-pairs stage, no global sort. At 100 TB
+    the gram agg is the only corpus-wide exchange; the island window
+    partitions by doc_id, so state per task is one document's
+    positions.
+    """
+    from pyspark.sql import Window as W
+
+    min_tokens = 8
+    n = 5
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    ).where(F.size("w") >= n)
+    idx = ", ".join(f"w[i+{j}]" for j in range(n))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w)-{n}),"
+                f" i -> concat_ws(' ', {idx}))"
+            )
+        ).alias("i", "g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .where(F.col("c") > 1)
+        .select("g")
+    )
+    pos = grams.join(dup, "g").select("doc_id", "i")
+    w = W.partitionBy("doc_id").orderBy("i")
+    isl = pos.withColumn("grp", F.col("i") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").cast("long").alias("start_tok"),
+            (F.max("i") + n - 1).cast("long").alias("end_tok"),
+            (F.max("i") - F.min("i") + n).cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") >= min_tokens)
+        .select("doc_id", "start_tok", "end_tok", "n_tokens")
+        .orderBy("doc_id", "start_tok")
+    )
+
+
+@query(
+    "dedup_lexical_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, t AS term FROM documents,
+             unnest(string_split(lower(text), ' ')) AS u(t)
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+      ) WHERE df BETWEEN 2
+            AND (SELECT GREATEST(100, count(*) // 5) FROM documents)
+    ),
+    p AS (SELECT tf.* FROM tf JOIN vocab USING (term)),
+    norms AS (
+      SELECT doc_id, SUM(tf * tf) AS n2 FROM p GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2, dot FROM dots
+    JOIN norms na ON na.doc_id = d1
+    JOIN norms nb ON nb.doc_id = d2
+    WHERE 25 * dot * dot >= 16 * na.n2 * nb.n2
+    ORDER BY d1, d2
+    """,
+)
+def dedup_lexical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical near-duplicate pairs: document pairs whose
+    DF-pruned term-frequency vectors have cosine ≥ 0.8 — the
+    bag-of-words complement of the embedding-cosine pairs (catches
+    reworded boilerplate dense vectors smooth over, and vice versa).
+
+    Exactness without floats: cos(a,b) ≥ t ⇔ dot² ≥ t²·‖a‖²·‖b‖²
+    (dot ≥ 0 for tf vectors), and with t = 4/5 that is the INTEGER
+    predicate 25·dot² ≥ 16·na·nb — no transcendental function, no
+    accumulation-order FP drift, bit-identical on any engine.
+
+    Scale shape (the classic inverted-index sparse-similarity join):
+    one (doc,term) count shuffle; a term-keyed DF pass defines the
+    vocabulary as 2 ≤ df ≤ max(100, N/5) — df=1 terms cannot produce
+    a shared key, and terms in more than a fifth of the corpus are
+    boilerplate whose quadratic fan-out is the scale hazard, so the
+    cap bounds each term's pair contribution while changing the
+    metric only in a declared, oracle-mirrored way; the postings
+    self-join is equi on term (never cartesian) and the pair
+    aggregation is keyed on (d1,d2). At 100 TB cost is Σ_term df²
+    over the capped vocabulary — the same discipline as the MinHash
+    band join (dedup_minhash_lsh) but exact over the pruned space
+    (production pairs this with a band-join prefilter when the capped
+    Σdf² still dominates).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = max(100, docs.count() // 5)  # control-plane scalar
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(2, max_df))
+        .select("term")
+    )
+    p = tf.join(vocab, "term")
+    norms = p.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = p.select(
+        F.col("term"),
+        F.col("doc_id").alias("d1"),
+        F.col("tf").alias("tf1"),
+    )
+    b = p.select(
+        F.col("term"),
+        F.col("doc_id").alias("d2"),
+        F.col("tf").alias("tf2"),
+    )
+    dots = (
+        a.join(b, (a["term"] == b["term"]) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("tf1") * F.col("tf2")).cast("long").alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("doc_id", "d1"), "d1")
+        .withColumnRenamed("n2", "na")
+        .join(norms.withColumnRenamed("doc_id", "d2"), "d2")
+        .withColumnRenamed("n2", "nb")
+        .where(
+            25 * F.col("dot") * F.col("dot")
+            >= 16 * F.col("na") * F.col("nb")
+        )
+        .select("d1", "d2", "dot")
+        .orderBy("d1", "d2")
+    )
+
+
 def build_eval_bloom(
     sh_eval: DataFrame, n_bits: int = 1 << 20, k: int = 4
 ) -> "bytes":

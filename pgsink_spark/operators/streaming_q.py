@@ -280,3 +280,67 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "click_id", "purchase_id")
     )
+
+
+@query(
+    "stream_dedup_replay",
+    """
+    SELECT event_id, user_id, event_type FROM events ORDER BY event_id
+    """,
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay dedup as a REAL Structured Streaming run:
+    the source directory holds TWO copies of the events fixture (the
+    shape a CDC reconnect leaves behind — every event delivered at
+    least once), and the watermarked
+    ``dropDuplicatesWithinWatermark`` stage (streaming/stream.py
+    stream_dedup) emits each event exactly once. Oracle: the single
+    batch copy — the stream's output must equal plain DISTINCT.
+
+    Determinism holds in every batch split availableNow can choose:
+    duplicates inside one micro-batch dedup against in-batch state;
+    across batches, a replayed row is either inside the watermark
+    horizon (its first copy's state is still live → dropped as a
+    duplicate) or behind the watermark (→ dropped as late) — both
+    paths delete it. That two-sided property is exactly why the
+    reference's at-least-once delivery plus keyed dedup yields
+    exactly-once reads (README "exactly once" caveat; C2 view), and
+    why state stays O(rate × horizon) on an unbounded stream instead
+    of growing with history.
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    run = next(_RUN)
+    src = f"/tmp/pgsink_sdd_src_{h}"
+    ck = f"/tmp/pgsink_sdd_ck_{h}_{os.getpid()}_{run}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/replay_a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/replay_b.parquet")
+
+    from pgsink_spark.streaming.stream import stream_dedup
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    name = f"sdd_{h}_{os.getpid()}_{run}"
+    q = (
+        stream_dedup(raw, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )

@@ -132,3 +132,72 @@ def test_bloom_decontaminate_is_superset_of_exact(spark, sf_dir):
         .count()
     )
     assert len(flagged) < n_corpus
+
+
+def test_duplicate_spans_closed_form(spark, tmp_path):
+    """A constructed corpus with one known shared 10-token substring:
+    the island merge must emit exactly that span in both documents —
+    start/end token positions and length from the closed form."""
+    import pyspark.sql.functions as F
+
+    from pgsink_spark.operators.dedup import dedup_duplicate_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    d0 = f"unique0 prefix0 {shared} suffix0 tail0"
+    d1 = f"other1 words1 here1 {shared} closing1"
+    d2 = "totally different text with no overlap at all whatsoever"
+    df = spark.createDataFrame(
+        [(0, d0, "en", "s", len(d0)), (1, d1, "en", "s", len(d1)),
+         (2, d2, "en", "s", len(d2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out_dir = str(tmp_path / "docs")
+    df.write.parquet(f"{out_dir}/documents.parquet")
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_tokens"])
+        for r in dedup_duplicate_spans(spark, out_dir).collect()
+    }
+    # d0: shared starts at token 2 (0-based) → span [2, 11], 10 tokens
+    # d1: shared starts at token 3 → span [3, 12], 10 tokens
+    assert got == {(0, 2, 11, 10), (1, 3, 12, 10)}
+
+
+def test_lexical_pairs_integer_threshold_exact(spark, tmp_path):
+    """The 25·dot² ≥ 16·na·nb integer predicate is exercised at a
+    constructed boundary: two docs sharing enough vocabulary to sit
+    just above cosine 0.8 match; a third just below does not."""
+    from pgsink_spark.operators.dedup import dedup_lexical_pairs
+
+    # docs 0/1: identical 5-term vectors → cos = 1 (≥ 0.8)
+    # doc 2 shares 3 of 5 terms with doc 0 → cos = 3/5 = 0.6 (< 0.8)
+    # every term appears in ≥2 docs so the df≥2 vocab keeps them;
+    # filler terms are df=1 and fall out of the vocabulary
+    t = ["red", "green", "blue", "cyan", "teal"]
+    d0 = " ".join(t)
+    d1 = " ".join(t) + " fillerx"
+    d2 = " ".join(t[:3]) + " solo1 solo2"
+    df = spark.createDataFrame(
+        [(0, d0, "en", "s", 1), (1, d1, "en", "s", 1),
+         (2, d2, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out_dir = str(tmp_path / "docs")
+    df.write.parquet(f"{out_dir}/documents.parquet")
+    got = {
+        (r["d1"], r["d2"], r["dot"])
+        for r in dedup_lexical_pairs(spark, out_dir).collect()
+    }
+    # only (0,1): dot=5, na=nb=5 → 25·25 ≥ 16·25 true;
+    # (0,2): dot=3, na=5, nb=3 → 25·9=225 < 16·15=240 false
+    assert got == {(0, 1, 5)}
+
+
+def test_stream_dedup_replay_equals_distinct(spark, sf_dir):
+    """The availableNow replay-dedup stream equals batch DISTINCT on
+    the single fixture copy (exactly-once from at-least-once)."""
+    from pgsink_spark.operators.streaming_q import stream_dedup_replay
+
+    got = stream_dedup_replay(spark, sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
