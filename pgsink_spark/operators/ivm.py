@@ -266,3 +266,64 @@ def ivm_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "ivm_distinct_view",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 10 = 5
+                THEN o_custkey + 10000000 ELSE o_custkey END) AS BIGINT)
+             AS distinct_cnt
+    FROM orders WHERE o_orderkey % 100 != 7
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ivm_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT(DISTINCT) maintenance end-state check
+    (sinks/incremental_agg.IncrementalDistinct): replay the module's
+    three-batch history — insert odd keys, insert even keys, then
+    UPDATE keys %10==5 to a shifted customer (+10M, moving them to a
+    fresh distinct value) and DELETE keys %100==7 — into a
+    materialized per-priority distinct-customer count, and hash-check
+    the final view against the declarative COUNT(DISTINCT) over the
+    equivalent end state.
+
+    The update/delete mix is chosen to hit the support-table cases a
+    naive counter breaks on: deleting one of several orders sharing a
+    customer must NOT decrement the distinct count (multiplicity
+    drops 2→1), while deleting the last one must (1→0 prunes the
+    support row).
+    """
+    from pgsink_spark.sinks.incremental_agg import IncrementalDistinct
+
+    path = "/tmp/pgsink_ivmd_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    view = IncrementalDistinct(
+        spark, path, ["o_orderpriority"], "o_custkey"
+    )
+    k = F.col("o_orderkey")
+    view.apply_batch(
+        to_envelope(orders.where(k % 2 == 1), "public", "orders",
+                    lsn=F.lit(1))
+    )
+    view.apply_batch(
+        to_envelope(orders.where(k % 2 == 0), "public", "orders",
+                    lsn=F.lit(2))
+    )
+    base = [F.col("o_orderkey"), F.col("o_orderpriority"),
+            F.col("o_custkey")]
+    moved = [
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        (F.col("o_custkey") + F.lit(10_000_000)).alias("o_custkey"),
+    ]
+    view.apply_batch(
+        _change_env(orders.where(k % 10 == 5), base, moved).unionByName(
+            _change_env(orders.where(k % 100 == 7), base, None)
+        )
+    )
+    return view.read().orderBy("o_orderpriority")

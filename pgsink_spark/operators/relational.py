@@ -682,6 +682,105 @@ def d7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d65_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROUND(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority,
+             o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def d65_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with grouping flags — d7_rollup's full-lattice
+    sibling (all four grouping sets of two dimensions in one pass).
+    The explicit GROUPING() flags disambiguate a rollup-NULL from a
+    data-NULL, which is what makes cube output machine-consumable.
+
+    Plan: Spark expands the lattice with one Expand node feeding a
+    single hash aggregate — partial aggregation applies per set, so
+    the cost is one scan + one keyed shuffle of |sets| × |groups|
+    partial rows, not |sets| scans. Exact decimal sums keep the
+    float64 output engine-order-independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            rnd(dec("o_totalprice"), 2).cast("decimal(18,4)").alias("tp"),
+        )
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            rnd(F.sum("tp"), 2).alias("total"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority",
+            "g_status", "g_priority", "cnt", "total",
+        )
+        .orderBy(
+            "g_status",
+            "g_priority",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "d66_ntile",
+    """
+    SELECT o_orderpriority, quartile,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROUND(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders) t
+    GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile
+    """,
+)
+def d66_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing — equal-count quartiles of order value within
+    each priority class, rolled up to per-bucket count/total (the
+    spend-quartile segmentation shape). The window's ORDER BY carries
+    the key as tiebreaker so bucket assignment is a total order —
+    without it NTILE is nondeterministic on ties and un-oracle-able.
+
+    Plan: one keyed window (shuffle on o_orderpriority, sort within
+    partition) + one partial-aggregated rollup; nothing global.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            rnd(dec("o_totalprice"), 2).cast("decimal(18,4)").alias("tp"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            rnd(F.sum("tp"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+@query(
     "d8_rank_topk",
     """
     SELECT o_custkey, o_orderkey, rnk FROM (

@@ -309,3 +309,63 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stop"),
         (ok_words & ok_wlen & ok_alpha & ok_stop).alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_token_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, t AS term FROM documents,
+             unnest(string_split(lower(text), ' ')) AS u(t)
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
+    ),
+    n AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           CAST(n.n AS BIGINT) AS n_tokens,
+           CAST(ROUND(log2(n.n) - SUM(c * log2(c)) / n.n, 4) AS DOUBLE)
+             AS entropy
+    FROM tf JOIN n ON tf.doc_id = n.doc_id
+    GROUP BY tf.doc_id, n.n
+    ORDER BY tf.doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the
+    information-density quality signal (near-zero entropy = the
+    repeated-token degenerate docs Gopher's repetition rules hunt;
+    the continuous form ranks what the rules only flag).
+
+    Entropy in the factored form H = log2(n) − Σc·log2(c)/n so each
+    term's contribution depends only on its own integer count — one
+    (doc, term) count shuffle and one doc-keyed fold, the same
+    postings discipline as the dedup family. Values round to 4dp so
+    float summation order cannot flip the hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log2("n_tokens") - F.col("clogc") / F.col("n_tokens"), 4
+            )
+            .cast("double")
+            .alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -363,6 +363,55 @@ class WarehouseSink:
             self.commit_manifest(namespace, name)
         return sorted(removed)
 
+    def expire_manifests(
+        self, namespace: str, name: str, keep: int = 5
+    ) -> list[int]:
+        """Manifest GC (the retention sweep table formats run against
+        their metadata logs): drop snapshot versions that are either
+        (a) older than the newest ``keep`` versions, or (b) BROKEN —
+        naming data files that ``expire_raw`` has since removed, so a
+        pinned read of them would fail anyway. The LATEST version is
+        never dropped regardless of ``keep``. Returns the removed
+        version numbers.
+
+        Scale posture: pure metadata work — O(versions × files-per-
+        manifest) driver-side file checks, no data reads or rewrites.
+        Time-travel depth after the sweep is ``keep`` versions; pick
+        it at or above the compaction/backup horizon the expire_raw
+        docstring already demands.
+        """
+        mdir = self._manifest_dir(namespace, name)
+        latest = self.manifest_version(namespace, name)
+        if latest == 0 or not os.path.isdir(mdir):
+            return []
+        root = self._raw_path(namespace, name)
+        cutoff = latest - max(1, keep) + 1
+        removed = []
+        for fname in os.listdir(mdir):
+            if not (fname.startswith("v") and fname.endswith(".json")):
+                continue
+            try:
+                v = int(fname[1:-5])
+            except ValueError:
+                continue
+            if v == latest:
+                continue
+            drop = v < cutoff
+            if not drop:
+                try:
+                    with open(os.path.join(mdir, fname)) as f:
+                        files = json.load(f)["files"]
+                    drop = any(
+                        not os.path.exists(os.path.join(root, p))
+                        for p in files
+                    )
+                except (OSError, ValueError):
+                    drop = True  # unreadable manifest is unusable
+            if drop:
+                os.remove(os.path.join(mdir, fname))
+                removed.append(v)
+        return sorted(removed)
+
     def install_snapshot(self, asof_lsn: int) -> dict[tuple[str, str], str]:
         """Transactionally-consistent cross-table snapshot: the as-of
         view of EVERY registered table at one confirmed LSN.

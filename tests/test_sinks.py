@@ -544,3 +544,90 @@ def test_shard_export_ledger_is_stream_scoped(spark, tmp_path):
     assert ex2.committed_epoch() is None
     assert ex2.apply_batch(df, 0) == 1
     assert ex1.committed_epoch() == 4
+
+
+def test_expire_manifests_keep_and_broken(spark, tmp_path):
+    """Manifest GC: count-based retention keeps the newest N versions;
+    versions naming files expire_raw removed are dropped as broken
+    even inside the keep window; LATEST always survives and still
+    serves reads."""
+    import datetime as _dt
+
+    sink = WarehouseSink(spark, str(tmp_path / "wh"))
+    sink.handle_schema(SchemaEntry("public", "example", PAYLOAD, ["id"]))
+    # four commits across two day-partition groups (days 1,2 then
+    # shifted to 8,9) → four manifest versions
+    days = ["2024-01-01", "2024-01-02", "2024-01-08", "2024-01-09"]
+    for i, day in enumerate(days):
+        shift = (_dt.date.fromisoformat(day) -
+                 _dt.date(2024, 1, 1)).days
+        env = _env_rows(spark, [(10 + i, None, {"id": i, "v": day})])
+        if shift:
+            env = env.withColumn(
+                "timestamp",
+                F.col("timestamp") + F.expr(f"interval {shift} days"),
+            )
+        sink.insert(env, "public", "example")
+        sink.commit_manifest("public", "example")
+    assert sink.manifest_version("public", "example") == 4
+
+    # keep=2: v1 dropped by count (v2 would be too, but it is also
+    # checked for brokenness — here still intact, and cutoff=3 drops it)
+    removed = sink.expire_manifests("public", "example", keep=2)
+    assert removed == [1, 2]
+    assert sink.read_snapshot("public", "example").count() == 4
+    assert sink.read_snapshot("public", "example", version=3).count() == 3
+
+    # retention removes the first two day-partitions; expire_raw
+    # republishes LATEST (v5); v3/v4 now name deleted files → broken
+    sink.expire_raw("public", "example", before_day="2024-01-05")
+    removed2 = sink.expire_manifests("public", "example", keep=10)
+    assert removed2 == [3, 4]
+    assert sink.manifest_version("public", "example") == 5
+    assert sink.read_snapshot("public", "example").count() == 2
+
+
+def test_incremental_distinct_support_semantics(spark, tmp_path):
+    """The two naive-counter hazards: deleting one of two rows sharing
+    a value must NOT drop the distinct count; deleting the last must.
+    Re-inserting an existing value must not inflate it."""
+    from pgsink_spark.changelog.envelope import payload_type_of
+    from pgsink_spark.sinks.incremental_agg import IncrementalDistinct
+
+    ptype = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+
+    def env(rows):
+        """rows: (op, before|None, after|None) dicts"""
+        schema = envelope_schema(ptype)
+        full = [
+            (datetime.datetime(2024, 1, 1), "public", "t", i, 0, b, a)
+            for i, (b, a) in enumerate(rows)
+        ]
+        return spark.createDataFrame(full, schema)
+
+    view = IncrementalDistinct(
+        spark, str(tmp_path / "ivmd"), ["grp"], "val"
+    )
+    # two rows share val=7; one row carries val=9
+    view.apply_batch(env([
+        (None, {"id": 1, "grp": "a", "val": 7}),
+        (None, {"id": 2, "grp": "a", "val": 7}),
+        (None, {"id": 3, "grp": "a", "val": 9}),
+    ]))
+    got = {(r["grp"], r["distinct_cnt"]) for r in view.read().collect()}
+    assert got == {("a", 2)}
+    # delete ONE of the val=7 rows: multiplicity 2→1, count unchanged
+    view.apply_batch(env([({"id": 1, "grp": "a", "val": 7}, None)]))
+    assert view.read().collect()[0]["distinct_cnt"] == 2
+    # re-insert an existing value: multiplicity 1→2, count unchanged
+    view.apply_batch(env([(None, {"id": 4, "grp": "a", "val": 9})]))
+    assert view.read().collect()[0]["distinct_cnt"] == 2
+    # delete the LAST val=7 row: support row prunes, count drops
+    view.apply_batch(env([({"id": 2, "grp": "a", "val": 7}, None)]))
+    assert view.read().collect()[0]["distinct_cnt"] == 1
