@@ -117,6 +117,17 @@ HEADLINE = [
     "mm_frame_sample",
     "mm_keyframes",
     "pipeline_curate_pack",
+    # round-5 additions (composite keyset, exact-substring spans,
+    # sparse lexical pairs, streaming replay dedup, distinct IVM,
+    # cube/ntile/entropy)
+    "a5b_keyset_composite",
+    "dedup_duplicate_spans",
+    "dedup_lexical_pairs",
+    "stream_dedup_replay",
+    "ivm_distinct_view",
+    "d65_cube",
+    "d66_ntile",
+    "text_token_entropy",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

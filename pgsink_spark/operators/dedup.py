@@ -1048,27 +1048,35 @@ def dedup_lexical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = p.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")
     )
-    a = p.select(
+    # enrich each posting with its document's norm and PIN the result:
+    # every downstream consumer (both self-join sides) reads the cache
+    # instead of recomputing the tokenize→tf→vocab→norm pipeline — one
+    # corpus scan total, and the norms ride the postings so no
+    # post-aggregation join per pair side is needed
+    pe = p.join(norms, "doc_id").persist()
+    a = pe.select(
         F.col("term"),
         F.col("doc_id").alias("d1"),
         F.col("tf").alias("tf1"),
+        F.col("n2").alias("na"),
     )
-    b = p.select(
+    b = pe.select(
         F.col("term"),
         F.col("doc_id").alias("d2"),
         F.col("tf").alias("tf2"),
+        F.col("n2").alias("nb"),
     )
     dots = (
         a.join(b, (a["term"] == b["term"]) & (F.col("d1") < F.col("d2")))
         .groupBy("d1", "d2")
-        .agg(F.sum(F.col("tf1") * F.col("tf2")).cast("long").alias("dot"))
+        .agg(
+            F.sum(F.col("tf1") * F.col("tf2")).cast("long").alias("dot"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
     )
     return (
-        dots.join(norms.withColumnRenamed("doc_id", "d1"), "d1")
-        .withColumnRenamed("n2", "na")
-        .join(norms.withColumnRenamed("doc_id", "d2"), "d2")
-        .withColumnRenamed("n2", "nb")
-        .where(
+        dots.where(
             25 * F.col("dot") * F.col("dot")
             >= 16 * F.col("na") * F.col("nb")
         )

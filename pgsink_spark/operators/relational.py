@@ -781,6 +781,90 @@ def d66_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d67_approx_quantile_bound",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS bound_ok FROM orders
+    """,
+)
+def d67_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable gate for the quantile SKETCH (approx_percentile,
+    Greenwald–Khanna): the sketch's published guarantee is a RANK
+    error ≤ accuracy⁻¹·N, so the gate computes the true rank of the
+    approximate median and checks it sits within 4·N/accuracy of N/2
+    (2× the bound on each side — a broken sketch merge lands far
+    outside, an intact one never leaves it). Same pattern as the d35
+    HLL bound gate: the oracle states the expected TRUE, so a sketch
+    regression flips the value hash red instead of hiding behind
+    "approximate".
+
+    Scale: the sketch is one pass + mergeable partials (that is its
+    point at 100 TB, where exact percentile needs a global sort); the
+    rank check is one more filtered count.
+    """
+    accuracy = 1000
+    orders = load_table(spark, sf_dir, "orders")
+    approx = orders.agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, 0.5, {accuracy})"
+        ).alias("ap")
+    ).collect()[0]["ap"]
+    row = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_totalprice") <= F.lit(approx)).cast("long")).alias(
+            "rank"
+        ),
+    ).collect()[0]
+    n, rank = row["n"], row["rank"]
+    ok = abs(rank - n / 2) <= 4.0 * n / accuracy
+    return spark.createDataFrame([(n, bool(ok))], "n long, bound_ok boolean")
+
+
+@query(
+    "d68_freq_items_guarantee",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_heavy, TRUE AS all_found
+    FROM (
+      SELECT o_custkey FROM orders GROUP BY o_custkey
+      HAVING count(*) > 0.001 * (SELECT count(*) FROM orders)
+    )
+    """,
+)
+def d68_freq_items_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable gate for the heavy-hitter sketch
+    (DataFrame.freqItems — the Karp/Misra–Gries one-pass summary): its
+    guarantee is NO FALSE NEGATIVES for items with frequency above the
+    support threshold, so the gate computes the exact heavy-hitter set
+    and checks it is a SUBSET of the sketch output (false positives
+    are allowed and ignored). The oracle pins the exact heavy count
+    and TRUE; losing a true heavy hitter — the failure mode a broken
+    partial-merge produces — flips the hash red.
+
+    Scale: the sketch is one pass with O(1/support) state per
+    partition; the exact side is one keyed count used only as the
+    gate's witness.
+    """
+    support = 0.001
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    heavy = [
+        r["o_custkey"]
+        for r in orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > support * total)
+        .collect()
+    ]
+    sketch = set(
+        orders.freqItems(["o_custkey"], support).collect()[0][
+            "o_custkey_freqItems"
+        ]
+    )
+    ok = all(k in sketch for k in heavy)
+    return spark.createDataFrame(
+        [(len(heavy), bool(ok))], "n_heavy long, all_found boolean"
+    )
+
+
+@query(
     "d8_rank_topk",
     """
     SELECT o_custkey, o_orderkey, rnk FROM (
