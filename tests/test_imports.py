@@ -510,3 +510,38 @@ def test_importer_composite_key_resumes(spark, sf_dir, store):
     r2 = imp.run(job2, orders, pk)
     assert r2.done
     assert r1.rows + r2.rows == total
+
+
+def test_row_value_gt_property(spark):
+    """Hypothesis: for random arity-1..3 integer tuples, the expanded
+    OR/AND predicate selects exactly the rows whose key tuple compares
+    greater than the cursor under Python's lexicographic order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pgsink_spark.imports.keyset import row_value_gt
+
+    small = st.integers(min_value=-3, max_value=3)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        arity=st.integers(min_value=1, max_value=3),
+        data=st.data(),
+    )
+    def run(arity, data):
+        cols = [f"k{i}" for i in range(arity)]
+        rows = data.draw(
+            st.lists(
+                st.tuples(*([small] * arity)), min_size=1, max_size=12,
+                unique=True,
+            )
+        )
+        cursor = data.draw(st.tuples(*([small] * arity)))
+        df = spark.createDataFrame(rows, ", ".join(f"{c} long" for c in cols))
+        got = {
+            tuple(r[c] for c in cols)
+            for r in df.where(row_value_gt(cols, cursor)).collect()
+        }
+        assert got == {t for t in rows if t > cursor}
+
+    run()

@@ -558,6 +558,96 @@ class TestLiveEndToEnd:
             except Exception:
                 pass
 
+    def test_live_wal_to_warehouse_composite_key(self, pg, spark, tmp_path):
+        """Composite-primary-key CDC loop: the pgoutput Relation flags
+        BOTH key columns, entry_from_relation carries them through, and
+        the compaction view elects per (tenant, name) — two live rows
+        sharing a tenant must BOTH survive (a single-column election
+        would shadow one). Covers update + delete on a two-column key."""
+        from pgsink_spark.changelog.registry import entry_from_relation
+        from pgsink_spark.sinks.warehouse import WarehouseSink
+        from pgsink_spark.streaming.marshal import RelationCache, marshal
+        from pgsink_spark.streaming.decoder import decode_message as _dec
+        from pgsink_spark.streaming.sequence import Sequencer
+        from pgsink_spark.streaming.stream import modifications_df
+
+        table, pub, slot = _fresh_names()
+        client = _connect_replication(pg)
+        try:
+            client._simple_query(
+                f"CREATE TABLE {table} (tenant int, name text, v text, "
+                f"PRIMARY KEY (tenant, name))"
+            )
+            client._simple_query(
+                f"CREATE PUBLICATION {pub} FOR TABLE {table}"
+            )
+            client._simple_query(
+                f'CREATE_REPLICATION_SLOT "{slot}" TEMPORARY LOGICAL pgoutput'
+            )
+            client._simple_query(
+                f"INSERT INTO {table} VALUES "
+                f"(1, 'a', 'x'), (1, 'b', 'y'), (2, 'a', 'z')"
+            )
+            client._simple_query(
+                f"UPDATE {table} SET v = 'y2' "
+                f"WHERE tenant = 1 AND name = 'b'"
+            )
+            client._simple_query(
+                f"DELETE FROM {table} WHERE tenant = 2 AND name = 'a'"
+            )
+            live_rows, _ = client._simple_query(
+                f"SELECT tenant, name, v FROM {table} ORDER BY 1, 2"
+            )
+
+            client.start_replication(slot, pub, proto_version=1)
+            payloads, commits = [], 0
+            for msg in client.messages():
+                if not hasattr(msg, "payload"):
+                    continue
+                payloads.append(msg.payload)
+                if isinstance(_dec(msg.payload), Commit):
+                    commits += 1
+                    client.flush_lsn = msg.wal_end
+                    client.send_standby_status()
+                    if commits == 3:
+                        break
+
+            cache = RelationCache()
+            seq = Sequencer()
+            mods, rel = [], None
+            for buf in payloads:
+                decoded = _dec(buf)
+                if isinstance(decoded, Relation):
+                    rel = decoded
+                sm = seq.feed(decoded)
+                if sm is None:
+                    continue
+                m = marshal(cache, sm)
+                if m is not None:
+                    mods.append(m)
+            assert rel is not None
+            entry = entry_from_relation(rel)
+            assert entry.key_columns == ["tenant", "name"]
+            env = modifications_df(spark, mods, entry.payload)
+            sink = WarehouseSink(spark, str(tmp_path / "whc"))
+            sink.handle_schema(entry)
+            sink.insert(env, entry.namespace, entry.name)
+            view = sink.install_view(entry.namespace, entry.name)
+            got = sorted(
+                (r["tenant"], r["name"], r["v"])
+                for r in spark.table(view)
+                .select("tenant", "name", "v")
+                .collect()
+            )
+            want = sorted((int(t), n, v) for t, n, v in live_rows)
+            assert got == want == [(1, "a", "x"), (1, "b", "y2")]
+        finally:
+            try:
+                client._simple_query(f"DROP PUBLICATION IF EXISTS {pub}")
+                client._simple_query(f"DROP TABLE IF EXISTS {table}")
+            except Exception:
+                pass
+
 
 @needs_jdbc
 class TestLiveJdbc:
