@@ -1025,9 +1025,13 @@ def dedup_lexical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is equi on term (never cartesian) and the pair
     aggregation is keyed on (d1,d2). At 100 TB cost is Σ_term df²
     over the capped vocabulary — the same discipline as the MinHash
-    band join (dedup_minhash_lsh) but exact over the pruned space
-    (production pairs this with a band-join prefilter when the capped
-    Σdf² still dominates).
+    band join (dedup_minhash_lsh) but exact over the pruned space.
+    On a heavily-duplicated corpus the OUTPUT itself is quadratic in
+    the duplication factor (every copy-pair qualifies — true for any
+    correct pairwise algorithm; the 25× probe measured 9084× more
+    qualifying pairs at only 46× wall, see SCALE.md), so production
+    order is: collapse exact/MinHash clusters first, then run this on
+    cluster representatives.
     """
     docs = load_table(spark, sf_dir, "documents")
     max_df = max(100, docs.count() // 5)  # control-plane scalar
