@@ -128,6 +128,8 @@ HEADLINE = [
     "d65_cube",
     "d66_ntile",
     "text_token_entropy",
+    "chunk_cdc_rolling",
+    "sample_group_topk",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

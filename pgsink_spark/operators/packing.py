@@ -347,3 +347,149 @@ def _register_curate_pack():
 
 
 pipeline_curate_pack = _register_curate_pack()
+
+
+@query(
+    "chunk_cdc_rolling",
+    """
+    WITH codes AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_transform(range(1, length(text)+1),
+                            i -> ascii(text[i])) AS c
+      FROM documents WHERE length(text) >= 8
+    ),
+    hashes AS (
+      SELECT doc_id, text, n,
+             list_filter(
+               list_transform(range(8, n+1),
+                 i -> CASE WHEN list_sum(
+                        list_transform(range(0, 8),
+                          j -> CAST(c[i - j] AS BIGINT) * [1, 31, 961, 29791, 6017, 55455, 15169, 11487][j + 1])
+                      ) % 65536 % 64 = 0 THEN i ELSE 0 END),
+               x -> x > 0) AS bnds
+      FROM codes
+    ),
+    spans AS (
+      SELECT doc_id, text,
+             list_prepend(1, list_transform(bnds, b -> b + 1)) AS starts,
+             list_append(bnds, n) AS ends
+      FROM hashes
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(substring(text, starts[u.i],
+                           ends[u.i] - starts[u.i] + 1)) AS h
+      FROM spans, unnest(range(1, len(starts)+1)) AS u(i)
+      WHERE ends[u.i] >= starts[u.i]
+    ),
+    dup AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS cd FROM chunks GROUP BY h
+      ) WHERE cd > 1
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup
+    FROM chunks c LEFT JOIN dup d USING (h)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def chunk_cdc_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup — the
+    storage-dedup primitive (the LBFS / FastCDC family): cut each
+    document where a w=8 polynomial rolling hash of the trailing
+    window hits 0 mod 64 (expected chunk ~64 chars), then count per
+    document how many of its chunks occur verbatim in another
+    document. Content-defined cuts re-synchronize after an insertion,
+    so shifted text still produces identical downstream chunks — the
+    property fixed-size blocks lack and the reason dedup stores use
+    CDC boundaries.
+
+    Engine shape: the entire boundary computation is ROW-LOCAL and
+    JVM-side — nested higher-order functions (transform / aggregate
+    over the char-code array, exact integer arithmetic mod 2^16)
+    inside whole-stage codegen; no UDF and no shuffle until the single
+    chunk-hash-keyed aggregation that learns cross-document chunks.
+    At 100 TB: one corpus scan, one hash-keyed exchange, O(len·w)
+    arithmetic per row. md5 chunk ids are engine-portable, which is
+    what lets DuckDB replay the identical cut + dedup arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 8
+    )
+    # ONE sequential aggregate pass per row emits the chunk-hash list
+    # directly: the accumulator carries (last-8 window, rolling hash,
+    # current chunk start, emitted hashes) and each character costs
+    # O(1) — H_i = (c_i + 31*H_{i-1} - c_{i-8}*31^8) mod 2^16, the
+    # standard modular-removal recurrence; on a boundary the chunk
+    # md5 is appended and the start advances. Emitting the final list
+    # from a single expression matters twice over: (a) a naive
+    # transform-over-positions with element_at random access gets its
+    # O(n) codes array INLINED by CollapseProject, turning the row
+    # into O(n^2*w) string scans (measured: minutes), and (b) any
+    # split of boundaries/spans across projections re-evaluates the
+    # whole pass per consumer. The repartition spreads rows across
+    # cores — the fixture is one parquet file, and a single 2.7M-step
+    # interpreted task would serialize the whole stage (at 100 TB the
+    # file count provides this parallelism for free).
+    _CHUNKS = (
+        "aggregate(sequence(1, length(text)), "
+        "named_struct("
+        "  'win', cast(array() as array<bigint>), "
+        "  'h', 0L, "
+        "  'start', 1, "
+        "  'hs', cast(array() as array<string>)), "
+        "(acc, i) -> "
+        "  named_struct("
+        "    'win', if(size(acc.win) == 8, "
+        "      concat(slice(acc.win, 2, 7), "
+        "             array(cast(ascii(substring(text, i, 1)) as bigint))), "
+        "      concat(acc.win, "
+        "             array(cast(ascii(substring(text, i, 1)) as bigint)))), "
+        "    'h', pmod(cast(ascii(substring(text, i, 1)) as bigint) "
+        "         + 31L * acc.h "
+        "         - if(size(acc.win) == 8, "
+        "              element_at(acc.win, 1) * 28417L, 0L), 65536L), "
+        "    'start', if(size(acc.win) >= 7 and "
+        "      pmod(pmod(cast(ascii(substring(text, i, 1)) as bigint) "
+        "           + 31L * acc.h "
+        "           - if(size(acc.win) == 8, "
+        "                element_at(acc.win, 1) * 28417L, 0L), 65536L), "
+        "           64L) = 0L, "
+        "      i + 1, acc.start), "
+        "    'hs', if(size(acc.win) >= 7 and "
+        "      pmod(pmod(cast(ascii(substring(text, i, 1)) as bigint) "
+        "           + 31L * acc.h "
+        "           - if(size(acc.win) == 8, "
+        "                element_at(acc.win, 1) * 28417L, 0L), 65536L), "
+        "           64L) = 0L, "
+        "      concat(acc.hs, "
+        "             array(md5(substring(text, acc.start, "
+        "                       i - acc.start + 1)))), "
+        "      acc.hs)), "
+        "acc -> if(acc.start <= length(text), "
+        "  concat(acc.hs, array(md5(substring(text, acc.start, "
+        "         length(text) - acc.start + 1)))), acc.hs))"
+    )
+    chunks = (
+        docs.repartition(32)
+        .select("doc_id", F.explode(F.expr(_CHUNKS)).alias("h"))
+    )
+    dup = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("cd"))
+        .where(F.col("cd") > 1)
+        .select("h")
+    )
+    return (
+        chunks.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -167,3 +167,43 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_group_topk",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 50 ORDER BY source, doc_id
+    """,
+)
+def sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample — the deterministic replacement for
+    per-group reservoir sampling: rank each group's rows by the md5 of
+    their key and keep the first k. Same guarantees as the rest of
+    this module (reproducible, repartition-stable, engine-identical —
+    a seeded reservoir is none of these), and the hash order is
+    uniform, so the k survivors are an unbiased uniform sample of the
+    group.
+
+    Plan: one window keyed on the group column — a single shuffle,
+    rank early-exits at k per partition... and NOTHING global; the
+    100 TB shape for "give me k examples from every domain".
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )

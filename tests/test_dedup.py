@@ -201,3 +201,46 @@ def test_stream_dedup_replay_equals_distinct(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_cdc_chunking_resynchronizes_after_insertion(spark, tmp_path):
+    """The CDC property fixed-size blocks lack: prepending text shifts
+    every byte offset, yet most chunk hashes survive because cut
+    points depend on content, not position — so the shifted document
+    shares most of its chunks with the original (n_dup high for both),
+    while an unrelated document shares none."""
+    from pgsink_spark.operators.packing import chunk_cdc_rolling
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles carry umbrellas across a windy bridge and the "
+        "harbor lights flicker in patterns only the old keeper can "
+        "read aloud to the patient gulls waiting near the rusted "
+        "bollards for scraps of yesterday's catch under a pale moon"
+    ) * 2
+    shifted = "INSERTED PREFIX >>> " + base
+    other = (
+        "completely different content with no overlap whatsoever in "
+        "any of its windows or chunks because every single token here "
+        "differs from the originals in both vocabulary and order "
+    ) * 3
+    df = spark.createDataFrame(
+        [(0, base, "en", "s", 1), (1, shifted, "en", "s", 1),
+         (2, other, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out_dir = str(tmp_path / "docs")
+    df.write.parquet(f"{out_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup"])
+        for r in chunk_cdc_rolling(spark, out_dir).collect()
+    }
+    n0, d0 = got[0]
+    n1, d1 = got[1]
+    n2, d2 = got[2]
+    assert n0 >= 4  # the text actually chunks
+    # re-synchronization: a majority of the original's chunks survive
+    # the prefix insertion verbatim
+    assert d0 >= n0 / 2, got
+    assert d1 >= d0  # shifted doc shares those same chunks
+    assert d2 == 0  # unrelated content shares nothing
