@@ -24,8 +24,18 @@ PG_EPOCH = datetime(2000, 1, 1, tzinfo=timezone.utc)
 
 
 def pg_timestamp(micros: int) -> datetime:
-    """Microseconds since 2000-01-01 → aware datetime (UTC)."""
-    return PG_EPOCH + timedelta(microseconds=micros)
+    """Microseconds since 2000-01-01 → aware datetime (UTC).
+
+    A wire value outside datetime's year range (corrupt frame, junk
+    bytes) must surface as the decoder's controlled error class, not
+    an OverflowError leaking from datetime arithmetic — found by the
+    junk-bytes hypothesis property."""
+    try:
+        return PG_EPOCH + timedelta(microseconds=micros)
+    except OverflowError as e:
+        raise ValueError(
+            f"pgoutput timestamp out of range: {micros} µs since 2000-01-01"
+        ) from e
 
 
 @dataclass(frozen=True)

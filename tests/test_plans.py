@@ -413,3 +413,40 @@ def test_q21_has_no_expand(spark):
     df = rel.QUERIES["tpch_q21_suppliers_kept_waiting"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_cdc_chunking_stays_jvm_side(spark):
+    """chunk_cdc_rolling's rolling-hash pass must remain a JVM-side
+    expression (no Python eval node) and shuffle only on the chunk
+    hash + doc keys — the plan that makes it viable at corpus scale."""
+    from pgsink_spark.operators import packing  # noqa: F401 — registers query
+
+    df = rel.QUERIES["chunk_cdc_rolling"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_duplicate_spans_no_cartesian(spark):
+    """dedup_duplicate_spans: gram-keyed flag join + doc-keyed island
+    window — no cartesian stage, partial aggregation on the gram agg."""
+    from pgsink_spark.operators import dedup  # noqa: F401 — registers query
+
+    df = rel.QUERIES["dedup_duplicate_spans"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_lexical_pairs_caches_postings(spark):
+    """dedup_lexical_pairs must read the norm-enriched postings from
+    cache on both self-join sides (one corpus scan), and the term join
+    must not be cartesian."""
+    from pgsink_spark.operators import dedup  # noqa: F401 — registers query
+
+    df = rel.QUERIES["dedup_lexical_pairs"](spark, SF)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
