@@ -60,6 +60,9 @@ def append_capture(path: str, payloads: list[bytes]) -> None:
 
 
 def read_capture(path: str) -> list[bytes]:
+    """Whole frames only: a file truncated mid-frame (crash during an
+    append) reads cleanly up to the last complete frame, matching
+    iter_capture_from's contract."""
     out = []
     with open(path, "rb") as f:
         while True:
@@ -67,7 +70,10 @@ def read_capture(path: str) -> list[bytes]:
             if len(head) < 4:
                 return out
             (n,) = struct.unpack(">I", head)
-            out.append(f.read(n))
+            buf = f.read(n)
+            if len(buf) < n:
+                return out
+            out.append(buf)
 
 
 def iter_capture_from(path: str, offset: int = 0):

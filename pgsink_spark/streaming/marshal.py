@@ -37,6 +37,17 @@ def _parse_bool(s: str) -> bool:
     return s == "t"
 
 
+def _parse_numeric(s: str) -> Decimal:
+    """Decimal with the decoder's controlled error surface: corrupt
+    text must raise ValueError, not decimal.InvalidOperation (an
+    ArithmeticError that callers catching parse errors would miss —
+    found by the junk-input parser property)."""
+    try:
+        return Decimal(s)
+    except ArithmeticError as e:
+        raise ValueError(f"invalid numeric literal: {s!r}") from e
+
+
 def _parse_bytea(s: str) -> bytes:
     if s.startswith("\\x"):
         return bytes.fromhex(s[2:])
@@ -115,7 +126,7 @@ _SCALAR_PARSERS: dict[str, Callable[[str], object]] = {
     "time": str,
     "timestamp": _parse_timestamp,
     "timestamptz": _parse_timestamptz,
-    "numeric": Decimal,
+    "numeric": _parse_numeric,
     "jsonb": str,
 }
 

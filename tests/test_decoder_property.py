@@ -128,3 +128,52 @@ def test_junk_never_crashes_uncontrolled(junk):
         decode_message(junk)
     except (ValueError, _struct.error, IndexError, UnicodeDecodeError):
         pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(s=st.text(max_size=40))
+def test_text_parsers_junk_is_controlled(s):
+    """Every registered OID parser either parses arbitrary text or
+    raises a controlled error (ValueError family / KeyError /
+    IndexError) — never a type callers catching parse errors would
+    miss (decimal.InvalidOperation is the one this caught)."""
+    from pgsink_spark.changelog.types import _BY_OID
+    from pgsink_spark.streaming.marshal import text_parser_for
+
+    for oid in _BY_OID:
+        try:
+            text_parser_for(oid)(s)
+        except (ValueError, KeyError, IndexError, OverflowError):
+            pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(junk=st.binary(max_size=200), cut=st.integers(min_value=0, max_value=200))
+def test_capture_readers_tolerate_truncation(junk, cut, tmp_path_factory):
+    """A capture file truncated mid-frame (crash during append) must
+    read cleanly up to the last whole frame — both readers return,
+    never raise, and agree with each other."""
+    import os
+
+    from pgsink_spark.streaming.datasource import (
+        append_capture,
+        iter_capture_from,
+        read_capture,
+    )
+
+    d = tmp_path_factory.mktemp("cap")
+    path = os.path.join(str(d), "c.capture")
+    frames = [b"B" + junk, b"C" + junk[:10], b"I"]
+    append_capture(path, frames)
+    size = os.path.getsize(path)
+    keep = min(cut, size)
+    with open(path, "rb") as f:
+        data = f.read(keep)
+    with open(path, "wb") as f:
+        f.write(data)
+    a = read_capture(path)
+    b = [buf for _, buf in iter_capture_from(path)]
+    # whole frames only, in order, readers agree EXACTLY
+    assert a == b
+    for i, buf in enumerate(b):
+        assert buf == frames[i]
