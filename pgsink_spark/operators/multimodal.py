@@ -803,3 +803,226 @@ def mm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "frame_idx", "mean_px")
         .orderBy("media_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup — the multimodal member of the dedup
+# family (text dedup lives in operators/dedup.py; this is the image
+# twin a training-data pipeline runs before captioning/embedding).
+
+PHASH_BITS = 64
+PHASH_BAND_BITS = 16
+PHASH_BANDS = PHASH_BITS // PHASH_BAND_BITS  # 4
+PHASH_THRESHOLD = 2  # pairs with Hamming distance <= 2 are near-dups
+
+
+def synthesize_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8×8 image-pair table for the perceptual-hash
+    pipeline: per document, a base image whose 64 pixels ARE the bits
+    of ``md5(doc_id)``'s first 8 bytes (pixel ``i`` = 255 iff bit ``i``
+    set), plus a near-duplicate variant with ``doc_id % 5`` pixels
+    flipped at closed-form positions ``(doc_id·17 + 29k) mod 64``
+    (distinct by construction). Both are REAL PNG payloads — the hash
+    query must inflate and unfilter them to recover the bits, while the
+    DuckDB oracle reproduces the same 64-bit patterns relationally from
+    ``md5`` alone."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                hv = int(
+                    hashlib.md5(str(doc_id).encode()).hexdigest()[:16], 16
+                )
+                px = np.zeros(PHASH_BITS, dtype=np.uint8)
+                for i in range(PHASH_BITS):
+                    if (hv >> i) & 1:
+                        px[i] = 255
+                base = px.reshape(8, 8)
+                var = base.copy()
+                for k in range(doc_id % 5):
+                    pos = (doc_id * 17 + 29 * k) % PHASH_BITS
+                    var.flat[pos] ^= 255
+                rows.append((doc_id * 2, codecs.encode_png(base)))
+                rows.append((doc_id * 2 + 1, codecs.encode_png(var)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return docs.mapInPandas(gen, "media_id long, content binary")
+
+
+def phash_bands(media: DataFrame) -> DataFrame:
+    """(media_id, b0..b3) — 64-bit perceptual hash as 4×16-bit bands.
+
+    Real decode: inflate + unfilter each PNG, threshold at mid-gray
+    (pixel > 127 → bit set; fixed threshold so the hash is a pure
+    function of the pixels), fold row-major pixel ``i`` into bit ``i``.
+    Band ``k`` is bits [16k, 16k+16) — the LSH bucketing unit.
+    Blob-local (mapInPandas where the image row lives); only the 4
+    small ints ever shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(PHASH_BAND_BITS)
+        for pdf in it:
+            bands = []
+            for content in pdf["content"]:
+                bits = (
+                    codecs.decode_png(bytes(content)).reshape(-1) > 127
+                ).astype(np.int64)
+                bands.append(
+                    [
+                        int(
+                            bits[
+                                k * PHASH_BAND_BITS : (k + 1) * PHASH_BAND_BITS
+                            ]
+                            @ weights
+                        )
+                        for k in range(PHASH_BANDS)
+                    ]
+                )
+            out = pd.DataFrame(
+                bands, columns=[f"b{k}" for k in range(PHASH_BANDS)]
+            )
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(
+        batches, "media_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+@query(
+    "mm_phash_neardup",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+               AS hv
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id,
+             CAST((hv >> 0)  & 65535 AS INTEGER) AS b0,
+             CAST((hv >> 16) & 65535 AS INTEGER) AS b1,
+             CAST((hv >> 32) & 65535 AS INTEGER) AS b2,
+             CAST((hv >> 48) & 65535 AS INTEGER) AS b3
+      FROM h
+    ),
+    m AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(SUM(CASE WHEN p.pos // 16 = 0
+               THEN (1 << (p.pos % 16)) ELSE 0 END), 0) AS INTEGER) AS m0,
+             CAST(COALESCE(SUM(CASE WHEN p.pos // 16 = 1
+               THEN (1 << (p.pos % 16)) ELSE 0 END), 0) AS INTEGER) AS m1,
+             CAST(COALESCE(SUM(CASE WHEN p.pos // 16 = 2
+               THEN (1 << (p.pos % 16)) ELSE 0 END), 0) AS INTEGER) AS m2,
+             CAST(COALESCE(SUM(CASE WHEN p.pos // 16 = 3
+               THEN (1 << (p.pos % 16)) ELSE 0 END), 0) AS INTEGER) AS m3
+      FROM documents d
+      LEFT JOIN LATERAL (
+        SELECT CAST((d.doc_id * 17 + 29 * t.k) % 64 AS INTEGER) AS pos
+        FROM unnest(range(d.doc_id % 5)) AS t(k)
+      ) p ON TRUE
+      GROUP BY d.doc_id
+    ),
+    media AS (
+      SELECT doc_id * 2 AS media_id, b0, b1, b2, b3 FROM bands
+      UNION ALL
+      SELECT b.doc_id * 2 + 1, xor(b.b0, m.m0), xor(b.b1, m.m1),
+             xor(b.b2, m.m2), xor(b.b3, m.m3)
+      FROM bands b JOIN m USING (doc_id)
+    ),
+    pairs AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+             + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS hamming
+      FROM media a JOIN media b ON a.media_id < b.media_id
+    )
+    SELECT media_a, media_b, CAST(hamming AS INTEGER) AS hamming
+    FROM pairs WHERE hamming <= 2 ORDER BY media_a, media_b
+    """,
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: decode every PNG
+    (real inflate + unfilter), fold pixels into a 64-bit hash, and
+    report pairs with Hamming distance ≤ 2 — the image-dedup stage a
+    multimodal training pipeline runs before the expensive caption /
+    embed steps.
+
+    Candidate generation is a LOSSLESS banded LSH self-join: the hash
+    splits into 4×16-bit bands and ≤ 2 flipped bits can touch at most
+    2 bands, so every qualifying pair shares ≥ 2 intact bands
+    (pigeonhole: bands > threshold) and is found by an exact-match
+    join on (band_idx, band_value) — never an all-pairs product. Band
+    values are hash-uniform over 2^16, so bucket sizes are n/65536 per
+    band at any corpus size (the hot-shingle problem text dedup has to
+    cap away, dedup.py:212, cannot occur here by construction).
+    Candidates are exact-verified with xor + bit_count on the 4 bands
+    — JVM-side, codegen'd. The only Python is the Arrow-batched
+    decode-and-hash kernel, local to the blob row; pixels never
+    shuffle, only (media_id, 4 small ints).
+
+    The DuckDB oracle derives the identical 64-bit patterns
+    relationally from ``md5(doc_id)`` and the closed-form flip
+    positions (verify: tools — prototype cross-checked against an
+    independent Python model), so a broken encoder, inflater, band
+    split, or join shows up as a hash mismatch.
+
+    Reference parity: the reference engine has no media plane; this is
+    the beyond-reference multimodal-dedup surface the brief mandates.
+    """
+    media = synthesize_phash_images(spark, sf_dir)
+    # referenced by the band explode AND both verify branches; persist
+    # so decode-and-hash runs once per blob
+    hashed = phash_bands(media).persist()
+
+    band_cols = [f"b{k}" for k in range(PHASH_BANDS)]
+    bands = hashed.select(
+        "media_id",
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            on=[
+                F.col("x.band_idx") == F.col("y.band_idx"),
+                F.col("x.band_val") == F.col("y.band_val"),
+                F.col("x.media_id") < F.col("y.media_id"),
+            ],
+        )
+        .select(
+            F.col("x.media_id").alias("media_a"),
+            F.col("y.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(c).alias(f"a_{c}") for c in band_cols],
+    )
+    hb = hashed.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(c).alias(f"b_{c}") for c in band_cols],
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")).cast("long")
+        )
+        for c in band_cols
+    )
+    out = (
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= PHASH_THRESHOLD)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
+        .localCheckpoint(eager=True)
+    )
+    hashed.unpersist()
+    return out

@@ -211,3 +211,59 @@ def test_keyframes_subset_and_first_frame_kept(spark, sf_dir):
             h = 16 + fid % 16
             expect = (fid % 160) + (IMG_W - 1) / 2 + (h - 1) / 2
             assert fr["mean_px"] == expect
+
+
+def test_phash_bands_recover_md5_bits(spark, sf_dir):
+    """The decode-and-hash kernel must recover the exact md5-derived
+    64-bit pattern from the PNG bytes: base image bands == the bands
+    of md5(doc_id)[:8]; variant differs in exactly doc_id % 5 bits."""
+    import hashlib
+
+    from pgsink_spark.operators.multimodal import (
+        phash_bands,
+        synthesize_phash_images,
+    )
+
+    hashed = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in phash_bands(
+            synthesize_phash_images(spark, sf_dir)
+        ).collect()
+    }
+    doc_ids = sorted({m // 2 for m in hashed})
+    assert len(doc_ids) >= 10
+    for doc_id in doc_ids[:25]:
+        hv = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:16], 16)
+        expect = tuple((hv >> (16 * k)) & 0xFFFF for k in range(4))
+        assert hashed[doc_id * 2] == expect
+        vb = hashed[doc_id * 2 + 1]
+        ham = sum(
+            bin(a ^ b).count("1") for a, b in zip(expect, vb)
+        )
+        assert ham == doc_id % 5
+
+
+def test_phash_banding_is_lossless_for_threshold(spark, sf_dir):
+    """Pigeonhole guarantee the join relies on: every output pair
+    (Hamming <= 2) shares at least 2 of the 4 bands exactly — so the
+    banded candidate join cannot miss a qualifying pair. Checked on
+    the operator's own output against the recomputed hashes."""
+    from pgsink_spark.operators.multimodal import (
+        mm_phash_neardup,
+        phash_bands,
+        synthesize_phash_images,
+    )
+
+    bands = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in phash_bands(
+            synthesize_phash_images(spark, sf_dir)
+        ).collect()
+    }
+    pairs = mm_phash_neardup(spark, sf_dir).collect()
+    assert pairs
+    for p in pairs:
+        a, b = bands[p["media_a"]], bands[p["media_b"]]
+        shared = sum(x == y for x, y in zip(a, b))
+        assert shared >= 2
+        assert p["hamming"] <= 2
