@@ -369,3 +369,112 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_pmi_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    prs AS (
+      SELECT p.pr[1] AS w1, p.pr[2] AS w2
+      FROM toks,
+      UNNEST(list_concat(
+        list_zip(list_slice(ts, 1, len(ts) - 1),
+                 list_slice(ts, 2, len(ts))),
+        list_zip(list_slice(ts, 1, len(ts) - 2),
+                 list_slice(ts, 3, len(ts)))
+      )) AS p(pr)
+      WHERE p.pr[1] IS NOT NULL AND p.pr[2] IS NOT NULL
+    ),
+    pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM prs GROUP BY w1, w2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM prs),
+    wc1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM prs GROUP BY w1),
+    wc2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM prs GROUP BY w2),
+    pmi AS (
+      SELECT pc.w1, pc.w2, pc.c12,
+             ROUND(LN((pc.c12 * tot.t) / CAST(wc1.c1 * wc2.c2 AS DOUBLE)), 6)
+               AS pmi
+      FROM pc
+      JOIN wc1 USING (w1) JOIN wc2 USING (w2)
+      CROSS JOIN tot
+      WHERE pc.c12 >= 5
+    )
+    SELECT w1, w2, c12, pmi FROM pmi
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top skip-gram collocations by pointwise mutual information:
+    ordered word pairs within a 2-token forward window, PMI =
+    ln(C(w1,w2)·T / (C(w1)·C(w2))), minimum pair count 5, top 20 —
+    the standard collocation detector a corpus-analysis pass runs to
+    find multiword expressions worth protecting from tokenization.
+
+    One corpus scan: pair extraction is row-local (two zip_with over
+    slice-shifted token arrays — no positional self-join, the same
+    shape text_kn_bigram pins), folding straight into a (w1, w2)-keyed
+    partial agg. Everything downstream is vocabulary-sized: the
+    marginal counts and the pair total derive from the pair-count
+    table itself (ΣC(w1,·), ΣC(·,w2), ΣC — identical to counting from
+    the raw pairs, which is what the oracle does), joined back
+    broadcast. The final cut is TakeOrderedAndProject, never a global
+    sort. The only corpus-sized shuffle is the single pair-count
+    aggregation, O(distinct pairs) ≤ vocab² per partition after the
+    map-side combine.
+
+    PMI's ln runs on an exactly-representable rational (integer
+    products < 2^53, one double divide) rounded to 6 dp on both
+    engines, so the float survives the driver's value hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("ts"))
+    pair_expr = """
+      concat(
+        zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+                 slice(ts, 2, greatest(size(ts) - 1, 0)),
+                 (a, b) -> struct(a AS w1, b AS w2)),
+        zip_with(slice(ts, 1, greatest(size(ts) - 2, 0)),
+                 slice(ts, 3, greatest(size(ts) - 2, 0)),
+                 (a, b) -> struct(a AS w1, b AS w2))
+      )
+    """
+    prs = toks.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    # single corpus-sized shuffle; all marginals derive from this
+    pc = (
+        prs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .persist()
+    )
+    wc1 = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    wc2 = pc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = pc.agg(F.sum("c12").alias("t"))
+    out = (
+        pc.where(F.col("c12") >= 5)
+        .join(F.broadcast(wc1), "w1")
+        .join(F.broadcast(wc2), "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") * F.col("t"))
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    pc.unpersist()
+    return out
