@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pgsink_spark.operators import corpus as _corpus  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import curation as _curation  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import dedup as _dedup
+from pgsink_spark.operators import graph as _graph  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import ivm as _ivm  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import multimodal as _mm
 from pgsink_spark.operators import packing as _packing  # noqa: F401 — registers into _rel.QUERIES
@@ -54,6 +55,12 @@ _ROUND5_PRIORITY = [
     # three SFs) queue for round 6 rather than displace stale rows.
     "a5b_keyset_composite",
     "dedup_duplicate_spans",
+    # late round-5 additions, also never driver-checked (each swept
+    # green at all three SFs at creation; they displace the last three
+    # round-2-vintage rows from the 50-slot window into round 6)
+    "mm_phash_neardup",
+    "text_pmi_pairs",
+    "graph_pagerank",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",
