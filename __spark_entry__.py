@@ -49,9 +49,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # VERIFICATION.md for the rotation ledger.
 _ROUND5_PRIORITY = [
     # never driver-checked (round-5 additions) — hard-signal first.
-    # Window budget: 2 new + the 48 round-2-vintage rows = 50; the
-    # round-5 additions beyond these two (stream_dedup_replay,
-    # dedup_lexical_pairs — both oracle-checked and swept at all
+    # Window budget: 6 new + the first 44 round-2-vintage rows = 50;
+    # the remaining round-5 additions (stream_dedup_replay,
+    # dedup_lexical_pairs, … — all oracle-checked and swept at all
     # three SFs) queue for round 6 rather than displace stale rows.
     "a5b_keyset_composite",
     "dedup_duplicate_spans",
@@ -61,6 +61,7 @@ _ROUND5_PRIORITY = [
     "mm_phash_neardup",
     "text_pmi_pairs",
     "graph_pagerank",
+    "graph_triangles",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

@@ -136,3 +136,95 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+_TRIANGLE_ORACLE = """
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+    raw AS (
+      SELECT doc_id AS src, u.dst
+      FROM docs CROSS JOIN n,
+      UNNEST([(doc_id * doc_id * 7 + 1) % n.n,
+              (doc_id * 13 + 3) % n.n,
+              (doc_id + 50) % n.n,
+              (doc_id + 100) % n.n]) AS u(dst)
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pernode AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+      FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY v
+    )
+    SELECT v AS doc_id, n_tri FROM pernode
+    ORDER BY n_tri DESC, doc_id LIMIT 20
+    """
+
+
+@query("graph_triangles", _TRIANGLE_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by triangle participation over the citation
+    graph densified with community ring/chord links (``+50``/``+100``
+    mod n close a triangle at every node; the quadratic link makes the
+    counts non-uniform). Triangle counting is the standard clustering
+    signal a curation pass uses to find tightly-linked content farms.
+
+    Classic two-join formulation on canonically-oriented edges
+    (``a < b``, distinct): each triangle is enumerated exactly once as
+    a<b<c via wedge join (e1.b = e2.a) + closure probe (e3 = (a, c)).
+    At cluster scale the orientation would be by DEGREE rather than id
+    (orienting low→high degree bounds every wedge list by the graph
+    degeneracy — the id orientation keeps the oracle exact here); the
+    joins are all edge-keyed shuffles, no node ever sees more than its
+    adjacency, and the per-node fold is a partial agg. Top-20 is
+    TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ncount = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    raw = docs.join(F.broadcast(ncount)).select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * F.col("doc_id") * 7 + 1) % F.col("n"),
+                (F.col("doc_id") * 13 + 3) % F.col("n"),
+                (F.col("doc_id") + 50) % F.col("n"),
+                (F.col("doc_id") + 100) % F.col("n"),
+            )
+        ).alias("dst"),
+    )
+    edges = (
+        raw.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    nodes = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+    )
+    out = (
+        nodes.groupBy(F.col("v").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+        .orderBy(F.desc("n_tri"), "doc_id")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
