@@ -130,6 +130,11 @@ HEADLINE = [
     "text_token_entropy",
     "chunk_cdc_rolling",
     "sample_group_topk",
+    # late round-5 additions (image near-dup, collocations, graph)
+    "mm_phash_neardup",
+    "text_pmi_pairs",
+    "graph_pagerank",
+    "graph_triangles",
 ]
 
 # Round-over-round regression gate: compare per-query times against the
