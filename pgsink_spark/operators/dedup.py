@@ -289,14 +289,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (both join branches) plus the array-pair branch; persist so the
     # CPU-heavy shingling runs once, then truncate lineage and release.
     sets = doc_shingle_sets(docs, 3).persist()
-    out = (
+    pre = (
         _pair_jaccard(sets, max_shingle_freq=MAX_SHINGLE_FREQ)
         .where(F.col("jac") >= JACCARD_THRESHOLD)
         .select("d1", "d2")
         .orderBy("d1", "d2")
-        .localCheckpoint(eager=True)
     )
+    out = pre.localCheckpoint(eager=True)
     sets.unpersist()
+    # the checkpoint truncates lineage; keep the executed plan visible
+    # to the plan audit (tools/gen_plans_md.py)
+    out._plan_audit_df = pre
     return out
 
 
@@ -425,10 +428,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sizes); persist for the run, materialize the (tiny) verified pair
     # set, then release — repeated calls don't accumulate storage.
     sets = doc_shingle_sets(docs, 3).persist()
-    out = (
-        _lsh_verified_pairs(sets).orderBy("d1", "d2").localCheckpoint(eager=True)
-    )
+    pre = _lsh_verified_pairs(sets).orderBy("d1", "d2")
+    out = pre.localCheckpoint(eager=True)
     sets.unpersist()
+    out._plan_audit_df = pre
     return out
 
 

@@ -128,13 +128,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
 
-    out = (
+    pre = (
         ranks.select("doc_id", F.col("r").alias("rank_scaled"))
         .orderBy(F.desc("rank_scaled"), "doc_id")
         .limit(20)
-        .localCheckpoint(eager=True)
     )
+    out = pre.localCheckpoint(eager=True)
     edges.unpersist()
+    out._plan_audit_df = pre
     return out
 
 
@@ -219,12 +220,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("y").alias("v")))
         .unionAll(tri.select(F.col("z").alias("v")))
     )
-    out = (
+    pre = (
         nodes.groupBy(F.col("v").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
         .orderBy(F.desc("n_tri"), "doc_id")
         .limit(20)
-        .localCheckpoint(eager=True)
     )
+    out = pre.localCheckpoint(eager=True)
     edges.unpersist()
+    out._plan_audit_df = pre
     return out

@@ -1015,14 +1015,15 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in band_cols
     )
-    out = (
+    pre = (
         cand.join(ha, "media_a")
         .join(hb, "media_b")
         .withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= PHASH_THRESHOLD)
         .select("media_a", "media_b", "hamming")
         .orderBy("media_a", "media_b")
-        .localCheckpoint(eager=True)
     )
+    out = pre.localCheckpoint(eager=True)
     hashed.unpersist()
+    out._plan_audit_df = pre
     return out

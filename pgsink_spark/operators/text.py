@@ -455,7 +455,7 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc1 = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     wc2 = pc.groupBy("w2").agg(F.sum("c12").alias("c2"))
     tot = pc.agg(F.sum("c12").alias("t"))
-    out = (
+    pre = (
         pc.where(F.col("c12") >= 5)
         .join(F.broadcast(wc1), "w1")
         .join(F.broadcast(wc2), "w2")
@@ -474,7 +474,8 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
-        .localCheckpoint(eager=True)
     )
+    out = pre.localCheckpoint(eager=True)
     pc.unpersist()
+    out._plan_audit_df = pre
     return out

@@ -48,6 +48,9 @@ def main() -> None:
     for name in bench.HEADLINE:
         try:
             df = qs[name](spark, SF)
+            # ops that return a lineage-truncating localCheckpoint
+            # attach the executed pre-checkpoint plan for the audit
+            df = getattr(df, "_plan_audit_df", df)
             ex = exchange_count(df)  # runs the plan
             bc = broadcast_join_count(df, run=False)
             pa = "yes" if has_partial_aggregate(df) else "—"
