@@ -42,6 +42,10 @@ PROBES = [
     "mm_keyframes",
     "d22_asof_join",
     "d8_rank_topk",
+    "mm_phash_neardup",
+    "text_pmi_pairs",
+    "graph_pagerank",
+    "graph_triangles",
 ]
 
 
