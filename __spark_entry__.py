@@ -56,12 +56,14 @@ _ROUND5_PRIORITY = [
     "a5b_keyset_composite",
     "dedup_duplicate_spans",
     # late round-5 additions, also never driver-checked (each swept
-    # green at all three SFs at creation; they displace the last three
-    # round-2-vintage rows from the 50-slot window into round 6)
+    # green at all three SFs at creation; they displace the tail of the
+    # round-2-vintage block from the 50-slot window into round 6)
     "mm_phash_neardup",
     "text_pmi_pairs",
     "graph_pagerank",
     "graph_triangles",
+    "dedup_incremental_probe",
+    "mine_hard_negatives",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

@@ -135,6 +135,8 @@ HEADLINE = [
     "text_pmi_pairs",
     "graph_pagerank",
     "graph_triangles",
+    "dedup_incremental_probe",
+    "mine_hard_negatives",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

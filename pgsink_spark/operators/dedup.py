@@ -1271,3 +1271,99 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+_INCREMENTAL_PROBE_SQL = """
+    WITH
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), pos AS (
+      SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM toks
+      WHERE len(w) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM pos
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+       AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT d1, d2, inter * 1.0 / (s1.n + s2.n - inter) AS jac
+      FROM pairs JOIN sizes s1 ON s1.doc_id = d1
+                 JOIN sizes s2 ON s2.doc_id = d2
+    )
+    SELECT d2 AS new_id, d1 AS dup_of FROM jac WHERE jac >= 0.8
+    ORDER BY new_id, dup_of
+"""
+
+
+@query("dedup_incremental_probe", _INCREMENTAL_PROBE_SQL)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: probe an ingest batch against the MinHash-LSH
+    index of the EXISTING corpus, without ever re-pairing the corpus
+    with itself. New docs (``doc_id % 10 == 0`` stands in for the
+    batch) join the index's band keys, and only (index, probe)
+    candidates are exact-verified by Jaccard ≥ 0.8 — the steady-state
+    shape of dedup in a continuously-ingesting pipeline, where
+    :func:`dedup_minhash_lsh`'s full self-join runs once at bootstrap
+    and every batch afterwards pays only its own band keys plus the
+    touched buckets.
+
+    At 100 TB the index (doc_id, bkey) is a persisted table bucketed
+    by bkey; a batch shuffles ONLY its own band keys into those
+    buckets — cost ∝ batch size, never corpus². The verify stage
+    reads shingle sets solely for candidate ids (semi-join pruned).
+    Oracle: exact all-cross-pairs Jaccard between the two halves —
+    so a band-collision miss or a verify bug both go red.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    old_sets = doc_shingle_sets(old, 3).persist()
+    new_sets = doc_shingle_sets(new, 3).persist()
+
+    idx = minhash_band_keys(old_sets).select(
+        F.col("doc_id").alias("dup_of"), "bkey"
+    )
+    probe = minhash_band_keys(new_sets).select(
+        F.col("doc_id").alias("new_id"), "bkey"
+    )
+    cands = idx.join(probe, "bkey").select("new_id", "dup_of").distinct()
+
+    sh_old = old_sets.select("doc_id", F.explode("shingles").alias("s"))
+    sh_new = new_sets.select("doc_id", F.explode("shingles").alias("s"))
+    cand_sh = sh_new.join(
+        cands.withColumnRenamed("new_id", "doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("new_id"), "dup_of", "s")
+    inter = (
+        cand_sh.join(
+            sh_old.select(F.col("doc_id").alias("dup_of"), "s"),
+            ["dup_of", "s"],
+        )
+        .groupBy("new_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_new = new_sets.select(
+        F.col("doc_id").alias("new_id"), F.size("shingles").alias("n_new")
+    )
+    sz_old = old_sets.select(
+        F.col("doc_id").alias("dup_of"), F.size("shingles").alias("n_old")
+    )
+    pre = (
+        inter.join(sz_new, "new_id")
+        .join(sz_old, "dup_of")
+        .where(
+            F.col("inter")
+            / (F.col("n_new") + F.col("n_old") - F.col("inter"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("new_id", "dup_of")
+        .orderBy("new_id", "dup_of")
+    )
+    out = pre.localCheckpoint(eager=True)
+    old_sets.unpersist()
+    new_sets.unpersist()
+    out._plan_audit_df = pre
+    return out

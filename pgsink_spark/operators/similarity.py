@@ -703,3 +703,61 @@ def semdedup_cluster_prune(
         .applyInPandas(prune, "vec_id long, label int, keep boolean")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "mine_hard_negatives",
+    """
+    SELECT q_id, vec_id, rnk FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id) AS rnk
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id <> a.vec_id AND b.label <> a.label
+      WHERE a.vec_id < 5) t
+    WHERE rnk <= 5 ORDER BY q_id, rnk
+    """,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector, the top-5 most cosine-similar vectors with a DIFFERENT
+    label — the near-misses a retrieval/embedding trainer pairs with
+    each anchor to sharpen decision boundaries (the in-batch-negatives
+    upgrade every large-scale embedding pipeline runs).
+
+    Same scan shape as ann_bruteforce_topk: probes broadcast once, one
+    pass over the corpus scores candidates JVM-side
+    (``zip_with``/``aggregate`` fold — no Python in the hot path), the
+    label-mismatch predicate rides the broadcast join, and the top-5
+    cut is a per-probe window over each probe's candidate stream. At
+    100 TB the exact scorer swaps for the IVF/LSH index path
+    (similarity.py:118,205) with the label filter applied post-probe —
+    the mining semantics stay identical.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        as_double(F.col("embedding")).alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    cand = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("c_emb"), "label"
+    )
+    scored = cand.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("q_id"))
+        & (F.col("label") != F.col("q_label")),
+    ).select(
+        "q_id", "vec_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", "rnk")
+        .orderBy("q_id", "rnk")
+    )
