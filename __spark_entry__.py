@@ -64,6 +64,11 @@ _ROUND5_PRIORITY = [
     "graph_triangles",
     "dedup_incremental_probe",
     "mine_hard_negatives",
+    "graph_linkpred",
+    "text_bpe_pairs",
+    "d69_rolling_zscore",
+    "privacy_k_anonymity",
+    "corpus_mixture_reweight",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

@@ -137,6 +137,11 @@ HEADLINE = [
     "graph_triangles",
     "dedup_incremental_probe",
     "mine_hard_negatives",
+    "graph_linkpred",
+    "text_bpe_pairs",
+    "d69_rolling_zscore",
+    "privacy_k_anonymity",
+    "corpus_mixture_reweight",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

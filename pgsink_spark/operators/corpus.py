@@ -429,3 +429,69 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+MIX_SCALE = 1_000_000
+
+
+@query(
+    "corpus_mixture_reweight",
+    f"""
+    WITH st AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS k
+      FROM st
+    )
+    SELECT source, tokens,
+           tokens * {MIX_SCALE} // tot.t AS share_ppm,
+           tot.t * {MIX_SCALE} // (tot.k * tokens) AS weight_scaled
+    FROM st CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def corpus_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source token mass, its share of
+    the corpus (ppm), and the multiplicative sampling weight that
+    moves the mixture to the UNIFORM target — weight =
+    target_share / current_share = T / (k · tokens_s), scaled to 1e6.
+    This is the static form of DoReMi-style domain reweighting: the
+    sampler multiplies each source's inclusion probability by its
+    weight so every domain contributes equal token mass to the
+    training mix (a non-uniform target is the same query with a
+    broadcast target table in place of the 1/k constant).
+
+    All arithmetic is integer (token counts, floor-divided scaled
+    ratios), so the oracle hashes exactly. Plan: token counting is
+    row-local (``size(split(...))`` — the raw text column never
+    shuffles), folded by a source-keyed partial agg whose output is
+    domains-sized; the totals row broadcasts back. One corpus scan,
+    one tiny shuffle — at 100 TB this is scan-bound, which is the
+    floor for any statistic that must see every document once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("tokens")
+    )
+    tot = st.agg(
+        F.sum("tokens").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return (
+        st.join(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            F.expr(f"tokens * {MIX_SCALE} div t").alias("share_ppm"),
+            F.expr(f"t * {MIX_SCALE} div (k * tokens)").alias(
+                "weight_scaled"
+            ),
+        )
+        .orderBy("source")
+    )

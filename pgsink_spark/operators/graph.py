@@ -230,3 +230,121 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     out._plan_audit_df = pre
     return out
+
+RA_SCALE = 1_000_000
+
+_LINKPRED_ORACLE = f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+    raw AS (
+      SELECT doc_id AS src, u.dst
+      FROM docs CROSS JOIN n,
+      UNNEST([(doc_id * doc_id * 7 + 1) % n.n,
+              (doc_id * 13 + 3) % n.n,
+              (doc_id + 50) % n.n,
+              (doc_id + 100) % n.n]) AS u(dst)
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    nbr AS (
+      SELECT a AS v, b AS z FROM edges
+      UNION ALL SELECT b AS v, a AS z FROM edges
+    ),
+    deg AS (SELECT z AS v, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY 1),
+    wedge AS (
+      SELECT n1.v AS u, n2.v AS w, n1.z AS z
+      FROM nbr n1 JOIN nbr n2 ON n1.z = n2.z AND n1.v < n2.v
+    ),
+    cand AS (
+      SELECT wg.u, wg.w, CAST(count(*) AS BIGINT) AS cn,
+             SUM({RA_SCALE} // dg.d) AS ra_scaled
+      FROM wedge wg JOIN deg dg ON dg.v = wg.z
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.a = wg.u AND e.b = wg.w)
+      GROUP BY 1, 2
+    )
+    SELECT u AS src, w AS dst, cn, ra_scaled FROM cand
+    ORDER BY ra_scaled DESC, src, dst LIMIT 20
+    """
+
+
+@query("graph_linkpred", _LINKPRED_ORACLE)
+def graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 link predictions over the densified citation graph by
+    resource-allocation index — for each non-adjacent pair sharing at
+    least one neighbor, RA = Σ_z 1/deg(z) over common neighbors z,
+    with the common-neighbor count as a secondary signal. This is the
+    "which documents SHOULD cite each other" pass a curation pipeline
+    uses to grow topical clusters before sampling.
+
+    Exactness: RA terms are scaled integers (``RA_SCALE div deg``), so
+    the sum is a pure integer function of the edge list and the DuckDB
+    oracle hashes bit-for-bit (float 1/deg would drift with summation
+    order).
+
+    Plan shape: wedge enumeration is one z-keyed self-join of the
+    adjacency list (cost Σ deg(z)² — the same budget as triangle
+    counting), candidates anti-join the oriented edge list on the pair
+    key, degrees broadcast-join onto wedges (the degree table is one
+    row per node, tiny next to the wedge stream). At 100 TB the
+    standard guard is capping z's adjacency at a degree ceiling
+    (dropping super-node wedges bounds the quadratic term exactly like
+    the hot-shingle cap in dedup_ngram_jaccard); the top-20 cut is
+    TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ncount = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    raw = docs.join(F.broadcast(ncount)).select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * F.col("doc_id") * 7 + 1) % F.col("n"),
+                (F.col("doc_id") * 13 + 3) % F.col("n"),
+                (F.col("doc_id") + 50) % F.col("n"),
+                (F.col("doc_id") + 100) % F.col("n"),
+            )
+        ).alias("dst"),
+    )
+    edges = (
+        raw.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    nbr = edges.select(F.col("a").alias("v"), F.col("b").alias("z")).unionAll(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("z"))
+    )
+    deg = nbr.groupBy(F.col("z").alias("zv")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    n1 = nbr.select(F.col("v").alias("u"), "z")
+    n2 = nbr.select(F.col("v").alias("w"), "z")
+    wedge = n1.join(n2, "z").where(F.col("u") < F.col("w"))
+    cand = wedge.join(
+        edges,
+        (F.col("u") == F.col("a")) & (F.col("w") == F.col("b")),
+        "left_anti",
+    )
+    pre = (
+        cand.join(F.broadcast(deg), cand["z"] == deg["zv"])
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(F.expr(f"{RA_SCALE} div d")).alias("ra_scaled"),
+        )
+        .select(
+            F.col("u").alias("src"), F.col("w").alias("dst"),
+            "cn", "ra_scaled",
+        )
+        .orderBy(F.desc("ra_scaled"), "src", "dst")
+        .limit(20)
+    )
+    out = pre.localCheckpoint(eager=True)
+    edges.unpersist()
+    out._plan_audit_df = pre
+    return out

@@ -25,6 +25,7 @@ the same pass a C++ scrubber would make, but distributed for free.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pgsink_spark.operators.relational import query
@@ -116,3 +117,71 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return redact_pii(docs, "text").drop("text").orderBy("doc_id")
+
+
+K_ANON = 5
+
+
+@query(
+    "privacy_k_anonymity",
+    f"""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ),
+    g AS (
+      SELECT *,
+             CAST(count(*) OVER (
+               PARTITION BY c_nationkey, c_mktsegment, band
+             ) AS BIGINT) AS grp_n
+      FROM q
+    )
+    SELECT c_custkey,
+           CASE WHEN grp_n >= {K_ANON} THEN c_nationkey END AS nation,
+           CASE WHEN grp_n >= {K_ANON} THEN c_mktsegment END AS segment,
+           CASE WHEN grp_n >= {K_ANON} THEN band END AS bal_band,
+           grp_n,
+           (grp_n < {K_ANON}) AS suppressed
+    FROM g ORDER BY c_custkey
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity enforcement over the customer quasi-identifiers
+    (nation, market segment, account-balance band): any row whose
+    quasi-identifier combination is shared by fewer than k=5 customers
+    has ALL its quasi-identifiers suppressed (NULLed) before release —
+    the standard re-identification guard a privacy pass applies before
+    a dataset with joinable demographics ships to training, and the
+    structural complement of pii_redact (which scrubs direct
+    identifiers in free text; this scrubs indirect ones in columns).
+
+    One quasi-key-partitioned Window computes the equivalence-class
+    size; suppression is then a row-local CASE projection, so the
+    whole operator costs exactly one shuffle on the quasi-identifier
+    tuple at any scale. Skew is bounded by the most common
+    demographic combination — at 100 TB the same plan holds, with the
+    window swappable for a groupBy+broadcast-join when the class-size
+    table is small enough to broadcast (class count ≪ row count).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    win = W.partitionBy("c_nationkey", "c_mktsegment", "band")
+    keep = F.col("grp_n") >= K_ANON
+    return (
+        q.withColumn("grp_n", F.count(F.lit(1)).over(win).cast("bigint"))
+        .select(
+            "c_custkey",
+            F.when(keep, F.col("c_nationkey")).alias("nation"),
+            F.when(keep, F.col("c_mktsegment")).alias("segment"),
+            F.when(keep, F.col("band")).alias("bal_band"),
+            "grp_n",
+            (~keep).alias("suppressed"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -3137,3 +3137,73 @@ def d64_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "d69_rolling_zscore",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sd,
+             count(*) OVER win AS cnt
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(CAST((value - mu) / sd AS DECIMAL(24,6)), 4)
+                  AS DOUBLE) AS z
+      FROM w WHERE cnt >= 8 AND sd > 0
+    )
+    SELECT event_id, user_id, z FROM z
+    WHERE ABS(z) >= 3 ORDER BY user_id, event_id
+    """,
+)
+def d69_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: per user, each event scored
+    against the trailing 20-event window (current row excluded —
+    self-exclusion keeps an outlier from masking itself), flagged when
+    |z| ≥ 3 with at least 8 trailing samples. The batch twin of
+    stream_ewma_anomalies: same monitoring semantics, but windowed
+    moments instead of exponential decay.
+
+    One user-keyed shuffle feeds a single Window operator computing
+    all three frame aggregates (avg/stddev/count share the frame, so
+    Spark evaluates them in one pass); the anomaly filter then cuts
+    the stream row-locally. At 100 TB per-user history is the natural
+    partition — no user's frame crosses an executor, skewed users cost
+    only their own event count, and the trailing frame never
+    materializes more than 20 rows of state per open partition. The
+    4-dp decimal rounding (applied before the ≥3 cut, identically on
+    both engines) absorbs the summation-order float noise between
+    Spark's per-row frame evaluation and DuckDB's segment-tree
+    sliding-window implementation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count(F.lit(1)).over(win).alias("cnt"),
+    )
+    z = (
+        scored.where((F.col("cnt") >= 8) & (F.col("sd") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            rnd(
+                ((F.col("value") - F.col("mu")) / F.col("sd")).cast(
+                    "decimal(24,6)"
+                ),
+                4,
+            ).alias("z"),
+        )
+    )
+    return z.where(F.abs(F.col("z")) >= 3).orderBy("user_id", "event_id")

@@ -479,3 +479,60 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc.unpersist()
     out._plan_audit_df = pre
     return out
+
+
+@query(
+    "text_bpe_pairs",
+    """
+    WITH words AS (
+      SELECT u.w AS w
+      FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
+      WHERE len(u.w) >= 2
+    ),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY 1),
+    pairs AS (
+      SELECT substr(w, CAST(r.i AS INT), 2) AS pair, n
+      FROM wc, UNNEST(range(1, len(w))) AS r(i)
+    )
+    SELECT pair, SUM(n) AS cnt FROM pairs
+    GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration over the corpus: the 20 most
+    frequent adjacent character pairs across all word occurrences —
+    the statistic a byte-pair-encoding tokenizer trainer computes
+    (then merges the winner and repeats). One iteration is the
+    registry query; the loop is this same plan re-run on the merged
+    symbol table.
+
+    Scale shape is the important part and mirrors how production BPE
+    trainers (e.g. Hugging Face tokenizers) actually work: pair counts
+    are computed over the DISTINCT-WORD table weighted by word
+    frequency, not over raw text. The corpus pays exactly one
+    word-count shuffle (map-side combined); everything after is
+    vocabulary-sized — pair explosion is row-local ``transform`` over
+    2-char substrings (JVM codegen, no Python), and the pair agg
+    shuffles O(vocab · word_len) rows regardless of corpus size. At
+    100 TB the vocab table is millions of rows where the corpus is
+    trillions of tokens, so iterating 50k merges touches the corpus
+    zero additional times. Top-20 is TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
