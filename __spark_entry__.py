@@ -69,6 +69,7 @@ _ROUND5_PRIORITY = [
     "d69_rolling_zscore",
     "privacy_k_anonymity",
     "corpus_mixture_reweight",
+    "ann_pq_recall",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

@@ -207,3 +207,25 @@ def test_recall_gates_pass_and_are_deterministic(spark, sf_dir):
             assert len(rows) == 1
             assert rows[0]["n_queries"] == 5
             assert rows[0]["recall_ok"] is True
+
+
+def test_pq_recall_gate_and_encode_shape(spark, sf_dir):
+    """The PQ gate passes (floor >=2x under measured hits) and the
+    two-stage path is deterministic; a full-corpus re-rank (rerank >>
+    corpus) must reproduce exact top-k, proving the ADC shortlist and
+    re-rank stages compose correctly."""
+    for _ in range(2):
+        rows = sim.ann_pq_recall(spark, sf_dir).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_queries"] == 5
+        assert rows[0]["recall_ok"] is True
+
+    exact = {
+        (r["q_id"], r["vec_id"], r["rnk"])
+        for r in sim._exact_top5(spark, sf_dir).collect()
+    }
+    full = {
+        (r["q_id"], r["vec_id"], r["rnk"])
+        for r in sim.ann_pq_topk(spark, sf_dir, k=5, rerank=10**9).collect()
+    }
+    assert full == exact
