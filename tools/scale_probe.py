@@ -46,6 +46,13 @@ PROBES = [
     "text_pmi_pairs",
     "graph_pagerank",
     "graph_triangles",
+    "dedup_incremental_probe",
+    "mine_hard_negatives",
+    "graph_linkpred",
+    "text_bpe_pairs",
+    "d69_rolling_zscore",
+    "privacy_k_anonymity",
+    "corpus_mixture_reweight",
 ]
 
 
