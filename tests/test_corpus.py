@@ -54,3 +54,79 @@ def test_ngram_topk_counts_are_positive_desc(spark, sf_dir):
     counts = [r["cnt"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(c > 0 for c in counts)
+
+
+def test_k_anonymity_invariants(spark, sf_dir):
+    """Every released (non-suppressed) quasi-class has >= k members;
+    every suppressed row has ALL quasi-identifiers nulled; class sizes
+    are consistent with the suppression flag."""
+    from pgsink_spark.operators.privacy import K_ANON, privacy_k_anonymity
+
+    rows = privacy_k_anonymity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["suppressed"]:
+            assert r["grp_n"] < K_ANON
+            assert r["nation"] is None
+            assert r["segment"] is None
+            assert r["bal_band"] is None
+        else:
+            assert r["grp_n"] >= K_ANON
+            assert r["nation"] is not None
+            assert r["segment"] is not None
+            assert r["bal_band"] is not None
+    from collections import Counter
+
+    released = Counter(
+        (r["nation"], r["segment"], r["bal_band"])
+        for r in rows
+        if not r["suppressed"]
+    )
+    assert all(n >= K_ANON for n in released.values())
+
+
+def test_mixture_reweight_identities(spark, sf_dir):
+    """Weights move the mixture to uniform: tokens_s * weight_s ~= T/k
+    for every source (exact up to the two floor divisions), and the
+    ppm shares sum to 1e6 within k floors."""
+    from pgsink_spark.operators.corpus import (
+        MIX_SCALE,
+        corpus_mixture_reweight,
+    )
+
+    rows = corpus_mixture_reweight(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["tokens"] for r in rows)
+    k = len(rows)
+    assert total - k <= sum(r["share_ppm"] for r in rows) * total / MIX_SCALE
+    for r in rows:
+        reweighted = r["tokens"] * r["weight_scaled"] / MIX_SCALE
+        target = total / k
+        # floor error bound: one unit of the scaled weight is
+        # tokens / MIX_SCALE tokens
+        assert abs(reweighted - target) <= r["tokens"] / MIX_SCALE + 1
+
+
+def test_bpe_pairs_match_bruteforce(spark, sf_dir):
+    """text_bpe_pairs equals a plain-Python recount over the collected
+    corpus (top-20 with the same tie order)."""
+    from collections import Counter
+
+    from pgsink_spark.operators.text import text_bpe_pairs
+    from pgsink_spark.sources.fixtures import load_table
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    counts = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    counts[w[i : i + 2]] += 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["pair"], r["cnt"]) for r in text_bpe_pairs(spark, sf_dir).collect()
+    ]
+    assert got == expected

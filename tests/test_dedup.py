@@ -244,3 +244,30 @@ def test_cdc_chunking_resynchronizes_after_insertion(spark, tmp_path):
     assert d0 >= n0 / 2, got
     assert d1 >= d0  # shifted doc shares those same chunks
     assert d2 == 0  # unrelated content shares nothing
+
+
+def test_incremental_probe_matches_full_lsh_cross_pairs(spark, sf_dir):
+    """The batch-vs-index probe must find exactly the cross-half subset
+    of what the full self-join LSH pass finds: same bands, same verify
+    threshold, so (old, new) pairs agree pair-for-pair. This pins the
+    incremental path's equivalence to the bootstrap path — the property
+    that makes running it per-batch sound."""
+    from pgsink_spark.operators.dedup import (
+        dedup_incremental_probe,
+        dedup_minhash_lsh,
+    )
+
+    full = {
+        (r["d1"], r["d2"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    cross = {
+        (d1, d2)
+        for d1, d2 in full
+        if (d1 % 10 == 0) != (d2 % 10 == 0)
+    }
+    probe = {
+        (min(r["new_id"], r["dup_of"]), max(r["new_id"], r["dup_of"]))
+        for r in dedup_incremental_probe(spark, sf_dir).collect()
+    }
+    assert probe == cross

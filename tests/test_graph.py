@@ -1,0 +1,62 @@
+"""Graph-operator invariants beyond the oracle hash: structural
+properties that would survive an oracle/implementation bug made in
+tandem (both sides computing the same wrong thing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pgsink_spark.operators.graph import (
+    RA_SCALE,
+    graph_linkpred,
+    graph_pagerank,
+)
+from pgsink_spark.sources.fixtures import load_table
+
+
+def _edge_set(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = set()
+    for (d,) in docs.collect():
+        for dst in ((d * d * 7 + 1) % n, (d * 13 + 3) % n,
+                    (d + 50) % n, (d + 100) % n):
+            if dst != d:
+                edges.add((min(d, dst), max(d, dst)))
+    return edges, n
+
+
+def test_linkpred_never_predicts_existing_edges(spark, sf_dir):
+    edges, n = _edge_set(spark, sf_dir)
+    rows = graph_linkpred(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r["src"], r["dst"]) not in edges
+        assert r["src"] < r["dst"]
+        assert 1 <= r["cn"]
+        # each common neighbor contributes at most RA_SCALE // 2
+        # (min undirected degree of any node on this graph is 2)
+        assert r["ra_scaled"] <= r["cn"] * (RA_SCALE // 2)
+        assert r["ra_scaled"] >= r["cn"]  # deg <= n so each term >= 1
+
+
+def test_pagerank_mass_is_conserved_up_to_flooring(spark, sf_dir):
+    """Total scaled rank stays within the flooring loss bound of n *
+    PR_SCALE: each iteration floors at most 1 unit per node per term."""
+    from pgsink_spark.operators.graph import PR_ITERS, PR_SCALE
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    top = graph_pagerank(spark, sf_dir).collect()
+    assert len(top) == 20
+    assert all(r["rank_scaled"] > 0 for r in top)
+    # the top-ranked node must beat the dangling floor 0.15 * PR_SCALE
+    assert top[0]["rank_scaled"] >= 15 * PR_SCALE // 100
+
+
+def test_rolling_zscore_flags_are_extreme(spark, sf_dir):
+    from pgsink_spark.operators.relational import QUERIES
+
+    rows = QUERIES["d69_rolling_zscore"](spark, sf_dir).collect()
+    assert rows
+    assert all(abs(r["z"]) >= 3 for r in rows)
