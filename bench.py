@@ -142,6 +142,8 @@ HEADLINE = [
     "d69_rolling_zscore",
     "privacy_k_anonymity",
     "corpus_mixture_reweight",
+    "d70_ohlc_resample",
+    "d71_attribution",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -3207,3 +3207,143 @@ def d69_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return z.where(F.abs(F.col("z")) >= 3).orderBy("user_id", "event_id")
+
+
+@query(
+    "d70_ohlc_resample",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY user_id, bucket
+    HAVING count(*) >= 3
+    ORDER BY user_id, bucket
+    """,
+)
+def d70_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: per (user, day) the first / max / min /
+    last event value plus the sample count — the canonical time-series
+    downsampling every metrics store runs, with bars under 3 samples
+    dropped as unreliable.
+
+    First/last are elected by ROW_NUMBER over (ts, event_id) — a
+    deterministic total order both engines share — rather than
+    ``first_value`` frames (whose default frame semantics differ
+    between engines) or arg_min on composite keys (whose struct
+    ordering is engine-specific). Both row numbers share one
+    (user, bucket)-keyed partition spec, so Spark plans ONE shuffle
+    feeding two Window sorts and the final partial agg; at 100 TB the
+    bucket key is also the natural file-partition key, making the
+    whole plan a partition-local pipeline after the single exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = W.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = b.select(
+        "user_id",
+        "bucket",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        marked.groupBy("user_id", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .where(F.col("n") >= 3)
+        .orderBy("user_id", "bucket")
+    )
+
+
+@query(
+    "d71_attribution",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_ts
+      FROM events
+    )
+    SELECT event_id, user_id,
+           (last_click_ts IS NOT NULL
+            AND date_diff('second', last_click_ts, ts) <= 86400)
+             AS attributed,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND date_diff('second', last_click_ts, ts) <= 86400
+                THEN CAST(date_diff('second', last_click_ts, ts) AS BIGINT)
+           END AS lag_s
+    FROM marked
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def d71_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase attributes to
+    the most recent STRICTLY-preceding click by the same user within a
+    24-hour window, emitting the attribution flag and the
+    click-to-purchase lag in whole seconds — the classic marketing
+    analytics join that is NOT a join: a running conditional MAX over
+    the per-user event stream replaces the naive purchase⋈click
+    range self-join (which is quadratic in events per user).
+
+    One user-keyed shuffle feeds a single running-max window frame;
+    the purchase filter and window arithmetic are row-local. At 100 TB
+    the frame state is one timestamp per open partition — this is also
+    exactly the shape the streaming twin runs with keyed state
+    (stream_sessionize's pattern), so batch and stream agree by
+    construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w).alias("last_click_ts"),
+    )
+    lag = F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+    attributed = F.col("last_click_ts").isNotNull() & (lag <= 86400)
+    return (
+        marked.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            attributed.alias("attributed"),
+            F.when(attributed, lag.cast("bigint")).alias("lag_s"),
+        )
+        .orderBy("event_id")
+    )

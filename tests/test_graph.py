@@ -60,3 +60,28 @@ def test_rolling_zscore_flags_are_extreme(spark, sf_dir):
     rows = QUERIES["d69_rolling_zscore"](spark, sf_dir).collect()
     assert rows
     assert all(abs(r["z"]) >= 3 for r in rows)
+
+
+def test_ohlc_bars_are_consistent(spark, sf_dir):
+    from pgsink_spark.operators.relational import QUERIES
+
+    rows = QUERIES["d70_ohlc_resample"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n"] >= 3
+
+
+def test_attribution_lags_bounded(spark, sf_dir):
+    from pgsink_spark.operators.relational import QUERIES
+
+    rows = QUERIES["d71_attribution"](spark, sf_dir).collect()
+    assert rows
+    attributed = [r for r in rows if r["attributed"]]
+    assert attributed
+    for r in rows:
+        if r["attributed"]:
+            assert r["lag_s"] is not None and 0 <= r["lag_s"] <= 86400
+        else:
+            assert r["lag_s"] is None
