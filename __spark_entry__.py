@@ -72,6 +72,8 @@ _ROUND5_PRIORITY = [
     "ann_pq_recall",
     "d70_ohlc_resample",
     "d71_attribution",
+    "d72_mad_outliers",
+    "stream_attribution",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

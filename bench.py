@@ -144,6 +144,7 @@ HEADLINE = [
     "corpus_mixture_reweight",
     "d70_ohlc_resample",
     "d71_attribution",
+    "d72_mad_outliers",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -3347,3 +3347,84 @@ def d71_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "d72_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, med.med,
+             ABS(e.value - med.med) AS adev
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ANY_VALUE(med) AS med,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(ROUND(CAST(ANY_VALUE(m.med) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS med,
+           CAST(ROUND(CAST(ANY_VALUE(m.mad) AS DECIMAL(18,6)), 4)
+                AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN ABS(d.value - m.med) > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def d72_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profiling per event type: exact median, median
+    absolute deviation, and the count of values beyond the standard
+    3·1.4826·MAD fence — the heavy-tail-safe alternative to d60's
+    moment statistics (one planted outlier shifts a mean/stddev fence
+    arbitrarily; it moves the MAD fence not at all).
+
+    Two exact order statistics mean two group-keyed passes (median,
+    then deviation median) plus the fence count folded into the
+    second — all three shuffles keyed on the 5-value event_type, with
+    the median table broadcast back. Exact percentile_cont is the
+    deliberate choice here (type count is tiny and bounded); at an
+    unbounded group count the first median swaps for the
+    approx-quantile sketch d67 bounds, and the rest of the plan is
+    unchanged. Rounding to 4 dp absorbs the interpolation float noise
+    between engines; the fence COUNT is integer-stable because fence
+    comparisons happen on raw doubles identically on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            rnd(F.first("med").cast("decimal(18,6)"), 4).alias("med"),
+            rnd(F.first("mad").cast("decimal(18,6)"), 4).alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -344,3 +344,73 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+
+
+@query(
+    "stream_attribution",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_ts
+      FROM events
+    )
+    SELECT event_id, user_id,
+           (last_click_ts IS NOT NULL
+            AND date_diff('second', last_click_ts, ts) <= 86400)
+             AS attributed,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND date_diff('second', last_click_ts, ts) <= 86400
+                THEN CAST(date_diff('second', last_click_ts, ts) AS BIGINT)
+           END AS lag_s
+    FROM marked
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful attribution tracker (streaming/stateful.py
+    attribution_tracker) run as a real availableNow streaming query
+    over the events fixture, hash-checked against the SAME declarative
+    oracle as the batch twin d71_attribution — the strongest
+    batch/stream equivalence claim in the registry: identical rows,
+    flags, and second-precision lags from one timestamp of keyed
+    state versus a running window MAX.
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    run = next(_RUN)
+    src = f"/tmp/pgsink_attr_src_{h}"
+    ck = f"/tmp/pgsink_attr_ck_{h}_{os.getpid()}_{run}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+
+    from pgsink_spark.streaming.stateful import attribution_tracker
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    name = f"attr_{h}_{os.getpid()}_{run}"
+    q = (
+        attribution_tracker(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("event_id", "user_id", "attributed", "lag_s")
+        .orderBy("event_id")
+    )

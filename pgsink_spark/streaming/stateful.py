@@ -224,3 +224,83 @@ def anomaly_detector(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+ATTRIBUTION_WINDOW_S = 86400
+
+ATTR_OUTPUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("attributed", T.BooleanType(), False),
+        T.StructField("lag_s", T.LongType(), True),
+    ]
+)
+
+ATTR_STATE = T.StructType([T.StructField("last_click_us", T.LongType())])
+
+
+def _attribute(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Last-touch attribution fold: one timestamp of state per user.
+
+    Rows are processed in (ts, event_id) order; a purchase is judged
+    against the click state BEFORE the current row (strictly-preceding
+    semantics — identical to d71's ``ROWS ... 1 PRECEDING`` frame), and
+    lag is whole epoch-seconds (floor on each side, matching
+    ``date_diff('second', ...)``).
+    """
+    (user_id,) = key
+    if state.hasTimedOut:  # pragma: no cover — live-mode state expiry
+        state.remove()
+        return
+
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    (last_click_us,) = state.get if state.exists else (None,)
+
+    ts_us = pdf["ts"].astype("int64").to_numpy() // 1000
+    out = {"event_id": [], "user_id": [], "attributed": [], "lag_s": []}
+    for eid, etype, t_us in zip(
+        pdf["event_id"].to_numpy(), pdf["event_type"].to_numpy(), ts_us
+    ):
+        if etype == "purchase":
+            lag = (
+                None
+                if last_click_us is None
+                else int(t_us // 1_000_000 - last_click_us // 1_000_000)
+            )
+            ok = lag is not None and lag <= ATTRIBUTION_WINDOW_S
+            out["event_id"].append(int(eid))
+            out["user_id"].append(user_id)
+            out["attributed"].append(ok)
+            out["lag_s"].append(lag if ok else None)
+        if etype == "click":
+            last_click_us = int(t_us)
+
+    state.update((int(last_click_us) if last_click_us is not None else None,))
+    if out["event_id"]:
+        yield pd.DataFrame(out)
+
+
+def attribution_tracker(
+    events: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Streaming last-touch conversion attribution: per-user state is
+    ONE timestamp (the latest click), purchases emit an attribution
+    row judged against it. The third custom stateful operator (§2.F):
+    the batch twin d71 computes the identical result declaratively
+    with a running conditional MAX, and the oracle pins stream ==
+    batch row-for-row.
+
+    ``events`` needs (event_id, user_id, ts TimestampType,
+    event_type). State is bounded at one scalar per live user —
+    timeout-expirable, the 100 TB requirement.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attribute,
+        outputStructType=ATTR_OUTPUT,
+        stateStructType=ATTR_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

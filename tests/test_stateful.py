@@ -123,3 +123,20 @@ def test_anomaly_detector_flags_spike_not_baseline(spark, tmp_path):
     row = got[0]
     assert row["value"] == 100.0 and abs(row["zscore"]) >= 3.0
     assert abs(row["ewma"] - 10.0) < 1.0  # judged against the flat baseline
+
+
+def test_stream_attribution_equals_batch_twin(spark, sf_dir):
+    """attribution_tracker (one timestamp of keyed state) must equal
+    d71_attribution (running window MAX) row-for-row — flags AND lags."""
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.operators.streaming_q import stream_attribution
+
+    batch = [
+        (r["event_id"], r["user_id"], r["attributed"], r["lag_s"])
+        for r in QUERIES["d71_attribution"](spark, sf_dir).collect()
+    ]
+    stream = [
+        (r["event_id"], r["user_id"], r["attributed"], r["lag_s"])
+        for r in stream_attribution(spark, sf_dir).collect()
+    ]
+    assert stream == batch
