@@ -74,6 +74,7 @@ _ROUND5_PRIORITY = [
     "d71_attribution",
     "d72_mad_outliers",
     "stream_attribution",
+    "stream_rolling_zscore",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

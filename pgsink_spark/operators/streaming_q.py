@@ -414,3 +414,70 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "attributed", "lag_s")
         .orderBy("event_id")
     )
+
+
+@query(
+    "stream_rolling_zscore",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sd,
+             count(*) OVER win AS cnt
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(CAST((value - mu) / sd AS DECIMAL(24,6)), 4)
+                  AS DOUBLE) AS z
+      FROM w WHERE cnt >= 8 AND sd > 0
+    )
+    SELECT event_id, user_id, z FROM z
+    WHERE ABS(z) >= 3 ORDER BY user_id, event_id
+    """,
+)
+def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ring-buffer rolling-zscore detector (streaming/stateful.py
+    rolling_zscore_detector) as a real availableNow streaming query,
+    hash-checked against the SAME declarative window oracle as the
+    batch twin d69_rolling_zscore — 20 doubles of keyed state versus
+    a trailing window frame, byte-equal flags after the shared 4-dp
+    rounding.
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    run = next(_RUN)
+    src = f"/tmp/pgsink_rollz_src_{h}"
+    ck = f"/tmp/pgsink_rollz_ck_{h}_{os.getpid()}_{run}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+
+    from pgsink_spark.streaming.stateful import rolling_zscore_detector
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts", "value")
+    )
+    name = f"rollz_{h}_{os.getpid()}_{run}"
+    q = (
+        rolling_zscore_detector(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("event_id", "user_id", "z")
+        .orderBy("user_id", "event_id")
+    )

@@ -304,3 +304,92 @@ def attribution_tracker(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+ROLL_WINDOW = 20
+ROLL_MIN_N = 8
+ROLL_Z = 3.0
+
+ROLL_OUTPUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("z", T.DoubleType(), False),
+    ]
+)
+
+# bounded ring buffer of the trailing window, newest-last
+ROLL_STATE = T.StructType(
+    [T.StructField("window", T.ArrayType(T.DoubleType()))]
+)
+
+
+def _roll_zscore(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Trailing-window z-score fold: state is the user's last
+    ROLL_WINDOW values (bounded — the 100 TB requirement). Each event
+    is judged against the window BEFORE it enters (self-exclusion,
+    matching d69's ``1 PRECEDING`` frame), with sample stddev and the
+    same 4-dp rounding the batch twin applies before its ≥3 cut.
+    """
+    (user_id,) = key
+    if state.hasTimedOut:  # pragma: no cover — live-mode state expiry
+        state.remove()
+        return
+
+    import numpy as np
+
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    (window,) = state.get if state.exists else ([],)
+    window = list(window)
+
+    out = {"event_id": [], "user_id": [], "z": []}
+    for eid, v in zip(
+        pdf["event_id"].to_numpy(), pdf["value"].to_numpy(dtype="float64")
+    ):
+        if len(window) >= ROLL_MIN_N:
+            arr = np.asarray(window)
+            mu = float(arr.mean())
+            sd = float(arr.std(ddof=1))
+            if sd > 0:
+                # replicate the batch twin's two-stage HALF_UP
+                # rounding (cast DECIMAL(24,6) then ROUND(.., 4)) —
+                # pandas' half-even rounding differs one ulp on
+                # x.xxxx5 boundaries
+                from decimal import ROUND_HALF_UP, Decimal
+
+                d = Decimal(repr((v - mu) / sd)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                ).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+                z = float(d)
+                if abs(z) >= ROLL_Z:
+                    out["event_id"].append(int(eid))
+                    out["user_id"].append(user_id)
+                    out["z"].append(z)
+        window.append(float(v))
+        if len(window) > ROLL_WINDOW:
+            window.pop(0)
+
+    state.update((window,))
+    if out["event_id"]:
+        yield pd.DataFrame(out)
+
+
+def rolling_zscore_detector(
+    events: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Streaming trailing-window anomaly detection — the stateful twin
+    of the batch window query d69_rolling_zscore. Fourth custom
+    stateful operator: ring-buffer state (20 doubles per live user),
+    judge-before-update, bounded regardless of stream length.
+
+    ``events`` needs (event_id, user_id, ts TimestampType, value).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _roll_zscore,
+        outputStructType=ROLL_OUTPUT,
+        stateStructType=ROLL_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -140,3 +140,20 @@ def test_stream_attribution_equals_batch_twin(spark, sf_dir):
         for r in stream_attribution(spark, sf_dir).collect()
     ]
     assert stream == batch
+
+
+def test_stream_rolling_zscore_equals_batch_twin(spark, sf_dir):
+    """rolling_zscore_detector (ring-buffer state) must equal
+    d69_rolling_zscore (trailing window frame) row-for-row."""
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.operators.streaming_q import stream_rolling_zscore
+
+    batch = [
+        (r["event_id"], r["user_id"], r["z"])
+        for r in QUERIES["d69_rolling_zscore"](spark, sf_dir).collect()
+    ]
+    stream = [
+        (r["event_id"], r["user_id"], r["z"])
+        for r in stream_rolling_zscore(spark, sf_dir).collect()
+    ]
+    assert stream == batch
