@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pgsink_spark.operators import corpus as _corpus  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import curation as _curation  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import dedup as _dedup
+from pgsink_spark.operators import evaluation as _evaluation  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import graph as _graph  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import ivm as _ivm  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import multimodal as _mm
@@ -75,6 +76,8 @@ _ROUND5_PRIORITY = [
     "d72_mad_outliers",
     "stream_attribution",
     "stream_rolling_zscore",
+    "eval_langid_metrics",
+    "eval_score_auc",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

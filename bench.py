@@ -145,6 +145,8 @@ HEADLINE = [
     "d70_ohlc_resample",
     "d71_attribution",
     "d72_mad_outliers",
+    "eval_langid_metrics",
+    "eval_score_auc",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -85,3 +85,27 @@ def test_attribution_lags_bounded(spark, sf_dir):
             assert r["lag_s"] is not None and 0 <= r["lag_s"] <= 86400
         else:
             assert r["lag_s"] is None
+
+
+def test_eval_metrics_sanity(spark, sf_dir):
+    """Lang-id metrics: counts partition the corpus; quality-score AUC
+    discriminates long docs well above chance."""
+    from pgsink_spark.operators.evaluation import (
+        eval_langid_metrics,
+        eval_score_auc,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = eval_langid_metrics(spark, sf_dir).collect()
+    assert sum(r["tp"] for r in rows) + sum(r["fn"] for r in rows) == n_docs
+    assert sum(r["tp"] for r in rows) + sum(r["fp"] for r in rows) == n_docs
+    for r in rows:
+        if r["prec"] is not None:
+            assert 0.0 <= r["prec"] <= 1.0
+        if r["rec"] is not None:
+            assert 0.0 <= r["rec"] <= 1.0
+
+    (auc_row,) = eval_score_auc(spark, sf_dir).collect()
+    assert auc_row["n_pos"] > 0 and auc_row["n_neg"] > 0
+    assert 0.6 <= auc_row["auc"] <= 1.0
