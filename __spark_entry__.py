@@ -78,6 +78,7 @@ _ROUND5_PRIORITY = [
     "stream_rolling_zscore",
     "eval_langid_metrics",
     "eval_score_auc",
+    "eval_calibration",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

@@ -147,6 +147,7 @@ HEADLINE = [
     "d72_mad_outliers",
     "eval_langid_metrics",
     "eval_score_auc",
+    "eval_calibration",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -235,3 +235,101 @@ def eval_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("auc"),
     )
+
+
+@query(
+    "eval_calibration",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             (n_chars >= {AUC_LABEL_CHARS}) AS label,
+             len(string_split(lower(text), ' ')) AS nw_i,
+             CAST((len(concat(' ', lower(text), ' '))
+               - len(replace(concat(' ', lower(text), ' '), ' the ', '')))
+               / 5 AS BIGINT) AS ns_i,
+             len(lower(text)) AS nc
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id, label,
+             -1.0 + 0.02 * CAST(nw_i AS DOUBLE)
+               + -3.0 * (CAST(ns_i AS DOUBLE) / nw_i)
+               + 0.4 * ((nc - (nw_i - 1)) * 1.0 / nw_i) AS zv
+      FROM scored
+    ),
+    b AS (
+      SELECT label, zv / (1.0 + abs(zv)) AS score,
+             NTILE(10) OVER (ORDER BY zv / (1.0 + abs(zv)), doc_id)
+               AS bucket
+      FROM z
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(AVG(score) AS DECIMAL(18,8)), 6) AS DOUBLE)
+             AS mean_score,
+           CAST(ROUND(CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END)
+                * 1.0 / count(*) AS DECIMAL(18,8)), 6) AS DOUBLE)
+             AS pos_rate
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the model quality score: score-ordered
+    deciles (deterministic NTILE over (score, doc_id)) against the
+    empirical long-document rate per bucket — the calibration check a
+    pipeline runs before using a classifier's scores as sampling
+    weights rather than just as a ranking.
+
+    One global NTILE (a single range exchange — the sort-bound step,
+    same budget as AUC's rank) and a 10-group fold. The score is the
+    softsign-squashed linear model of quality_model_score recomputed
+    declaratively (rational arithmetic only, so both engines agree
+    bit-for-bit before the rounding even applies).
+    """
+    from pgsink_spark.operators.text import MODEL_W
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.lower(F.col("text"))
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    nw = F.size(F.split(text, " ")).cast("bigint")
+    ns = (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit(""))))
+        / 5
+    ).cast("bigint")
+    z = (
+        F.lit(MODEL_W[0])
+        + F.lit(MODEL_W[1]) * nw.cast("double")
+        + F.lit(MODEL_W[2]) * (ns.cast("double") / nw)
+        + F.lit(MODEL_W[3])
+        * ((F.length(text) - (nw - 1)) * F.lit(1.0) / nw)
+    )
+    scored = docs.select(
+        "doc_id",
+        (F.col("n_chars") >= AUC_LABEL_CHARS).alias("label"),
+        (z / (F.lit(1.0) + F.abs(z))).alias("score"),
+    )
+    b = scored.select(
+        "label",
+        "score",
+        F.ntile(10).over(W.orderBy("score", "doc_id")).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("score").cast("decimal(18,8)"), 6)
+            .cast("double")
+            .alias("mean_score"),
+            F.round(
+                (
+                    F.sum(F.col("label").cast("long"))
+                    * F.lit(1.0)
+                    / F.count(F.lit(1))
+                ).cast("decimal(18,8)"),
+                6,
+            )
+            .cast("double")
+            .alias("pos_rate"),
+        )
+        .orderBy("bucket")
+    )

@@ -53,6 +53,12 @@ PROBES = [
     "d69_rolling_zscore",
     "privacy_k_anonymity",
     "corpus_mixture_reweight",
+    "d70_ohlc_resample",
+    "d71_attribution",
+    "d72_mad_outliers",
+    "eval_langid_metrics",
+    "eval_score_auc",
+    "eval_calibration",
 ]
 
 
