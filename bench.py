@@ -148,6 +148,7 @@ HEADLINE = [
     "eval_langid_metrics",
     "eval_score_auc",
     "eval_calibration",
+    "text_bigram_perplexity",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -427,3 +427,121 @@ def text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "text_bigram_perplexity",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, l[i.i] AS w1, l[i.i + 1] AS w2
+      FROM docs, UNNEST(range(1, len(l))) AS i(i)
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
+      FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, SUM(c) AS c1, CAST(count(*) AS DOUBLE) AS n1_fw
+      FROM c12 GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(count(*) AS DOUBLE) AS n1_bw FROM c12 GROUP BY w2
+    ),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM c12),
+    p AS (
+      SELECT c12.w1, c12.w2,
+             GREATEST(c12.c - {0.75}, 0.0) / c1.c1
+               + ({0.75} * c1.n1_fw / c1.c1) * (cont.n1_bw / t.n_types)
+               AS p_kn
+      FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN t
+    ),
+    doclp AS (
+      SELECT bg.doc_id,
+             CAST(LN(p.p_kn) AS DECIMAL(28,12)) AS lp
+      FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(CAST(-SUM(lp) / count(*) AS DECIMAL(28,12)), 6)
+                AS DOUBLE) AS xent
+    FROM doclp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy (mean negative log-probability, nats)
+    under the corpus's own interpolated Kneser–Ney bigram LM — the
+    perplexity-filter pass real curation pipelines run (CCNet,
+    RedPajama) with a KenLM model, here with the LM estimated from the
+    corpus itself so the whole operator is closed-form and
+    oracle-checkable.
+
+    Exactness: each bigram's p_kn is pure rational arithmetic on
+    integer counts (bit-identical across engines); its single ``ln``
+    runs on an identical double; and per-doc accumulation sums
+    DECIMAL(28,12) images of the logs — decimal addition is exact and
+    associative, so Spark's partial-agg merge order and DuckDB's
+    sequential fold cannot diverge (a raw float SUM here would differ
+    in the last ulp by summation order alone).
+
+    Plan: the LM tables are vocabulary-keyed aggregations off ONE
+    row-local bigram explode; scoring joins the doc-bigram stream to
+    the pair-probability table on the bigram key (at 100 TB the
+    probability table is vocab²-bounded and ~always broadcastable
+    after a frequency cut), then folds per doc. Docs shorter than two
+    tokens have no bigrams and drop out, as a perplexity filter wants.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("l")
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1_fw"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n1_bw")
+    )
+    t = c12.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    p = (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.greatest(F.col("c") - KN_DISCOUNT, F.lit(0.0)) / F.col("c1")
+                + (KN_DISCOUNT * F.col("n1_fw") / F.col("c1"))
+                * (F.col("n1_bw") / F.col("n_types"))
+            ).alias("p_kn"),
+        )
+    )
+    doclp = bg.join(p, ["w1", "w2"]).select(
+        "doc_id", F.log(F.col("p_kn")).cast("decimal(28,12)").alias("lp")
+    )
+    return (
+        doclp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                (-F.sum("lp") / F.count(F.lit(1))).cast("decimal(28,12)"), 6
+            )
+            .cast("double")
+            .alias("xent"),
+        )
+        .orderBy("doc_id")
+    )

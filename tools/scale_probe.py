@@ -59,6 +59,7 @@ PROBES = [
     "eval_langid_metrics",
     "eval_score_auc",
     "eval_calibration",
+    "text_bigram_perplexity",
 ]
 
 
