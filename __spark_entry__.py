@@ -80,6 +80,7 @@ _ROUND5_PRIORITY = [
     "eval_score_auc",
     "eval_calibration",
     "text_bigram_perplexity",
+    "text_subword_encode",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

@@ -149,6 +149,7 @@ HEADLINE = [
     "eval_score_auc",
     "eval_calibration",
     "text_bigram_perplexity",
+    "text_subword_encode",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

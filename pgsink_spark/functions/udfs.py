@@ -46,3 +46,31 @@ def make_linear_scorer(weights):
         return z / (1.0 + z.abs())
 
     return forward
+
+
+def make_subword_encoder(vocab, max_len):
+    """Factory: Arrow-batched greedy longest-prefix-match subword
+    encoder over a broadcast-closure vocabulary (text_subword_encode's
+    per-distinct-word segmentation loop). Deterministic: each
+    candidate length matches at most one string, so longest-first
+    needs no tie-break."""
+    vocab = frozenset(vocab)
+
+    @pandas_udf("long")
+    def seg_len(words: pd.Series) -> pd.Series:
+        def encode(w):
+            pos, n = 0, 0
+            while pos < len(w):
+                for length in range(min(max_len, len(w) - pos), 0, -1):
+                    if w[pos : pos + length] in vocab:
+                        pos += length
+                        n += 1
+                        break
+                else:  # unmatchable char — cannot happen (char floor)
+                    pos += 1
+                    n += 1
+            return n
+
+        return words.map(encode).astype("int64")
+
+    return seg_len

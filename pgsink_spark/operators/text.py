@@ -536,3 +536,139 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(20)
     )
+
+
+SUBWORD_TOP_WORDS = 10
+SUBWORD_TOP_PAIRS = 20
+
+
+@query(
+    "text_subword_encode",
+    f"""
+    WITH RECURSIVE
+    occ AS (
+      SELECT doc_id, u.w AS w
+      FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
+      WHERE len(u.w) >= 1
+    ),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY w),
+    chars AS (
+      SELECT DISTINCT substr(w, CAST(i.i AS INT), 1) AS v
+      FROM wc, UNNEST(range(1, len(w) + 1)) AS i(i)
+    ),
+    prs AS (
+      SELECT substr(w, CAST(i.i AS INT), 2) AS pair, n
+      FROM wc, UNNEST(range(1, len(w))) AS i(i) WHERE len(w) >= 2
+    ),
+    top_pairs AS (
+      SELECT pair AS v FROM (
+        SELECT pair, SUM(n) AS cnt FROM prs GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT {SUBWORD_TOP_PAIRS})
+    ),
+    top_words AS (
+      SELECT w AS v FROM wc ORDER BY n DESC, w LIMIT {SUBWORD_TOP_WORDS}
+    ),
+    vocab AS (
+      SELECT DISTINCT v FROM (
+        SELECT v FROM chars UNION ALL
+        SELECT v FROM top_pairs UNION ALL
+        SELECT v FROM top_words)
+    ),
+    words AS (SELECT w FROM wc),
+    step AS (
+      SELECT w, 1 AS pos, 0 AS n_tok FROM words
+      UNION ALL
+      SELECT s.w, s.pos + len(m.v), s.n_tok + 1
+      FROM step s, LATERAL (
+        SELECT v FROM vocab
+        WHERE v = substr(s.w, s.pos, len(v))
+        ORDER BY len(v) DESC LIMIT 1
+      ) m
+      WHERE s.pos <= len(s.w)
+    ),
+    seg AS (
+      SELECT w, CAST(max(n_tok) AS BIGINT) AS n_tok FROM step GROUP BY w
+    )
+    SELECT occ.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           SUM(seg.n_tok) AS n_tokens
+    FROM occ JOIN seg USING (w)
+    GROUP BY occ.doc_id ORDER BY occ.doc_id
+    """,
+)
+def text_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenizer APPLICATION: greedy longest-prefix-match
+    segmentation of every word against a merge vocabulary built from
+    the corpus itself — all single characters (the open-vocabulary
+    floor), the top-20 BPE merge pairs (text_bpe_pairs' statistic,
+    here actually consumed), and the top-10 whole words. Emits per-doc
+    word and subword-token counts — the tokenize step every training
+    pipeline runs between curation and packing.
+
+    Scale shape mirrors production tokenizers twice over: (1) the
+    vocabulary is CONTROL-PLANE sized by construction (chars + fixed
+    top-k cuts) and ships to executors as a broadcast closure, and
+    (2) segmentation runs once per DISTINCT word — vocabulary-sized
+    work — with the corpus paying only a word-keyed join + per-doc
+    fold (the same distinct-word trick as text_bpe_pairs; the corpus
+    is never re-scanned per merge). The greedy loop itself is an
+    Arrow-batched pandas UDF — the designated escape hatch for
+    genuinely iterative per-value logic — and is deterministic: at
+    any position, each candidate length matches at most one string,
+    so longest-first needs no tie-break. The oracle replays the exact
+    greedy recursion as a recursive CTE with a LATERAL longest-prefix
+    probe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).where(F.length("w") >= 1)
+    wc = occ.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    chars = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("v")
+    ).distinct()
+    pairs = (
+        wc.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(SUBWORD_TOP_PAIRS)
+        .select(F.col("pair").alias("v"))
+    )
+    top_words = (
+        wc.orderBy(F.desc("n"), "w")
+        .limit(SUBWORD_TOP_WORDS)
+        .select(F.col("w").alias("v"))
+    )
+    vocab = {
+        r["v"]
+        for r in chars.unionAll(pairs).unionAll(top_words).distinct().collect()
+    }
+    max_len = max(len(v) for v in vocab)
+
+    from pgsink_spark.functions.udfs import make_subword_encoder  # noqa: PLC0415
+
+    seg_len = make_subword_encoder(vocab, max_len)
+    seg = wc.select("w", seg_len(F.col("w")).alias("n_tok"))
+    return (
+        occ.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

