@@ -21,6 +21,7 @@ from pgsink_spark.operators import corpus as _corpus  # noqa: F401 — registers
 from pgsink_spark.operators import curation as _curation  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import dedup as _dedup
 from pgsink_spark.operators import evaluation as _evaluation  # noqa: F401 — registers into _rel.QUERIES
+from pgsink_spark.operators import export as _export  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import graph as _graph  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import ivm as _ivm  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import multimodal as _mm
@@ -81,6 +82,7 @@ _ROUND5_PRIORITY = [
     "eval_calibration",
     "text_bigram_perplexity",
     "text_subword_encode",
+    "export_webdataset",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

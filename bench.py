@@ -150,6 +150,7 @@ HEADLINE = [
     "eval_calibration",
     "text_bigram_perplexity",
     "text_subword_encode",
+    "export_webdataset",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

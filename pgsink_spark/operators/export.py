@@ -136,3 +136,120 @@ class StreamingShardExport:
             self.spark.read.parquet(self.path)
             .orderBy("epoch", *self.sort_cols)
         )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar-shard export
+# ---------------------------------------------------------------------------
+
+import itertools
+import os
+import tarfile
+
+from pyspark.sql import SparkSession
+
+from pgsink_spark.operators.relational import query
+from pgsink_spark.sources.fixtures import load_table
+
+WDS_SHARD_DOCS = 100
+_WDS_RUN = itertools.count()
+
+
+def write_webdataset_shards(
+    docs: DataFrame, out_dir: str, shard_docs: int = WDS_SHARD_DOCS
+) -> DataFrame:
+    """Write the corpus as WebDataset-style USTAR tar shards — the
+    standard sequential-read training format (one ``{key}.txt`` member
+    per document, ``shard-NNNNN.tar`` files readable by any tar/WDS
+    loader) — and return per-shard (shard_id, n_docs, tar_bytes) stats
+    measured from the files actually written.
+
+    Sharding is deterministic: documents ordered by doc_id, cut every
+    ``shard_docs`` rows; members are written in doc_id order, so shard
+    bytes are a pure function of the corpus. Each shard is produced by
+    ONE task (applyInPandas over the shard key — a single shard-keyed
+    shuffle moves each document's bytes exactly once), which is also
+    the 100 TB shape: shard tasks parallelize freely, no shard ever
+    sees more than ``shard_docs`` documents, and the writer streams
+    members without materializing the archive in memory.
+    """
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    from pyspark.sql import Window as W
+
+    sharded = docs.select(
+        "doc_id",
+        "text",
+        (
+            (F.row_number().over(W.orderBy("doc_id")) - 1)
+            / shard_docs
+        ).cast("long").alias("shard_id"),
+    )
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard_id = int(pdf["shard_id"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard_id:05d}.tar")
+        order = pdf.sort_values("doc_id")
+        with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
+            for doc_id, text in zip(order["doc_id"], order["text"]):
+                data = text.encode("utf-8")
+                info = tarfile.TarInfo(name=f"{int(doc_id):010d}.txt")
+                info.size = len(data)
+                info.mtime = 0
+                import io
+
+                tf.addfile(info, io.BytesIO(data))
+        return pd.DataFrame(
+            {
+                "shard_id": [shard_id],
+                "n_docs": [len(order)],
+                "tar_bytes": [os.path.getsize(path)],
+            }
+        )
+
+    return (
+        sharded.groupBy("shard_id")
+        .applyInPandas(
+            write_shard, "shard_id long, n_docs long, tar_bytes long"
+        )
+        .orderBy("shard_id")
+    )
+
+
+@query(
+    "export_webdataset",
+    f"""
+    WITH ordered AS (
+      SELECT len(text) AS nb,
+             (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {WDS_SHARD_DOCS}
+               AS shard_id
+      FROM documents
+    ),
+    per AS (
+      SELECT shard_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             SUM(512 * (1 + CAST(CEIL(nb / 512.0) AS BIGINT))) AS member_b
+      FROM ordered GROUP BY shard_id
+    )
+    SELECT shard_id, n_docs,
+           CAST(CEIL((member_b + 1024) / 10240.0) AS BIGINT) * 10240
+             AS tar_bytes
+    FROM per ORDER BY shard_id
+    """,
+)
+def export_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query for the tar-shard exporter: writes REAL USTAR
+    archives for the whole corpus, then returns per-shard stats
+    measured from the bytes on disk. The oracle computes the same
+    numbers from POSIX tar layout arithmetic alone — 512-byte header
+    per member, data padded to 512, 1024-byte end-of-archive marker,
+    archive padded to the 10240-byte record size — so a wrong member
+    count, a truncated write, or a format drift (e.g. GNU longname
+    extension blocks sneaking in) all change real file sizes and go
+    red at the gate.
+    """
+    run = next(_WDS_RUN)
+    out = f"/tmp/pgsink_wds_{os.getpid()}_{run}"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return write_webdataset_shards(docs, out)

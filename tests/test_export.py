@@ -94,3 +94,38 @@ def test_streaming_shard_export_epochs(spark, tmp_path):
     ranges.sort()
     for (a, b), (c, d) in zip(ranges, ranges[1:]):
         assert b < c  # disjoint
+
+
+def test_webdataset_shards_roundtrip(spark, sf_dir, tmp_path):
+    """The written archives are real, readable tars: member names,
+    order, and contents round-trip; shard sizes match the on-disk
+    files the registry query reports."""
+    import tarfile
+
+    from pgsink_spark.operators.export import write_webdataset_shards
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "wds")
+    stats = {
+        r["shard_id"]: (r["n_docs"], r["tar_bytes"])
+        for r in write_webdataset_shards(docs, out).collect()
+    }
+    expected = {
+        r["doc_id"]: r["text"] for r in docs.collect()
+    }
+    seen = {}
+    import os
+
+    for shard_id, (n_docs, tar_bytes) in stats.items():
+        path = os.path.join(out, f"shard-{shard_id:05d}.tar")
+        assert os.path.getsize(path) == tar_bytes
+        with tarfile.open(path) as tf:
+            members = tf.getmembers()
+            assert len(members) == n_docs
+            names = [m.name for m in members]
+            assert names == sorted(names)  # doc_id order inside shard
+            for m in members:
+                doc_id = int(m.name.removesuffix(".txt"))
+                seen[doc_id] = tf.extractfile(m).read().decode()
+    assert seen == expected
