@@ -83,6 +83,7 @@ _ROUND5_PRIORITY = [
     "text_bigram_perplexity",
     "text_subword_encode",
     "export_webdataset",
+    "privacy_dp_counts",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

@@ -151,6 +151,7 @@ HEADLINE = [
     "text_bigram_perplexity",
     "text_subword_encode",
     "export_webdataset",
+    "privacy_dp_counts",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

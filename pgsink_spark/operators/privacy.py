@@ -185,3 +185,96 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+DP_MAX_MAG = 12
+
+
+def _trailing_ones_case(var: str) -> str:
+    """SQL CASE computing the trailing-ones count of ``var`` (capped at
+    DP_MAX_MAG) — ``x % 2^(k+1) == 2^k - 1`` ⟺ exactly k trailing one
+    bits. Pure integer arithmetic, identical text on both engines."""
+    branches = "".join(
+        f" WHEN {var} % {2 ** (k + 1)} = {2 ** k - 1} THEN {k}"
+        for k in range(DP_MAX_MAG)
+    )
+    return f"CASE{branches} ELSE {DP_MAX_MAG} END"
+
+
+_DP_SPARK_HASH = (
+    "conv(substring(md5(concat(cast(c_nationkey as string), '|',"
+    " c_mktsegment)), 1, 8), 16, 10)"
+)
+_DP_DUCK_HASH = (
+    "CAST(CONCAT('0x', substr(md5(CONCAT(CAST(c_nationkey AS VARCHAR), '|',"
+    " c_mktsegment)), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "privacy_dp_counts",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS n,
+             {_DP_DUCK_HASH} AS h
+      FROM customer GROUP BY 1, 2
+    ),
+    noise AS (
+      SELECT nation, segment, n,
+             CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END
+               * ({_trailing_ones_case("(h // 2)")}) AS eta
+      FROM g
+    )
+    SELECT nation, segment,
+           GREATEST(n + eta, 0) AS noisy_count
+    FROM noise ORDER BY nation, segment
+    """,
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the customer demographic
+    histogram: each (nation, segment) count is perturbed with
+    SEEDED two-sided geometric noise — the discrete Laplace mechanism
+    (ε = ln 2 at p = 1/2), truncated at magnitude 12 and clamped at
+    zero — before release. The seed is a cross-engine md5 of the
+    group key, making the noise a pure integer function of the data:
+    reproducible releases (the pattern DP pipelines use for
+    consistency across reruns) and an exactly-checkable oracle.
+
+    The noise derivation never touches floats: the hash's low bit is
+    the sign coin and the TRAILING-ONES count of the remaining bits is
+    an exact Geometric(1/2) draw (each extra one-bit halves the
+    probability), unrolled as integer modulo comparisons that read
+    identically on both engines. Plan: one group-keyed partial-agg
+    shuffle; noise and clamp are row-local projections on the
+    25-class result. At 100 TB the histogram query is the same one
+    shuffle — DP cost is O(classes), independent of corpus size.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    g = (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "h",
+            F.expr(
+                _DP_SPARK_HASH.replace("c_nationkey", "nation").replace(
+                    "c_mktsegment", "segment"
+                )
+            ).cast("long"),
+        )
+    )
+    eta = F.expr(
+        f"(CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END)"
+        f" * ({_trailing_ones_case('(h div 2)')})"
+    )
+    return (
+        g.select(
+            "nation",
+            "segment",
+            F.greatest(F.col("n") + eta, F.lit(0)).alias("noisy_count"),
+        )
+        .orderBy("nation", "segment")
+    )

@@ -151,3 +151,33 @@ def test_subword_encode_bounds_and_greedy_parity(spark, sf_dir):
         words = [w for w in docs[r["doc_id"]].lower().split(" ") if w]
         assert r["n_words"] == len(words)
         assert r["n_words"] <= r["n_tokens"] <= sum(len(w) for w in words)
+
+
+def test_dp_counts_noise_bounded_and_reproducible(spark, sf_dir):
+    """Released counts differ from true counts by at most DP_MAX_MAG,
+    never go negative, and the seeded mechanism is reproducible."""
+    from pgsink_spark.operators.privacy import DP_MAX_MAG, privacy_dp_counts
+    from pgsink_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    released = {
+        (r["nation"], r["segment"]): r["noisy_count"]
+        for r in privacy_dp_counts(spark, sf_dir).collect()
+    }
+    again = {
+        (r["nation"], r["segment"]): r["noisy_count"]
+        for r in privacy_dp_counts(spark, sf_dir).collect()
+    }
+    assert released == again
+    true = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["n"]
+        for r in load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(released) == set(true)
+    assert any(released[k] != true[k] for k in true)  # noise actually fires
+    for k, v in released.items():
+        assert v >= 0
+        assert abs(v - true[k]) <= DP_MAX_MAG
