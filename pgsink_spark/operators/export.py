@@ -178,12 +178,37 @@ def write_webdataset_shards(
     os.makedirs(out_dir, exist_ok=True)
     from pyspark.sql import Window as W
 
-    sharded = docs.select(
+    # Global index without a single-partition window (the 12x probe
+    # killer): range-partition by doc_id, count per partition (a
+    # control-plane collect), broadcast the prefix offsets, and add
+    # partition-LOCAL row numbers — the standard scalable global-rank
+    # recipe. Shard ids depend only on the global rank, so the sampled
+    # range boundaries never affect the output.
+    part = docs.repartitionByRange(32, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("pid"),
+    )
+    wloc = W.partitionBy("pid").orderBy("doc_id")
+    sharded = part.select(
         "doc_id",
         "text",
         (
-            (F.row_number().over(W.orderBy("doc_id")) - 1)
-            / shard_docs
+            (F.row_number().over(wloc) - 1 + off) / shard_docs
         ).cast("long").alias("shard_id"),
     )
 

@@ -60,6 +60,9 @@ PROBES = [
     "eval_score_auc",
     "eval_calibration",
     "text_bigram_perplexity",
+    "text_subword_encode",
+    "export_webdataset",
+    "privacy_dp_counts",
 ]
 
 
