@@ -152,6 +152,8 @@ HEADLINE = [
     "text_subword_encode",
     "export_webdataset",
     "privacy_dp_counts",
+    "d74_cusum_changepoints",
+    "text_keyword_chi2",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -3428,3 +3428,93 @@ def d72_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+CUSUM_K = 10.0
+CUSUM_H = 80.0
+
+
+@query(
+    "d74_cusum_changepoints",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, rn, event_id, value,
+             GREATEST(0.0, value - {CUSUM_K}) AS s,
+             (GREATEST(0.0, value - {CUSUM_K}) > {CUSUM_H}) AS fired
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.event_id, e.value,
+             CASE WHEN r.fired THEN GREATEST(0.0, e.value - {CUSUM_K})
+                  ELSE GREATEST(0.0, r.s + e.value - {CUSUM_K}) END,
+             (CASE WHEN r.fired THEN GREATEST(0.0, e.value - {CUSUM_K})
+                   ELSE GREATEST(0.0, r.s + e.value - {CUSUM_K}) END)
+               > {CUSUM_H}
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id,
+           CAST(ROUND(CAST(s AS DECIMAL(24,6)), 4) AS DOUBLE) AS s
+    FROM r WHERE fired
+    ORDER BY user_id, event_id
+    """,
+)
+def d74_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per user: the running
+    statistic S_t = max(0, S_{{t-1}} + x_t − k) crosses the decision
+    threshold h ⇒ an upward level shift is flagged and the accumulator
+    resets — the classic sequential drift detector a pipeline runs on
+    ingestion-volume or metric streams (Page's test).
+
+    The max(0, ·) reset makes this a genuinely non-linear recurrence —
+    inexpressible as any window aggregate — so the batch operator uses
+    the designated escape hatch: one user-keyed applyInPandas pass
+    folding each user's (ts, event_id)-ordered events sequentially in
+    NumPy (per-key state is two scalars; cross-key parallelism comes
+    from the shuffle, the same contract as the stateful streaming
+    plane). The oracle replays the identical float arithmetic as a
+    recursive CTE — sequential fold on both engines ⇒ bit-equal
+    doubles, with the usual 4-dp decimal image for the emitted rows.
+
+    At 100 TB: one shuffle keyed on the entity, then embarrassingly
+    parallel per-key folds; state never exceeds two scalars per open
+    key, and the same fold runs unchanged under
+    applyInPandasWithState for the live stream.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from decimal import ROUND_HALF_UP, Decimal
+
+        order = pdf.sort_values(["ts", "event_id"])
+        out_uid, out_eid, out_s = [], [], []
+        s = 0.0
+        for uid, eid, v in zip(
+            order["user_id"], order["event_id"], order["value"]
+        ):
+            s = max(0.0, s + float(v) - CUSUM_K)
+            if s > CUSUM_H:
+                d = Decimal(repr(s)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                ).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+                out_uid.append(int(uid))
+                out_eid.append(int(eid))
+                out_s.append(float(d))
+                s = 0.0  # reset after an alarm, matching the oracle
+        return pd.DataFrame(
+            {"user_id": out_uid, "event_id": out_eid, "s": out_s}
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(fold, "user_id long, event_id long, s double")
+        .orderBy("user_id", "event_id")
+    )

@@ -13,6 +13,7 @@ identical arithmetic so results hash-match.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pgsink_spark.sources.fixtures import load_table
@@ -671,4 +672,134 @@ def text_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
         .orderBy("doc_id")
+    )
+
+
+CHI2_MIN_COUNT = 20
+
+
+@query(
+    "text_keyword_chi2",
+    f"""
+    WITH occ AS (
+      SELECT source, u.w AS w
+      FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
+      WHERE len(u.w) >= 2
+    ),
+    sw AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS a
+      FROM occ GROUP BY source, w
+    ),
+    stot AS (SELECT source, SUM(a) AS s FROM sw GROUP BY source),
+    wtot AS (SELECT w, SUM(a) AS c FROM sw GROUP BY w),
+    tot AS (SELECT SUM(a) AS n FROM sw),
+    cells AS (
+      SELECT sw.source, sw.w, sw.a,
+             stot.s - sw.a AS b,
+             wtot.c - sw.a AS cc,
+             tot.n - stot.s - wtot.c + sw.a AS d,
+             stot.s, wtot.c, tot.n
+      FROM sw JOIN stot USING (source) JOIN wtot USING (w) CROSS JOIN tot
+    ),
+    chi AS (
+      SELECT source, w, a,
+             CAST(ROUND(CAST(
+               CAST(n AS DOUBLE) * CAST(a * d - b * cc AS DOUBLE)
+                 * CAST(a * d - b * cc AS DOUBLE)
+                 / (CAST(a + b AS DOUBLE) * CAST(cc + d AS DOUBLE)
+                    * CAST(a + cc AS DOUBLE) * CAST(b + d AS DOUBLE))
+               AS DECIMAL(24,8)), 4) AS DOUBLE) AS chi2
+      FROM cells
+      WHERE a >= {CHI2_MIN_COUNT} AND a * 1.0 / s > c * 1.0 / n
+    ),
+    ranked AS (
+      SELECT source, w, a AS cnt, chi2,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY chi2 DESC, w) AS rnk
+      FROM chi
+    )
+    SELECT source, w, cnt, chi2 FROM ranked
+    WHERE rnk <= 3 ORDER BY source, chi2 DESC, w
+    """,
+)
+def text_keyword_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source domain: the top-3
+    OVER-represented words by 2×2 chi-squared (word-in-source vs
+    word-elsewhere), the statistic corpus-analysis passes use to
+    characterize domains before mixing (and to catch boilerplate that
+    identifies a single crawl).
+
+    All four contingency cells are integers derived from ONE
+    (source, word)-keyed count table — the corpus is scanned once; the
+    marginals are re-aggregations of that table (domains-sized and
+    vocab-sized), joined back broadcast. The chi-squared value is a
+    single rational expression on int64 cells rounded through a
+    decimal image, so both engines hash identically. Per-source top-3
+    is a window over the domains×vocab table, never the corpus. The
+    over-representation filter (a/s > c/n, cross-multiplied exactly in
+    integers on the Spark side) keeps the one-sided "characteristic of
+    this domain" reading.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).where(F.length("w") >= 2)
+    sw = occ.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    stot = sw.groupBy("source").agg(F.sum("a").alias("s"))
+    wtot = sw.groupBy("w").agg(F.sum("a").alias("c"))
+    tot = sw.agg(F.sum("a").alias("n"))
+    cells = (
+        sw.join(F.broadcast(stot), "source")
+        .join(wtot, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            "a",
+            (F.col("s") - F.col("a")).alias("b"),
+            (F.col("c") - F.col("a")).alias("cc"),
+            (F.col("n") - F.col("s") - F.col("c") + F.col("a")).alias("d"),
+            "s",
+            "c",
+            "n",
+        )
+    )
+    chi = (
+        cells.where(
+            (F.col("a") >= CHI2_MIN_COUNT)
+            & (F.col("a") * F.col("n") > F.col("c") * F.col("s"))
+        )
+        .select(
+            "source",
+            "w",
+            F.col("a").alias("cnt"),
+            F.round(
+                (
+                    F.col("n").cast("double")
+                    * (F.col("a") * F.col("d") - F.col("b") * F.col("cc"))
+                      .cast("double")
+                    * (F.col("a") * F.col("d") - F.col("b") * F.col("cc"))
+                      .cast("double")
+                    / (
+                        (F.col("a") + F.col("b")).cast("double")
+                        * (F.col("cc") + F.col("d")).cast("double")
+                        * (F.col("a") + F.col("cc")).cast("double")
+                        * (F.col("b") + F.col("d")).cast("double")
+                    )
+                ).cast("decimal(24,8)"),
+                4,
+            )
+            .cast("double")
+            .alias("chi2"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("chi2").desc(), "w")
+    return (
+        chi.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("source", "w", "cnt", "chi2")
+        .orderBy("source", F.col("chi2").desc(), "w")
     )

@@ -181,3 +181,37 @@ def test_dp_counts_noise_bounded_and_reproducible(spark, sf_dir):
     for k, v in released.items():
         assert v >= 0
         assert abs(v - true[k]) <= DP_MAX_MAG
+
+
+def test_cusum_resets_and_thresholds(spark, sf_dir):
+    """Every emitted CUSUM alarm strictly exceeds the decision
+    threshold, and replaying each user's stream in Python reproduces
+    the flagged event ids exactly."""
+    from pgsink_spark.operators.relational import (
+        CUSUM_H,
+        CUSUM_K,
+        QUERIES,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = QUERIES["d74_cusum_changepoints"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["s"] > CUSUM_H for r in rows)
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    expected = []
+    state = {}
+    for r in ev:
+        s = state.get(r["user_id"], 0.0)
+        s = max(0.0, s + r["value"] - CUSUM_K)
+        if s > CUSUM_H:
+            expected.append((r["user_id"], r["event_id"]))
+            s = 0.0
+        state[r["user_id"]] = s
+    got = [(r["user_id"], r["event_id"]) for r in rows]
+    assert sorted(got) == sorted(expected)

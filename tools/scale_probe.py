@@ -63,6 +63,8 @@ PROBES = [
     "text_subword_encode",
     "export_webdataset",
     "privacy_dp_counts",
+    "d74_cusum_changepoints",
+    "text_keyword_chi2",
 ]
 
 
