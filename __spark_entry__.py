@@ -86,6 +86,7 @@ _ROUND5_PRIORITY = [
     "privacy_dp_counts",
     "d74_cusum_changepoints",
     "text_keyword_chi2",
+    "stream_cusum",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

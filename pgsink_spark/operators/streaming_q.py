@@ -481,3 +481,77 @@ def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "z")
         .orderBy("user_id", "event_id")
     )
+
+
+def _cusum_oracle() -> str:
+    from pgsink_spark.operators.relational import CUSUM_H, CUSUM_K
+
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, rn, event_id, value,
+             GREATEST(0.0, value - {CUSUM_K}) AS s,
+             (GREATEST(0.0, value - {CUSUM_K}) > {CUSUM_H}) AS fired
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.event_id, e.value,
+             CASE WHEN r.fired THEN GREATEST(0.0, e.value - {CUSUM_K})
+                  ELSE GREATEST(0.0, r.s + e.value - {CUSUM_K}) END,
+             (CASE WHEN r.fired THEN GREATEST(0.0, e.value - {CUSUM_K})
+                   ELSE GREATEST(0.0, r.s + e.value - {CUSUM_K}) END)
+               > {CUSUM_H}
+      FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id,
+           CAST(ROUND(CAST(s AS DECIMAL(24,6)), 4) AS DOUBLE) AS s
+    FROM r WHERE fired
+    ORDER BY user_id, event_id
+    """
+
+
+@query("stream_cusum", _cusum_oracle())
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM detector (streaming/stateful.py cusum_detector) as a
+    real availableNow streaming query, hash-checked against the SAME
+    recursive-CTE oracle as the batch twin d74_cusum_changepoints —
+    one scalar of keyed state versus the unrolled recurrence."""
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    run = next(_RUN)
+    src = f"/tmp/pgsink_cusum_src_{h}"
+    ck = f"/tmp/pgsink_cusum_ck_{h}_{os.getpid()}_{run}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+
+    from pgsink_spark.streaming.stateful import cusum_detector
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts", "value")
+    )
+    name = f"cusum_{h}_{os.getpid()}_{run}"
+    q = (
+        cusum_detector(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("user_id", "event_id", "s")
+        .orderBy("user_id", "event_id")
+    )

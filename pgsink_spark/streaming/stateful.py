@@ -393,3 +393,66 @@ def rolling_zscore_detector(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+CUSUM_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("s", T.DoubleType(), False),
+    ]
+)
+
+CUSUM_STATE = T.StructType([T.StructField("s", T.DoubleType())])
+
+
+def _cusum(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Page's-test fold: one accumulator scalar per key, reset after
+    each alarm — float-identical to the batch twin d74 (same
+    sequential order, same two-stage HALF_UP rounding on emit)."""
+    from pgsink_spark.operators.relational import CUSUM_H, CUSUM_K
+
+    (user_id,) = key
+    if state.hasTimedOut:  # pragma: no cover — live-mode state expiry
+        state.remove()
+        return
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    (s,) = state.get if state.exists else (0.0,)
+    out = {"user_id": [], "event_id": [], "s": []}
+    for eid, v in zip(pdf["event_id"].to_numpy(), pdf["value"].to_numpy()):
+        s = max(0.0, s + float(v) - CUSUM_K)
+        if s > CUSUM_H:
+            d = Decimal(repr(s)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            ).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            out["user_id"].append(user_id)
+            out["event_id"].append(int(eid))
+            out["s"].append(float(d))
+            s = 0.0
+    state.update((float(s),))
+    if out["user_id"]:
+        yield pd.DataFrame(out)
+
+
+def cusum_detector(
+    events: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Streaming CUSUM changepoint detection — fifth custom stateful
+    operator (§2.F): ONE scalar of keyed state, alarm-and-reset
+    semantics, batch/stream equality pinned against the same
+    recursive-CTE oracle as d74_cusum_changepoints.
+
+    ``events`` needs (event_id, user_id, ts TimestampType, value).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _cusum,
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -157,3 +157,20 @@ def test_stream_rolling_zscore_equals_batch_twin(spark, sf_dir):
         for r in stream_rolling_zscore(spark, sf_dir).collect()
     ]
     assert stream == batch
+
+
+def test_stream_cusum_equals_batch_twin(spark, sf_dir):
+    """cusum_detector (one scalar of keyed state) must equal
+    d74_cusum_changepoints (applyInPandas batch fold) row-for-row."""
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.operators.streaming_q import stream_cusum
+
+    batch = [
+        (r["user_id"], r["event_id"], r["s"])
+        for r in QUERIES["d74_cusum_changepoints"](spark, sf_dir).collect()
+    ]
+    stream = [
+        (r["user_id"], r["event_id"], r["s"])
+        for r in stream_cusum(spark, sf_dir).collect()
+    ]
+    assert stream == batch
