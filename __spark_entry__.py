@@ -87,6 +87,7 @@ _ROUND5_PRIORITY = [
     "d74_cusum_changepoints",
     "text_keyword_chi2",
     "stream_cusum",
+    "mm_phash_clusters",
     # round-2-vintage rows, oldest evidence in the registry:
     # the three round-1 failures whose fixes were last proven in r2
     "d21_text_group",

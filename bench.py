@@ -154,6 +154,7 @@ HEADLINE = [
     "privacy_dp_counts",
     "d74_cusum_changepoints",
     "text_keyword_chi2",
+    "mm_phash_clusters",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -1027,3 +1027,56 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed.unpersist()
     out._plan_audit_df = pre
     return out
+
+
+def _phash_clusters_oracle() -> str:
+    from pgsink_spark.operators.relational import ORACLES as _O
+
+    neardup = _O["mm_phash_neardup"]
+    return f"""
+    WITH RECURSIVE p AS (
+      SELECT media_a, media_b FROM ({neardup}) t
+    ),
+    reach AS (
+      SELECT media_a AS a, media_b AS b FROM p
+      UNION SELECT media_b, media_a FROM p
+      UNION SELECT r1.a, r2.b
+      FROM reach r1 JOIN reach r2 ON r1.b = r2.a
+    )
+    SELECT a AS media_id,
+           LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a ORDER BY media_id
+    """
+
+
+@query("mm_phash_clusters", _phash_clusters_oracle())
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate CLUSTERS: connected components over the
+    perceptual-hash near-dup pair graph (Hamming ≤ 2), cluster id =
+    min media id reachable — the "which copy do we keep" step that
+    pairwise image dedup feeds, exactly as dedup_cluster does for
+    text (dup chains A~B~C collapse into one keep-decision).
+
+    Composition of two proven pieces: mm_phash_neardup's lossless
+    banded candidate join produces the edges; hash-to-min label
+    propagation (operators/dedup.py connected_components — one
+    node-keyed shuffle per round, O(diameter) rounds, lineage
+    checkpointed) collapses them. The oracle embeds the near-dup
+    oracle as a subquery and closes it transitively with a recursive
+    CTE. Only media participating in at least one pair appear (the
+    rest are their own cluster by definition and never enter the CC
+    loop — at scale the pair graph is tiny next to the corpus).
+    """
+    from pgsink_spark.operators.dedup import connected_components
+
+    pairs = mm_phash_neardup(spark, sf_dir).select(
+        F.col("media_a").alias("d1"), F.col("media_b").alias("d2")
+    )
+    return (
+        connected_components(pairs)
+        .select(
+            F.col("node").alias("media_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .orderBy("media_id")
+    )
