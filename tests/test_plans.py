@@ -450,3 +450,51 @@ def test_lexical_pairs_caches_postings(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_extension_operator_plan_pins(spark):
+    """Pin the load-bearing physical-plan properties of the round-5
+    extension operators: broadcasts where a small side must broadcast,
+    bounded shuffle counts where one keyed exchange is the design."""
+    from pgsink_spark.operators.corpus import corpus_mixture_reweight
+    from pgsink_spark.operators.graph import graph_linkpred
+    from pgsink_spark.operators.privacy import (
+        privacy_dp_counts,
+        privacy_k_anonymity,
+    )
+    from pgsink_spark.operators.text import text_bpe_pairs
+
+    # linkpred: degree table rides broadcast joins, never a shuffle join
+    df = graph_linkpred(spark, SF)
+    assert broadcast_join_count(df._plan_audit_df, run=False) >= 1
+
+    # BPE pairs: two-level agg — word-count shuffle + vocab-sized pair
+    # agg (+ top-k sort exchange at most)
+    df = text_bpe_pairs(spark, SF)
+    assert exchange_count(df) <= 3
+    assert has_partial_aggregate(df)
+
+    # k-anonymity: exactly one quasi-key window shuffle (+ output sort)
+    df = privacy_k_anonymity(spark, SF)
+    assert exchange_count(df) <= 2
+
+    # DP counts: one group-keyed agg shuffle (+ output sort); noise is
+    # a row-local projection
+    df = privacy_dp_counts(spark, SF)
+    assert exchange_count(df) <= 2
+    assert has_partial_aggregate(df)
+
+    # mixture reweight: totals broadcast back, partial agg on the scan
+    df = corpus_mixture_reweight(spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert has_partial_aggregate(df)
+
+
+def test_attribution_and_zscore_single_user_shuffle(spark):
+    """d71/d69: one user-keyed exchange feeds the window; the filter
+    stays row-local (no second data shuffle beyond the output sort)."""
+    from pgsink_spark.operators.relational import QUERIES
+
+    for name in ("d71_attribution", "d69_rolling_zscore"):
+        df = QUERIES[name](spark, SF)
+        assert exchange_count(df) <= 2, name
