@@ -3518,3 +3518,178 @@ def d74_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fold, "user_id long, event_id long, s double")
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "a19_scd2_history",
+    """
+    SELECT user_id, event_type, event_id,
+           CAST(ROUND(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE) AS value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ORDER BY user_id, event_type, valid_from, event_id
+    """,
+)
+def a19_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history from the changelog:
+    every (user_id, event_type) change event becomes a VERSIONED row
+    with a validity interval — valid_from = its own timestamp,
+    valid_to = the next version's timestamp (NULL while current).
+
+    This is the natural extension of the reference's most-recent-row
+    compaction view (pkg/sinks/bigquery/schema_builders.go:115-161 keeps
+    ONLY rn=1; SCD2 keeps every version with its interval) — the shape a
+    warehouse needs for point-in-time joins and audit queries, and the
+    read-side dual of the A15 raw append ledger. The a16 compaction view
+    is exactly this table filtered to is_current = 1.
+
+    Plan: one window keyed on the PK — a single hash-partition shuffle
+    on (user_id, event_type), then LEAD is a sorted per-partition scan.
+    Linear at any scale; no join, no second shuffle (is_current reuses
+    the same window frame).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            rnd(dec("value"), 2).alias("value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn(
+            "is_current", F.col("valid_to").isNull().cast("int")
+        )
+        .orderBy("user_id", "event_type", "valid_from", "event_id")
+    )
+
+
+@query(
+    "d75_weighted_median",
+    """
+    WITH w AS (
+      SELECT event_type, value, event_id, (user_id % 5 + 1) AS wt
+      FROM events
+    ), c AS (
+      SELECT event_type, value,
+             SUM(wt) OVER (PARTITION BY event_type ORDER BY value, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY event_type) AS tw
+      FROM w
+    )
+    SELECT event_type,
+           CAST(ROUND(CAST(MIN(value) AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS wmedian
+    FROM c WHERE cw * 2 >= tw
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def d75_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group — the order statistic under integer
+    row weights (weight = user_id % 5 + 1, a deterministic stand-in
+    for a sample/importance weight column): the smallest value whose
+    cumulative weight reaches half the group's total.
+
+    Exactness: weights are integers, so the running and total sums are
+    exact and the crossing row is unambiguous (ties broken by
+    event_id); no float comparison decides the cut. Plan: ONE shuffle
+    on event_type serves both windows (the running sum and the
+    partition total share the partitioning), then a partial-agg MIN —
+    no join, no second shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wtd = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        (F.col("user_id") % 5 + 1).alias("wt"),
+    )
+    run = (
+        W.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("event_type")
+    return (
+        wtd.select(
+            "event_type",
+            "value",
+            F.sum("wt").over(run).alias("cw"),
+            F.sum("wt").over(tot).alias("tw"),
+        )
+        .where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("event_type")
+        .agg(rnd(dec(F.min("value")), 2).alias("wmedian"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "d76_benford_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ), tot AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM obs)
+    SELECT digit, n_obs,
+           CAST(ROUND(CAST(ln(1.0 + 1.0/digit)/ln(10.0)
+                AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_benford,
+           CAST(ROUND(CAST(
+             POW(n_obs - n * (ln(1.0 + 1.0/digit)/ln(10.0)), 2)
+               / (n * (ln(1.0 + 1.0/digit)/ln(10.0)))
+             AS DECIMAL(18,8)), 4) AS DOUBLE) AS chi2_term
+    FROM obs CROSS JOIN tot
+    ORDER BY digit
+    """,
+)
+def d76_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of a monetary column —
+    the classic data-quality / fraud screen: observed first-digit
+    counts vs the Benford expectation p(d) = log10(1 + 1/d), with the
+    per-digit chi-squared contribution.
+
+    The first digit comes from the DECIMAL(18,2) STRING image (both
+    engines print the same canonical form), never from float log10 —
+    floor(log10(x)) flips at exact powers of ten where libm returns
+    2.9999…; the string route has no edge cases for values ≥ 1.
+
+    Plan: one 9-group partial aggregation (map-side combine collapses
+    each partition to ≤9 rows pre-shuffle) + a 1-row total broadcast —
+    control-plane sized output at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("double").alias("n"))
+    p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            rnd(p.cast("decimal(18,8)"), 6).alias("p_benford"),
+            rnd(
+                (
+                    F.pow(F.col("n_obs") - F.col("n") * p, F.lit(2.0))
+                    / (F.col("n") * p)
+                ).cast("decimal(18,8)"),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

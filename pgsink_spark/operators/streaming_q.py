@@ -555,3 +555,75 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "s")
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "stream_scd2",
+    """
+    SELECT user_id, event_type, event_id,
+           CAST(ROUND(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE) AS value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    QUALIFY LEAD(ts) OVER w IS NOT NULL
+    ORDER BY user_id, event_type, valid_from, event_id
+    """,
+)
+def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD Type-2 maintenance (streaming/stateful.py
+    scd2_tracker) as a real availableNow streaming query: keyed on the
+    dimension PK, every change event closes the previous version and
+    the CLOSED versions land in the sink. With NoTimeout the current
+    (open) version stays in state, so the emitted rows are exactly the
+    batch a19_scd2_history filtered to ``valid_to IS NOT NULL`` — the
+    shared LEAD-window oracle pins stream == batch.
+
+    Sixth custom stateful operator (§2.F): state is ONE
+    (from_us, event_id, value) triple per live dimension key —
+    bounded by key cardinality, independent of history length.
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    run = next(_RUN)
+    src = f"/tmp/pgsink_scd2_src_{h}"
+    ck = f"/tmp/pgsink_scd2_ck_{h}_{os.getpid()}_{run}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+
+    from pgsink_spark.streaming.stateful import scd2_tracker
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+    name = f"scd2_{h}_{os.getpid()}_{run}"
+    q = (
+        scd2_tracker(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.round(F.col("value").cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("value"),
+            F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+            F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+        )
+        .orderBy("user_id", "event_type", "valid_from", "event_id")
+    )

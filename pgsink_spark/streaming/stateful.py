@@ -456,3 +456,93 @@ def cusum_detector(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 version tracker
+# ---------------------------------------------------------------------------
+
+SCD2_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("valid_from", T.TimestampType(), False),
+        T.StructField("valid_to", T.TimestampType(), False),
+    ]
+)
+
+# the OPEN version per key: its own timestamp, ordinal, and payload
+SCD2_STATE = T.StructType(
+    [
+        T.StructField("from_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _scd2(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold a micro-batch of change events into the key's open SCD2
+    version: each arriving event CLOSES the open version (emitting it
+    with valid_to = the new event's timestamp) and becomes the new open
+    version. State is exactly one (from_us, event_id, value) triple per
+    key — the open interval; closed intervals leave state immediately.
+    """
+    user_id, event_type = key
+    if state.hasTimedOut:  # pragma: no cover — live-mode state expiry
+        state.remove()
+        return
+
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    open_ver = state.get if state.exists else None
+    out = {
+        "user_id": [],
+        "event_type": [],
+        "event_id": [],
+        "value": [],
+        "valid_from": [],
+        "valid_to": [],
+    }
+    micros = (pdf["ts"].astype("int64") // 1000).to_numpy()
+    for t, eid, v in zip(
+        micros, pdf["event_id"].to_numpy(), pdf["value"].to_numpy()
+    ):
+        if open_ver is not None:
+            from_us, prev_eid, prev_val = open_ver
+            out["user_id"].append(user_id)
+            out["event_type"].append(event_type)
+            out["event_id"].append(int(prev_eid))
+            out["value"].append(float(prev_val))
+            out["valid_from"].append(pd.Timestamp(from_us, unit="us"))
+            out["valid_to"].append(pd.Timestamp(t, unit="us"))
+        open_ver = (int(t), int(eid), float(v))
+    state.update(open_ver)
+    if out["user_id"]:
+        yield pd.DataFrame(out)
+
+
+def scd2_tracker(
+    events: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Streaming SCD Type-2 maintenance — the live twin of the batch
+    a19_scd2_history operator: keyed on the dimension PK
+    (user_id, event_type), each change event closes the previous
+    version with its validity interval. The still-open (current)
+    version stays in state, so the stream's emitted rows are exactly
+    the batch history filtered to ``valid_to IS NOT NULL``.
+
+    ``events`` needs (event_id, user_id, event_type, ts TimestampType,
+    value). State is one scalar triple per key — bounded by live key
+    cardinality, never by history length.
+    """
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        _scd2,
+        outputStructType=SCD2_OUTPUT,
+        stateStructType=SCD2_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -498,3 +498,25 @@ def test_attribution_and_zscore_single_user_shuffle(spark):
     for name in ("d71_attribution", "d69_rolling_zscore"):
         df = QUERIES[name](spark, SF)
         assert exchange_count(df) <= 2, name
+
+
+def test_scd2_weighted_median_benford_plan_pins(spark):
+    """Round-5b additions: a19 SCD2 is ONE pk-keyed window exchange
+    (+ output sort); d75's two windows share one event_type exchange;
+    d76 is a 9-group partial agg with the 1-row total broadcast back."""
+    from pgsink_spark.operators.relational import QUERIES
+
+    # SCD2: one hash-partition on (user_id, event_type) + output sort
+    df = QUERIES["a19_scd2_history"](spark, SF)
+    assert exchange_count(df) <= 2
+
+    # weighted median: running + total windows share the partitioning
+    df = QUERIES["d75_weighted_median"](spark, SF)
+    assert exchange_count(df) <= 2
+    assert has_partial_aggregate(df)
+
+    # Benford: partial agg collapses to <=9 rows pre-shuffle; the total
+    # joins back as a broadcast, never a shuffle join
+    df = QUERIES["d76_benford_audit"](spark, SF)
+    assert has_partial_aggregate(df)
+    assert broadcast_join_count(df) >= 1

@@ -174,3 +174,71 @@ def test_stream_cusum_equals_batch_twin(spark, sf_dir):
         for r in stream_cusum(spark, sf_dir).collect()
     ]
     assert stream == batch
+
+
+def test_stream_scd2_equals_batch_history(spark, sf_dir):
+    """scd2_tracker's closed versions must equal the batch
+    a19_scd2_history filtered to valid_to IS NOT NULL, row-for-row."""
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.operators.streaming_q import stream_scd2
+
+    cols = ["user_id", "event_type", "event_id", "value", "valid_from", "valid_to"]
+    batch_df = QUERIES["a19_scd2_history"](spark, sf_dir).where(
+        F.col("valid_to").isNotNull()
+    )
+    batch = [tuple(r[c] for c in cols) for c in [None] for r in batch_df.collect()]
+    stream = [tuple(r[c] for c in cols) for r in stream_scd2(spark, sf_dir).collect()]
+    assert stream == batch
+
+
+def test_scd2_tracker_carries_open_version_across_batches(spark, tmp_path):
+    """The open version must survive a micro-batch boundary: an event in
+    batch 2 closes a version opened in batch 1 (interval spans batches)."""
+    import datetime
+
+    import pandas as pd
+
+    from pgsink_spark.streaming.stateful import scd2_tracker
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = (
+        "event_id bigint, user_id bigint, event_type string,"
+        " ts timestamp, value double"
+    )
+    t1 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    t2 = datetime.datetime(2024, 1, 1, 1, 0, 0)
+    b1 = spark.createDataFrame([(1, 7, "login", t1, 1.0)], schema)
+    b2 = spark.createDataFrame([(2, 7, "login", t2, 2.0)], schema)
+    b1.write.parquet(str(src / "b1"))
+
+    captured = []
+
+    def capture(batch, _bid):
+        captured.extend(batch.collect())
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            scd2_tracker(stream)
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()          # batch 1: opens version (event 1), emits nothing
+    assert captured == []
+    b2.write.parquet(str(src / "b2"))
+    run_once()          # batch 2: event 2 closes event 1's version
+    assert len(captured) == 1
+    row = captured[0]
+    assert (row["event_id"], row["value"]) == (1, 1.0)
+    assert row["valid_from"] == pd.Timestamp("2024-01-01 00:00:00")
+    assert row["valid_to"] == pd.Timestamp("2024-01-01 01:00:00")
