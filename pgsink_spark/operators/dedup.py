@@ -252,6 +252,9 @@ def _pair_jaccard(
             .select(
                 "d1",
                 "d2",
+                inter.alias("inter"),
+                "n1",
+                "n2",
                 (inter / (F.col("n1") + F.col("n2") - inter)).alias("jac"),
             )
         )
@@ -272,6 +275,9 @@ def _pair_jaccard(
         .select(
             "d1",
             "d2",
+            "inter",
+            "n1",
+            "n2",
             (
                 F.col("inter")
                 / (F.col("n1") + F.col("n2") - F.col("inter"))
@@ -369,10 +375,10 @@ def minhash_band_keys(sets: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_verified_pairs(sets: DataFrame) -> DataFrame:
-    """(d1, d2) near-dup pairs: LSH band candidates verified by exact
-    Jaccard ≥ threshold. Shared core of :func:`dedup_minhash_lsh` and
-    :func:`dedup_cluster` — cost ∝ candidates, never all shingle-
+def _lsh_verified_pairs(sets: DataFrame, keep_jac: bool = False) -> DataFrame:
+    """(d1, d2[, jac]) near-dup pairs: LSH band candidates verified by
+    exact Jaccard ≥ threshold. Shared core of :func:`dedup_minhash_lsh`
+    and :func:`dedup_cluster` — cost ∝ candidates, never all shingle-
     sharing pairs."""
     bands = minhash_band_keys(sets)
     b1 = bands.select(F.col("doc_id").alias("d1"), "bkey")
@@ -402,14 +408,14 @@ def _lsh_verified_pairs(sets: DataFrame) -> DataFrame:
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    cols = ["d1", "d2"] + (["jac"] if keep_jac else [])
     return (
         inter.join(s1, "d1")
         .join(s2, "d2")
-        .where(
-            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-            >= JACCARD_THRESHOLD
-        )
-        .select("d1", "d2")
+        .withColumn("jac", jac)
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select(*cols)
     )
 
 
@@ -1365,5 +1371,143 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pre.localCheckpoint(eager=True)
     old_sets.unpersist()
     new_sets.unpersist()
+    out._plan_audit_df = pre
+    return out
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+_CONTAINMENT_SQL = (
+    "WITH "
+    + _DUCKDB_SHINGLES
+    + f""",
+    cont AS (
+      SELECT p.d1, p.d2, p.inter, s1.n AS n1, s2.n AS n2
+      FROM pairs p JOIN sizes s1 ON s1.doc_id = p.d1
+                   JOIN sizes s2 ON s2.doc_id = p.d2
+    ), directed AS (
+      SELECT d1 AS src, d2 AS dst, inter * 1.0 / n1 AS c FROM cont
+      UNION ALL
+      SELECT d2 AS src, d1 AS dst, inter * 1.0 / n2 AS c FROM cont
+    )
+    SELECT src, dst,
+           CAST(ROUND(CAST(c AS DECIMAL(18,8)), 6) AS DOUBLE) AS containment
+    FROM directed WHERE c >= {CONTAINMENT_THRESHOLD}
+    ORDER BY src, dst
+    """
+)
+
+
+@query("dedup_containment", _CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: C(A→B) = |A∩B| / |A| ≥ 0.9 over
+    word-3-gram sets, emitted DIRECTED (src mostly-contained-in dst).
+
+    Containment is the asymmetric complement of Jaccard: a short
+    document embedded verbatim inside a much longer one has tiny
+    Jaccard (the union is dominated by the long doc) but containment
+    ≈ 1 — exactly the quote/boilerplate/subset duplication a
+    Jaccard-only dedup pass ships to training. This is the
+    set-containment form of the suffix-array substring argument
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"); the span-level twin is dedup_duplicate_spans.
+
+    Plan: identical skeleton to dedup_ngram_jaccard — the
+    inverted-index self-join with the adaptive stop-shingle cap
+    (_pair_jaccard now exposes inter/n1/n2, so both metrics ride ONE
+    candidate-generation pass); the directed union is a row-local
+    projection of the tiny pair set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sets = doc_shingle_sets(docs, 3).persist()
+    pj = _pair_jaccard(sets, max_shingle_freq=MAX_SHINGLE_FREQ)
+    fwd = pj.select(
+        F.col("d1").alias("src"),
+        F.col("d2").alias("dst"),
+        (F.col("inter") / F.col("n1")).alias("c"),
+    )
+    bwd = pj.select(
+        F.col("d2").alias("src"),
+        F.col("d1").alias("dst"),
+        (F.col("inter") / F.col("n2")).alias("c"),
+    )
+    pre = (
+        fwd.unionByName(bwd)
+        .where(F.col("c") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("c").cast("decimal(18,8)"), 6)
+            .cast("double")
+            .alias("containment"),
+        )
+        .orderBy("src", "dst")
+    )
+    out = pre.localCheckpoint(eager=True)
+    sets.unpersist()
+    out._plan_audit_df = pre
+    return out
+
+
+# |estimate − J| ceiling for the 32-hash MinHash signature over the
+# verified near-dup pairs. Binomial SD at J≥0.8 with n=32 is ≤ 0.071;
+# measured max error over the fixture pair sets: 0.060 / 0.100 / 0.091
+# at sf0.001/0.01/0.1 (28/25/256 pairs). The bound sits 2.5× above the
+# worst measured value so SF changes don't trip it — it is a tripwire for signature-machinery breakage (wrong
+# seeds, band/row mixups, hash drift), not a statistical SLA.
+MINHASH_ERR_BOUND = 0.25
+
+_MINHASH_ERR_SQL = (
+    "WITH "
+    + _DUCKDB_SHINGLES
+    + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS within_bound
+    FROM jac WHERE jac >= {JACCARD_THRESHOLD}
+    """
+)
+
+
+@query("dedup_minhash_err_gate", _MINHASH_ERR_SQL)
+def dedup_minhash_err_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiability gate for the MinHash signature machinery — the
+    dedup-family analogue of the ann_*_recall gates: over the verified
+    near-dup pairs, the 32-component signature agreement fraction must
+    estimate the exact Jaccard within MINHASH_ERR_BOUND, and the pair
+    count must equal the exact-Jaccard oracle's count.
+
+    The estimator ĵ = |{{i : sig₁[i] = sig₂[i]}}| / 32 is unbiased with
+    binomial SD √(J(1−J)/32); a broken signature (wrong seed set,
+    truncated array, hash-function drift) decorrelates the components
+    and ĵ collapses toward the random-collision rate ≈ 0, blowing the
+    bound and flipping the hashed boolean. Everything after the
+    (candidate-bounded) pair verification is control-plane sized: the
+    tiny pair set broadcasts into two signature lookups.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sets = doc_shingle_sets(docs, 3).persist()
+    pairs = _lsh_verified_pairs(sets, keep_jac=True)
+    sigs = minhash_signatures(sets)
+    with1 = sigs.join(
+        F.broadcast(pairs), sigs["doc_id"] == pairs["d1"]
+    ).select("d1", "d2", "jac", F.col("sig").alias("sig1"))
+    with2 = sigs.join(
+        F.broadcast(with1), sigs["doc_id"] == with1["d2"]
+    ).select(
+        "d1",
+        "d2",
+        "jac",
+        F.expr(
+            f"aggregate(zip_with(sig1, sig, (a, b) -> IF(a = b, 1, 0)),"
+            f" 0, (acc, x) -> acc + x) / {N_HASHES}.0"
+        ).alias("est"),
+    )
+    pre = with2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.max(F.abs(F.col("est") - F.col("jac"))) <= MINHASH_ERR_BOUND).alias(
+            "within_bound"
+        ),
+    )
+    out = pre.localCheckpoint(eager=True)
+    sets.unpersist()
     out._plan_audit_df = pre
     return out

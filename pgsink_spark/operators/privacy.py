@@ -278,3 +278,56 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "segment")
     )
+
+
+L_DIV = 3
+
+
+@query(
+    "privacy_l_diversity",
+    f"""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS sens
+      FROM customer
+    )
+    SELECT c_nationkey AS nation, c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS grp_n,
+           CAST(count(DISTINCT sens) AS BIGINT) AS l,
+           (count(DISTINCT sens) >= {L_DIV}) AS diverse
+    FROM q GROUP BY 1, 2
+    ORDER BY nation, segment
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the customer quasi-identifier classes
+    (nation, market segment), with the account-balance band as the
+    sensitive attribute: a class is safe only if it contains at least
+    l distinct sensitive values — k-anonymity's necessary complement
+    (a class of 1000 rows that all share one salary band still leaks
+    the sensitive value exactly; privacy_k_anonymity can't see that).
+
+    Plan: one groupBy on the quasi-identifier tuple; COUNT(DISTINCT)
+    expands to the standard two-level partial aggregation (distinct
+    keys collapse map-side, then per-class), so the shuffle carries
+    (class, sensitive) pairs — bounded by distinct combinations, not
+    rows. No window, no join; linear at any scale.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sens"),
+    )
+    return (
+        q.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("grp_n"),
+            F.countDistinct("sens").cast("bigint").alias("l"),
+            (F.countDistinct("sens") >= L_DIV).alias("diverse"),
+        )
+        .orderBy("nation", "segment")
+    )
