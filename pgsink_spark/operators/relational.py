@@ -3693,3 +3693,119 @@ def d76_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# fixed mid-corpus probe instant for the point-in-time read (the
+# fixture events span 2024-01-01 .. 2024-01-30)
+SCD2_PIT = "2024-01-15 12:00:00"
+
+
+@query(
+    "a20_scd2_pointintime",
+    f"""
+    SELECT user_id, event_type, event_id,
+           CAST(ROUND(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE) AS value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '{SCD2_PIT}'
+    ) t WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def a20_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read of the SCD2 dimension: the version of every
+    (user_id, event_type) key that was valid at the probe instant T —
+    i.e. a19_scd2_history filtered to valid_from ≤ T < valid_to (test-
+    asserted equivalent), computed WITHOUT materializing the history:
+    the ts ≤ T predicate pushes to the parquet scan, then the same
+    rn=1 election as the a16 compaction view picks the latest
+    preceding version per key.
+
+    This is "AS OF timestamp" on the warehouse: the read every
+    backtest / training-snapshot / audit query needs. Scanning less
+    (pushdown) + one pk-keyed window — identical scale shape to a16.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.where(F.col("ts") <= F.lit(SCD2_PIT).cast("timestamp"))
+        .select(
+            "user_id", "event_type", "event_id", "ts", dec("value").alias("v")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", rnd(F.col("v"), 2).alias("value"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "cdc_time_travel",
+    """
+    WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+    SELECT o_orderkey,
+           CAST(ROUND(CAST(o_totalprice * CASE WHEN o_orderkey % 13 = 0
+                            AND 2 * o_orderkey <= mk THEN 2 ELSE 1 END
+                           AS DECIMAL(18,4)), 2) AS DOUBLE) AS tp
+    FROM orders CROSS JOIN mx
+    WHERE NOT (o_orderkey % 17 = 0 AND 2 * o_orderkey + 1 <= mk)
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read of the changelog ledger: the table state AS OF
+    an LSN bound strictly inside the churn window — the A15 raw append
+    ledger's killer feature (the reference keeps every envelope exactly
+    so reads like this are possible; pkg/sinks/bigquery/table.go raw
+    tables + schema_builders.go views give the latest-row view, this is
+    the same election with the ledger truncated at the bound).
+
+    Same synthetic churn as cdc_refresh_endstate (every 13th key
+    updated, every 17th deleted) but with INTERLEAVED LSNs — update(k)
+    at base+2k, delete(k) at base+2k+1 — and the read replays only
+    envelopes with lsn ≤ base+mk (mk = max key), so roughly the first
+    half of the churn is visible: later updates/deletes must NOT
+    appear, earlier ones must. The oracle states the as-of state
+    declaratively, so the hash proves LSN-bounded replay, not just
+    arithmetic. Plan: the lsn filter is a row-local predicate on the
+    ledger scan (at a real warehouse it prunes whole epochs), then the
+    usual single pk-keyed compaction window.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", dec("o_totalprice").alias("tp")
+    )
+    k = F.col("o_orderkey")
+    base = F.lit(1_000_000_000).cast("bigint")
+    rows = o.select(
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("lsn"),
+        F.col("tp"),
+        F.lit("IMPORT").alias("op"),
+    )
+    upd = o.where(k % 13 == 0).select(
+        "o_orderkey",
+        (base + 2 * k).alias("lsn"),
+        (F.col("tp") * 2).alias("tp"),
+        F.lit("UPDATE").alias("op"),
+    )
+    dele = o.where(k % 17 == 0).select(
+        "o_orderkey",
+        (base + 2 * k + 1).alias("lsn"),
+        F.lit(None).cast("decimal(18,4)").alias("tp"),
+        F.lit("DELETE").alias("op"),
+    )
+    env = rows.unionByName(upd).unionByName(dele)
+    bound = o.agg((base + F.max("o_orderkey")).alias("lsn_bound"))
+    w = W.partitionBy("o_orderkey").orderBy(F.col("lsn").desc_nulls_last())
+    return (
+        env.crossJoin(F.broadcast(bound))
+        .where(F.col("lsn").isNull() | (F.col("lsn") <= F.col("lsn_bound")))
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .select("o_orderkey", rnd(F.col("tp"), 2).alias("tp"))
+        .orderBy("o_orderkey")
+    )

@@ -627,3 +627,85 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "valid_from", "event_id")
     )
+
+
+@query(
+    "stream_tumbling_agg",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT DATE_TRUNC('hour', ts) AS w, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events CROSS JOIN mx
+    GROUP BY DATE_TRUNC('hour', ts), event_type, mx.m
+    HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR
+             <= m - INTERVAL 10 MINUTE
+    ORDER BY w, event_type
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILT-IN stateful streaming: watermarked tumbling-window
+    aggregation in append mode — the declarative complement of the
+    custom applyInPandasWithState operators (d17 is the batch shape;
+    this is the same aggregation run as a real stream with late-data
+    semantics). Append mode only releases a window once the event-time
+    watermark (max event time − 10 min) passes its end, so the oracle
+    states the emission rule declaratively: every hourly group whose
+    window end ≤ max(ts) − 10 min — the trailing in-flight window
+    stays in state, exactly what a live pipeline would see. The hash
+    check therefore pins Spark's watermark/eviction semantics, not
+    just the arithmetic.
+
+    At scale this is the canonical streaming shuffle: one keyed
+    exchange on (window, event_type), partial aggregation map-side,
+    state bounded by active windows × group cardinality.
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    run = next(_RUN)
+    src = f"/tmp/pgsink_tumb_src_{h}"
+    ck = f"/tmp/pgsink_tumb_ck_{h}_{os.getpid()}_{run}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("ts", "event_type", "value")
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = f"tumb_{h}_{os.getpid()}_{run}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("w"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("w", "event_type")
+    )

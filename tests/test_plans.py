@@ -520,3 +520,42 @@ def test_scd2_weighted_median_benford_plan_pins(spark):
     df = QUERIES["d76_benford_audit"](spark, SF)
     assert has_partial_aggregate(df)
     assert broadcast_join_count(df) >= 1
+
+
+def test_pit_timetravel_tumbling_plan_pins(spark):
+    """a20: the ts<=T predicate must reach the parquet scan and the
+    election is one pk-keyed window; cdc_time_travel: the lsn bound is
+    a broadcast, never a shuffle join; containment shares the capped
+    candidate pass (no cartesian)."""
+    from pgsink_spark.operators.dedup import dedup_containment
+    from pgsink_spark.operators.relational import QUERIES
+
+    df = QUERIES["a20_scd2_pointintime"](spark, SF)
+    assert any("ts" in f for f in pushed_filters(df))
+    assert exchange_count(df) <= 2
+
+    df = QUERIES["cdc_time_travel"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+    df = dedup_containment(spark, SF)
+    plan = df._plan_audit_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pit_read_equals_scd2_interval_filter(spark):
+    """a20 (latest-preceding election) must equal a19 filtered to the
+    version interval covering the probe instant — the PIT contract."""
+    from pgsink_spark.operators.relational import QUERIES, SCD2_PIT
+
+    pit = QUERIES["a20_scd2_pointintime"](spark, SF)
+    hist = QUERIES["a19_scd2_history"](spark, SF)
+    t = F.lit(SCD2_PIT).cast("timestamp")
+    via_hist = (
+        hist.where(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    )
+    assert pit.collect() == via_hist.collect()
