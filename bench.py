@@ -155,6 +155,18 @@ HEADLINE = [
     "d74_cusum_changepoints",
     "text_keyword_chi2",
     "mm_phash_clusters",
+    # round-5b additions (SCD2 plane, containment dedup, gates,
+    # rank-quality metric, privacy/quality audits)
+    "a19_scd2_history",
+    "a20_scd2_pointintime",
+    "cdc_time_travel",
+    "d75_weighted_median",
+    "d76_benford_audit",
+    "dedup_containment",
+    "dedup_minhash_err_gate",
+    "retrieval_ndcg",
+    "privacy_l_diversity",
+    "corpus_perplexity_buckets",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

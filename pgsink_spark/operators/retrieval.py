@@ -665,3 +665,83 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(F.col("idcg")).alias("idcg"),
         _round6(F.col("dcg") / F.col("idcg")).alias("ndcg"),
     )
+
+
+def _ppl_buckets_sql() -> str:
+    from pgsink_spark.operators.relational import ORACLES
+
+    return f"""
+    WITH base AS ({ORACLES["text_bigram_perplexity"]}),
+    r AS (
+      SELECT doc_id, xent,
+             ROW_NUMBER() OVER (ORDER BY xent, doc_id) AS r,
+             COUNT(*) OVER () AS n
+      FROM base
+    )
+    SELECT doc_id, xent,
+           CASE WHEN r * 3 <= n THEN 'head'
+                WHEN r * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r ORDER BY doc_id
+    """
+
+
+@query("corpus_perplexity_buckets", _ppl_buckets_sql())
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split of the corpus by LM
+    perplexity rank: the lowest-xent third is 'head' (cleanest text,
+    kept for pretraining), the middle third 'middle', the rest 'tail'
+    — the canonical perplexity-filter bucketing (Wenzek et al., CCNet),
+    with the LM being the corpus-estimated Kneser–Ney bigram model of
+    text_bigram_perplexity.
+
+    Buckets derive from the GLOBAL rank, but never from a
+    single-partition window: the scalable two-pass recipe
+    (range-partition by (xent, doc_id) → per-partition counts as a
+    32-row control-plane collect → broadcast prefix offsets →
+    partition-LOCAL row numbers), the same global-rank construction as
+    the export sharding path. Ties break on doc_id, so the cut is
+    deterministic on both engines (xent is already a 6-dp-rounded
+    double everywhere).
+    """
+    # the ranked frame feeds two passes (per-partition counts, then the
+    # bucket projection) — materialize the LM scoring once; the scored
+    # frame is (doc_id, xent) pairs, tiny relative to the corpus
+    base = (
+        text_bigram_perplexity(spark, sf_dir)
+        .select("doc_id", "xent")
+        .localCheckpoint(eager=True)
+    )
+    part = base.repartitionByRange(32, "xent", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    n = acc
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("pid"),
+    )
+    wloc = W.partitionBy("pid").orderBy("xent", "doc_id")
+    r = F.row_number().over(wloc) + off
+    return (
+        part.select(
+            "doc_id",
+            "xent",
+            F.when(r * 3 <= F.lit(n), F.lit("head"))
+            .when(r * 3 <= F.lit(2 * n), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

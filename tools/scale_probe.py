@@ -65,6 +65,17 @@ PROBES = [
     "privacy_dp_counts",
     "d74_cusum_changepoints",
     "text_keyword_chi2",
+    # round-5b additions
+    "a19_scd2_history",
+    "a20_scd2_pointintime",
+    "cdc_time_travel",
+    "d75_weighted_median",
+    "d76_benford_audit",
+    "dedup_containment",
+    "dedup_minhash_err_gate",
+    "retrieval_ndcg",
+    "privacy_l_diversity",
+    "corpus_perplexity_buckets",
 ]
 
 
@@ -151,8 +162,9 @@ def main() -> None:
     spark = get_spark("scale-probe")
     build_replica(spark, factor, out)
 
+    only = set(sys.argv[3:])
     results = {}
-    for name in PROBES:
+    for name in [p for p in PROBES if not only or p in only]:
         fn = qs[name]
         fn(spark, "/root/testdata/sf0.001")  # plan/codegen warm
         t1 = time_query(spark, fn, BASE)
