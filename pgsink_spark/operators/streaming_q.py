@@ -709,3 +709,61 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w", "event_type")
     )
+
+
+@query(
+    "stream_sample_evictions",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn > 50 ORDER BY source, doc_id
+    """,
+)
+def stream_sample_evictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online per-group sample maintenance as a stream
+    (streaming/stateful.py reservoir_evictions): the deterministic
+    hash-priority k-sample lives in state and the EVICTED rows are the
+    append-mode output — rejection from a top-k-by-hash sample is
+    monotone, so each emitted row is final, and (all − emitted) at any
+    instant IS the batch sample_group_topk of the data seen so far.
+    The shared window oracle (rn > 50) pins stream == batch.
+
+    Seventh custom stateful operator (§2.F): state is ≤ 50 (hash, id)
+    pairs per group — fixed size per live group by construction.
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    run = next(_RUN)
+    src = f"/tmp/pgsink_resv_src_{h}"
+    ck = f"/tmp/pgsink_resv_ck_{h}_{os.getpid()}_{run}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
+
+    from pgsink_spark.streaming.stateful import reservoir_evictions
+
+    raw = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint"
+        )
+        .parquet(src)
+        .select("source", "doc_id")
+    )
+    name = f"resv_{h}_{os.getpid()}_{run}"
+    q = (
+        reservoir_evictions(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("source", "doc_id").orderBy(
+        "source", "doc_id"
+    )

@@ -546,3 +546,84 @@ def scd2_tracker(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Online per-group sample maintenance (hash-priority reservoir)
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 50
+
+EVICT_OUTPUT = T.StructType(
+    [
+        T.StructField("source", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+    ]
+)
+
+# the group's current sample frontier: parallel (hash, id) arrays,
+# sorted by (hash, id), length ≤ RESERVOIR_K
+EVICT_STATE = T.StructType(
+    [
+        T.StructField("hs", T.ArrayType(T.StringType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _evict(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Maintain the group's deterministic k-sample online and emit the
+    REJECTED rows. Membership in the final sample is the hash-priority
+    top-k, so rejection is MONOTONE — once a row falls outside the
+    frontier it can never re-enter — which makes evictions valid
+    append-mode output while the sample itself stays in state. Each row
+    is emitted at most once: on arrival (if it misses the frontier) or
+    at the later arrival that displaces it."""
+    import hashlib as _hl
+
+    (source,) = key
+    if state.hasTimedOut:  # pragma: no cover — live-mode state expiry
+        state.remove()
+        return
+
+    hs, ids = state.get if state.exists else ([], [])
+    frontier = list(zip(hs, ids))
+    arrivals = pd.concat(list(pdf_iter))["doc_id"].to_numpy()
+    merged = frontier + [
+        (_hl.md5(str(int(d)).encode()).hexdigest(), int(d))
+        for d in arrivals
+    ]
+    merged.sort()
+    keep, rejects = merged[:RESERVOIR_K], merged[RESERVOIR_K:]
+    state.update(([h for h, _ in keep], [i for _, i in keep]))
+    # frontier rows were never emitted, so evicted ex-frontier rows and
+    # straight-to-reject arrivals are both first-time emissions here
+    if rejects:
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(rejects),
+                "doc_id": [i for _, i in rejects],
+            }
+        )
+
+
+def reservoir_evictions(
+    docs: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Streaming twin of the batch per-group hash sample
+    (sample_group_topk): state holds each group's current k-row sample
+    frontier (≤ RESERVOIR_K (hash, id) pairs), and the stream emits
+    rejections. sample == all − emitted, and both are batch-identical
+    regardless of how arrivals split across micro-batches.
+
+    ``docs`` needs (source, doc_id).
+    """
+    return docs.groupBy("source").applyInPandasWithState(
+        _evict,
+        outputStructType=EVICT_OUTPUT,
+        stateStructType=EVICT_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -186,7 +186,7 @@ def test_stream_scd2_equals_batch_history(spark, sf_dir):
     batch_df = QUERIES["a19_scd2_history"](spark, sf_dir).where(
         F.col("valid_to").isNotNull()
     )
-    batch = [tuple(r[c] for c in cols) for c in [None] for r in batch_df.collect()]
+    batch = [tuple(r[c] for c in cols) for r in batch_df.collect()]
     stream = [tuple(r[c] for c in cols) for r in stream_scd2(spark, sf_dir).collect()]
     assert stream == batch
 
@@ -242,3 +242,51 @@ def test_scd2_tracker_carries_open_version_across_batches(spark, tmp_path):
     assert (row["event_id"], row["value"]) == (1, 1.0)
     assert row["valid_from"] == pd.Timestamp("2024-01-01 00:00:00")
     assert row["valid_to"] == pd.Timestamp("2024-01-01 01:00:00")
+
+
+def test_reservoir_evictions_across_batches(spark, tmp_path):
+    """A doc inside the frontier after batch 1 must be emitted later if
+    batch 2 displaces it, and the union of emissions across batches
+    must equal the batch-mode rejects of the full data."""
+    import hashlib as hl
+
+    from pgsink_spark.streaming.stateful import RESERVOIR_K, reservoir_evictions
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "source string, doc_id bigint"
+    # 60 docs in batch 1 (10 rejects), then 40 more in batch 2
+    b1 = spark.createDataFrame([("s", i) for i in range(60)], schema)
+    b2 = spark.createDataFrame([("s", i) for i in range(60, 100)], schema)
+    b1.write.parquet(str(src / "b1"))
+
+    captured = []
+
+    def capture(batch, _bid):
+        captured.extend((r["source"], r["doc_id"]) for r in batch.collect())
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            reservoir_evictions(stream)
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert len(captured) == 60 - RESERVOIR_K
+    b2.write.parquet(str(src / "b2"))
+    run_once()
+    assert len(captured) == 100 - RESERVOIR_K
+    expected = sorted(
+        range(100), key=lambda d: (hl.md5(str(d).encode()).hexdigest(), d)
+    )[RESERVOIR_K:]
+    assert sorted(d for _, d in captured) == sorted(expected)
