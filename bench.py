@@ -167,6 +167,7 @@ HEADLINE = [
     "retrieval_ndcg",
     "privacy_l_diversity",
     "corpus_perplexity_buckets",
+    "d77_mode_per_group",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

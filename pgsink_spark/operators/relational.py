@@ -3809,3 +3809,52 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", rnd(F.col("tp"), 2).alias("tp"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "d77_mode_per_group",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, CAST(FLOOR(value) AS BIGINT)
+    )
+    SELECT event_type, bucket AS mode_bucket, c AS n_obs FROM (
+      SELECT b.*, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY c DESC, bucket) AS rn
+      FROM b) t
+    WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def d77_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent integer value bucket,
+    smallest bucket on ties) — the one classical location statistic the
+    d24/d59/d60/d75 family didn't cover; mode-of-bucket is the standard
+    "typical value" readout for skewed metrics where mean and median
+    both mislead.
+
+    Plan: two-level aggregation — the (group, bucket) count partial-
+    aggregates map-side, then the per-group argmax window runs over the
+    BUCKET table (|groups|·|buckets| rows, not corpus rows). Both
+    stages key on event_type, so AQE coalesces to one effective
+    exchange of bucket-table size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type", F.floor("value").cast("bigint").alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("c"), "bucket")
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bucket").alias("mode_bucket"),
+            F.col("c").alias("n_obs"),
+        )
+        .orderBy("event_type")
+    )

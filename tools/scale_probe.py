@@ -76,6 +76,7 @@ PROBES = [
     "retrieval_ndcg",
     "privacy_l_diversity",
     "corpus_perplexity_buckets",
+    "d77_mode_per_group",
 ]
 
 
