@@ -22,6 +22,7 @@ from pgsink_spark.operators import curation as _curation  # noqa: F401 — regis
 from pgsink_spark.operators import dedup as _dedup
 from pgsink_spark.operators import evaluation as _evaluation  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import export as _export  # noqa: F401 — registers into _rel.QUERIES
+from pgsink_spark.operators import formats as _formats  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import graph as _graph  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import ivm as _ivm  # noqa: F401 — registers into _rel.QUERIES
 from pgsink_spark.operators import multimodal as _mm

@@ -168,6 +168,8 @@ HEADLINE = [
     "privacy_l_diversity",
     "corpus_perplexity_buckets",
     "d77_mode_per_group",
+    "src_ndjson_roundtrip",
+    "src_csv_roundtrip",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

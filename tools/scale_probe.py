@@ -77,6 +77,8 @@ PROBES = [
     "privacy_l_diversity",
     "corpus_perplexity_buckets",
     "d77_mode_per_group",
+    "src_ndjson_roundtrip",
+    "src_csv_roundtrip",
 ]
 
 
