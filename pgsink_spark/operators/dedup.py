@@ -1420,7 +1420,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sets = doc_shingle_sets(docs, 3).persist()
-    pj = _pair_jaccard(sets, max_shingle_freq=MAX_SHINGLE_FREQ)
+    # the directed union references the pair frame TWICE — materialize
+    # the (tiny) pair set so the inverted-index candidate pass runs
+    # once, not once per branch (Spark does not dedupe common subplans)
+    pj = _pair_jaccard(
+        sets, max_shingle_freq=MAX_SHINGLE_FREQ
+    ).localCheckpoint(eager=True)
     fwd = pj.select(
         F.col("d1").alias("src"),
         F.col("d2").alias("dst"),
@@ -1485,8 +1490,14 @@ def dedup_minhash_err_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sets = doc_shingle_sets(docs, 3).persist()
-    pairs = _lsh_verified_pairs(sets, keep_jac=True)
-    sigs = minhash_signatures(sets)
+    # materialize the (tiny) verified pair set so its candidate-pass
+    # subtree executes once, and persist the signature map: the two
+    # lookup joins below would otherwise each re-run the 32-component
+    # signature expression over the whole corpus
+    pairs = _lsh_verified_pairs(sets, keep_jac=True).localCheckpoint(
+        eager=True
+    )
+    sigs = minhash_signatures(sets).persist()
     with1 = sigs.join(
         F.broadcast(pairs), sigs["doc_id"] == pairs["d1"]
     ).select("d1", "d2", "jac", F.col("sig").alias("sig1"))
@@ -1503,11 +1514,16 @@ def dedup_minhash_err_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pre = with2.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        (F.max(F.abs(F.col("est") - F.col("jac"))) <= MINHASH_ERR_BOUND).alias(
-            "within_bound"
-        ),
+        # a dup-free corpus has zero verified pairs: MAX over zero rows
+        # is NULL and the gate must read "vacuously within bound", not
+        # trip on a NULL boolean
+        F.coalesce(
+            F.max(F.abs(F.col("est") - F.col("jac"))) <= MINHASH_ERR_BOUND,
+            F.lit(True),
+        ).alias("within_bound"),
     )
     out = pre.localCheckpoint(eager=True)
+    sigs.unpersist()
     sets.unpersist()
     out._plan_audit_df = pre
     return out

@@ -55,9 +55,15 @@ _ORACLE = """
 
 
 def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    """Stage orders out through the text format once per (sf, fmt)."""
+    """Stage orders out through the text format once per (sf, fmt).
+
+    The directory is keyed by (sf_dir, fmt) only — NOT the pid — so
+    repeated processes reuse one staged copy instead of leaking a
+    corpus-sized directory per run; the _SUCCESS marker is the
+    written-once latch (concurrent first-stagers would both overwrite,
+    which Spark's commit protocol keeps atomic per attempt)."""
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = f"/tmp/pgsink_fmt_{fmt}_{h}_{os.getpid()}"
+    out = f"/tmp/pgsink_fmt_{fmt}_{h}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         df = load_table(spark, sf_dir, "orders").select(
             "o_orderkey",

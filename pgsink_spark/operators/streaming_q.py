@@ -29,6 +29,63 @@ from pgsink_spark.streaming.stateful import session_tracker
 
 _RUN = itertools.count()
 
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint,"
+    " event_type string, value double, props string"
+)
+_DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def _run_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    build,
+    *,
+    schema: str = _EVENTS_SCHEMA,
+    stage: tuple[tuple[str, str], ...] = (
+        ("events.parquet", "events.parquet"),
+    ),
+    output_mode: str | None = None,
+) -> DataFrame:
+    """Shared availableNow plumbing for every stream_* registry query:
+    stage the fixture file(s) into a fresh /tmp source directory, read
+    them with the declared schema (this Spark build surfaces the
+    parquet TIMESTAMP(NANOS) column as a µs-truncated TIMESTAMP_NTZ,
+    matching the batch loader — ``build`` casts as needed), apply
+    ``build`` to the streaming frame, run it into a memory sink under a
+    per-run checkpoint, and return the sunk table. One definition so a
+    staging-protocol fix lands everywhere at once."""
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    run = next(_RUN)
+    src = f"/tmp/pgsink_{prefix}_src_{h}"
+    ck = f"/tmp/pgsink_{prefix}_ck_{h}_{os.getpid()}_{run}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    os.makedirs(src)
+    for s, d in stage:
+        shutil.copy(f"{sf_dir}/{s}", f"{src}/{d}")
+    raw = spark.readStream.schema(schema).parquet(src)
+    name = f"{prefix}_{h}_{os.getpid()}_{run}"
+    writer = (
+        build(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+    )
+    if output_mode:
+        writer = writer.outputMode(output_mode)
+    q = writer.start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _ts_cast(raw: DataFrame) -> DataFrame:
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
 
 @query(
     "stream_sessionize",
@@ -67,39 +124,14 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps surface as TIMESTAMP_NTZ (UTC session) to match the
     oracle's precision.
     """
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    run = next(_RUN)
-    src = f"/tmp/pgsink_sess_src_{h}"
-    ck = f"/tmp/pgsink_sess_ck_{h}_{os.getpid()}_{run}"
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-
-    # this Spark build reads parquet TIMESTAMP(NANOS) natively as a
-    # µs-truncated TIMESTAMP_NTZ (matching the batch loader's output
-    # precision), so the stream schema declares it directly
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp_ntz, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("user_id", "ts")
+    out = _run_availablenow(
+        spark,
+        sf_dir,
+        "sess",
+        lambda raw: session_tracker(_ts_cast(raw).select("user_id", "ts")),
     )
-    name = f"sess_{h}_{os.getpid()}_{run}"
-    q = (
-        session_tracker(raw)
-        .writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        out
         .select(
             "user_id",
             F.col("session_start").cast("timestamp_ntz").alias("session_start"),
@@ -160,38 +192,18 @@ def stream_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles (op-for-op order preserved; (user_id, ts) is µs-unique in
     the fixtures so both engines fold in the same order).
     """
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    run = next(_RUN)
-    src = f"/tmp/pgsink_ewma_src_{h}"
-    ck = f"/tmp/pgsink_ewma_ck_{h}_{os.getpid()}_{run}"
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-
     from pgsink_spark.streaming.stateful import anomaly_detector
 
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp_ntz, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("user_id", "ts", "value")
+    out = _run_availablenow(
+        spark,
+        sf_dir,
+        "ewma",
+        lambda raw: anomaly_detector(
+            _ts_cast(raw).select("user_id", "ts", "value")
+        ),
     )
-    name = f"ewma_{h}_{os.getpid()}_{run}"
-    q = (
-        anomaly_detector(raw)
-        .writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        out
         .select(
             "user_id",
             F.col("ts").cast("timestamp_ntz").alias("ts"),
@@ -236,40 +248,18 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pgsink_spark.streaming.stream import stream_stream_interval_join
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    run = next(_RUN)
-    src = f"/tmp/pgsink_sij_src_{h}"
-    ck = f"/tmp/pgsink_sij_ck_{h}_{os.getpid()}_{run}"
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp_ntz, user_id bigint,"
-            " event_type string, value double, props string"
+    def build(raw: DataFrame) -> DataFrame:
+        ev = _ts_cast(raw).select("event_id", "ts", "user_id", "event_type")
+        return stream_stream_interval_join(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+            watermark="10 minutes",
+            horizon="10 minutes",
         )
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("event_id", "ts", "user_id", "event_type")
-    )
-    clicks = raw.where(F.col("event_type") == "click")
-    purchases = raw.where(F.col("event_type") == "purchase")
-    joined = stream_stream_interval_join(
-        clicks, purchases, watermark="10 minutes", horizon="10 minutes"
-    )
-    name = f"sij_{h}_{os.getpid()}_{run}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
+
+    out = _run_availablenow(spark, sf_dir, "sij", build)
     return (
-        spark.table(name)
+        out
         .select(
             "user_id",
             F.col("event_id").alias("click_id"),
@@ -308,39 +298,23 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     why state stays O(rate × horizon) on an unbounded stream instead
     of growing with history.
     """
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    run = next(_RUN)
-    src = f"/tmp/pgsink_sdd_src_{h}"
-    ck = f"/tmp/pgsink_sdd_ck_{h}_{os.getpid()}_{run}"
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/replay_a.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/replay_b.parquet")
-
     from pgsink_spark.streaming.stream import stream_dedup
 
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp_ntz, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("event_id", "ts", "user_id", "event_type")
+    out = _run_availablenow(
+        spark,
+        sf_dir,
+        "sdd",
+        lambda raw: stream_dedup(
+            _ts_cast(raw).select("event_id", "ts", "user_id", "event_type"),
+            watermark="10 minutes",
+        ),
+        stage=(
+            ("events.parquet", "replay_a.parquet"),
+            ("events.parquet", "replay_b.parquet"),
+        ),
     )
-    name = f"sdd_{h}_{os.getpid()}_{run}"
-    q = (
-        stream_dedup(raw, watermark="10 minutes")
-        .writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        out
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
@@ -379,38 +353,18 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags, and second-precision lags from one timestamp of keyed
     state versus a running window MAX.
     """
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    run = next(_RUN)
-    src = f"/tmp/pgsink_attr_src_{h}"
-    ck = f"/tmp/pgsink_attr_ck_{h}_{os.getpid()}_{run}"
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-
     from pgsink_spark.streaming.stateful import attribution_tracker
 
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp_ntz, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("event_id", "user_id", "ts", "event_type")
+    out = _run_availablenow(
+        spark,
+        sf_dir,
+        "attr",
+        lambda raw: attribution_tracker(
+            _ts_cast(raw).select("event_id", "user_id", "ts", "event_type")
+        ),
     )
-    name = f"attr_{h}_{os.getpid()}_{run}"
-    q = (
-        attribution_tracker(raw)
-        .writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        out
         .select("event_id", "user_id", "attributed", "lag_s")
         .orderBy("event_id")
     )
@@ -446,38 +400,18 @@ def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     a trailing window frame, byte-equal flags after the shared 4-dp
     rounding.
     """
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    run = next(_RUN)
-    src = f"/tmp/pgsink_rollz_src_{h}"
-    ck = f"/tmp/pgsink_rollz_ck_{h}_{os.getpid()}_{run}"
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-
     from pgsink_spark.streaming.stateful import rolling_zscore_detector
 
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp_ntz, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("event_id", "user_id", "ts", "value")
+    out = _run_availablenow(
+        spark,
+        sf_dir,
+        "rollz",
+        lambda raw: rolling_zscore_detector(
+            _ts_cast(raw).select("event_id", "user_id", "ts", "value")
+        ),
     )
-    name = f"rollz_{h}_{os.getpid()}_{run}"
-    q = (
-        rolling_zscore_detector(raw)
-        .writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        out
         .select("event_id", "user_id", "z")
         .orderBy("user_id", "event_id")
     )
@@ -520,38 +454,18 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     real availableNow streaming query, hash-checked against the SAME
     recursive-CTE oracle as the batch twin d74_cusum_changepoints —
     one scalar of keyed state versus the unrolled recurrence."""
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    run = next(_RUN)
-    src = f"/tmp/pgsink_cusum_src_{h}"
-    ck = f"/tmp/pgsink_cusum_ck_{h}_{os.getpid()}_{run}"
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-
     from pgsink_spark.streaming.stateful import cusum_detector
 
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp_ntz, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("event_id", "user_id", "ts", "value")
+    out = _run_availablenow(
+        spark,
+        sf_dir,
+        "cusum",
+        lambda raw: cusum_detector(
+            _ts_cast(raw).select("event_id", "user_id", "ts", "value")
+        ),
     )
-    name = f"cusum_{h}_{os.getpid()}_{run}"
-    q = (
-        cusum_detector(raw)
-        .writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        out
         .select("user_id", "event_id", "s")
         .orderBy("user_id", "event_id")
     )
@@ -583,38 +497,20 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (from_us, event_id, value) triple per live dimension key —
     bounded by key cardinality, independent of history length.
     """
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    run = next(_RUN)
-    src = f"/tmp/pgsink_scd2_src_{h}"
-    ck = f"/tmp/pgsink_scd2_ck_{h}_{os.getpid()}_{run}"
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-
     from pgsink_spark.streaming.stateful import scd2_tracker
 
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp_ntz, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("event_id", "user_id", "event_type", "ts", "value")
+    out = _run_availablenow(
+        spark,
+        sf_dir,
+        "scd2",
+        lambda raw: scd2_tracker(
+            _ts_cast(raw).select(
+                "event_id", "user_id", "event_type", "ts", "value"
+            )
+        ),
     )
-    name = f"scd2_{h}_{os.getpid()}_{run}"
-    q = (
-        scd2_tracker(raw)
-        .writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        out
         .select(
             "user_id",
             "event_type",
@@ -632,7 +528,13 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_tumbling_agg",
     """
-    WITH mx AS (SELECT max(ts) AS m FROM events)
+    WITH mx AS (
+      -- Spark's EventTimeWatermarkExec tracks max event time in
+      -- MILLISECONDS, so the watermark is ms-floor(max ts) - delay;
+      -- the oracle must truncate identically or a max ts landing
+      -- within the sub-ms window of an emission boundary flips a row
+      SELECT DATE_TRUNC('milliseconds', max(ts)) AS m FROM events
+    )
     SELECT DATE_TRUNC('hour', ts) AS w, event_type,
            CAST(COUNT(*) AS BIGINT) AS cnt,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
@@ -661,46 +563,24 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange on (window, event_type), partial aggregation map-side,
     state bounded by active windows × group cardinality.
     """
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    run = next(_RUN)
-    src = f"/tmp/pgsink_tumb_src_{h}"
-    ck = f"/tmp/pgsink_tumb_ck_{h}_{os.getpid()}_{run}"
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    def build(raw: DataFrame) -> DataFrame:
+        ev = _ts_cast(raw).select("ts", "event_type", "value")
+        return (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
 
-    raw = (
-        spark.readStream.schema(
-            "event_id bigint, ts timestamp_ntz, user_id bigint,"
-            " event_type string, value double, props string"
-        )
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("ts", "event_type", "value")
+    out = _run_availablenow(
+        spark, sf_dir, "tumb", build, output_mode="append"
     )
-    agg = (
-        raw.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
-            .cast("double")
-            .alias("sum_value"),
-        )
-    )
-    name = f"tumb_{h}_{os.getpid()}_{run}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        out
         .select(
             F.col("win.start").cast("timestamp_ntz").alias("w"),
             "event_type",
@@ -735,35 +615,14 @@ def stream_sample_evictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Seventh custom stateful operator (§2.F): state is ≤ 50 (hash, id)
     pairs per group — fixed size per live group by construction.
     """
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    run = next(_RUN)
-    src = f"/tmp/pgsink_resv_src_{h}"
-    ck = f"/tmp/pgsink_resv_ck_{h}_{os.getpid()}_{run}"
-    shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
-
     from pgsink_spark.streaming.stateful import reservoir_evictions
 
-    raw = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, source string,"
-            " n_chars bigint"
-        )
-        .parquet(src)
-        .select("source", "doc_id")
+    out = _run_availablenow(
+        spark,
+        sf_dir,
+        "resv",
+        lambda raw: reservoir_evictions(raw.select("source", "doc_id")),
+        schema=_DOCS_SCHEMA,
+        stage=(("documents.parquet", "documents.parquet"),),
     )
-    name = f"resv_{h}_{os.getpid()}_{run}"
-    q = (
-        reservoir_evictions(raw)
-        .writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select("source", "doc_id").orderBy(
-        "source", "doc_id"
-    )
+    return out.select("source", "doc_id").orderBy("source", "doc_id")

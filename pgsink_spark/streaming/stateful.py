@@ -538,6 +538,16 @@ def scd2_tracker(
     ``events`` needs (event_id, user_id, event_type, ts TimestampType,
     value). State is one scalar triple per key — bounded by live key
     cardinality, never by history length.
+
+    ORDERING CONTRACT: arrivals must be (ts, event_id)-monotone PER KEY
+    across micro-batches (within a batch the fold sorts). That is the
+    CDC source's guarantee — the walsender emits each key's changes in
+    (lsn, sequence) order and the repo's sources preserve it — but a
+    key whose event arrives with ts earlier than the open version's
+    would close it with an inverted interval and diverge from the
+    batch twin. For out-of-order feeds, bound the disorder with a
+    watermark and sort within the allowed lateness BEFORE this
+    operator (the standard Spark pattern for order-sensitive state).
     """
     return events.groupBy("user_id", "event_type").applyInPandasWithState(
         _scd2,
