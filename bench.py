@@ -170,6 +170,7 @@ HEADLINE = [
     "d77_mode_per_group",
     "src_ndjson_roundtrip",
     "src_csv_roundtrip",
+    "src_orc_roundtrip",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -119,3 +119,37 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema — the flat-file drop every ingest pipeline still
     receives, proven equivalent to the parquet scan."""
     return _roundtrip(spark, sf_dir, "csv")
+
+
+@query("src_orc_roundtrip", _ORACLE)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders staged out as ORC — the other mainstream columnar
+    warehouse format, bundled natively in Spark — and read back. Unlike
+    the text formats no column is stringified: timestamps and doubles
+    travel in ORC's binary encodings, so this pins the TYPED roundtrip
+    (and ORC scans support the same predicate pushdown / column pruning
+    contract as parquet)."""
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/pgsink_fmt_orc_{h}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_totalprice",
+        ).write.mode("overwrite").orc(out)
+    raw = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_orderdate timestamp_ntz, o_totalprice double"
+    ).orc(out)
+    return (
+        raw.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            rnd(dec("o_totalprice"), 2).alias("tp"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -79,6 +79,7 @@ PROBES = [
     "d77_mode_per_group",
     "src_ndjson_roundtrip",
     "src_csv_roundtrip",
+    "src_orc_roundtrip",
 ]
 
 
