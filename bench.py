@@ -171,6 +171,8 @@ HEADLINE = [
     "src_ndjson_roundtrip",
     "src_csv_roundtrip",
     "src_orc_roundtrip",
+    "d78_psi_drift",
+    "d79_ks_drift",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

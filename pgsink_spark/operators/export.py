@@ -179,31 +179,26 @@ def write_webdataset_shards(
     from pyspark.sql import Window as W
 
     # Global index without a single-partition window (the 12x probe
-    # killer): range-partition by doc_id, count per partition (a
-    # control-plane collect), broadcast the prefix offsets, and add
-    # partition-LOCAL row numbers — the standard scalable global-rank
-    # recipe. Shard ids depend only on the global rank, so the sampled
-    # range boundaries never affect the output.
-    part = docs.repartitionByRange(32, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
+    # killer): DETERMINISTIC ordered buckets over doc_id, count per
+    # bucket (a control-plane collect), broadcast the prefix offsets,
+    # and add bucket-LOCAL row numbers — the standard scalable
+    # global-rank recipe. Buckets come from a min/max expression, not
+    # repartitionByRange, whose SAMPLED boundaries carry a per-job
+    # seed: the offsets job and the write job could otherwise land
+    # different partitions and corrupt every rank (ranking.py).
+    from pgsink_spark.operators.ranking import bucket_offsets, ordered_bucket
+
+    part = docs.withColumn(
+        "bucket", ordered_bucket(docs, F.col("doc_id"), 32)
     )
     counts = {
-        r["pid"]: r["cnt"]
-        for r in part.groupBy("pid")
+        r["bucket"]: r["cnt"]
+        for r in part.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-        ),
-        F.col("pid"),
-    )
-    wloc = W.partitionBy("pid").orderBy("doc_id")
+    off, _total = bucket_offsets(part, counts)
+    wloc = W.partitionBy("bucket").orderBy("doc_id")
     sharded = part.select(
         "doc_id",
         "text",

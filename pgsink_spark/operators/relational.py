@@ -3858,3 +3858,178 @@ def d77_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "d78_psi_drift",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS a,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS e
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ), t AS (
+      SELECT SUM(a) AS ta, SUM(e) AS te FROM b
+    ), p AS (
+      SELECT bucket,
+             (a + 0.5) / (ta + 0.5 * (SELECT count(*) FROM b)) AS pa,
+             (e + 0.5) / (te + 0.5 * (SELECT count(*) FROM b)) AS pe
+      FROM b CROSS JOIN t
+    )
+    SELECT bucket,
+           CAST(ROUND(CAST((pa - pe) * ln(pa / pe)
+                AS DECIMAL(18,10)), 8) AS DOUBLE) AS psi_term
+    FROM p ORDER BY bucket
+    """,
+)
+def d78_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index terms between two samples (the
+    'click' vs 'purchase' value distributions standing in for
+    last-week vs this-week) — THE standard drift monitor a pipeline
+    runs between data snapshots: PSI = Σ (pₐ−pₑ)·ln(pₐ/pₑ) over value
+    buckets, with the +0.5 Laplace smoothing that keeps empty buckets
+    finite. Emitting per-bucket terms (not just the sum) is what makes
+    the readout actionable — the offending bucket is visible.
+
+    Plan: one bucket-keyed partial aggregation (conditional sums fold
+    map-side), a 1-row total broadcast, row-local term arithmetic —
+    control-plane sized output at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b = (
+        ev.select(
+            F.floor(F.col("value") / 50).cast("bigint").alias("bucket"),
+            "event_type",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int"))
+            .cast("double")
+            .alias("a"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("double")
+            .alias("e"),
+        )
+    )
+    t = b.agg(
+        F.sum("a").alias("ta"),
+        F.sum("e").alias("te"),
+        F.count(F.lit(1)).cast("double").alias("nb"),
+    )
+    pa = (F.col("a") + 0.5) / (F.col("ta") + 0.5 * F.col("nb"))
+    pe = (F.col("e") + 0.5) / (F.col("te") + 0.5 * F.col("nb"))
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            rnd(((pa - pe) * F.log(pa / pe)).cast("decimal(18,10)"), 8).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "d79_ks_drift",
+    """
+    WITH s AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ), c AS (
+      SELECT value,
+             SUM(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cca,
+             SUM(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ccb
+      FROM s
+    ), t AS (
+      SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb
+      FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n1, CAST(nb AS BIGINT) AS n2,
+           CAST(ROUND(CAST(MAX(ABS(cca / na - ccb / nb))
+                AS DECIMAL(18,10)), 8) AS DOUBLE) AS ks_d
+    FROM c CROSS JOIN t GROUP BY na, nb
+    """,
+)
+def d79_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    'click' and 'purchase' value distributions — the nonparametric
+    drift test that catches shape changes equal-mass buckets (d78's
+    PSI) can smear away: D = max over observed values of
+    |F̂₁(v) − F̂₂(v)|.
+
+    The empirical CDFs need a GLOBAL cumulative sum over values, which
+    is where a naive window would collapse to one partition. Same cure
+    as the export/bucket paths: range-partition the per-value counts,
+    collect the 32-row per-partition subtotals for BOTH samples,
+    broadcast the prefix offsets, and run partition-LOCAL cumulative
+    windows — the exact CDFs, fully parallel. Everything else is a
+    value-keyed partial agg and a 1-row max.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = (
+        ev.select("value", "event_type")
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int")).alias("ca"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias(
+                "cb"
+            ),
+        )
+    )
+    # deterministic ordered buckets (NOT repartitionByRange: its
+    # sampled boundaries carry a per-job seed, so the offsets job and
+    # this job could disagree — see operators/ranking.py)
+    from pgsink_spark.operators.ranking import ordered_bucket
+
+    s = s.withColumn("bucket", ordered_bucket(s, F.col("value"), 32))
+    subtotals = {
+        r["bucket"]: (r["sa"], r["sb"])
+        for r in s.groupBy("bucket")
+        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
+        .collect()
+    }
+    off_a, off_b, acc_a, acc_b = {}, {}, 0, 0
+    for b in sorted(subtotals):
+        off_a[b], off_b[b] = acc_a, acc_b
+        acc_a += subtotals[b][0]
+        acc_b += subtotals[b][1]
+    na, nb = float(acc_a), float(acc_b)
+
+    def offmap(d: dict) -> Column:
+        return F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(d.items()) for x in kv]
+            ),
+            F.col("bucket"),
+        )
+
+    wloc = (
+        W.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cdf = s.select(
+        "bucket",
+        "ca",
+        "cb",
+        ((F.sum("ca").over(wloc) + offmap(off_a)) / F.lit(na)).alias("f1"),
+        ((F.sum("cb").over(wloc) + offmap(off_b)) / F.lit(nb)).alias("f2"),
+    )
+    return cdf.agg(
+        F.lit(int(acc_a)).cast("bigint").alias("n1"),
+        F.lit(int(acc_b)).cast("bigint").alias("n2"),
+        rnd(
+            F.max(F.abs(F.col("f1") - F.col("f2"))).cast("decimal(18,10)"), 8
+        ).alias("ks_d"),
+    )

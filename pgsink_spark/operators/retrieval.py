@@ -707,32 +707,27 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ranked frame feeds two passes (per-partition counts, then the
     # bucket projection) — materialize the LM scoring once; the scored
     # frame is (doc_id, xent) pairs, tiny relative to the corpus
+    from pgsink_spark.operators.ranking import bucket_offsets, ordered_bucket
+
     base = (
         text_bigram_perplexity(spark, sf_dir)
         .select("doc_id", "xent")
         .localCheckpoint(eager=True)
     )
-    part = base.repartitionByRange(32, "xent", "doc_id").withColumn(
-        "pid", F.spark_partition_id()
+    # deterministic ordered buckets (NOT repartitionByRange: its
+    # sampled boundaries carry a per-job seed, so the offsets job and
+    # the output job could disagree — see operators/ranking.py)
+    part = base.withColumn(
+        "bucket", ordered_bucket(base, F.col("xent"), 32)
     )
     counts = {
-        r["pid"]: r["cnt"]
-        for r in part.groupBy("pid")
+        r["bucket"]: r["cnt"]
+        for r in part.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    n = acc
-    off = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-        ),
-        F.col("pid"),
-    )
-    wloc = W.partitionBy("pid").orderBy("xent", "doc_id")
+    off, n = bucket_offsets(part, counts)
+    wloc = W.partitionBy("bucket").orderBy("xent", "doc_id")
     r = F.row_number().over(wloc) + off
     return (
         part.select(

@@ -80,6 +80,8 @@ PROBES = [
     "src_ndjson_roundtrip",
     "src_csv_roundtrip",
     "src_orc_roundtrip",
+    "d78_psi_drift",
+    "d79_ks_drift",
 ]
 
 
