@@ -61,7 +61,7 @@ _PAGERANK_ORACLE = (
     + """ AS BIGINT) AS r FROM docs),"""
     + ",".join(_pr_iter_cte(k) for k in range(PR_ITERS))
     + f"""
-    SELECT doc_id, r AS rank_scaled FROM r{PR_ITERS}
+    SELECT doc_id, CAST(r AS BIGINT) AS rank_scaled FROM r{PR_ITERS}
     ORDER BY rank_scaled DESC, doc_id LIMIT 20
     """
 )
@@ -259,7 +259,7 @@ _LINKPRED_ORACLE = f"""
     ),
     cand AS (
       SELECT wg.u, wg.w, CAST(count(*) AS BIGINT) AS cn,
-             SUM({RA_SCALE} // dg.d) AS ra_scaled
+             CAST(SUM({RA_SCALE} // dg.d) AS BIGINT) AS ra_scaled
       FROM wedge wg JOIN deg dg ON dg.v = wg.z
       WHERE NOT EXISTS (
         SELECT 1 FROM edges e WHERE e.a = wg.u AND e.b = wg.w)

@@ -495,7 +495,7 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT substr(w, CAST(r.i AS INT), 2) AS pair, n
       FROM wc, UNNEST(range(1, len(w))) AS r(i)
     )
-    SELECT pair, SUM(n) AS cnt FROM pairs
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM pairs
     GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20
     """,
 )
@@ -592,7 +592,7 @@ SUBWORD_TOP_PAIRS = 20
     )
     SELECT occ.doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
-           SUM(seg.n_tok) AS n_tokens
+           CAST(SUM(seg.n_tok) AS BIGINT) AS n_tokens
     FROM occ JOIN seg USING (w)
     GROUP BY occ.doc_id ORDER BY occ.doc_id
     """,
