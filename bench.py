@@ -173,6 +173,7 @@ HEADLINE = [
     "src_orc_roundtrip",
     "d78_psi_drift",
     "d79_ks_drift",
+    "src_json_schema_drift",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -1,4 +1,4 @@
-"""Source-format ingestion roundtrips: NDJSON and CSV.
+"""Source-format ingestion roundtrips: NDJSON, CSV, ORC, schema drift.
 
 The engine's fixtures arrive as parquet, but the reference's file sink
 emits newline-delimited JSON (pkg/sinks/file/sink.go:35-81 — the A14
@@ -149,6 +149,60 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderstatus",
             "o_orderdate",
+            rnd(dec("o_totalprice"), 2).alias("tp"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "src_json_schema_drift",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END AS o_custkey,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 0 THEN
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+           END AS tp
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def src_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion contract: the staged NDJSON stream
+    contains TWO generations of the producer's schema — even keys
+    carry (o_orderkey, o_custkey, o_totalprice), odd keys carry
+    (o_orderkey, o_orderstatus, extra_field) — and the reader declares
+    the UNION target schema. The oracle pins exactly what a drifting
+    CDC/json feed must yield: absent fields surface as NULL, unknown
+    fields are dropped, nothing errors. This is the read-side dual of
+    the sink plane's add-column/drop-column schema evolution
+    (jdbc_sink migration DDL), proven on the source path.
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/pgsink_fmt_drift_{h}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        orders = load_table(spark, sf_dir, "orders")
+        gen_a = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        gen_b = orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit("unknown-to-reader").alias("extra_field"),
+        )
+        gen_a.unionByName(gen_b, allowMissingColumns=True).write.mode(
+            "overwrite"
+        ).json(out)
+    raw = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double"
+    ).json(out)
+    return (
+        raw.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
             rnd(dec("o_totalprice"), 2).alias("tp"),
         )
         .orderBy("o_orderkey")

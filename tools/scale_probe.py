@@ -82,6 +82,7 @@ PROBES = [
     "src_orc_roundtrip",
     "d78_psi_drift",
     "d79_ks_drift",
+    "src_json_schema_drift",
 ]
 
 
