@@ -174,6 +174,7 @@ HEADLINE = [
     "d78_psi_drift",
     "d79_ks_drift",
     "src_json_schema_drift",
+    "stream_static_join",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgsink_spark.operators.relational import query
+from pgsink_spark.sources.fixtures import load_table
 from pgsink_spark.streaming.stateful import session_tracker
 
 _RUN = itertools.count()
@@ -66,7 +67,13 @@ def _run_availablenow(
     shutil.rmtree(ck, ignore_errors=True)
     os.makedirs(src)
     for s, d in stage:
-        shutil.copy(f"{sf_dir}/{s}", f"{src}/{d}")
+        p = f"{sf_dir}/{s}"
+        # fixture dirs ship single parquet files; scale-probe replicas
+        # ship Spark-written directories — stage either shape
+        if os.path.isdir(p):
+            shutil.copytree(p, f"{src}/{d}")
+        else:
+            shutil.copy(p, f"{src}/{d}")
     raw = spark.readStream.schema(schema).parquet(src)
     name = f"{prefix}_{h}_{os.getpid()}_{run}"
     writer = (
@@ -626,3 +633,50 @@ def stream_sample_evictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage=(("documents.parquet", "documents.parquet"),),
     )
     return out.select("source", "doc_id").orderBy("source", "doc_id")
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           CAST(ROUND(CAST(e.value AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining streaming join
+    modality (stream-stream interval join is stream_interval_join):
+    the live purchase stream joins the STATIC customer dimension,
+    Spark re-plans the static side per micro-batch (so a dimension
+    refresh between batches is picked up) and broadcasts it when
+    small. Stateless for the stream side — no watermark needed, state
+    cost zero — exactly how a CDC pipeline decorates events with
+    slowly-refreshed reference data at any scale. Oracle: the plain
+    batch equi-join.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def build(raw: DataFrame) -> DataFrame:
+        ev = _ts_cast(raw).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        return (
+            ev.where(F.col("event_type") == "purchase")
+            .join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+            .select(
+                "event_id",
+                "user_id",
+                F.col("c_mktsegment").alias("segment"),
+                F.round(F.col("value").cast("decimal(18,4)"), 2)
+                .cast("double")
+                .alias("value"),
+            )
+        )
+
+    out = _run_availablenow(spark, sf_dir, "ssj", build)
+    return out.orderBy("event_id")

@@ -83,6 +83,7 @@ PROBES = [
     "d78_psi_drift",
     "d79_ks_drift",
     "src_json_schema_drift",
+    "stream_static_join",
 ]
 
 
