@@ -175,6 +175,10 @@ HEADLINE = [
     "d79_ks_drift",
     "src_json_schema_drift",
     "stream_static_join",
+    # round-5c additions (record linkage, quantization gate, corpus audit)
+    "dedup_jaro_winkler",
+    "quant_int8_gate",
+    "text_zipf_audit",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -927,3 +927,84 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _exact_top5(spark, sf_dir),
         min_hits=6,
     )
+
+
+_QUANT_INT8_SQL = """
+    WITH dims AS (
+      SELECT unnest(range(1, (SELECT max(len(embedding)) + 1
+                              FROM embeddings))) AS i
+    ), v AS (
+      SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS x, i AS pos
+      FROM embeddings, dims WHERE i <= len(embedding)
+    ), stats AS (
+      SELECT pos, min(x) AS mn, (max(x) - min(x)) / 255.0 AS step
+      FROM v GROUP BY pos
+    ), q AS (
+      SELECT x, mn, step,
+             CASE WHEN step > 0 THEN round((x - mn) / step) ELSE 0 END AS code
+      FROM v JOIN stats USING (pos)
+    ), e AS (
+      SELECT step, abs(x - (mn + code * step)) AS err,
+             code BETWEEN 0 AND 255 AS code_ok
+      FROM q
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vals,
+           coalesce(bool_and(code_ok), TRUE) AS codes_in_range,
+           coalesce(bool_and(err <= step / 2 + 1e-12), TRUE)
+             AS within_half_step,
+           CAST(round(sum(CAST(err AS DECIMAL(28,14)))
+                      / count(*), 8) AS DOUBLE) AS mean_abs_err
+    FROM e
+"""
+
+
+@query("quant_int8_gate", _QUANT_INT8_SQL)
+def quant_int8_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable gate for int8 scalar quantization of the embedding
+    column — the compression step a 100 TB vector corpus applies before
+    ANN indexing (4× smaller, cache-resident codes). Per-dimension
+    min/max affine quantization to codes 0..255; the gate checks the
+    DETERMINISTIC guarantees of the scheme: every code lands in range
+    and every reconstruction error is ≤ step/2 (round-to-nearest can
+    never do worse), plus the exact decimal-summed mean |err| so a
+    silently degraded quantizer moves the hash.
+
+    Scale shape: one posexplode → per-dimension agg (64 groups), the
+    per-dim stats broadcast back (64 rows), and one pass computes codes
+    and errors — no shuffle keyed on vec_id at all. All arithmetic is
+    the same float64 IEEE ops on both engines; the mean goes through a
+    decimal sum so executor order can't move the hash.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    stats = v.groupBy("pos").agg(
+        F.min("x").alias("mn"),
+        ((F.max("x") - F.min("x")) / F.lit(255.0)).alias("step"),
+    )
+    q = v.join(F.broadcast(stats), "pos").select(
+        "x",
+        "mn",
+        "step",
+        F.when(F.col("step") > 0, F.round((F.col("x") - F.col("mn")) / F.col("step")))
+        .otherwise(F.lit(0.0))
+        .alias("code"),
+    )
+    e = q.select(
+        "step",
+        F.abs(F.col("x") - (F.col("mn") + F.col("code") * F.col("step"))).alias("err"),
+        F.col("code").between(0, 255).alias("code_ok"),
+    )
+    return e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vals"),
+        F.coalesce(F.bool_and("code_ok"), F.lit(True)).alias("codes_in_range"),
+        F.coalesce(
+            F.bool_and(F.col("err") <= F.col("step") / 2 + 1e-12), F.lit(True)
+        ).alias("within_half_step"),
+        F.round(
+            F.sum(F.col("err").cast("decimal(28,14)")) / F.count(F.lit(1)), 8
+        )
+        .cast("double")
+        .alias("mean_abs_err"),
+    )

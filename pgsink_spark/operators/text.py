@@ -803,3 +803,67 @@ def text_keyword_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "w", "cnt", "chi2")
         .orderBy("source", F.col("chi2").desc(), "w")
     )
+
+
+_ZIPF_SQL = """
+    WITH tf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+      GROUP BY w ORDER BY freq DESC, w LIMIT 500
+    ), ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rnk
+      FROM tf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(ROUND(CAST(regr_slope(ln(CAST(freq AS DOUBLE)),
+                                      ln(CAST(rnk AS DOUBLE)))
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS zipf_slope,
+           CAST(ROUND(CAST(regr_r2(ln(CAST(freq AS DOUBLE)),
+                                   ln(CAST(rnk AS DOUBLE)))
+                AS DECIMAL(18,6)), 4) AS DOUBLE) AS r2
+    FROM ranked
+"""
+
+
+@query("text_zipf_audit", _ZIPF_SQL)
+def text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit of the corpus vocabulary: OLS slope of
+    log-frequency against log-rank over the top-500 terms (natural text
+    sits near -1; synthetic, templated, or spam-heavy corpora drift
+    flat — a standard corpus-health check before training).
+
+    Scale shape: term frequencies are one token-keyed agg with map-side
+    partial counts; the top-500 cut is orderBy+limit (planned as
+    TakeOrderedAndProject — per-partition heaps, never a global sort of
+    the vocabulary); the rank window and the regression then run over
+    exactly 500 rows, control-plane sized. The slope is rounded through
+    a decimal so 500-term float sum order can't move the hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(500)
+    )
+    ranked = tf.select(
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), "w"))
+        .alias("rnk"),
+    )
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(lf, lr).cast("decimal(18,6)"), 4)
+        .cast("double")
+        .alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr).cast("decimal(18,6)"), 4)
+        .cast("double")
+        .alias("r2"),
+    )

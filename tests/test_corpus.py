@@ -215,3 +215,35 @@ def test_cusum_resets_and_thresholds(spark, sf_dir):
         state[r["user_id"]] = s
     got = [(r["user_id"], r["event_id"]) for r in rows]
     assert sorted(got) == sorted(expected)
+
+
+def test_zipf_audit_recovers_power_law(spark):
+    """A corpus built with an exact freq = floor(600/rank) power law
+    must regress to slope ~ -1 with near-perfect fit; a flat
+    (templated) corpus must regress flatter. Falsifies the estimator,
+    not just its plumbing."""
+    import pgsink_spark.operators.text as text_ops
+
+    words = []
+    for rank in range(1, 41):
+        words += [f"tok{rank:03d}"] * (600 // rank)
+    docs = [(1, " ".join(words), "en", "s", 0)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = text_ops.load_table
+    try:
+        text_ops.load_table = lambda s, d, t: df
+        row = text_ops.text_zipf_audit(spark, "unused").collect()[0]
+        flat_df = spark.createDataFrame(
+            [(1, " ".join([f"tok{i:03d}" for i in range(40)] * 10), "en", "s", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        text_ops.load_table = lambda s, d, t: flat_df
+        flat = text_ops.text_zipf_audit(spark, "unused").collect()[0]
+    finally:
+        text_ops.load_table = orig
+    assert row.n_terms == 40
+    assert -1.1 < row.zipf_slope < -0.9
+    assert row.r2 > 0.98
+    assert flat.zipf_slope > -0.05  # uniform corpus: no decay

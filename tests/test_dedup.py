@@ -271,3 +271,53 @@ def test_incremental_probe_matches_full_lsh_cross_pairs(spark, sf_dir):
         for r in dedup_incremental_probe(spark, sf_dir).collect()
     }
     assert probe == cross
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler record linkage (dedup_jaro_winkler)
+# ---------------------------------------------------------------------------
+
+
+def test_jaro_winkler_kernel_matches_duckdb(sf_dir):
+    """The Python kernel must be bit-identical to DuckDB's
+    jaro_winkler_similarity (the oracle) on every fixture block pair —
+    any drift in window/transposition/prefix semantics shows here
+    before it shows at the gate."""
+    import duckdb
+
+    from pgsink_spark.operators.dedup import _jaro_winkler_py
+
+    rows = duckdb.sql(
+        f"""
+        WITH d AS (SELECT doc_id, substr(lower(text),1,40) AS h,
+                          string_split(lower(text),' ') AS w
+                   FROM '{sf_dir}/documents.parquet'),
+        k AS (SELECT doc_id, h, w[1] || ' ' || w[2] AS blk
+              FROM d WHERE len(w) >= 2)
+        SELECT a.h, b.h, jaro_winkler_similarity(a.h, b.h)
+        FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        """
+    ).fetchall()
+    assert rows, "fixture produced no block pairs"
+    for h1, h2, ref in rows:
+        assert abs(_jaro_winkler_py(h1, h2) - ref) < 1e-12
+
+
+def test_jaro_winkler_kernel_properties():
+    from pgsink_spark.operators.dedup import _jaro_winkler_py as jw
+
+    assert jw("martha", "martha") == 1.0
+    assert jw("", "abc") == 0.0
+    assert jw("ab", "ba") == 0.0  # window 0: no matches possible
+    # textbook reference values
+    assert abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12
+    assert abs(jw("dwayne", "duane") - 0.8400000000000001) < 1e-12
+    # symmetry and bounds on a small grid
+    words = ["crate", "trace", "carat", "cart", "create", "x"]
+    for a in words:
+        for b in words:
+            v = jw(a, b)
+            assert 0.0 <= v <= 1.0
+            assert v == jw(b, a)
+    # prefix bonus applies only above the 0.7 boost threshold
+    assert jw("abcdxy", "abqrst") == 0.5555555555555555

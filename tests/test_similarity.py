@@ -229,3 +229,36 @@ def test_pq_recall_gate_and_encode_shape(spark, sf_dir):
         for r in sim.ann_pq_topk(spark, sf_dir, k=5, rerank=10**9).collect()
     }
     assert full == exact
+
+
+def test_quant_int8_gate_guarantees_hold(spark, sf_dir):
+    """Round-to-nearest affine int8 quantization can never exceed
+    half-step reconstruction error or leave the 0..255 code range —
+    the gate's booleans must hold on the real fixture."""
+    from pgsink_spark.operators.similarity import quant_int8_gate
+
+    row = quant_int8_gate(spark, sf_dir).collect()[0]
+    assert row.codes_in_range and row.within_half_step
+    assert row.n_vals > 0 and row.mean_abs_err >= 0.0
+
+
+def test_quant_int8_exact_on_grid(spark):
+    """Vectors already on the 255-step grid reconstruct exactly:
+    mean_abs_err must be 0 (the gate is sharp, not just bounded)."""
+    import pgsink_spark.operators.similarity as sim
+
+    rows = [
+        (i, [float(c) for c in ((i % 4), 255 - (i % 4), 128)], 0)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = sim.load_table
+    try:
+        sim.load_table = lambda s, d, t: df
+        out = sim.quant_int8_gate(spark, "unused").collect()[0]
+    finally:
+        sim.load_table = orig
+    assert out.codes_in_range and out.within_half_step
+    assert out.mean_abs_err == 0.0
