@@ -179,6 +179,9 @@ HEADLINE = [
     "dedup_jaro_winkler",
     "quant_int8_gate",
     "text_zipf_audit",
+    "sample_domain_cap",
+    "privacy_t_closeness",
+    "curation_quantile_filter",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -171,3 +171,72 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+QUANTILE_KEEP_FRAC = 0.4  # keep percent_rank >= 0.4 (top 60% per source)
+
+
+@query(
+    "curation_quantile_filter",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+             {_duck_count('the')} AS n_stop,
+             len(lower(text)) AS n_chars
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, {_DUCK_QUALITY} AS quality FROM feat
+    ), ranked AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (
+               PARTITION BY source ORDER BY quality, doc_id
+             ) AS pr
+      FROM scored
+    )
+    SELECT doc_id, source,
+           CAST(ROUND(CAST(quality AS DECIMAL(18,8)), 4) AS DOUBLE) AS q,
+           CAST(ROUND(CAST(pr AS DECIMAL(18,8)), 6) AS DOUBLE) AS pr,
+           (pr >= {QUANTILE_KEEP_FRAC}) AS kept
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def curation_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile gate: a document survives only if
+    its quality score clears the 40th percentile WITHIN ITS OWN source
+    — the CCNet-style move that stops a single high-quality domain from
+    monopolizing the kept set (an absolute threshold like
+    pipeline_curation's QUALITY_KEEP would, because quality
+    distributions differ by source).
+
+    The score is the same row-local feature combination the curation
+    pipeline uses, so the two gates compose; the percentile is one
+    source-keyed window (rank arithmetic, exact — no approximate
+    quantile sketch needed because the cut is per-key rank, not a
+    global scan), ties broken by doc_id so both engines order
+    identically. One shuffle on source at any scale, skew bounded by
+    the largest domain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.lower(F.col("text"))
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_words = F.size(F.split(text, " ")).cast("bigint")
+    n_stop = _substr_count(padded, " the ")
+    mean_wlen = (F.length(text) - (n_words - 1)) / n_words
+    quality = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(n_stop / n_words * 5.0, F.lit(1.0))) * 0.3
+        + F.least(mean_wlen / 8.0, F.lit(1.0)) * 0.2
+    ).cast("double")
+    scored = docs.select("doc_id", "source", quality.alias("quality"))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    pr = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "source",
+        F.round(F.col("quality").cast("decimal(18,8)"), 4)
+        .cast("double")
+        .alias("q"),
+        F.round(pr.cast("decimal(18,8)"), 6).cast("double").alias("pr"),
+        (pr >= QUANTILE_KEEP_FRAC).alias("kept"),
+    ).orderBy("doc_id")

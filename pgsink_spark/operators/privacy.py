@@ -331,3 +331,95 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "segment")
     )
+
+
+T_CLOSE = 0.35
+
+
+@query(
+    "privacy_t_closeness",
+    f"""
+    WITH q AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS sens
+      FROM customer
+    ), total AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM q
+    ), gdist AS (
+      SELECT sens, count(*) / (SELECT n FROM total) AS p FROM q GROUP BY sens
+    ), cls AS (
+      SELECT nation, segment, CAST(count(*) AS BIGINT) AS grp_n
+      FROM q GROUP BY 1, 2
+    ), grp AS (
+      SELECT nation, segment, sens, CAST(count(*) AS BIGINT) AS c
+      FROM q GROUP BY 1, 2, 3
+    ), cells AS (
+      SELECT cls.nation, cls.segment, cls.grp_n, gdist.sens, gdist.p,
+             COALESCE(grp.c, 0) / CAST(cls.grp_n AS DOUBLE) AS pg
+      FROM cls CROSS JOIN gdist
+      LEFT JOIN grp ON grp.nation = cls.nation
+                   AND grp.segment = cls.segment AND grp.sens = gdist.sens
+    )
+    SELECT nation, segment, grp_n,
+           CAST(ROUND(SUM(CAST(abs(pg - p) AS DECIMAL(28,14))) / 2, 6)
+                AS DOUBLE) AS tvd,
+           (CAST(ROUND(SUM(CAST(abs(pg - p) AS DECIMAL(28,14))) / 2, 6)
+                 AS DOUBLE) <= {T_CLOSE}) AS close
+    FROM cells GROUP BY nation, segment, grp_n
+    ORDER BY nation, segment
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over the customer quasi-identifier classes
+    (nation, market segment) with the account-balance band as the
+    sensitive attribute: a class passes only if the total-variation
+    distance between its sensitive-value distribution and the GLOBAL
+    distribution is ≤ t — the guard l-diversity misses (a class can
+    hold l distinct salaries yet still be 99% one band, leaking the
+    value probabilistically).
+
+    The TVD sums over every global band, including bands ABSENT from
+    the class (those contribute |0 - p_global|) — hence the class ×
+    global-band cross join, which is control-plane sized (classes ×
+    bands, not rows). Plan: two keyed aggs over the rows, then
+    broadcast-joined small frames; per-band |Δp| goes through an exact
+    decimal sum so band order can't move the hash. One rows-keyed
+    shuffle total at any scale.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sens"),
+    )
+    n_total = q.count()
+    glob = q.groupBy("sens").agg(
+        (F.count(F.lit(1)) / F.lit(float(n_total))).alias("p")
+    )
+    cls = q.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_n")
+    )
+    grp = q.groupBy("nation", "segment", "sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cells = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(F.broadcast(grp), ["nation", "segment", "sens"], "left")
+        .select(
+            "nation",
+            "segment",
+            "grp_n",
+            "p",
+            (
+                F.coalesce(F.col("c"), F.lit(0)) / F.col("grp_n").cast("double")
+            ).alias("pg"),
+        )
+    )
+    tvd = F.round(
+        F.sum(F.abs(F.col("pg") - F.col("p")).cast("decimal(28,14)")) / 2, 6
+    ).cast("double")
+    return (
+        cells.groupBy("nation", "segment", "grp_n")
+        .agg(tvd.alias("tvd"), (tvd <= T_CLOSE).alias("close"))
+        .orderBy("nation", "segment")
+    )

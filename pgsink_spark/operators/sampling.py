@@ -16,6 +16,7 @@ where each engine's generator differs.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pgsink_spark.operators.relational import query
@@ -206,4 +207,51 @@ def sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
+    )
+
+
+DOMAIN_HARD_CAP = 15
+
+
+@query(
+    "sample_domain_cap",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, rk FROM ranked
+    WHERE rk <= {DOMAIN_HARD_CAP}
+    ORDER BY source, rk
+    """,
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most DOMAIN_HARD_CAP docs per source,
+    chosen by deterministic md5 order — the RefinedWeb-style guard that
+    stops one crawler-friendly domain from dominating the training mix
+    (domain_mix_sample rebalances proportions; this hard-caps the
+    heaviest tails).
+
+    One shuffle keyed on source; rank is a keyed window whose per-key
+    cost is the domain's own row count, and the md5 order makes the
+    selection reproducible across engines, partitionings, and corpus
+    refreshes (no RAND, no first-N-encountered bias). At 100 TB a
+    rank-over-hot-domain skew is bounded by the crawl's largest domain;
+    the same plan holds with AQE skew splitting, or the window swaps
+    for a per-domain reservoir at extreme skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("bigint").alias("rk")
+        )
+        .where(F.col("rk") <= DOMAIN_HARD_CAP)
+        .orderBy("source", "rk")
     )

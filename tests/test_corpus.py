@@ -247,3 +247,109 @@ def test_zipf_audit_recovers_power_law(spark):
     assert -1.1 < row.zipf_slope < -0.9
     assert row.r2 > 0.98
     assert flat.zipf_slope > -0.05  # uniform corpus: no decay
+
+
+def test_domain_cap_bounds_and_determinism(spark, sf_dir):
+    from pgsink_spark.operators.sampling import DOMAIN_HARD_CAP, sample_domain_cap
+
+    out = sample_domain_cap(spark, sf_dir)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per[r.source] = per.get(r.source, 0) + 1
+        assert 1 <= r.rk <= DOMAIN_HARD_CAP
+    assert all(c <= DOMAIN_HARD_CAP for c in per.values())
+    # deterministic: identical selection on re-run
+    assert sorted((r.doc_id, r.source) for r in rows) == sorted(
+        (r.doc_id, r.source) for r in sample_domain_cap(spark, sf_dir).collect()
+    )
+    # the md5 order must NOT be the trivial doc_id order (no
+    # first-N-encountered bias): at least one source keeps a doc that a
+    # plain doc_id-ascending cut would have dropped
+    import duckdb
+
+    trivial = set(
+        (d, s)
+        for d, s in duckdb.sql(
+            f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id) AS rk
+              FROM '{sf_dir}/documents.parquet') WHERE rk <= {DOMAIN_HARD_CAP}
+            """
+        ).fetchall()
+    )
+    assert set((r.doc_id, r.source) for r in rows) != trivial
+
+
+def test_t_closeness_closed_form(spark):
+    """One QI class mirrors the global distribution exactly (tvd 0);
+    another is fully concentrated on one band — tvd must equal
+    1 - p_global(band), which also proves absent bands contribute."""
+    import pgsink_spark.operators.privacy as priv
+
+    # global: band 0 x30, band 1 x30, band 2 x40  (per mirrored class);
+    # class (2, 'C') is 20 rows all band 0.
+    rows = []
+    k = 0
+    for nation, seg in ((0, "A"), (1, "B")):
+        for band, n in ((0, 30), (1, 30), (2, 40)):
+            for _ in range(n):
+                rows.append((k, nation, seg, band * 1000.0))
+                k += 1
+    for _ in range(20):
+        rows.append((k, 2, "C", 0.0))
+        k += 1
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey int, c_mktsegment string, c_acctbal double"
+    )
+    orig = priv.load_table
+    try:
+        priv.load_table = lambda s, d, t: df
+        out = {
+            (r.nation, r.segment): r
+            for r in priv.privacy_t_closeness(spark, "unused").collect()
+        }
+    finally:
+        priv.load_table = orig
+    n = 220.0
+    p0, p1, p2 = 80 / n, 60 / n, 80 / n
+    # mirrored classes: |30/100-p0|+|30/100-p1|+|40/100-p2| over 2
+    exp_mirror = round((abs(0.3 - p0) + abs(0.3 - p1) + abs(0.4 - p2)) / 2, 6)
+    assert abs(out[(0, "A")].tvd - exp_mirror) < 1e-9
+    # concentrated class: (|1-p0| + p1 + p2)/2 — the p1+p2 terms exist
+    # only because absent bands are counted
+    exp_conc = round((abs(1.0 - p0) + p1 + p2) / 2, 6)
+    assert abs(out[(2, "C")].tvd - exp_conc) < 1e-9
+    assert not out[(2, "C")].close
+
+
+def test_quantile_filter_is_source_relative(spark):
+    """A mediocre doc in a weak source survives while a better doc
+    drowning in a strong source is cut — the property an absolute
+    threshold cannot have."""
+    import pgsink_spark.operators.curation as cur
+
+    long_doc = "the quick brown fox jumps over the lazy dog " * 30
+    rows = []
+    # strong source: 10 long, high-quality docs
+    for i in range(10):
+        rows.append((i, long_doc + f"suffix{i}", "en", "strong", 0))
+    # weak source: 9 tiny docs + 1 medium doc (id 19)
+    for i in range(10, 19):
+        rows.append((i, f"x{i}", "en", "weak", 0))
+    rows.append((19, "a modest but real sentence with several words", "en", "weak", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = cur.load_table
+    try:
+        cur.load_table = lambda s, d, t: df
+        out = {r.doc_id: r for r in cur.curation_quantile_filter(spark, "unused").collect()}
+    finally:
+        cur.load_table = orig
+    assert out[19].kept  # best of the weak source
+    strong = [out[i] for i in range(10)]
+    cut = [r for r in strong if not r.kept]
+    assert cut  # bottom of the strong source is cut
+    assert all(r.q > out[19].q for r in cut)  # despite higher absolute quality
