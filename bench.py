@@ -182,6 +182,8 @@ HEADLINE = [
     "sample_domain_cap",
     "privacy_t_closeness",
     "curation_quantile_filter",
+    "d80_asof_tolerance",
+    "d81_cms_heavy_hitters",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

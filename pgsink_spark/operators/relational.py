@@ -4033,3 +4033,201 @@ def d79_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.abs(F.col("f1") - F.col("f2"))).cast("decimal(18,10)"), 8
         ).alias("ks_d"),
     )
+
+
+ASOF_TOL_US = 600_000_000  # ±10 min
+
+
+@query(
+    "d80_asof_tolerance",
+    f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'
+    ), before_c AS (
+      SELECT p.event_id, c.event_id AS cid, p.us - c.us AS d
+      FROM p JOIN c ON p.user_id = c.user_id AND c.us <= p.us
+      QUALIFY row_number() OVER (
+        PARTITION BY p.event_id ORDER BY c.us DESC, c.event_id DESC) = 1
+    ), after_c AS (
+      SELECT p.event_id, c.event_id AS cid, c.us - p.us AS d
+      FROM p JOIN c ON p.user_id = c.user_id AND c.us > p.us
+      QUALIFY row_number() OVER (
+        PARTITION BY p.event_id ORDER BY c.us ASC, c.event_id ASC) = 1
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CASE
+             WHEN b.d <= {ASOF_TOL_US}
+              AND (a.d IS NULL OR b.d <= a.d OR a.d > {ASOF_TOL_US})
+               THEN b.cid
+             WHEN a.d <= {ASOF_TOL_US} THEN a.cid
+           END AS click_id,
+           CASE
+             WHEN b.d <= {ASOF_TOL_US}
+              AND (a.d IS NULL OR b.d <= a.d OR a.d > {ASOF_TOL_US})
+               THEN b.d
+             WHEN a.d <= {ASOF_TOL_US} THEN -a.d
+           END AS diff_us
+    FROM p
+    LEFT JOIN before_c b ON b.event_id = p.event_id
+    LEFT JOIN after_c a ON a.event_id = p.event_id
+    ORDER BY purchase_id
+    """,
+)
+def d80_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join with a tolerance: each purchase
+    matches its temporally CLOSEST click (either direction) within
+    ±10 min, ties broken toward the earlier (backward) click — the
+    pandas ``merge_asof(direction='nearest', tolerance=...)``
+    semantics that plain backward as-of (d22) can't express.
+
+    Spark-first shape: NO range self-join (quadratic per user).
+    Both event sets union into one frame, one user-keyed sort, and two
+    running extremes — max(struct(ts,id)) over preceding clicks, min
+    over following — give the backward/forward candidates in a single
+    pass; the nearest-within-tolerance choice is then a row-local CASE.
+    One shuffle on user_id at any scale. The deterministic tie ladder
+    (backward beats forward at equal distance; same-ts clicks resolve
+    to max id backward / min id forward via the struct ordering) is
+    encoded identically in the oracle's QUALIFY row_number order.
+
+    Parity: reference has no as-of surface; this extends d22
+    (pkg-parity note there) to the tolerance/nearest case training
+    pipelines use for clickstream attribution and sensor alignment.
+    """
+    events = load_table(spark, sf_dir, "events")
+    both = events.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(
+                F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+                F.col("event_id").alias("cid"),
+            ),
+        ).alias("c"),
+    )
+    # clicks sort before purchases at equal ts (is_p), so the preceding
+    # frame includes same-ts clicks (inclusive <=) and the following
+    # frame only strictly-later ones — mirroring the oracle's bounds.
+    order = [F.col("us"), F.col("is_p"), F.col("event_id")]
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wa = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    cand = (
+        both.withColumn("bc", F.max("c").over(wb))
+        .withColumn("ac", F.min("c").over(wa))
+        .where(F.col("is_p") == 1)
+    )
+    bd = F.col("us") - F.col("bc.us")
+    ad = F.col("ac.us") - F.col("us")
+    b_ok = F.col("bc").isNotNull() & (bd <= ASOF_TOL_US)
+    a_ok = F.col("ac").isNotNull() & (ad <= ASOF_TOL_US)
+    take_b = b_ok & (~a_ok | (bd <= ad))
+    return cand.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(take_b, F.col("bc.cid"))
+        .when(a_ok, F.col("ac.cid"))
+        .alias("click_id"),
+        F.when(take_b, bd).when(a_ok, -ad).alias("diff_us"),
+    ).orderBy("purchase_id")
+
+
+CMS_DEPTH = 3
+CMS_WIDTH = 2048
+CMS_SUPPORT = 0.001
+
+
+@query(
+    "d81_cms_heavy_hitters",
+    f"""
+    WITH hh AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey
+      HAVING count(*) > {CMS_SUPPORT} * (SELECT count(*) FROM orders)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_heavy,
+           CAST(coalesce(sum(cnt), 0) AS BIGINT) AS heavy_total,
+           TRUE AS no_underestimate,
+           TRUE AS within_bound
+    FROM hh
+    """,
+)
+def d81_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Falsifiable gate for a Count-Min sketch over the order
+    foreign-key stream — the OTHER mergeable heavy-hitter summary
+    (d68's freqItems/Misra-Gries can only under-count; CMS can only
+    OVER-count). The sketch is depth×width bucket counts built as a
+    plain groupBy — per-partition partial counts merge associatively,
+    exactly how per-executor sketches merge on a cluster. The gate
+    queries the sketch for every EXACT heavy hitter and checks two
+    properties: est ≥ true for ALL keys (deterministic — a single
+    violation means the merge is broken) and MEAN overestimate ≤
+    depth·N/width (E[per-row collision mass] = (N−cnt)/width, so the
+    mean of the min-over-rows clears this with 3× slack — unlike a
+    per-key max bound, which the 1/e^depth tail is EXPECTED to breach
+    once hundreds of keys are probed). The oracle pins the exact
+    heavy-hitter census and TRUE booleans — a broken sketch flips the
+    hash red.
+
+    Scale: the sketch state is depth·width counters regardless of N;
+    the build is one map-side-combined shuffle of at most depth·width
+    groups; probing joins a broadcast sketch. The exact census is the
+    gate's witness only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("k"))
+    n_total = keys.count()
+    seeds = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    hashed = keys.select(
+        "k", F.explode(seeds).alias("seed")
+    ).select(
+        "k",
+        "seed",
+        F.pmod(F.xxhash64("k", "seed"), F.lit(CMS_WIDTH)).alias("bucket"),
+    )
+    sketch = hashed.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bc")
+    )
+    heavy = (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .where(F.col("cnt") > CMS_SUPPORT * n_total)
+    )
+    probes = heavy.select(
+        "k", "cnt", F.explode(seeds).alias("seed")
+    ).select(
+        "k",
+        "cnt",
+        "seed",
+        F.pmod(F.xxhash64("k", "seed"), F.lit(CMS_WIDTH)).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("k", "cnt")
+        .agg(F.min("bc").alias("est"))
+    )
+    bound = CMS_DEPTH * n_total / CMS_WIDTH
+    return est.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_heavy"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("heavy_total"),
+        F.coalesce(F.bool_and(F.col("est") >= F.col("cnt")), F.lit(True)).alias(
+            "no_underestimate"
+        ),
+        F.coalesce(
+            F.avg(F.col("est") - F.col("cnt")) <= bound, F.lit(True)
+        ).alias("within_bound"),
+    )

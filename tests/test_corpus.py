@@ -353,3 +353,62 @@ def test_quantile_filter_is_source_relative(spark):
     cut = [r for r in strong if not r.kept]
     assert cut  # bottom of the strong source is cut
     assert all(r.q > out[19].q for r in cut)  # despite higher absolute quality
+
+
+def test_asof_tolerance_matches_bruteforce(spark, sf_dir):
+    """d80 equals a per-purchase brute-force nearest-click scan with
+    the same tie ladder (backward beats forward at equal distance,
+    same-ts ties to max backward / min forward id)."""
+    from pgsink_spark.operators.relational import ASOF_TOL_US, QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    clicks = {}
+    purchases = []
+    for r in ev:
+        us = int(r.ts.timestamp() * 1_000_000)
+        if r.event_type == "click":
+            clicks.setdefault(r.user_id, []).append((us, r.event_id))
+        elif r.event_type == "purchase":
+            purchases.append((r.event_id, r.user_id, us))
+    expected = {}
+    for pid, uid, pus in purchases:
+        before = [(us, cid) for us, cid in clicks.get(uid, []) if us <= pus]
+        after = [(us, cid) for us, cid in clicks.get(uid, []) if us > pus]
+        b = max(before) if before else None  # max (us, cid)
+        a = min(after) if after else None  # min (us, cid)
+        b_ok = b is not None and pus - b[0] <= ASOF_TOL_US
+        a_ok = a is not None and a[0] - pus <= ASOF_TOL_US
+        if b_ok and (not a_ok or pus - b[0] <= a[0] - pus):
+            expected[pid] = (b[1], pus - b[0])
+        elif a_ok:
+            expected[pid] = (a[1], -(a[0] - pus))
+        else:
+            expected[pid] = (None, None)
+    got = {
+        r.purchase_id: (r.click_id, r.diff_us)
+        for r in QUERIES["d80_asof_tolerance"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(v[0] is not None for v in got.values())
+    assert any(v[0] is None for v in got.values()) or len(got) < 50
+
+
+def test_cms_never_underestimates_synthetic(spark):
+    """CMS property on an adversarial synthetic: every estimate >= the
+    true count even with forced bucket collisions (width 2048, 500
+    distinct keys), and the fixture gate booleans hold."""
+    import pgsink_spark.operators.relational as rel
+
+    rows = [(k,) for k in range(500) for _ in range(1 + k % 7)]
+    df = spark.createDataFrame(rows, "o_custkey long")
+    orig = rel.load_table
+    try:
+        rel.load_table = lambda s, d, t: df
+        out = rel.QUERIES["d81_cms_heavy_hitters"](spark, "unused").collect()[0]
+    finally:
+        rel.load_table = orig
+    n_total = sum(1 + k % 7 for k in range(500))
+    thresh = 0.001 * n_total
+    assert out.n_heavy == sum(1 for k in range(500) if 1 + k % 7 > thresh)
+    assert out.no_underestimate and out.within_bound
