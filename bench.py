@@ -184,6 +184,8 @@ HEADLINE = [
     "curation_quantile_filter",
     "d80_asof_tolerance",
     "d81_cms_heavy_hitters",
+    "stream_funnel",
+    "stream_band_neardup",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -442,6 +442,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def simhash_col() -> Column:
+    """The 60-bit TF-weighted simhash as a pure row-local Column —
+    usable on batch AND streaming frames (no repartition, no action).
+    See simhash_fingerprints for the algorithm and Catalyst notes."""
+    hs_expr = (
+        "transform(w, t -> cast(conv(substring(md5(t), 1, 15), 16, 10)"
+        " as bigint))"
+    )
+    ones_expr = (
+        f"aggregate({hs_expr}, array_repeat(0L, {SIMHASH_BITS}),"
+        " (acc, h) -> zip_with(acc,"
+        f" sequence(0, {SIMHASH_BITS - 1}),"
+        " (a, b) -> a + (shiftright(h, b) & 1L)))"
+    )
+    fold_expr = (
+        f"transform(array({ones_expr}),"
+        f" o -> aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L,"
+        " (acc, b) -> acc +"
+        " IF(2 * o[b] > size(w), shiftleft(1L, b), 0L)))[0]"
+    )
+    return F.expr(
+        f"transform(array(split(lower(text), ' ')), w -> {fold_expr})[0]"
+    )
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash bigint): 60-bit TF-weighted simhash — term
     frequency is the per-bit vote weight (distinct-token simhash
@@ -461,26 +486,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     the token-hash/one-count arrays into every one of their 60 uses and
     recompute them 60×.
     """
-    hs_expr = (
-        "transform(w, t -> cast(conv(substring(md5(t), 1, 15), 16, 10)"
-        " as bigint))"
-    )
-    ones_expr = (
-        f"aggregate({hs_expr}, array_repeat(0L, {SIMHASH_BITS}),"
-        " (acc, h) -> zip_with(acc,"
-        f" sequence(0, {SIMHASH_BITS - 1}),"
-        " (a, b) -> a + (shiftright(h, b) & 1L)))"
-    )
-    fold_expr = (
-        f"transform(array({ones_expr}),"
-        f" o -> aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L,"
-        " (acc, b) -> acc +"
-        " IF(2 * o[b] > size(w), shiftleft(1L, b), 0L)))[0]"
-    )
-    fp_expr = (
-        f"transform(array(split(lower(text), ' ')), w -> {fold_expr})[0]"
-    )
-    return widen(docs).select("doc_id", F.expr(fp_expr).alias("simhash"))
+    return widen(docs).select("doc_id", simhash_col().alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

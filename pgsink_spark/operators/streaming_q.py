@@ -680,3 +680,140 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _run_availablenow(spark, sf_dir, "ssj", build)
     return out.orderBy("event_id")
+
+
+@query(
+    "stream_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ), s AS (
+      SELECT user_id, event_id AS s_id, us AS s_us FROM e
+      WHERE event_type = 'signup'
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY us, event_id) = 1
+    ), v AS (
+      SELECT e.user_id, e.event_id AS v_id, e.us AS v_us
+      FROM e JOIN s USING (user_id)
+      WHERE event_type = 'view'
+        AND (e.us > s_us OR (e.us = s_us AND e.event_id > s_id))
+      QUALIFY row_number() OVER (
+        PARTITION BY e.user_id ORDER BY e.us, e.event_id) = 1
+    ), p AS (
+      SELECT e.user_id, e.event_id AS p_id, e.us AS p_us
+      FROM e JOIN v USING (user_id)
+      WHERE event_type = 'purchase'
+        AND (e.us > v_us OR (e.us = v_us AND e.event_id > v_id))
+      QUALIFY row_number() OVER (
+        PARTITION BY e.user_id ORDER BY e.us, e.event_id) = 1
+    )
+    SELECT s.user_id, s.s_id AS signup_id, v.v_id AS view_id,
+           p.p_id AS purchase_id,
+           CAST(p.p_us // 1000000 - s.s_us // 1000000 AS BIGINT)
+             AS funnel_s
+    FROM s JOIN v USING (user_id) JOIN p USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel detection (streaming/stateful.py
+    funnel_tracker) as a real availableNow run: per-user ordered
+    signup → view → purchase matched greedily-earliest, one emission
+    per completed funnel. The oracle recomputes the same greedy chain
+    declaratively with three QUALIFY row_number()=1 picks whose tuple
+    comparisons ((us, event_id) strictly increasing across stages)
+    encode exactly the fold's processing order — stream == batch
+    row-for-row, the §2.F falsifiability bar.
+
+    Scale: state is a 4-field cursor per live user, timeout-expirable;
+    output is at most one row per user ever.
+    """
+    from pgsink_spark.streaming.stateful import funnel_tracker
+
+    out = _run_availablenow(
+        spark,
+        sf_dir,
+        "funl",
+        lambda raw: funnel_tracker(
+            _ts_cast(raw).select("event_id", "ts", "user_id", "event_type")
+        ),
+    )
+    return out.orderBy("user_id")
+
+
+from pgsink_spark.operators.dedup import _DUCKDB_SIMHASH  # noqa: E402
+
+_BAND_NEARDUP_SQL = f"""
+    WITH {_DUCKDB_SIMHASH}, chunks AS (
+      SELECT doc_id,
+             ((simhash >> (j.j * 10)) & 1023) + j.j * 1024 AS ck
+      FROM fp, (SELECT unnest(range(0, 6)) AS j) j
+    ), hit AS (
+      SELECT b.doc_id, min(a.doc_id) AS dup_of
+      FROM chunks a JOIN chunks b ON a.ck = b.ck AND a.doc_id < b.doc_id
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, h.dup_of, h.dup_of IS NOT NULL AS is_dup
+    FROM documents d LEFT JOIN hit h USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@query("stream_band_neardup", _BAND_NEARDUP_SQL)
+def stream_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-dup triage: documents stream through a simhash band
+    index built ON THE STREAM (streaming/stateful.py
+    band_neardup_prober — one running-min doc_id per band bucket), and
+    each doc reports the earliest prior doc sharing any band. The
+    incremental counterpart of dedup_simhash_pairs' batch blocking:
+    at 100 TB the index IS the state (bounded by live buckets, not
+    history), and the fingerprint is computed row-locally on the
+    stream — blobs/text never key a shuffle, only (doc_id, band) pairs
+    do.
+
+    The per-doc reduce over its 6 band verdicts runs on the sunk
+    table (at scale: the next pipeline stage). Min is
+    order-independent, so the oracle — min earlier doc over the same
+    band equi-join — pins the stream output exactly.
+    """
+    from pgsink_spark.operators.dedup import (
+        SIMHASH_CHUNK_BITS,
+        SIMHASH_CHUNKS,
+        simhash_col,
+    )
+    from pgsink_spark.streaming.stateful import band_neardup_prober
+
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+
+    def build(raw: DataFrame) -> DataFrame:
+        fp = raw.select("doc_id", simhash_col().alias("simhash"))
+        chunks = fp.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"(shiftright(simhash, {j * SIMHASH_CHUNK_BITS})"
+                            f" & {mask}L) + {j * (mask + 1)}L"
+                        )
+                        for j in range(SIMHASH_CHUNKS)
+                    ]
+                )
+            ).alias("ck"),
+        )
+        return band_neardup_prober(chunks)
+
+    out = _run_availablenow(
+        spark,
+        sf_dir,
+        "band",
+        build,
+        schema=_DOCS_SCHEMA,
+        stage=(("documents.parquet", "documents.parquet"),),
+    )
+    return (
+        out.groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .select("doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup"))
+        .orderBy("doc_id")
+    )

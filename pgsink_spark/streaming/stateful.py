@@ -637,3 +637,152 @@ def reservoir_evictions(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel tracker (stream_funnel)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+FUNNEL_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("signup_id", T.LongType(), False),
+        T.StructField("view_id", T.LongType(), False),
+        T.StructField("purchase_id", T.LongType(), False),
+        T.StructField("funnel_s", T.LongType(), False),
+    ]
+)
+
+# stage: 0 = awaiting signup, 1 = awaiting view, 2 = awaiting purchase,
+# 3 = funnel already emitted (terminal — one funnel per user)
+FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("stage", T.LongType()),
+        T.StructField("s_id", T.LongType()),
+        T.StructField("s_us", T.LongType()),
+        T.StructField("v_id", T.LongType()),
+    ]
+)
+
+
+def _funnel(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Ordered-sequence fold: rows advance a 3-stage cursor in
+    (ts, event_id) order; the first completion emits one row and the
+    cursor parks at the terminal stage. Greedy-earliest semantics —
+    identical to the oracle's chained QUALIFY row_number()=1 picks."""
+    (user_id,) = key
+    if state.hasTimedOut:  # pragma: no cover — live-mode state expiry
+        state.remove()
+        return
+
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    stage, s_id, s_us, v_id = (
+        state.get if state.exists else (0, None, None, None)
+    )
+    ts_us = pdf["ts"].astype("int64").to_numpy() // 1000
+    out = None
+    for eid, etype, t_us in zip(
+        pdf["event_id"].to_numpy(), pdf["event_type"].to_numpy(), ts_us
+    ):
+        if stage == 0 and etype == "signup":
+            stage, s_id, s_us = 1, int(eid), int(t_us)
+        elif stage == 1 and etype == "view":
+            stage, v_id = 2, int(eid)
+        elif stage == 2 and etype == "purchase":
+            stage = 3
+            out = pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "signup_id": [s_id],
+                    "view_id": [v_id],
+                    "purchase_id": [int(eid)],
+                    "funnel_s": [
+                        int(t_us) // 1_000_000 - s_us // 1_000_000
+                    ],
+                }
+            )
+
+    state.update((stage, s_id, s_us, v_id))
+    if out is not None:
+        yield out
+
+
+def funnel_tracker(
+    events: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Streaming funnel detection (signup → view → purchase): per-user
+    state is a 4-field cursor; a completed funnel emits exactly once.
+    The sequential-pattern operator (MATCH_RECOGNIZE's simplest useful
+    shape) that no built-in streaming primitive expresses.
+
+    State is O(1) per live user and timeout-expirable — on an
+    unbounded stream, parked terminal cursors age out exactly like
+    open sessions (the 100 TB requirement on every stateful op).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel,
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# band-index near-dup prober (stream_band_neardup)
+# ---------------------------------------------------------------------------
+
+BAND_OUTPUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dup_of", T.LongType(), True),
+    ]
+)
+
+# one long of state per live band bucket: the minimum doc_id seen
+BAND_STATE = T.StructType([T.StructField("min_doc", T.LongType())])
+
+
+def _band_probe(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Running-min fold per band bucket: each arriving (doc, band) row
+    reports the earliest doc already in the bucket (None if it is the
+    first), then the bucket's min updates. Min is order-independent,
+    so any doc_id-sorted replay reproduces the same verdicts."""
+    if state.hasTimedOut:  # pragma: no cover — live-mode state expiry
+        state.remove()
+        return
+
+    pdf = pd.concat(list(pdf_iter)).sort_values("doc_id")
+    (min_doc,) = state.get if state.exists else (None,)
+    docs = pdf["doc_id"].to_numpy()
+    dups = []
+    for d in docs:
+        d = int(d)
+        dups.append(min_doc if (min_doc is not None and min_doc < d) else None)
+        if min_doc is None or d < min_doc:
+            min_doc = d
+    state.update((min_doc,))
+    yield pd.DataFrame({"doc_id": [int(d) for d in docs], "dup_of": dups})
+
+
+def band_neardup_prober(chunks: DataFrame) -> DataFrame:
+    """Streaming near-dup triage against a band index built ON THE
+    STREAM: grouped by simhash band bucket, each document probes the
+    bucket's running-min doc_id — any hit means a candidate near-dup
+    with an EARLIER document. State is one long per live bucket.
+
+    ``chunks`` needs (doc_id, ck) — one row per (document, band).
+    """
+    return chunks.groupBy("ck").applyInPandasWithState(
+        _band_probe,
+        outputStructType=BAND_OUTPUT,
+        stateStructType=BAND_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -290,3 +290,105 @@ def test_reservoir_evictions_across_batches(spark, tmp_path):
         range(100), key=lambda d: (hl.md5(str(d).encode()).hexdigest(), d)
     )[RESERVOIR_K:]
     assert sorted(d for _, d in captured) == sorted(expected)
+
+
+def test_funnel_tracker_cursor_survives_batches(spark, tmp_path):
+    """signup in batch 1, view in batch 2, purchase in batch 3 — the
+    cursor crosses two micro-batch boundaries and emits exactly once;
+    a later second purchase emits nothing (terminal stage)."""
+    import datetime
+
+    from pgsink_spark.streaming.stateful import funnel_tracker
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m, 0)  # noqa: E731
+
+    captured = []
+
+    def capture(batch, _bid):
+        captured.extend(batch.collect())
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            funnel_tracker(stream)
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, t(0), 7, "signup"), (2, t(1), 7, "purchase")], schema
+    ).write.parquet(str(src / "b1"))
+    run_once()
+    assert captured == []  # purchase before view does not complete
+
+    spark.createDataFrame([(3, t(2), 7, "view")], schema).write.parquet(
+        str(src / "b2")
+    )
+    run_once()
+    assert captured == []  # still awaiting the purchase
+
+    spark.createDataFrame(
+        [(4, t(5), 7, "purchase"), (5, t(6), 7, "purchase")], schema
+    ).write.parquet(str(src / "b3"))
+    run_once()
+    assert len(captured) == 1
+    row = captured[0]
+    assert (row.signup_id, row.view_id, row.purchase_id) == (1, 3, 4)
+    assert row.funnel_s == 300
+
+
+def test_band_prober_running_min_across_batches(spark, tmp_path):
+    """A batch-2 doc sharing a band with a batch-1 doc must report the
+    batch-1 doc as dup_of — the index state survives the boundary."""
+    from pgsink_spark.streaming.stateful import band_neardup_prober
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id bigint, ck bigint"
+
+    captured = []
+
+    def capture(batch, _bid):
+        captured.extend(batch.collect())
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            band_neardup_prober(stream)
+            .writeStream.foreachBatch(capture)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(10, 1), (11, 2)], schema).write.parquet(
+        str(src / "b1")
+    )
+    run_once()
+    assert {(r.doc_id, r.dup_of) for r in captured} == {(10, None), (11, None)}
+
+    captured.clear()
+    spark.createDataFrame([(12, 1), (5, 2)], schema).write.parquet(
+        str(src / "b2")
+    )
+    run_once()
+    # doc 12 hits bucket 1's min (10); doc 5 is SMALLER than bucket 2's
+    # min so it reports no dup and becomes the new min
+    assert {(r.doc_id, r.dup_of) for r in captured} == {(12, 10), (5, None)}
