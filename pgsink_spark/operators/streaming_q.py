@@ -74,7 +74,16 @@ def _run_availablenow(
             shutil.copytree(p, f"{src}/{d}")
         else:
             shutil.copy(p, f"{src}/{d}")
-    raw = spark.readStream.schema(schema).parquet(src)
+    # recursive + glob: single-file fixtures stage flat, but scale-probe
+    # replicas are Spark-WRITTEN DIRECTORIES (part files + _SUCCESS) —
+    # without these options the file stream source silently lists ZERO
+    # files under the nested dir and every probe reads an empty stream
+    raw = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
     name = f"{prefix}_{h}_{os.getpid()}_{run}"
     writer = (
         build(raw)
@@ -87,6 +96,26 @@ def _run_availablenow(
         writer = writer.outputMode(output_mode)
     q = writer.start()
     q.awaitTermination()
+    # staging contract: the stream must have ingested at least the rows
+    # staged (the nested-dir regression above produced 0-input runs
+    # that looked like fast queries — this turns that into a loud error)
+    ingested = sum(p["numInputRows"] for p in q.recentProgress)
+    staged = (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+        .count()
+    )
+    # under-ingestion only: a self-join reads the staged dir through TWO
+    # file sources (ingested = 2x staged), so exact equality is wrong —
+    # but the regression this guards (nested dirs listing zero files)
+    # always shows as ingested < staged
+    if ingested < staged:
+        raise AssertionError(
+            f"{prefix}: stream ingested {ingested} rows but {staged} were"
+            f" staged under {src} — file-source listing is broken"
+        )
     return spark.table(name)
 
 

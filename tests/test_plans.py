@@ -559,3 +559,45 @@ def test_pit_read_equals_scd2_interval_filter(spark):
         .orderBy("user_id", "event_type")
     )
     assert pit.collect() == via_hist.collect()
+
+
+def test_wave5c_plan_pins(spark):
+    """Round-5c additions: pin each operator's scale-load-bearing plan
+    property — blocked equi-join (never cartesian) for the JW linkage,
+    broadcast stats for the quantizer, TakeOrdered for zipf's top-500,
+    one keyed window for the cap/quantile filters, broadcast sketch
+    probes for CMS, and a single user exchange for the as-of join."""
+    from pgsink_spark.operators.curation import curation_quantile_filter
+    from pgsink_spark.operators.dedup import dedup_jaro_winkler
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.operators.sampling import sample_domain_cap
+    from pgsink_spark.operators.similarity import quant_int8_gate
+    from pgsink_spark.operators.text import text_zipf_audit
+
+    # JW linkage: block-key equi-join — no cartesian/BNL product
+    df = dedup_jaro_winkler(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+    # int8 gate: 64-row per-dim stats broadcast back, no vec shuffle join
+    df = quant_int8_gate(spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert has_partial_aggregate(df)
+
+    # zipf: top-500 cut is TakeOrderedAndProject, not a global sort
+    df = text_zipf_audit(spark, SF)
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+
+    # domain cap / quantile filter: one source-keyed window (+ output sort)
+    for fn in (sample_domain_cap, curation_quantile_filter):
+        assert exchange_count(fn(spark, SF)) <= 2, fn.__name__
+
+    # CMS: sketch and heavy census broadcast into the probe join
+    df = QUERIES["d81_cms_heavy_hitters"](spark, SF)
+    assert broadcast_join_count(df, run=True) >= 1
+    assert has_partial_aggregate(df)
+
+    # as-of tolerance: one user-keyed exchange feeds both windows
+    df = QUERIES["d80_asof_tolerance"](spark, SF)
+    assert exchange_count(df) <= 2

@@ -340,7 +340,7 @@ def test_funnel_tracker_cursor_survives_batches(spark, tmp_path):
 
     spark.createDataFrame(
         [(4, t(5), 7, "purchase"), (5, t(6), 7, "purchase")], schema
-    ).write.parquet(str(src / "b3"))
+    ).coalesce(1).write.parquet(str(src / "b3"))  # one file — one batch
     run_once()
     assert len(captured) == 1
     row = captured[0]

@@ -84,6 +84,17 @@ PROBES = [
     "d79_ks_drift",
     "src_json_schema_drift",
     "stream_static_join",
+    # round-5c additions
+    "dedup_jaro_winkler",
+    "quant_int8_gate",
+    "text_zipf_audit",
+    "sample_domain_cap",
+    "privacy_t_closeness",
+    "curation_quantile_filter",
+    "d80_asof_tolerance",
+    "d81_cms_heavy_hitters",
+    "stream_funnel",
+    "stream_band_neardup",
 ]
 
 
