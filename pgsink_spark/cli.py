@@ -257,7 +257,52 @@ def cmd_stream(args) -> int:
     spark = get_spark("pgsink-stream")
     register(spark)
 
-    if getattr(args, "sink", "ndjson") == "warehouse":
+    if getattr(args, "sink", "ndjson") == "bigquery":
+        from pgsink_spark.changelog.envelope import cast_envelope
+        from pgsink_spark.changelog.registry import entry_from_relation
+        from pgsink_spark.sinks.bigquery import (
+            BigQuerySink,
+            BigQuerySinkOptions,
+        )
+        from pgsink_spark.streaming.datasource import read_capture
+        from pgsink_spark.streaming.decoder import Relation, decode_message
+
+        out = f"{args.bq_project}.{args.bq_dataset} ({args.bq_api_base})"
+        bq = BigQuerySink(
+            BigQuerySinkOptions(
+                api_base=args.bq_api_base,
+                project=args.bq_project,
+                dataset=args.bq_dataset,
+                token=args.bq_token,
+                use_load_jobs=args.bq_load_jobs,
+            )
+        )
+        # schema discovery: relation messages are the capture's DDL
+        # (schema_handler.go Handle — raw table + view synced per
+        # novel fingerprint)
+        entries = {}
+        for buf in read_capture(args.capture):
+            msg = decode_message(buf)
+            if isinstance(msg, Relation):
+                e = entry_from_relation(msg)
+                bq.handle_schema(e)
+                entries[(e.namespace, e.name)] = e
+
+        def sink(df, batch_id):
+            from pyspark.sql import functions as F
+
+            # delivery is at-least-once into BigQuery; replayed batches
+            # dedup best-effort via {lsn}-{sequence} insertIds (the
+            # warehouse sink's epoch ledger has no BQ analogue — the
+            # compaction VIEW is what guarantees read-side correctness,
+            # exactly the reference's posture)
+            for (ns, name), e in entries.items():
+                part = df.where(
+                    (F.col("namespace") == ns) & (F.col("name") == name)
+                )
+                bq.insert(cast_envelope(part, e.payload), ns, name)
+
+    elif getattr(args, "sink", "ndjson") == "warehouse":
         from pgsink_spark.changelog.envelope import cast_envelope
         from pgsink_spark.changelog.registry import entry_from_relation
         from pgsink_spark.sinks.warehouse import WarehouseSink
@@ -445,7 +490,7 @@ def cmd_run(args) -> int:
     print(f"completed_jobs={done}")
 
     if args.capture and os.path.exists(args.capture):
-        args.sink = "warehouse"
+        args.sink = "bigquery" if getattr(args, "bq_project", None) else "warehouse"
         with tracer.span("pgsink.stream"):
             cmd_stream(args)
 
@@ -610,6 +655,20 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def _add_bq_args(p) -> None:
+    """BigQuery sink flags (Options struct parity, bigquery/sink.go:17-38;
+    --bq-project selects the sink on `run`, like the reference's
+    --sink=bigquery CLI group)."""
+    p.add_argument("--bq-api-base", default="https://bigquery.googleapis.com")
+    p.add_argument("--bq-project", default=None)
+    p.add_argument("--bq-dataset", default="pgsink")
+    p.add_argument("--bq-token", default=None,
+                   help="OAuth bearer token (e.g. gcloud auth "
+                   "print-access-token); omitted on a local fake")
+    p.add_argument("--bq-load-jobs", action="store_true",
+                   help="bulk NDJSON load jobs instead of insertAll")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pgsink-spark")
     p.add_argument("--root", default="./pgsink-state",
@@ -639,11 +698,13 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--capture", required=True)
     st.add_argument(
         "--sink",
-        choices=["ndjson", "warehouse"],
+        choices=["ndjson", "warehouse", "bigquery"],
         default="ndjson",
         help="ndjson: generic envelopes; warehouse: typed raw tables "
-        "+ compaction views, exactly-once epoch appends",
+        "+ compaction views, exactly-once epoch appends; bigquery: "
+        "REST sink (raw tables + most-recent-row views in a dataset)",
     )
+    _add_bq_args(st)
     st.add_argument(
         "--decode-slices",
         type=int,
@@ -683,6 +744,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default="prefer")
     r.add_argument("--slot", default="pgsink")
     r.add_argument("--publication", default="pgsink")
+    _add_bq_args(r)
     r.set_defaults(fn=cmd_run)
 
     cp = sub.add_parser(
