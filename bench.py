@@ -186,6 +186,8 @@ HEADLINE = [
     "d81_cms_heavy_hitters",
     "stream_funnel",
     "stream_band_neardup",
+    "text_bpe_learn",
+    "diversity_kcenter",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -1008,3 +1008,113 @@ def quant_int8_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_abs_err"),
     )
+
+
+KCENTER_K = 8
+
+
+def _kc_dist2(av: str, bv: str) -> str:
+    """Strict left-fold squared euclidean — the SAME evaluation order
+    as the Spark side's aggregate(zip_with(...)), so the float64
+    results are bit-identical and the argmax can never flip on
+    cross-engine summation order."""
+    return (
+        f"list_reduce(list_transform(range(1, len({av}) + 1),"
+        f" i -> ({av}[i] - {bv}[i]) * ({av}[i] - {bv}[i])),"
+        " (x, y) -> x + y)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    stages = []
+    prev_d = "d0"
+    for k in range(1, KCENTER_K):
+        stages.append(f"""
+, t{k} AS (
+  SELECT vec_id, md FROM {prev_d} ORDER BY md DESC, vec_id LIMIT 1
+), c{k} AS (
+  SELECT e.v FROM e JOIN t{k} ON e.vec_id = t{k}.vec_id
+), d{k} AS (
+  SELECT d.vec_id, least(d.md, {_kc_dist2("e.v", "c.v")}) AS md
+  FROM {prev_d} d JOIN e ON e.vec_id = d.vec_id CROSS JOIN c{k} c
+)""")
+        prev_d = f"d{k}"
+    sel = [
+        "SELECT 0 AS rank, (SELECT min(vec_id) FROM e) AS vec_id,"
+        " CAST(0.0 AS DOUBLE) AS d2"
+    ]
+    for k in range(1, KCENTER_K):
+        sel.append(
+            f"SELECT {k}, vec_id,"
+            " CAST(ROUND(CAST(md AS DECIMAL(28,12)), 6) AS DOUBLE)"
+            f" FROM t{k}"
+        )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+      SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)
+    ), d0 AS (
+      SELECT e.vec_id, {_kc_dist2("e.v", "c.v")} AS md FROM e CROSS JOIN c0 c
+    )
+    {"".join(stages)}
+    {" UNION ALL ".join(sel)}
+    ORDER BY rank
+    """
+
+
+@query("diversity_kcenter", _kcenter_oracle())
+def diversity_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point traversal) diversity sampling
+    over the embedding corpus — the coreset selector that picks
+    maximally-spread exemplars (SemDeDup prunes near-duplicates; this
+    picks the OPPOSITE: the k points that best cover the space, the
+    standard seed set for curriculum/mixture design and for k-means++
+    style initialization). Deterministic: seed = min vec_id, each
+    round adds the point farthest from its nearest chosen center,
+    ties to the smaller id. Output (rank, vec_id, d2) where d2 is the
+    coverage radius² at selection — the monotone-decreasing sequence
+    a broken traversal cannot fake.
+
+    Scale shape per round: broadcast ONE center vector, one row-local
+    least(md, dist²) update, one max-reduce (TakeOrdered 1). k rounds
+    = k linear passes, no pairwise blowup, driver state = k vectors.
+    Distances are strict left-folds so both engines see bit-identical
+    float64 — the argmax can't flip on summation order.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).persist()
+
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(0, seed["vec_id"], 0.0)]
+    center = seed["v"]
+
+    def dist2_to(center_vals: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in center_vals])
+        return F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    cur = e.select("vec_id", "v", dist2_to(center).alias("md"))
+    for k in range(1, KCENTER_K):
+        top = cur.orderBy(F.col("md").desc(), "vec_id").limit(1).collect()[0]
+        # mirror the oracle's ROUND(CAST(md AS DECIMAL), 6): exact
+        # decimal image of the float64, half-up to 6 places
+        import decimal
+
+        d6 = decimal.Decimal(top["md"]).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+        picks.append((k, top["vec_id"], float(d6)))
+        cur = cur.select(
+            "vec_id",
+            "v",
+            F.least(F.col("md"), dist2_to(top["v"])).alias("md"),
+        ).localCheckpoint(eager=False)
+    e.unpersist()
+    return spark.createDataFrame(
+        [(r, v, float(d)) for r, v, d in picks],
+        "rank int, vec_id bigint, d2 double",
+    )

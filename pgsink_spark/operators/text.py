@@ -867,3 +867,122 @@ def text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("r2"),
     )
+
+
+BPE_LEARN_ROUNDS = 3
+
+
+def _bpe_stage_sql(k: int) -> str:
+    """One BPE learning round as chained CTEs: pair census over the
+    current symbolization, argmax merge (ties lexicographic), fold the
+    merge back through every word."""
+    return f"""
+, p{k} AS (
+  SELECT r.rep[i.i] || ' ' || r.rep[i.i+1] AS pair, sum(r.freq) AS cnt
+  FROM r{k} r, LATERAL (SELECT unnest(range(1, len(r.rep))) AS i) i
+  GROUP BY 1
+), t{k} AS (
+  SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y,
+         CAST(cnt AS BIGINT) AS cnt
+  FROM p{k} ORDER BY cnt DESC, pair LIMIT 1
+), r{k + 1} AS (
+  SELECT r.word, r.freq,
+         string_split(substr(list_reduce(list_prepend('^', r.rep),
+           (acc, s) -> CASE WHEN ends_with(acc, ' ' || t.x) AND s = t.y
+                            THEN substr(acc, 1, len(acc) - len(t.x) - 1)
+                                 || ' ' || t.x || t.y
+                            ELSE acc || ' ' || s END), 3), ' ') AS rep
+  FROM r{k} r CROSS JOIN t{k} t
+)"""
+
+
+_BPE_LEARN_SQL = (
+    """
+    WITH w AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), r0 AS (
+      SELECT word, freq, string_split(word, '') AS rep FROM w
+    )
+    """
+    + "".join(_bpe_stage_sql(k) for k in range(BPE_LEARN_ROUNDS))
+    + """
+    SELECT 0 AS rank, x AS left_sym, y AS right_sym, cnt FROM t0
+    UNION ALL SELECT 1, x, y, cnt FROM t1
+    UNION ALL SELECT 2, x, y, cnt FROM t2
+    ORDER BY rank
+    """
+)
+
+
+@query("text_bpe_learn", _BPE_LEARN_SQL)
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE VOCABULARY LEARNING — the iterative half the merge-pair
+    census (text_bpe_pairs) feeds: K rounds of (count adjacent symbol
+    pairs over the frequency-weighted vocabulary → take the argmax
+    merge, ties lexicographic → re-symbolize every word through the
+    merge). Textbook left-to-right greedy merging, implemented as a
+    row-local ``aggregate`` fold — "lll" under merge (l,l) becomes
+    [ll, l], never [l, ll] — with IDENTICAL fold semantics in the
+    oracle's list_reduce lambda.
+
+    Scale shape per round: one vocabulary-keyed pair agg (map-side
+    partial; the shuffle carries distinct pairs, not the corpus), one
+    1-ROW driver collect (the argmax merge — the only driver traffic,
+    K rows total), and one row-local re-fold. The corpus is read once
+    up front for word frequencies; the K iterations run over the
+    DISTINCT-WORD table, which is vocabulary-sized. This is the
+    standard driver-coordinated iterative shape (same as the PageRank
+    and k-means operators): bounded rounds, bounded driver state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    rep = words.select(
+        F.col("w").alias("word"), "freq", F.split("w", "").alias("rep")
+    ).persist()
+
+    merges = []
+    current = rep
+    for k in range(BPE_LEARN_ROUNDS):
+        pairs = (
+            current.where(F.size("rep") >= 2)  # sequence(1,0) DESCENDS
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(rep) - 1),"
+                        " i -> concat(element_at(rep, i), ' ',"
+                        " element_at(rep, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
+        x, y = top["pair"].split(" ", 1)
+        merges.append((k, x, y, top["cnt"]))
+        xe, ye = x.replace("'", "\\'"), y.replace("'", "\\'")
+        current = current.select(
+            "word",
+            "freq",
+            F.expr(
+                "split(substring(aggregate(rep, '^', (acc, s) ->"
+                f" CASE WHEN endswith(acc, ' {xe}') AND s = '{ye}'"
+                f" THEN substring(acc, 1, length(acc) - {len(x) + 1})"
+                f" || ' ' || '{xe}{ye}'"
+                " ELSE acc || ' ' || s END), 3), ' ')"
+            ).alias("rep"),
+        ).localCheckpoint(eager=False)
+    rep.unpersist()
+
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, cnt bigint"
+    )

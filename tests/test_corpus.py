@@ -412,3 +412,82 @@ def test_cms_never_underestimates_synthetic(spark):
     thresh = 0.001 * n_total
     assert out.n_heavy == sum(1 for k in range(500) if 1 + k % 7 > thresh)
     assert out.no_underestimate and out.within_bound
+
+
+def test_bpe_learn_matches_bruteforce(spark, sf_dir):
+    """The 3 learned merges equal a plain-Python textbook-BPE replay
+    (freq-weighted pair census, lexicographic ties, left-to-right
+    greedy re-symbolization) over the collected corpus."""
+    from collections import Counter
+
+    from pgsink_spark.operators.text import BPE_LEARN_ROUNDS, text_bpe_learn
+    from pgsink_spark.sources.fixtures import load_table
+
+    freqs = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        for w in r["text"].lower().split(" "):
+            if w:
+                freqs[w] += 1
+    reps = {w: list(w) for w in freqs}
+
+    expected = []
+    for k in range(BPE_LEARN_ROUNDS):
+        pairs = Counter()
+        for w, rep in reps.items():
+            for a, b in zip(rep, rep[1:]):
+                pairs[(a, b)] += freqs[w]
+        (x, y), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((k, x, y, cnt))
+        for w, rep in reps.items():
+            out = []
+            for s in rep:
+                if out and out[-1] == x and s == y:
+                    out[-1] = x + y
+                else:
+                    out.append(s)
+            reps[w] = out
+
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["cnt"])
+        for r in text_bpe_learn(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_kcenter_matches_bruteforce_and_radii_decrease(spark, sf_dir):
+    """Greedy farthest-point replay in plain Python (same strict
+    left-fold float64 arithmetic) picks the same centers, and the
+    coverage radius at selection is non-increasing."""
+    from pgsink_spark.operators.similarity import KCENTER_K, diversity_kcenter
+    from pgsink_spark.sources.fixtures import load_table
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def dist2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    seed = min(vecs)
+    picks = [seed]
+    md = {i: dist2(v, vecs[seed]) for i, v in vecs.items()}
+    radii = [0.0]
+    for _ in range(1, KCENTER_K):
+        nxt = min(md, key=lambda i: (-md[i], i))
+        radii.append(md[nxt])
+        picks.append(nxt)
+        for i, v in vecs.items():
+            d = dist2(v, vecs[nxt])
+            if d < md[i]:
+                md[i] = d
+
+    rows = diversity_kcenter(spark, sf_dir).collect()
+    assert [r["vec_id"] for r in rows] == picks
+    got_d2 = [r["d2"] for r in rows]
+    assert all(got_d2[i] >= got_d2[i + 1] for i in range(1, len(got_d2) - 1))
+    for mine, ref in zip(got_d2[1:], radii[1:]):
+        assert abs(mine - ref) < 1e-5

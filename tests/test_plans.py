@@ -601,3 +601,42 @@ def test_wave5c_plan_pins(spark):
     # as-of tolerance: one user-keyed exchange feeds both windows
     df = QUERIES["d80_asof_tolerance"](spark, SF)
     assert exchange_count(df) <= 2
+
+
+def test_bpe_learn_and_kcenter_iteration_shape(spark):
+    """Iterative drivers: the BPE pair census is a vocabulary-keyed
+    partial agg (the only shuffle per round); the k-center update is
+    shuffle-free row-local work whose argmax is a TakeOrdered."""
+    from pgsink_spark.operators.similarity import as_double
+    from pgsink_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    pairs = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", F.explode(F.split("w", "")).alias("s"))
+        .groupBy("s")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    assert has_partial_aggregate(pairs)
+
+    emb = load_table(spark, SF, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    c = [0.0] * 4
+    md = e.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.slice("v", 1, 4),
+                F.array(*[F.lit(x) for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, d: a + d,
+        ).alias("md"),
+    ).orderBy(F.col("md").desc(), "vec_id").limit(1)
+    plan = md._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

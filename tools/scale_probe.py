@@ -95,6 +95,8 @@ PROBES = [
     "d81_cms_heavy_hitters",
     "stream_funnel",
     "stream_band_neardup",
+    "text_bpe_learn",
+    "diversity_kcenter",
 ]
 
 
