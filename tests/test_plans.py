@@ -640,3 +640,30 @@ def test_bpe_learn_and_kcenter_iteration_shape(spark):
     ).orderBy(F.col("md").desc(), "vec_id").limit(1)
     plan = md._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_wave5d_sketch_and_sequence_plans(spark):
+    """d82: ONE scan, one 1-row partial agg, scan pruned to the four
+    measure columns. d83: one user-keyed exchange (+ output sort),
+    partial collect_list combines map-side. d84: sketches are
+    TakeOrdered top-k (no global sort shuffle) and the membership
+    joins broadcast 256-row sides."""
+    # correlation matrix: single pass over 4 pruned columns
+    df = rel.QUERIES["d82_corr_matrix"](spark, SF)
+    assert has_partial_aggregate(df)
+    cols = [set(c) for c in scan_columns(df)]
+    assert len(cols) == 1, "corr matrix must scan lineitem exactly once"
+    assert cols[0] <= {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    }
+
+    # sequence match: one shuffle to the user key, then row-local regex
+    df = rel.QUERIES["d83_seq_match"](spark, SF)
+    assert exchange_count(df) <= 2
+    assert has_partial_aggregate(df)
+
+    # KMV: top-k per sketch via TakeOrdered; broadcast membership joins
+    df = rel.QUERIES["d84_kmv_setops"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert broadcast_join_count(df, run=True) >= 2
