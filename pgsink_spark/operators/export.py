@@ -273,3 +273,119 @@ def export_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = f"/tmp/pgsink_wds_{os.getpid()}_{run}"
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return write_webdataset_shards(docs, out)
+
+
+EPOCH_COUNT = 2
+EPOCH_SHARD_DOCS = 100
+_ESH_BINS = 64
+_ESH_BIN_W = (1 << 52) // _ESH_BINS  # md5-52-bit hash space, equal bins
+
+
+@query(
+    "export_epoch_shuffle",
+    f"""
+    WITH e AS (SELECT * FROM (VALUES (0), (1)) v(epoch)),
+    h AS (
+      SELECT e.epoch, d.doc_id,
+             CAST(concat('0x', substr(md5(
+               CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)
+             ), 1, 13)) AS BIGINT) AS h
+      FROM documents d CROSS JOIN e
+    ),
+    p AS (
+      SELECT epoch, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1
+               AS pos
+      FROM h
+    )
+    SELECT epoch, doc_id,
+           CAST(pos // {EPOCH_SHARD_DOCS} AS BIGINT) AS shard_id,
+           CAST(pos % {EPOCH_SHARD_DOCS} AS BIGINT) AS pos_in_shard
+    FROM p
+    ORDER BY epoch, shard_id, pos_in_shard
+    """,
+)
+def export_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle into training shards —
+    the "reshuffle the corpus every epoch" step of a training-data
+    pipeline, seeded so any worker can recompute any epoch's order
+    independently (no stored permutation, no RNG state): epoch e's
+    order is simply ascending md5(e ':' doc_id), and each document's
+    (shard, position) is a pure function of (corpus, epoch).
+
+    The global rank uses the scalable recipe (ranking.py), with one
+    improvement available only here: the sort key is a hash UNIFORM on
+    [0, 2^52), so the ordered buckets are STATIC equal-width bins — no
+    min/max stats job at all. One pass counts the 2×64 (epoch, bin)
+    populations (control-plane collect), prefix offsets broadcast
+    back, and bin-LOCAL row_numbers complete the rank: a single
+    (epoch, bin)-keyed exchange, never a one-partition global window.
+    Both epochs rank in the SAME jobs (epoch is part of the partition
+    key), so adding epochs adds no passes.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(e) for e in range(EPOCH_COUNT)])
+        ).alias("epoch"),
+    )
+    d = d.withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("epoch").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    ).withColumn(
+        "bucket",
+        F.least(
+            (F.col("h") / F.lit(_ESH_BIN_W)).cast("int"),
+            F.lit(_ESH_BINS - 1),
+        ),
+    )
+    counts = {
+        (r["epoch"], r["bucket"]): r["cnt"]
+        for r in d.groupBy("epoch", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: dict[tuple[int, int], int] = {}
+    for ep in range(EPOCH_COUNT):
+        acc = 0
+        for b in range(_ESH_BINS):
+            offsets[(ep, b)] = acc
+            acc += counts.get((ep, b), 0)
+    off = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for (ep, b), v in sorted(offsets.items())
+                for x in (ep * _ESH_BINS + b, v)
+            ]
+        ),
+        F.col("epoch") * _ESH_BINS + F.col("bucket"),
+    )
+    wloc = W.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+    pos = F.row_number().over(wloc) - 1 + off
+    return (
+        d.select(
+            "epoch",
+            "doc_id",
+            (pos / EPOCH_SHARD_DOCS).cast("bigint").alias("shard_id"),
+            (pos % EPOCH_SHARD_DOCS).cast("bigint").alias("pos_in_shard"),
+        )
+        .orderBy("epoch", "shard_id", "pos_in_shard")
+    )

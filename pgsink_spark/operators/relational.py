@@ -4505,8 +4505,8 @@ _KMV_H_SQL = (
 def d84_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values / theta-sketch-family) distinct sketches
     with MERGEABLE set operations — estimate |A|, |B|, |A∪B| and the
-    intersection evidence for two customer populations (pre-/post-1995
-    buyers) from 256-value sketches, gated against the exact censuses.
+    intersection evidence for two customer populations (buyers before
+    vs since mid-1998) from 256-value sketches, gated against the exact censuses.
     This is the mergeable-sketch pattern DataSketches' theta sketch
     ships for warehouse rollups: per-partition k-smallest-hash sets
     merge associatively (the k smallest of a union are always within

@@ -129,3 +129,44 @@ def test_webdataset_shards_roundtrip(spark, sf_dir, tmp_path):
                 doc_id = int(m.name.removesuffix(".txt"))
                 seen[doc_id] = tf.extractfile(m).read().decode()
     assert seen == expected
+
+
+def test_epoch_shuffle_permutation_properties(spark, sf_dir):
+    """Each epoch of export_epoch_shuffle is a PERMUTATION of the
+    corpus (every doc exactly once), shards are full except the last,
+    positions are dense within shards, and the two epochs produce
+    genuinely different orders."""
+    from pgsink_spark.operators import export as ex
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = QUERIES["export_epoch_shuffle"](spark, sf_dir).collect()
+    ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    }
+    n = len(ids)
+    per_epoch: dict = {}
+    for r in rows:
+        per_epoch.setdefault(r.epoch, []).append(r)
+    assert set(per_epoch) == set(range(ex.EPOCH_COUNT))
+    orders = {}
+    for ep, es in per_epoch.items():
+        assert {r.doc_id for r in es} == ids, "must be a permutation"
+        pos = sorted(
+            (r.shard_id * ex.EPOCH_SHARD_DOCS + r.pos_in_shard, r.doc_id)
+            for r in es
+        )
+        assert [p for p, _ in pos] == list(range(n)), "dense global rank"
+        shard_sizes: dict = {}
+        for r in es:
+            shard_sizes[r.shard_id] = shard_sizes.get(r.shard_id, 0) + 1
+        last = max(shard_sizes)
+        for s, c in shard_sizes.items():
+            assert c == ex.EPOCH_SHARD_DOCS or (
+                s == last and 0 < c <= ex.EPOCH_SHARD_DOCS
+            )
+        orders[ep] = [d for _, d in pos]
+    assert orders[0] != orders[1], "epochs must shuffle differently"

@@ -109,3 +109,49 @@ def test_eval_metrics_sanity(spark, sf_dir):
     (auc_row,) = eval_score_auc(spark, sf_dir).collect()
     assert auc_row["n_pos"] > 0 and auc_row["n_neg"] > 0
     assert 0.6 <= auc_row["auc"] <= 1.0
+
+
+def test_kcore_matches_python_peel_and_converges(spark, sf_dir):
+    """graph_kcore equals an independent pure-Python peel to fixpoint
+    (not just the unrolled-8 oracle): same membership, same final
+    degrees, fixpoint genuinely reached inside the 8-round budget, and
+    the core is non-vacuous (strictly between empty and everything)."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators import graph as g
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    got = {
+        r.doc_id: r.deg
+        for r in QUERIES["graph_kcore"](spark, sf_dir).collect()
+    }
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    edges = set()
+    for d in ids:
+        for dst in [(d * d * 7 + 1) % n, (d * 13 + 3) % n]:
+            if dst != d:
+                edges.add((min(d, dst), max(d, dst)))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    rounds = 0
+    while True:
+        deg = {v: sum(1 for z in adj[v] if z in alive) for v in alive}
+        nxt = {v for v, dg in deg.items() if dg >= g.KCORE_K}
+        rounds += 1
+        if nxt == alive:
+            break
+        alive = nxt
+    assert rounds <= g.KCORE_ITERS, "fixture must converge in budget"
+    assert 0 < len(alive) < n, "core must be non-vacuous"
+    final = {v: sum(1 for z in adj[v] if z in alive) for v in alive}
+    assert got == final

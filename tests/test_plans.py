@@ -667,3 +667,24 @@ def test_wave5d_sketch_and_sequence_plans(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert broadcast_join_count(df, run=True) >= 2
+
+
+def test_epoch_shuffle_and_kcore_plans(spark):
+    """export_epoch_shuffle: global rank must come from the
+    (epoch, bin)-keyed recipe — NO single-partition global window
+    (every exchange is hash/range-partitioned, never SinglePartition).
+    graph_kcore: per-round degree count is a map-side-combined partial
+    aggregate over the one persisted edge list."""
+    from pgsink_spark.operators import export as _ex  # noqa: F401 — registers
+    from pgsink_spark.operators import graph as _g  # noqa: F401 — registers
+    from pgsink_spark.operators.relational import QUERIES
+
+    df = QUERIES["export_epoch_shuffle"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, "global window smell"
+    # the rank window partitions by (epoch, bucket)
+    assert "epoch" in plan and "bucket" in plan
+
+    df = QUERIES["graph_kcore"](spark, SF)
+    audit = getattr(df, "_plan_audit_df", df)
+    assert has_partial_aggregate(audit)
