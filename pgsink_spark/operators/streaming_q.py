@@ -846,3 +846,51 @@ def stream_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "stream_topk",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY value DESC, event_id) AS rank
+      FROM events
+    ), closed AS (
+      SELECT *, MAX(window_start) OVER (PARTITION BY event_type) AS mx
+      FROM e
+    )
+    SELECT event_type, window_start, CAST(rank AS BIGINT) AS rank,
+           event_id, value
+    FROM closed
+    WHERE rank <= 3 AND window_start < mx
+    ORDER BY event_type, window_start, rank
+    """,
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window top-k (stateful operator #10,
+    streaming/stateful.py window_topk_tracker): for every
+    (event_type, tumbling day) window, the 3 highest-value events,
+    ranked, emitted exactly once when a later window's first event
+    closes the key's open window. State is K slots + one timestamp per
+    event_type — bounded regardless of window row count, unlike the
+    collect_list-in-windowed-agg formulation whose state is the window
+    census. The oracle recomputes the ranking declaratively
+    (row_number per (type, day), value DESC with event_id tie-break)
+    and drops each key's final OPEN window — the emit-on-close
+    contract, stream == batch row-for-row.
+    """
+    from pgsink_spark.streaming.stateful import window_topk_tracker
+
+    out = _run_availablenow(
+        spark,
+        sf_dir,
+        "stpk",
+        lambda raw: window_topk_tracker(
+            _ts_cast(raw).select("event_id", "ts", "event_type", "value")
+        ),
+    )
+    return out.orderBy("event_type", "window_start", "rank")

@@ -786,3 +786,114 @@ def band_neardup_prober(chunks: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-window top-k (stateful operator #10)
+# ---------------------------------------------------------------------------
+
+TOPK_K = 3
+
+TOPK_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("window_start", T.TimestampType(), False),
+        T.StructField("rank", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+# bounded by construction: the open window's start + K (value, id)
+# slots — NOT the window's row census (a collect_list-style windowed
+# agg would hold every row until the watermark closes the window)
+TOPK_STATE = T.StructType(
+    [T.StructField("win_us", T.LongType())]
+    + [T.StructField(f"v{i}", T.DoubleType()) for i in range(TOPK_K)]
+    + [T.StructField(f"e{i}", T.LongType()) for i in range(TOPK_K)]
+)
+
+
+def _topk_rows(event_type: str, win_us: int, top: list) -> "pd.DataFrame":
+    return pd.DataFrame(
+        {
+            "event_type": [event_type] * len(top),
+            "window_start": [pd.Timestamp(win_us, unit="us")] * len(top),
+            "rank": list(range(1, len(top) + 1)),
+            "event_id": [e for _, e in top],
+            "value": [v for v, _ in top],
+        }
+    )
+
+
+def _topk(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold this batch's events into the key's open tumbling window,
+    keeping only the K best (value desc, event_id asc) in state;
+    emit a window's top-k exactly once, when a LATER window's first
+    event closes it (same emit-on-close contract as the sessionizer:
+    the final open window stays in state)."""
+    (event_type,) = key
+    if state.hasTimedOut:  # pragma: no cover — live mode only
+        state.remove()
+        return
+
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    micros = (pdf["ts"].astype("int64") // 1000).to_numpy()
+    day_us = 86_400_000_000
+    if state.exists:
+        s = state.get
+        win_us = s[0]
+        top = [
+            (s[1 + i], s[1 + TOPK_K + i])
+            for i in range(TOPK_K)
+            if s[1 + i] is not None
+        ]
+    else:
+        win_us, top = None, []
+
+    def insert(top: list, v: float, e: int) -> list:
+        top.append((v, e))
+        top.sort(key=lambda t: (-t[0], t[1]))
+        return top[:TOPK_K]
+
+    for t_us, e_id, val in zip(
+        micros, pdf["event_id"].to_numpy(), pdf["value"].to_numpy()
+    ):
+        w = int(t_us) // day_us * day_us
+        if win_us is None:
+            win_us = w
+        elif w > win_us:
+            yield _topk_rows(event_type, win_us, top)
+            win_us, top = w, []
+        elif w < win_us:
+            # late row for an already-closed window: dropped, exactly
+            # what a watermark would do (the emitted ranking is final)
+            continue
+        top = insert(top, float(val), int(e_id))
+    vs = [top[i][0] if i < len(top) else None for i in range(TOPK_K)]
+    es = [top[i][1] if i < len(top) else None for i in range(TOPK_K)]
+    state.update((int(win_us), *vs, *es))
+
+
+def window_topk_tracker(
+    events: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Streaming per-(event_type, day-window) top-k by value with
+    BOUNDED state — the rank query Structured Streaming's built-in
+    windowed aggregates cannot express without collecting every row of
+    the window (collect_list state grows with the window census; this
+    state is K slots + a timestamp per key, period). Emission follows
+    the emit-on-close rule: a window's ranking is final the moment a
+    later window's first event arrives on that key.
+
+    ``events`` needs (event_id, ts TimestampType, event_type, value).
+    """
+    return events.groupBy("event_type").applyInPandasWithState(
+        _topk,
+        outputStructType=TOPK_OUTPUT,
+        stateStructType=TOPK_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

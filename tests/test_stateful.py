@@ -328,7 +328,7 @@ def test_funnel_tracker_cursor_survives_batches(spark, tmp_path):
 
     spark.createDataFrame(
         [(1, t(0), 7, "signup"), (2, t(1), 7, "purchase")], schema
-    ).write.parquet(str(src / "b1"))
+    ).coalesce(1).write.parquet(str(src / "b1"))
     run_once()
     assert captured == []  # purchase before view does not complete
 
@@ -392,3 +392,59 @@ def test_band_prober_running_min_across_batches(spark, tmp_path):
     # doc 12 hits bucket 1's min (10); doc 5 is SMALLER than bucket 2's
     # min so it reports no dup and becomes the new min
     assert {(r.doc_id, r.dup_of) for r in captured} == {(12, 10), (5, None)}
+
+
+def test_window_topk_state_carries_and_emits_once(spark, tmp_path):
+    """Day-1 events split across two micro-batches: the K-slot state
+    must carry batch 1's leaders into batch 2, emit the day-1 ranking
+    exactly once when day 2 opens, and keep day 2 unemitted (open)."""
+    import datetime
+
+    from pgsink_spark.streaming.stateful import window_topk_tracker
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    d1 = lambda h: datetime.datetime(2024, 1, 1, h, 0, 0)  # noqa: E731
+
+    captured = []
+
+    def capture(batch, _bid):
+        captured.extend(batch.collect())
+
+    # batch 1: three day-1 clicks (values 10, 50, 20)
+    spark.createDataFrame(
+        [(1, d1(1), "click", 10.0), (2, d1(2), "click", 50.0),
+         (3, d1(3), "click", 20.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # batch 2: a better day-1 click (60) + the day-2 opener
+    spark.createDataFrame(
+        [(4, d1(4), "click", 60.0),
+         (5, datetime.datetime(2024, 1, 2, 1, 0, 0), "click", 5.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    q = (
+        window_topk_tracker(stream)
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(captured) == 3, captured  # one ranking, exactly once
+    got = sorted((r.rank, r.event_id, r.value) for r in captured)
+    assert got == [(1, 4, 60.0), (2, 2, 50.0), (3, 3, 20.0)]
+    assert all(
+        r.window_start == datetime.datetime(2024, 1, 1) for r in captured
+    )
