@@ -188,6 +188,14 @@ HEADLINE = [
     "stream_band_neardup",
     "text_bpe_learn",
     "diversity_kcenter",
+    # round-5d additions (correlation matrix, CEP regex sequences, KMV
+    # sketch set-ops, epoch shuffle, k-core, streaming top-k)
+    "d82_corr_matrix",
+    "d83_seq_match",
+    "d84_kmv_setops",
+    "export_epoch_shuffle",
+    "graph_kcore",
+    "stream_topk",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -97,6 +97,13 @@ PROBES = [
     "stream_band_neardup",
     "text_bpe_learn",
     "diversity_kcenter",
+    # round-5d additions
+    "d82_corr_matrix",
+    "d83_seq_match",
+    "d84_kmv_setops",
+    "export_epoch_shuffle",
+    "graph_kcore",
+    "stream_topk",
 ]
 
 
