@@ -196,6 +196,8 @@ HEADLINE = [
     "export_epoch_shuffle",
     "graph_kcore",
     "stream_topk",
+    "stream_session_window",
+    "stream_interval_join_outer",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

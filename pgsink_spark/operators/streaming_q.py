@@ -894,3 +894,149 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("event_type", "window_start", "rank")
+
+
+@query(
+    "stream_session_window",
+    """
+    WITH mx AS (
+      SELECT DATE_TRUNC('milliseconds', max(ts)) AS m FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                     > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM sess CROSS JOIN mx
+    GROUP BY user_id, sid, mx.m
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= m - INTERVAL 10 MINUTE
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILT-IN session windows (`F.session_window`, gap 30 min) as a
+    watermarked append-mode stream — the merging-window state Spark
+    manages natively, complementing the custom sessionizer
+    (stream_sessionize): there the fold logic is ours and state is a
+    3-tuple; here Spark merges overlapping session fragments
+    per user and releases a session once the watermark (ms-floored
+    max event time − 10 min) passes its END (last event + gap).
+    The oracle restates BOTH the gap-merge and that emission rule
+    declaratively, so the hash pins the native session-merge state
+    machine, not just counts.
+
+    Scale: one user-keyed exchange; state = open sessions per user,
+    evicted by the watermark — the exact shape on a cluster.
+    """
+    def build(raw: DataFrame) -> DataFrame:
+        ev = _ts_cast(raw).select("ts", "user_id")
+        return (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    out = _run_availablenow(
+        spark, sf_dir, "sesw", build, output_mode="append"
+    )
+    return out.select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+        "cnt",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_interval_join_outer",
+    """
+    WITH mx AS (
+      -- each side carries its OWN watermark; the query-level watermark
+      -- is the MIN across them (Spark's multipleWatermarkPolicy=min),
+      -- so the slower side's max event time governs eviction
+      SELECT LEAST(
+        DATE_TRUNC('milliseconds',
+          (SELECT max(ts) FROM events WHERE event_type = 'click')),
+        DATE_TRUNC('milliseconds',
+          (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+      ) AS m
+    ), c AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+      FROM c JOIN p
+        ON p.user_id = c.user_id AND p.ts > c.ts
+       AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    ), expired_unmatched AS (
+      SELECT c.user_id, c.event_id AS click_id,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS BIGINT) AS gap_us
+      FROM c CROSS JOIN mx
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = c.user_id AND p.ts > c.ts
+          AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+        AND c.ts + INTERVAL 10 MINUTE < m - INTERVAL 10 MINUTE
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM expired_unmatched
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the null-emission
+    semantics on top of stream_interval_join: a click with no purchase
+    in its 10-minute horizon emits a null-augmented row, but ONLY once
+    the watermark has passed the horizon's end (before that Spark
+    can't know no match is coming). The oracle states both halves
+    declaratively — the inner matches, plus NOT EXISTS clicks whose
+    ``ts + horizon`` lies strictly below the final watermark — which
+    is the MIN of the two sides' watermarks (each ms-floored max
+    event time − 10 min; Spark's default multiple-watermark policy),
+    a semantics this oracle had to learn the hard way — so the hash pins the outer
+    join's state-expiry rule itself; trailing unmatched clicks
+    correctly stay unemitted.
+
+    Scale: identical state shape to the inner join (O(rate × horizon)
+    per side); the outer emission adds no state, it rides eviction.
+    """
+    from pgsink_spark.streaming.stream import stream_stream_interval_join
+
+    def build(raw: DataFrame) -> DataFrame:
+        ev = _ts_cast(raw).select("event_id", "ts", "user_id", "event_type")
+        return stream_stream_interval_join(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+            watermark="10 minutes",
+            horizon="10 minutes",
+            how="leftOuter",
+        )
+
+    out = _run_availablenow(spark, sf_dir, "sijo", build)
+    return (
+        out.select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("next_event_id").alias("purchase_id"),
+            (
+                F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+            ).alias("gap_us"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )

@@ -104,6 +104,8 @@ PROBES = [
     "export_epoch_shuffle",
     "graph_kcore",
     "stream_topk",
+    "stream_session_window",
+    "stream_interval_join_outer",
 ]
 
 
