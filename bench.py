@@ -198,6 +198,8 @@ HEADLINE = [
     "stream_topk",
     "stream_session_window",
     "stream_interval_join_outer",
+    "d85_bloom_join_reduce",
+    "d86_holt_forecast",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

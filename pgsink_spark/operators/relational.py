@@ -4605,3 +4605,230 @@ def d84_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound_union"
         ),
     )
+
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 3
+BLOOM_SEG = "BUILDING"
+
+
+@query(
+    "d85_bloom_join_reduce",
+    f"""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+             AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = '{BLOOM_SEG}'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def d85_bloom_join_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN REDUCTION: the '{seg}'-segment revenue
+    join, with the fact scan pre-filtered by a Bloom bitset built from
+    the dimension's keys BEFORE the join — the shuffle-reduction
+    pattern Spark's own runtime row-level filtering applies when it
+    can (spark.sql.optimizer.runtime.bloomFilter; the expression
+    `bloom_filter_agg` is not public API, so this builds the identical
+    structure from first principles and keeps it inspectable).
+
+    Correctness is free by construction and the oracle proves it: a
+    Bloom filter admits false POSITIVES only, and the exact join runs
+    after it, so the result must equal the plain join — any false
+    NEGATIVE (broken hashing, truncated bitset, word-index bug) drops
+    revenue rows and flips the hash red.
+
+    Plan: the bitset is m=8192 bits (128 longs) collected on the
+    driver from the ~300 dimension keys (control-plane sized: m bits,
+    NOT key count) and inlined as a literal array — zero-cost
+    broadcast; the fact scan then evaluates k=3 bit-probes row-locally
+    and the exact broadcast join sees only surviving rows. On a
+    cluster this is what turns a 100 TB shuffle into a filtered one —
+    the filter travels in the PLAN, not through an exchange.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == BLOOM_SEG
+    )
+    positions = (
+        cust.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("c_custkey"), F.lit(i)),
+                            F.lit(BLOOM_M),
+                        )
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M // 64)
+    for r in positions:
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed 64-bit literals
+    word_col = F.array(
+        *[
+            F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+            for w in words
+        ]
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders
+    for i in range(BLOOM_K):
+        pos = F.pmod(F.xxhash64(F.col("o_custkey"), F.lit(i)), F.lit(BLOOM_M))
+        o = o.withColumn(
+            f"_bw{i}", F.element_at(word_col, (pos / 64).cast("int") + 1)
+        ).withColumn(f"_bp{i}", F.pmod(pos, F.lit(64)).cast("int"))
+    cond = F.expr(
+        " AND ".join(f"((_bw{i} >> _bp{i}) & 1) = 1" for i in range(BLOOM_K))
+    )
+    filtered = o.where(cond).drop(
+        *[c for i in range(BLOOM_K) for c in (f"_bw{i}", f"_bp{i}")]
+    )
+    joined = filtered.join(
+        F.broadcast(cust.select("c_custkey")),
+        filtered["o_custkey"] == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            rnd(F.sum(dec("o_totalprice")), 2).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+d85_bloom_join_reduce.__doc__ = d85_bloom_join_reduce.__doc__.format(
+    seg=BLOOM_SEG
+)
+
+
+HOLT_CUT = "2024-01-17"  # first 16 days — keeps dyadic denominators
+# within float64's 52-bit mantissa so the recurrence is EXACT
+
+
+@query(
+    "d86_holt_forecast",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               AS cents
+      FROM events WHERE ts < TIMESTAMP '{HOLT_CUT}'
+      GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type, list([cents] ORDER BY day) AS xs,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    ), fold AS (
+      SELECT event_type, n_days,
+             list_reduce(xs, (acc, x) -> CASE
+               WHEN len(acc) = 1 THEN [
+                 (x[1] + acc[1] + 0.0) / 2,
+                 ((x[1] + acc[1] + 0.0) / 2 - acc[1] + 0.0) / 2]
+               ELSE [
+                 (x[1] + acc[1] + acc[2]) / 2,
+                 ((x[1] + acc[1] + acc[2]) / 2 - acc[1] + acc[2]) / 2]
+             END) AS f
+      FROM series
+    )
+    SELECT event_type, n_days,
+           CAST(ROUND(CAST(f[1] / 100 AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS level,
+           CAST(ROUND(CAST(CASE WHEN len(f) = 1 THEN 0.0 ELSE f[2] END
+                / 100 AS DECIMAL(18,6)), 4) AS DOUBLE) AS trend,
+           CAST(ROUND(CAST((f[1] + 1 * CASE WHEN len(f) = 1 THEN 0.0
+                ELSE f[2] END) / 100 AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS fc_1,
+           CAST(ROUND(CAST((f[1] + 2 * CASE WHEN len(f) = 1 THEN 0.0
+                ELSE f[2] END) / 100 AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS fc_2,
+           CAST(ROUND(CAST((f[1] + 3 * CASE WHEN len(f) = 1 THEN 0.0
+                ELSE f[2] END) / 100 AS DECIMAL(18,6)), 4) AS DOUBLE)
+             AS fc_3
+    FROM fold ORDER BY event_type
+    """,
+)
+def d86_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    α = β = 1/2) over each event_type's daily revenue, with a 3-step
+    forecast — the trend-aware upgrade of the per-key EWMA family
+    (stream_ewma_anomalies smooths level only; Holt also carries slope,
+    which is what forecasting and drift EXTRAPOLATION need).
+
+    Exactness by construction: daily sums fold in integer CENTS, and
+    α = β = 1/2 makes every recurrence value a dyadic rational; 16
+    days × 2-divisions keep numerators inside float64's 52-bit
+    mantissa, so BOTH engines' folds are exact binary arithmetic with
+    zero rounding — the hash pins the whole recurrence, not a
+    tolerance. (The general-α case would need the decimal-logs
+    treatment text_bigram_perplexity uses.)
+
+    Plan: one (type, day)-keyed partial agg, one type-keyed
+    collect+`aggregate` fold over the BOUNDED daily series (16
+    elements — the per-key-bounded-sequence contract), 5-row output.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit(HOLT_CUT).cast("timestamp")
+    )
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("double")
+            .alias("cents")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))),
+            lambda x: x["cents"],
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    zero = F.struct(
+        F.lit(0).alias("s"), F.lit(0.0).alias("l"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, x):
+        first = acc["s"] == 0
+        l_new = F.when(first, x).otherwise((x + acc["l"] + acc["b"]) / 2)
+        b_new = F.when(first, F.lit(0.0)).otherwise(
+            (l_new - acc["l"] + acc["b"]) / 2
+        )
+        return F.struct(
+            F.lit(1).alias("s"), l_new.alias("l"), b_new.alias("b")
+        )
+
+    folded = series.select(
+        "event_type",
+        "n_days",
+        F.aggregate(F.col("xs"), zero, step).alias("f"),
+    )
+
+    def money(c: Column) -> Column:
+        return rnd((c / 100).cast("decimal(18,6)"), 4)
+
+    return folded.select(
+        "event_type",
+        "n_days",
+        money(F.col("f.l")).alias("level"),
+        money(F.col("f.b")).alias("trend"),
+        money(F.col("f.l") + 1 * F.col("f.b")).alias("fc_1"),
+        money(F.col("f.l") + 2 * F.col("f.b")).alias("fc_2"),
+        money(F.col("f.l") + 3 * F.col("f.b")).alias("fc_3"),
+    ).orderBy("event_type")

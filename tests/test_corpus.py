@@ -562,3 +562,87 @@ def test_kmv_estimates_and_mergeability(spark, sf_dir):
     # exact-regime check: below k the estimator IS the exact count
     if out.exact_a < rel.KMV_K:
         assert out.est_a == float(out.exact_a)
+
+
+def test_bloom_join_reduce_filters_without_false_negatives(spark, sf_dir):
+    """d85's Bloom pre-filter must admit EVERY true-match order (no
+    false negatives — superset check) while actually reducing the fact
+    scan (selectivity close to the dimension fraction plus a small FP
+    margin)."""
+    from pyspark.sql import functions as F
+
+    from pgsink_spark.operators import relational as rel
+    from pgsink_spark.sources.fixtures import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    seg_keys = {
+        r.c_custkey
+        for r in cust.where(F.col("c_mktsegment") == rel.BLOOM_SEG)
+        .select("c_custkey")
+        .collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    n_total = orders.count()
+    n_true = orders.where(F.col("o_custkey").isin(seg_keys)).count()
+
+    n_seg = len(seg_keys)
+    n_cust = cust.count()
+    out = rel.QUERIES["d85_bloom_join_reduce"](spark, sf_dir)
+    got = {r.month: (r.n_orders, r.revenue) for r in out.collect()}
+    exact = (
+        orders.where(F.col("o_custkey").isin(seg_keys))
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {r.month: r.n for r in exact} == {
+        m: n for m, (n, _) in got.items()
+    }, "bloom pre-filter changed the join result"
+    assert n_true <= n_total * (n_seg / n_cust + 0.1) + 50
+
+
+def test_holt_forecast_matches_python_replay_exactly(spark, sf_dir):
+    """d86's fold must equal a plain-Python Holt replay BIT-EXACTLY
+    (before the display rounding) — the dyadic-rational argument says
+    no engine may round anywhere in the recurrence."""
+    from pyspark.sql import functions as F
+
+    from pgsink_spark.operators import relational as rel
+    from pgsink_spark.sources.fixtures import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts") < F.lit(rel.HOLT_CUT).cast("timestamp"))
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    daily: dict = {}
+    for r in ev:
+        key = (r.event_type, r.ts.date())
+        daily[key] = daily.get(key, 0) + int(round(r.value * 100))
+    series: dict = {}
+    for (t, d), c in daily.items():
+        series.setdefault(t, []).append((d, c))
+    expect = {}
+    for t, xs in series.items():
+        xs.sort()
+        l, b = float(xs[0][1]), 0.0
+        for _, c in xs[1:]:
+            l_new = (float(c) + l + b) / 2
+            b = (l_new - l + b) / 2
+            l = l_new
+        expect[t] = (
+            len(xs),
+            round(l / 100, 4),
+            round(b / 100, 4),
+            round((l + 3 * b) / 100, 4),
+        )
+    got = {
+        r.event_type: (r.n_days, r.level, r.trend, r.fc_3)
+        for r in rel.QUERIES["d86_holt_forecast"](spark, sf_dir).collect()
+    }
+    for t, (n, lvl, tr, fc3) in expect.items():
+        gn, gl, gt, gf = got[t]
+        assert gn == n
+        assert abs(gl - lvl) < 5e-5 and abs(gt - tr) < 5e-5
+        assert abs(gf - fc3) < 5e-5

@@ -106,6 +106,8 @@ PROBES = [
     "stream_topk",
     "stream_session_window",
     "stream_interval_join_outer",
+    "d85_bloom_join_reduce",
+    "d86_holt_forecast",
 ]
 
 
