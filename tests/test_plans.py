@@ -688,3 +688,18 @@ def test_epoch_shuffle_and_kcore_plans(spark):
     df = QUERIES["graph_kcore"](spark, SF)
     audit = getattr(df, "_plan_audit_df", df)
     assert has_partial_aggregate(audit)
+
+
+def test_bloom_and_holt_plans(spark):
+    """d85: the Bloom probe must sit on the fact scan side BEFORE the
+    exact join (xxhash64 probes in a Filter, dimension broadcast);
+    d86: two keyed partial aggs, no extra exchanges."""
+    df = rel.QUERIES["d85_bloom_join_reduce"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, "bloom probe missing from the plan"
+    assert broadcast_join_count(df, run=True) >= 1
+    assert has_partial_aggregate(df)
+
+    df = rel.QUERIES["d86_holt_forecast"](spark, SF)
+    assert has_partial_aggregate(df)
+    assert exchange_count(df) <= 3
