@@ -200,6 +200,7 @@ HEADLINE = [
     "stream_interval_join_outer",
     "d85_bloom_join_reduce",
     "d86_holt_forecast",
+    "d87_rolling_distinct",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

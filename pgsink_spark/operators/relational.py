@@ -4832,3 +4832,69 @@ def d86_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.col("f.l") + 2 * F.col("f.b")).alias("fc_2"),
         money(F.col("f.l") + 3 * F.col("f.b")).alias("fc_3"),
     ).orderBy("event_type")
+
+
+@query(
+    "d87_rolling_distinct",
+    """
+    SELECT DISTINCT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(DISTINCT user_id) OVER (
+             PARTITION BY event_type
+             ORDER BY CAST(date_trunc('day', ts) AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS users_7d
+    FROM events
+    ORDER BY event_type, day
+    """,
+)
+def d87_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT-user count per event_type — the rolling
+    reach/active-users metric, and a window Spark cannot express
+    directly (DISTINCT inside a window aggregate is unsupported).
+    Spark-first emulation in two steps that also SHRINKS the window
+    state: first a (type, day) partial aggregation folds each day to
+    its user SET (map-side combinable — the census the window needs,
+    deduped once per day), then a RANGE frame over the day-granular
+    rows unions ≤ 7 sets per output row. The frame is a true RANGE on
+    days (rangeBetween on a day ordinal), so sparse days — present at
+    sf0.001 — window correctly where a ROWS frame would silently span
+    months.
+
+    Scale honesty: an exact rolling distinct must hold the window's
+    user census per (type, day); at 100 TB reach is served by the
+    MERGEABLE sketches instead (d35's HLL registers or d84's KMV
+    k-minima union — both pane-combinable), trading the exact count
+    for O(k) state. This operator is the exact-witness twin of that
+    pattern at a per-key census that fits (per-day per-type user sets).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.collect_set("user_id").alias("uset"))
+        .withColumn(
+            "day_ord", F.datediff(F.col("day"), F.lit("2024-01-01"))
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day_ord")
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("uset").over(w)))
+            )
+            .cast("bigint")
+            .alias("users_7d"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -646,3 +646,35 @@ def test_holt_forecast_matches_python_replay_exactly(spark, sf_dir):
         assert gn == n
         assert abs(gl - lvl) < 5e-5 and abs(gt - tr) < 5e-5
         assert abs(gf - fc3) < 5e-5
+
+
+def test_rolling_distinct_matches_python_replay(spark, sf_dir):
+    """d87 equals a brute-force per-(type, day) union of the trailing
+    7 calendar days' user sets, including sparse-day gaps."""
+    from pyspark.sql import functions as F
+
+    from pgsink_spark.operators import relational as rel
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"),
+                "user_id")
+        .collect()
+    )
+    sets: dict = {}
+    for r in rows:
+        sets.setdefault((r.event_type, r.day.date()), set()).add(r.user_id)
+    import datetime
+
+    expect = {}
+    for (t, d), _ in sets.items():
+        u: set = set()
+        for back in range(7):
+            u |= sets.get((t, d - datetime.timedelta(days=back)), set())
+        expect[(t, d)] = len(u)
+    got = {
+        (r.event_type, r.day.date()): r.users_7d
+        for r in rel.QUERIES["d87_rolling_distinct"](spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -1332,15 +1332,28 @@ class TestLiveStreamingSource:
                 q.stop()
                 q.awaitTermination()
 
-            # restart: nothing redelivered; later inserts flow
+            # restart: later inserts flow. The SOURCE's contract is
+            # at-least-once (exactly-once is the warehouse sink's epoch
+            # ledger): if stop() raced the final offset commit, a
+            # suffix of the first run's rows may legally REPLAY — so
+            # require ('3','c') to arrive, and anything before it must
+            # be a clean suffix replay of run 1 (no gaps, no
+            # corruption, no out-of-order rows).
             rows2: list = []
             q2 = start(rows2)
             try:
                 admin._simple_query(f"INSERT INTO {table} VALUES (3, 'c')")
-                assert wait_for(lambda: len(rows2) >= 1)
-                assert [(r["after"]["id"], r["after"]["v"]) for r in rows2] == [
-                    ("3", "c")
-                ]
+                assert wait_for(
+                    lambda: ("3", "c")
+                    in [
+                        (r["after"]["id"], r["after"]["v"]) for r in rows2
+                    ]
+                )
+                got2 = [(r["after"]["id"], r["after"]["v"]) for r in rows2]
+                assert got2[-1] == ("3", "c")
+                replay = got2[:-1]
+                run1 = [("1", "a"), ("2", "b")]
+                assert replay == run1[len(run1) - len(replay):], got2
             finally:
                 q2.stop()
                 q2.awaitTermination()

@@ -703,3 +703,8 @@ def test_bloom_and_holt_plans(spark):
     df = rel.QUERIES["d86_holt_forecast"](spark, SF)
     assert has_partial_aggregate(df)
     assert exchange_count(df) <= 3
+
+    # d87: day-pane partial agg, then a type-keyed RANGE window
+    df = rel.QUERIES["d87_rolling_distinct"](spark, SF)
+    assert has_partial_aggregate(df)
+    assert exchange_count(df) <= 3

@@ -108,6 +108,7 @@ PROBES = [
     "stream_interval_join_outer",
     "d85_bloom_join_reduce",
     "d86_holt_forecast",
+    "d87_rolling_distinct",
 ]
 
 
