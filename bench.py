@@ -201,6 +201,7 @@ HEADLINE = [
     "d85_bloom_join_reduce",
     "d86_holt_forecast",
     "d87_rolling_distinct",
+    "d88_kmv_reach",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -704,7 +704,8 @@ def test_bloom_and_holt_plans(spark):
     assert has_partial_aggregate(df)
     assert exchange_count(df) <= 3
 
-    # d87: day-pane partial agg, then a type-keyed RANGE window
-    df = rel.QUERIES["d87_rolling_distinct"](spark, SF)
-    assert has_partial_aggregate(df)
-    assert exchange_count(df) <= 3
+    # d87/d88: day-pane partial agg, then a type-keyed RANGE window
+    for name in ("d87_rolling_distinct", "d88_kmv_reach"):
+        df = rel.QUERIES[name](spark, SF)
+        assert has_partial_aggregate(df), name
+        assert exchange_count(df) <= 3, name

@@ -109,6 +109,7 @@ PROBES = [
     "d85_bloom_join_reduce",
     "d86_holt_forecast",
     "d87_rolling_distinct",
+    "d88_kmv_reach",
 ]
 
 
