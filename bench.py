@@ -202,6 +202,7 @@ HEADLINE = [
     "d86_holt_forecast",
     "d87_rolling_distinct",
     "d88_kmv_reach",
+    "d89_trend_robust",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

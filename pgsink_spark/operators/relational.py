@@ -5019,3 +5019,112 @@ def d88_kmv_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est / F.col("exact_7d").cast("double") - 1.0) <= 0.2
         ).alias("within_bound"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "d89_trend_robust",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+               AS o,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT d1.event_type AS t,
+             d2.cents - d1.cents AS dc,
+             d2.o - d1.o AS dd
+      FROM daily d1 JOIN daily d2
+        ON d1.event_type = d2.event_type AND d1.o < d2.o
+    ), agg AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1
+                           ELSE 0 END) AS BIGINT) AS mk_s,
+             list(CAST(dc AS DOUBLE) / CAST(dd AS DOUBLE)
+                  ORDER BY CAST(dc AS DOUBLE) / CAST(dd AS DOUBLE)) AS sl
+      FROM pairs GROUP BY t
+    )
+    SELECT t AS event_type, n_pairs, mk_s,
+           CAST(ROUND(CAST(sl[CAST((n_pairs + 1) // 2 AS INT)] / 100
+                AS DECIMAL(18,8)), 6) AS DOUBLE) AS sen_slope
+    FROM agg ORDER BY event_type
+    """,
+)
+def d89_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend statistics per event_type over the daily revenue
+    series: the Mann–Kendall S statistic (Σ sign of all pairwise
+    day-to-day differences — PURE INTEGER, so the hash pins it with no
+    tolerance) and the Theil–Sen slope (lower median of all pairwise
+    slopes — the robust complement of d86's Holt trend and d62's
+    least-squares: one wild day moves OLS arbitrarily, moves Sen's
+    slope not at all).
+
+    Pairwise-but-bounded: pairs enumerate ROW-LOCALLY inside one
+    per-key array (30 daily points → 435 pairs — the per-key-bounded-
+    series contract shared with d86), never as a self-join over
+    events. Slopes are integer-cents / integer-days divisions — one
+    correctly-rounded IEEE op per pair on both engines — and the
+    median picks an ELEMENT (lower median), so no averaging can smear
+    cross-engine bits.
+
+    Plan: one (type, day) partial agg, one type-keyed collect, 5-row
+    output; everything between is expression-level.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            (
+                F.expr("unix_micros(cast(date_trunc('day', ts) as timestamp))")
+                / 86_400_000_000
+            )
+            .cast("bigint")
+            .alias("o"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("o", "cents"))).alias("xs")
+    )
+    # all i<j pairs, row-local: slice from i+1 on for each element
+    pairs = F.flatten(
+        F.transform(
+            "xs",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("xs"), i + 2, F.size("xs")
+                ),
+                lambda y: F.struct(
+                    (y["cents"] - x["cents"]).alias("dc"),
+                    (y["o"] - x["o"]).alias("dd"),
+                ),
+            ),
+        )
+    )
+    with_pairs = series.select("event_type", pairs.alias("ps"))
+    mk_s = F.aggregate(
+        "ps",
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + F.when(p["dc"] > 0, 1).when(p["dc"] < 0, -1).otherwise(0),
+    )
+    slopes = F.array_sort(
+        F.transform(
+            "ps", lambda p: p["dc"].cast("double") / p["dd"].cast("double")
+        )
+    )
+    n_pairs = F.size("ps").cast("bigint")
+    sen = F.element_at(
+        slopes, ((n_pairs + 1) / 2).cast("int")
+    )
+    return with_pairs.select(
+        "event_type",
+        n_pairs.alias("n_pairs"),
+        mk_s.alias("mk_s"),
+        rnd((sen / 100).cast("decimal(18,8)"), 6).alias("sen_slope"),
+    ).orderBy("event_type")

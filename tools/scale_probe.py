@@ -110,6 +110,7 @@ PROBES = [
     "d86_holt_forecast",
     "d87_rolling_distinct",
     "d88_kmv_reach",
+    "d89_trend_robust",
 ]
 
 
