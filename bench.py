@@ -203,6 +203,7 @@ HEADLINE = [
     "d87_rolling_distinct",
     "d88_kmv_reach",
     "d89_trend_robust",
+    "mdm_survivorship",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -1644,3 +1644,110 @@ def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jw") >= 0.92)
         .orderBy("d1", "d2")
     )
+
+
+_SURVIVORSHIP_SQL = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, substr(lower(text), 1, 40) AS h,
+             string_split(lower(text), ' ') AS w
+      FROM documents
+    ), k AS (
+      SELECT doc_id, h, w[1] || ' ' || w[2] AS blk FROM d WHERE len(w) >= 2
+    ), dup AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE round(jaro_winkler_similarity(a.h, b.h), 4) >= 0.92
+    ), edges AS (
+      SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), canon AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ), members AS (
+      SELECT c.cluster_id, doc.doc_id, doc.source, doc.n_chars
+      FROM canon c JOIN documents doc ON doc.doc_id = c.doc_id
+    ), src_counts AS (
+      SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS cnt
+      FROM members GROUP BY 1, 2
+    ), src_pick AS (
+      SELECT cluster_id, source AS top_source FROM src_counts
+      QUALIFY row_number() OVER (
+        PARTITION BY cluster_id ORDER BY cnt DESC, source) = 1
+    )
+    SELECT m.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(struct_pack(neg := -m.n_chars, doc_id := m.doc_id)).doc_id
+             AS BIGINT) AS golden_doc,
+           CAST(max(m.n_chars) AS BIGINT) AS golden_chars,
+           CAST(sum(m.n_chars) AS BIGINT) AS total_chars,
+           any_value(p.top_source) AS top_source
+    FROM members m JOIN src_pick p ON p.cluster_id = m.cluster_id
+    GROUP BY m.cluster_id
+    HAVING count(*) >= 2
+    ORDER BY m.cluster_id
+"""
+
+
+@query("mdm_survivorship", _SURVIVORSHIP_SQL)
+def mdm_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record SURVIVORSHIP — the step after record linkage in
+    an MDM/entity-resolution pipeline: Jaro-Winkler linkage pairs
+    (dedup_jaro_winkler's blocked kernel) chain into clusters via
+    connected components, and each multi-member cluster elects one
+    golden record by rule — longest document (tie: smallest doc_id) —
+    alongside roll-ups (member count, total chars) and the cluster's
+    dominant source (tie: alphabetical). Linkage alone answers "are
+    these the same entity"; survivorship answers "which row do we
+    keep and what do we report for it".
+
+    Plan: pairs come from the keyed block join (never all-pairs), CC
+    runs min-label propagation over the PAIR graph only
+    (connected_components above — O(diameter) rounds, one node-keyed
+    shuffle each), and the election is two partial aggregations
+    (member roll-up + per-source counts with a max_by pick) — no
+    window over the corpus. Singleton docs never enter the CC loop or
+    the output.
+    """
+    pairs = dedup_jaro_winkler(spark, sf_dir).select("d1", "d2")
+    comp = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    members = comp.join(
+        docs, comp["node"] == docs["doc_id"]
+    ).select(
+        F.least(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        "doc_id",
+        "source",
+        "n_chars",
+    )
+    rollup = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min(
+            F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id"))
+        )["doc_id"]
+        .cast("bigint")
+        .alias("golden_doc"),
+        F.max("n_chars").cast("bigint").alias("golden_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    src = (
+        members.groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("source")
+                )
+            )["source"].alias("top_source")
+        )
+    )
+    return (
+        rollup.join(src, "cluster_id")
+        .where(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )

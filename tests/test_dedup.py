@@ -321,3 +321,67 @@ def test_jaro_winkler_kernel_properties():
             assert v == jw(b, a)
     # prefix bonus applies only above the 0.7 boost threshold
     assert jw("abcdxy", "abqrst") == 0.5555555555555555
+
+
+def test_survivorship_matches_python_union_find(spark, sf_dir):
+    """mdm_survivorship equals an independent union-find + rule replay:
+    same clusters (from the same JW-blocked pairs), same golden doc
+    (longest, tie min id), same dominant source (tie alphabetical)."""
+    from collections import Counter
+
+    from pgsink_spark.operators import dedup as D
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = {
+        r.doc_id: (r.text, r.source, r.n_chars)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    blocks: dict = {}
+    for did, (text, _, _) in docs.items():
+        w = text.lower().split(" ")
+        if len(w) >= 2:
+            blocks.setdefault((w[0], w[1]), []).append(
+                (did, text.lower()[:40])
+            )
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, ms in blocks.items():
+        ms.sort()
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                if round(D._jaro_winkler_py(ms[i][1], ms[j][1]), 4) >= 0.92:
+                    ra, rb = find(ms[i][0]), find(ms[j][0])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict = {}
+    for d in docs:
+        clusters.setdefault(find(d), []).append(d)
+    expect = {}
+    for _, ms in clusters.items():
+        if len(ms) < 2:
+            continue
+        cid = min(ms)
+        golden = min(ms, key=lambda d: (-docs[d][2], d))
+        srcs = Counter(docs[d][1] for d in ms)
+        top = min(srcs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect[cid] = (
+            len(ms),
+            golden,
+            max(docs[d][2] for d in ms),
+            sum(docs[d][2] for d in ms),
+            top,
+        )
+    got = {
+        r.cluster_id: (
+            r.n_members, r.golden_doc, r.golden_chars, r.total_chars,
+            r.top_source,
+        )
+        for r in D.mdm_survivorship(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -711,3 +711,9 @@ def test_bloom_and_holt_plans(spark):
         df = rel.QUERIES[name](spark, SF)
         assert has_partial_aggregate(df), name
         assert exchange_count(df) <= 3, name
+
+    # survivorship: election is partial-agg work over the member frame
+    from pgsink_spark.operators import dedup as D
+
+    df = D.mdm_survivorship(spark, SF)
+    assert has_partial_aggregate(df)

@@ -111,6 +111,7 @@ PROBES = [
     "d87_rolling_distinct",
     "d88_kmv_reach",
     "d89_trend_robust",
+    "mdm_survivorship",
 ]
 
 
