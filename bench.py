@@ -204,6 +204,7 @@ HEADLINE = [
     "d88_kmv_reach",
     "d89_trend_robust",
     "mdm_survivorship",
+    "corpus_temperature_sample",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

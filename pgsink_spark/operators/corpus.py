@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pgsink_spark.operators.relational import query
+from pgsink_spark.operators.relational import query, rnd
 from pgsink_spark.sources.fixtures import load_table
 
 SEG_WORDS = 10
@@ -494,4 +494,97 @@ def corpus_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "corpus_temperature_sample",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), mn AS (
+      SELECT min(n_docs) AS n_min FROM counts
+    ), p AS (
+      SELECT lang, n_docs,
+             LEAST(1.0, sqrt(CAST(n_min AS DOUBLE)
+                             / CAST(n_docs AS DOUBLE))) AS keep_p
+      FROM counts CROSS JOIN mn
+    ), kept AS (
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN p ON p.lang = d.lang
+      WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+                 1, 13)) AS BIGINT) AS DOUBLE)
+            / 4503599627370496.0 < p.keep_p
+      GROUP BY d.lang
+    )
+    SELECT p.lang, p.n_docs,
+           CAST(ROUND(CAST(p.keep_p AS DECIMAL(18,8)), 6) AS DOUBLE)
+             AS keep_prob,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM p LEFT JOIN kept k ON k.lang = p.lang
+    ORDER BY p.lang
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (α = 1/2) — the standard
+    low-resource upweighting a multilingual training mix applies:
+    each language keeps documents with probability
+    min(1, √(n_min/n_lang)), so the kept census flattens toward the
+    geometric mean √(n_min·n_lang) — English (4× the smallest
+    language here) is downsampled ~2×, the smallest language keeps
+    everything. Complements domain_mix_sample's HARD cap (this is the
+    smooth √-law every mixture paper uses) and corpus_mixture_reweight
+    (which reWEIGHTS; this reSAMPLES).
+
+    Determinism by construction: the only non-integer inputs are ONE
+    correctly-rounded IEEE sqrt of an integer ratio per language and
+    the md5-52-bit per-doc uniform (an exact dyadic), so both engines
+    compare identical bits — no global float summation anywhere (a
+    softmax-style normalizer would need one; the n_min formulation
+    avoids it). Membership is a pure function of (doc_id, census):
+    any worker can recompute the sample without coordination.
+
+    Plan: one lang-keyed count (5 rows), a 1-row min broadcast, then a
+    row-local keep predicate on the corpus scan — no shuffle touches
+    document payloads.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    mn = counts.agg(F.min("n_docs").alias("n_min"))
+    p = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.sqrt(
+                F.col("n_min").cast("double") / F.col("n_docs").cast("double")
+            ),
+        ).alias("keep_p"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("double")
+        / float(1 << 52)
+    )
+    kept = (
+        docs.join(F.broadcast(p), "lang")
+        .where(u < F.col("keep_p"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        p.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            rnd(F.col("keep_p").cast("decimal(18,8)"), 6).alias("keep_prob"),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("lang")
     )

@@ -764,3 +764,45 @@ def test_trend_robust_matches_python_replay(spark, sf_dir):
         n, mk, gsen = got[t]
         assert n == len(slopes) and mk == s, t
         assert abs(gsen - round(sen, 6)) < 2e-6, (t, gsen, sen)
+
+
+def test_temperature_sample_flattens_and_replays(spark, sf_dir):
+    """corpus_temperature_sample: kept counts equal a Python replay of
+    the md5-threshold rule; the smallest language keeps everything;
+    and the kept mix is FLATTER than the raw mix (max/min ratio
+    strictly shrinks for a non-uniform census)."""
+    import hashlib
+
+    from pgsink_spark.operators import corpus as C
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    counts: dict = {}
+    for r in docs:
+        counts[r.lang] = counts.get(r.lang, 0) + 1
+    n_min = min(counts.values())
+    import math
+
+    kept: dict = {}
+    for r in docs:
+        p = min(1.0, math.sqrt(n_min / counts[r.lang]))
+        u = int(
+            hashlib.md5(str(r.doc_id).encode()).hexdigest()[:13], 16
+        ) / float(1 << 52)
+        if u < p:
+            kept[r.lang] = kept.get(r.lang, 0) + 1
+    got = {
+        r.lang: (r.n_docs, r.n_kept, r.keep_prob)
+        for r in C.corpus_temperature_sample(spark, sf_dir).collect()
+    }
+    for lang, n in counts.items():
+        gn, gk, gp = got[lang]
+        assert gn == n and gk == kept.get(lang, 0), lang
+        if n == n_min:
+            assert gp == 1.0 and gk == n, "smallest language must keep all"
+    raw_ratio = max(counts.values()) / min(counts.values())
+    kept_ratio = max(kept.values()) / min(kept.values())
+    if raw_ratio > 1.2:
+        assert kept_ratio < raw_ratio, (raw_ratio, kept_ratio)

@@ -112,6 +112,7 @@ PROBES = [
     "d88_kmv_reach",
     "d89_trend_robust",
     "mdm_survivorship",
+    "corpus_temperature_sample",
 ]
 
 
