@@ -40,16 +40,82 @@ from pgsink_spark.operators import text as _text
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver checks exactly the first 50 registry entries per round
-# (CORRECTNESS_r01..r04: 50 rows each, cut in registration order).
+# (CORRECTNESS_r01..r05: 50 rows each, cut in registration order).
 # Registry order therefore rotates per round so the union of rounds
-# covers every query. Round 5 leads with the never-checked round-5
-# additions, then the ~48 stalest rows — every query whose latest
-# driver row is ROUND-2 vintage (the r4 verdict's top action: after
-# r5 no green claim is older than two rounds). The five legacy
-# rows-only registrations (raw approximate outputs whose recall/bound
-# twins are oracle-checked and green) are DEMOTED to the permanent
-# registry tail — they never consume a gate slot again. See
-# VERIFICATION.md for the rotation ledger.
+# covers every query. Round 6 burns down the never-driver-checked
+# backlog (58 queries after the round-5 registry growth; the r5
+# verdict's top action): 50 of them fill the window, preferring the
+# oldest additions (a19/a20 SCD2, src_* roundtrips, cdc/ivm, d65–d68)
+# and the ENTIRE stream_* wave (verdict item 4 — a driver hash on each
+# pins emit-on-close / watermark-eviction semantics). The 8 deferred
+# (the newest wave-5d statistical singles: d83/d84/d86/d87/d88/d89,
+# mdm_survivorship, corpus_temperature_sample) plus the 40 r1/r2-stale
+# green rows head _ROUND7_PRIORITY next round. See VERIFICATION.md
+# for the rotation ledger.
+_ROUND6_PRIORITY = [
+    # ---- never driver-checked, oldest first ----
+    # SCD2 / CDC / IVM plane (wave 5b)
+    "a19_scd2_history",
+    "a20_scd2_pointintime",
+    "cdc_time_travel",
+    "ivm_distinct_view",
+    # source-format roundtrips (wave 5b)
+    "src_csv_roundtrip",
+    "src_ndjson_roundtrip",
+    "src_json_schema_drift",
+    "src_orc_roundtrip",
+    # relational wave 5b/5c
+    "d65_cube",
+    "d66_ntile",
+    "d67_approx_quantile_bound",
+    "d68_freq_items_guarantee",
+    "d75_weighted_median",
+    "d76_benford_audit",
+    "d77_mode_per_group",
+    "d78_psi_drift",
+    "d79_ks_drift",
+    "d80_asof_tolerance",
+    "d81_cms_heavy_hitters",
+    "d82_corr_matrix",
+    # the full streaming wave — §2.F emit-on-close / watermark-eviction
+    # semantics pinned by a driver hash (verdict r5 item 4)
+    "stream_tumbling_agg",
+    "stream_static_join",
+    "stream_scd2",
+    "stream_sample_evictions",
+    "stream_dedup_replay",
+    "stream_funnel",
+    "stream_topk",
+    "stream_session_window",
+    "stream_interval_join_outer",
+    "stream_band_neardup",
+    # dedup / linkage wave 5c
+    "dedup_containment",
+    "dedup_jaro_winkler",
+    "dedup_lexical_pairs",
+    "dedup_minhash_err_gate",
+    # sampling / curation wave 5c
+    "diversity_kcenter",
+    "sample_domain_cap",
+    "sample_group_topk",
+    "curation_quantile_filter",
+    "corpus_perplexity_buckets",
+    # text / tokenizer wave 5c
+    "text_bpe_learn",
+    "text_token_entropy",
+    "text_zipf_audit",
+    # privacy audits + quantization + retrieval metric (wave 5c)
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    "quant_int8_gate",
+    "retrieval_ndcg",
+    # chunking + export + graph + bloom (waves 5c/5d)
+    "chunk_cdc_rolling",
+    "export_epoch_shuffle",
+    "graph_kcore",
+    "d85_bloom_join_reduce",
+]
+
 _ROUND5_PRIORITY = [
     # never driver-checked (round-5 additions) — hard-signal first.
     # Window budget: 6 new + the first 44 round-2-vintage rows = 50;
@@ -148,9 +214,12 @@ _ROUND5_PRIORITY = [
 
 # Raw approximate outputs, rows-only BY DESIGN, each shadowed by a
 # green oracle-checked twin (ann_*_recall, mm_embedding_recall, the
-# superset-pinned bloom tests). Permanently LAST in registry order so
-# they never take a gate slot from an oracle-checked query.
-_DEMOTED_ROWS_ONLY = [
+# superset-pinned bloom tests). RETIRED from ``queries()`` entirely as
+# of round 6 (r5 verdict item 2): they structurally cannot hash-match,
+# so keeping them registered left permanent unfalsifiable `err` rows in
+# every driver file. The functions, their tests, and their bench
+# entries all remain — only the driver-facing registration is gone.
+_RETIRED_ROWS_ONLY = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_ivf_kmeans_topk",
@@ -365,20 +434,14 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries["d20_similarity_topk"] = _sim.d20_similarity_topk
     queries["ann_bruteforce_topk"] = _sim.ann_bruteforce_topk
-    queries["ann_ivf_topk"] = _sim.ann_ivf_topk  # approximate → rows-only
-    queries["ann_lsh_topk"] = _sim.ann_lsh_topk  # approximate → rows-only
-    # trained-KMeans IVF (iterative ML + approximate → rows-only)
-    queries["ann_ivf_kmeans_topk"] = _sim.ann_ivf_kmeans_topk
     queries["dedup_embedding_pairs"] = _sim.dedup_embedding_pairs
 
     # multimodal: decode/window queries are oracle-checked against
-    # closed-form content predictions (real PNG/WAV codecs); the video
-    # stub + float-topk queries stay rows-only
+    # closed-form content predictions (real PNG/WAV codecs)
     queries["mm_decode_stats"] = _mm.mm_decode_stats
     queries["mm_audio_stats"] = _mm.mm_audio_stats
     queries["mm_audio_windows"] = _mm.mm_audio_windows
     queries["mm_frame_sample"] = _mm.mm_frame_sample
-    queries["mm_embedding_topk"] = _mm.mm_embedding_topk
 
     queries["text_lang_id"] = _text.text_lang_id
     queries["quality_model_score"] = _text.quality_model_score
@@ -387,19 +450,19 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["text_fingerprint"] = _text.text_fingerprint
 
     ordered: dict[str, QueryFn] = {}
-    for name in _ROUND5_PRIORITY:
+    for name in _ROUND6_PRIORITY:
         ordered[name] = queries[name]
-    for name in _ROUND4_PRIORITY + _ROUND1_VINTAGE:
+    for name in _ROUND5_PRIORITY + _ROUND4_PRIORITY + _ROUND1_VINTAGE:
         if name not in ordered:
             ordered[name] = queries[name]
     for name in _ROUND3_PRIORITY + _ROUND2_PRIORITY:
-        if name not in ordered and name not in _DEMOTED_ROWS_ONLY:
+        if name not in ordered and name not in _RETIRED_ROWS_ONLY:
             ordered[name] = queries[name]
     for name, fn in queries.items():
-        if name not in ordered and name not in _DEMOTED_ROWS_ONLY:
+        if name not in ordered and name not in _RETIRED_ROWS_ONLY:
             ordered[name] = fn
-    for name in _DEMOTED_ROWS_ONLY:
-        ordered[name] = queries[name]
+    for name in _RETIRED_ROWS_ONLY:
+        ordered.pop(name, None)
     return ordered, oracles
 
 

@@ -225,6 +225,12 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # bloom_decontaminate was retired from queries() in round 6 (no
+    # deterministic oracle → permanent driver `err` row) but remains a
+    # real operator with a baseline row, so bench it directly
+    from pgsink_spark.operators.dedup import bloom_decontaminate
+
+    qs.setdefault("bloom_decontaminate", bloom_decontaminate)
 
     # Local iteration / bisect hook: SPARK_GRAFT_BENCH_ONLY="q1,q2"
     # restricts the timed sweep (and skips the warehouse-insert probe)

@@ -28,6 +28,30 @@ from pgsink_spark.operators.relational import query
 from pgsink_spark.operators.text import text_lang_id, text_quality_score
 from pgsink_spark.sources.fixtures import load_table
 
+# Hard ceiling on the class list the confusion matrix broadcasts and
+# cross-joins: the pattern (distinct over the full prediction set →
+# broadcast) is only safe because language labels are enum-like. A
+# high-cardinality class column would silently build an N×docs
+# cross-join, so the guard makes the contract explicit and fails fast.
+EVAL_MAX_CLASSES = 1000
+
+
+def bounded_class_list(classes: DataFrame, max_card: int = EVAL_MAX_CLASSES) -> DataFrame:
+    """Assert a to-be-broadcast distinct frame is control-plane sized.
+
+    ``limit(max+1).count()`` bounds the check itself — it never pulls
+    more than max_card+1 rows regardless of the true cardinality.
+    """
+    n = classes.limit(max_card + 1).count()
+    if n > max_card:
+        raise ValueError(
+            f"class column exceeds {max_card} distinct values; "
+            "refusing to broadcast an unbounded class list — "
+            "aggregate by class key directly instead"
+        )
+    return classes
+
+
 _LANGID_PRED = """
       CASE WHEN CAST((len(concat(' ', lower(text), ' '))
                  - len(replace(concat(' ', lower(text), ' '), ' le ', '')))
@@ -101,7 +125,7 @@ def eval_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
         preds.withColumnRenamed("pred_lang", "pred_lang"), "doc_id"
     )
-    classes = (
+    classes = bounded_class_list(
         p.select(F.col("true_lang").alias("class"))
         .union(p.select("pred_lang"))
         .distinct()

@@ -4649,6 +4649,31 @@ def d85_bloom_join_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster this is what turns a 100 TB shuffle into a filtered one —
     the filter travels in the PLAN, not through an exchange.
     """
+    filtered, cust = bloom_prefiltered_orders(spark, sf_dir)
+    joined = filtered.join(
+        F.broadcast(cust.select("c_custkey")),
+        filtered["o_custkey"] == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            rnd(F.sum(dec("o_totalprice")), 2).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+def bloom_prefiltered_orders(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The Bloom-probe stage of d85, exposed so tests can assert the
+    filter genuinely REDUCES the fact scan (row count between the true
+    match count and true + FP margin), not just that the downstream
+    exact join hides an all-ones bitset. Returns (filtered orders,
+    segment dimension)."""
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == BLOOM_SEG
     )
@@ -4694,20 +4719,7 @@ def d85_bloom_join_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = o.where(cond).drop(
         *[c for i in range(BLOOM_K) for c in (f"_bw{i}", f"_bp{i}")]
     )
-    joined = filtered.join(
-        F.broadcast(cust.select("c_custkey")),
-        filtered["o_custkey"] == F.col("c_custkey"),
-    )
-    return (
-        joined.groupBy(
-            F.date_trunc("month", "o_orderdate").alias("month")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            rnd(F.sum(dec("o_totalprice")), 2).alias("revenue"),
-        )
-        .orderBy("month")
-    )
+    return filtered, cust
 
 
 d85_bloom_join_reduce.__doc__ = d85_bloom_join_reduce.__doc__.format(

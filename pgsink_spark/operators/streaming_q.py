@@ -903,6 +903,11 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DATE_TRUNC('milliseconds', max(ts)) AS m FROM events
     ), flagged AS (
       SELECT user_id, ts,
+             -- strict >: Spark's session_window merges INCLUSIVELY at
+             -- the boundary — an event arriving exactly gap-after-last
+             -- extends the session (verified empirically, pinned by
+             -- test_session_window_exact_gap_boundary) — so only a
+             -- strictly-larger gap starts a new session
              CASE WHEN LAG(ts) OVER w IS NULL
                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
                      > 1800000000 THEN 1 ELSE 0 END AS is_new

@@ -600,6 +600,21 @@ def test_bloom_join_reduce_filters_without_false_negatives(spark, sf_dir):
     }, "bloom pre-filter changed the join result"
     assert n_true <= n_total * (n_seg / n_cust + 0.1) + 50
 
+    # evaluate the probe predicate DIRECTLY: a degraded (all-ones)
+    # bitset would pass the exact-join check above but fail here —
+    # the filtered scan must admit every true match (no false
+    # negatives) yet stay within a small false-positive margin of the
+    # true count, i.e. genuinely reduce the fact scan
+    filtered, _ = rel.bloom_prefiltered_orders(spark, sf_dir)
+    filtered_count = filtered.count()
+    fp_margin = int((n_total - n_true) * 0.05) + 10
+    assert n_true <= filtered_count <= n_true + fp_margin, (
+        filtered_count,
+        n_true,
+        fp_margin,
+    )
+    assert filtered_count < n_total
+
 
 def test_holt_forecast_matches_python_replay_exactly(spark, sf_dir):
     """d86's fold must equal a plain-Python Holt replay BIT-EXACTLY

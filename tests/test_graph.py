@@ -155,3 +155,20 @@ def test_kcore_matches_python_peel_and_converges(spark, sf_dir):
     assert 0 < len(alive) < n, "core must be non-vacuous"
     final = {v: sum(1 for z in adj[v] if z in alive) for v in alive}
     assert got == final
+
+
+def test_bounded_class_list_guard(spark):
+    """The confusion-matrix class broadcast must fail fast on a
+    high-cardinality class column (r5 verdict item 6): the
+    distinct→broadcast→crossJoin pattern is only valid for enum-like
+    labels, and the guard makes that contract explicit."""
+    import pytest
+
+    from pgsink_spark.operators.evaluation import bounded_class_list
+
+    small = spark.range(5).selectExpr("CAST(id AS STRING) AS class")
+    assert bounded_class_list(small, max_card=10) is small
+
+    big = spark.range(50).selectExpr("CAST(id AS STRING) AS class")
+    with pytest.raises(ValueError, match="distinct values"):
+        bounded_class_list(big, max_card=10)

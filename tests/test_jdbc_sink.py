@@ -396,3 +396,56 @@ def test_epoch_replay_without_fetch_does_not_wedge(spark):
     sink.insert(env, "public", "kv", epoch=5)
     assert con.execute("SELECT count(*) FROM public_kv_compacted").fetchone()[0] == 1
     assert con.execute("SELECT count(*) FROM public_kv_epochs").fetchone()[0] == 1
+
+
+def test_failed_migration_ddl_is_reissued_on_retry():
+    """Regression pin for the r4 ADVICE cache-ordering fix (r5 verdict
+    item 8): if an ALTER fails mid-migration, neither the fingerprint
+    cache nor ``_entries`` may keep the NEW entry — otherwise the retry
+    diffs new-vs-new (zero ALTERs) and "succeeds" against a
+    half-migrated table. The retry must re-issue the SAME ALTER."""
+    con = duckdb.connect()
+    fail_alters = {"armed": True}
+    executed: list[str] = []
+
+    def execute(sql):
+        if fail_alters["armed"] and sql.lstrip().upper().startswith(
+            "ALTER TABLE"
+        ):
+            raise RuntimeError("warehouse rejected DDL")
+        executed.append(sql)
+        con.execute(sql)
+
+    sink = JdbcWarehouseSink(JdbcSinkOptions(url="jdbc:duckdb:"), execute)
+    assert sink.handle_schema(ENTRY) == "update"
+
+    evolved_payload = T.StructType(
+        list(PAYLOAD.fields) + [T.StructField("extra", T.StringType())]
+    )
+    evolved = SchemaEntry("public", "kv", evolved_payload, ["id"])
+
+    with pytest.raises(RuntimeError, match="rejected DDL"):
+        sink.handle_schema(evolved)
+    # the failed sync must leave BOTH caches on the old shape
+    assert sink._entries[("public", "kv")] is ENTRY or (
+        sink._entries[("public", "kv")].payload == PAYLOAD
+    )
+    cols = {
+        r[1]
+        for r in con.execute('PRAGMA table_info("public_kv_raw")').fetchall()
+    }
+    assert "extra" not in cols
+
+    # retry after the warehouse recovers: the ALTER is re-generated
+    # from old-vs-new (NOT new-vs-new) and lands
+    fail_alters["armed"] = False
+    assert sink.handle_schema(evolved) == "update"
+    alters = [s for s in executed if s.lstrip().upper().startswith("ALTER")]
+    assert any('"extra"' in s for s in alters), alters
+    cols = {
+        r[1]
+        for r in con.execute('PRAGMA table_info("public_kv_raw")').fetchall()
+    }
+    assert "extra" in cols
+    # and the caches converge: a third call is a fingerprint no-op
+    assert sink.handle_schema(evolved) == "noop"

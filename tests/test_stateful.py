@@ -448,3 +448,133 @@ def test_window_topk_state_carries_and_emits_once(spark, tmp_path):
     assert all(
         r.window_start == datetime.datetime(2024, 1, 1) for r in captured
     )
+
+
+def test_window_topk_late_row_for_closed_window_is_dropped(
+    spark, tmp_path
+):
+    """Multi-batch OUT-OF-ORDER delivery: once a window's ranking is
+    emitted (closed by a later window's first event), a late row for
+    that window — even one that would have won rank 1 — is DROPPED,
+    exactly as a watermark would do. This pins the contract boundary
+    the single-batch driver harness never exercises: the emitted
+    ranking is final; the late arrival neither re-emits nor mutates
+    the open-window state."""
+    import datetime
+
+    from pgsink_spark.streaming.stateful import window_topk_tracker
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    d1 = lambda h: datetime.datetime(2024, 1, 1, h, 0, 0)  # noqa: E731
+    d2 = lambda h: datetime.datetime(2024, 1, 2, h, 0, 0)  # noqa: E731
+
+    captured = []
+
+    def capture(batch, _bid):
+        captured.extend(batch.collect())
+
+    # batch 1: two day-1 clicks, then the day-2 opener closes day 1
+    spark.createDataFrame(
+        [(1, d1(1), "click", 10.0), (2, d1(2), "click", 50.0),
+         (3, d2(1), "click", 5.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # batch 2: a LATE day-1 row with the best value (would be rank 1),
+    # plus a fresh day-2 row that must land in the open day-2 state
+    spark.createDataFrame(
+        [(4, d1(3), "click", 99.0), (5, d2(2), "click", 7.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    # batch 3: day-3 opener closes day 2 so we can see its final state
+    spark.createDataFrame(
+        [(6, datetime.datetime(2024, 1, 3, 1, 0, 0), "click", 1.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b3"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    q = (
+        window_topk_tracker(stream)
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    day1 = sorted(
+        (r.rank, r.event_id, r.value)
+        for r in captured
+        if r.window_start == datetime.datetime(2024, 1, 1)
+    )
+    day2 = sorted(
+        (r.rank, r.event_id, r.value)
+        for r in captured
+        if r.window_start == datetime.datetime(2024, 1, 2)
+    )
+    # late event 4 (value 99) is absent everywhere; day-1 ranking is
+    # the one emitted at close and only that one
+    assert day1 == [(1, 2, 50.0), (2, 1, 10.0)], captured
+    assert day2 == [(1, 5, 7.0), (2, 3, 5.0)], captured
+    assert not [r for r in captured if r.event_id == 4]
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pins Spark's session_window merge rule AT the gap boundary: an
+    event arriving exactly gap-after-last EXTENDS the session
+    (inclusive merge), so the stream_session_window oracle's new-session
+    predicate must be strictly `> 1800000000` micros, never `>=`.
+    Guards the latent oracle/engine divergence flagged in round-5
+    ADVICE (streaming_q.py session oracle)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: second event at EXACTLY +30 min → same session
+        (1, base),
+        (1, base + datetime.timedelta(minutes=30)),
+        # user 2: second event at +30 min 1 s → new session
+        (2, base),
+        (2, base + datetime.timedelta(minutes=30, seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r.cnt)
+    assert sorted(by_user[1]) == [2], out   # merged: one 2-row session
+    assert sorted(by_user[2]) == [1, 1], out  # split: two sessions
+
+    # and the oracle predicate agrees: strict > keeps user 1 together
+    import duckdb
+    import pandas as pd
+
+    events_pd = pd.DataFrame(rows, columns=["user_id", "ts"])
+    con = duckdb.connect()
+    got = con.execute(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                         > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM events_pd WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS sessions
+        FROM flagged GROUP BY user_id ORDER BY user_id
+        """
+    ).fetchall()
+    con.close()
+    assert got == [(1, 1), (2, 2)], got

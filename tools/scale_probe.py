@@ -113,6 +113,9 @@ PROBES = [
     "d89_trend_robust",
     "mdm_survivorship",
     "corpus_temperature_sample",
+    # round-6: the r5 verdict's four newest iterative/stateful
+    # operators get an explicit 100× row (tools/scale_probe.py 100)
+    "dedup_duplicate_spans",
 ]
 
 
