@@ -1223,23 +1223,126 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-block cap for the prefix-blocked linkage family (jaro_winkler,
+# fuzzy_blocked, mdm_survivorship). All-pairs-within-block is Σ|block|²:
+# fine while blocks stay flat (max block 14 at sf0.1) but one hot block
+# — shared boilerplate head, a crawl of mirror pages — turns the stage
+# quadratic (the 100× scale probe measured 165M candidate pairs from a
+# 1400-member block). Blocks over the cap therefore switch to the
+# SORTED-NEIGHBORHOOD rule: members sort by (head, doc_id) inside the
+# block and only pairs within SNM_WINDOW ranks are candidates —
+# |block|×W, linear. Sorting by head keeps recall: both verify kernels
+# (Jaro-Winkler's prefix bonus, head Levenshtein) score prefix-similar
+# strings highest, and those are exactly the rank-adjacent ones. The
+# cap exceeds every fixture block at all three SFs, so oracle results
+# are unchanged there — but the rule itself is encoded in BOTH engines
+# (_BLOCKED_CAND_SQL), so the driver hash stays green even on data
+# that trips it.
+LINKAGE_BLOCK_CAP = 32
+LINKAGE_SNM_WINDOW = 16
+
+# DuckDB half of the rule. Expects documents; yields cand(d1, d2, h1,
+# h2) with d1 < d2. Kept as one fragment so every consumer (JW, fuzzy,
+# survivorship) states the identical candidate set.
+_BLOCKED_CAND_SQL = f"""
+    d AS (
+      SELECT doc_id, substr(lower(text), 1, 40) AS h,
+             string_split(lower(text), ' ') AS w
+      FROM documents
+    ), k AS (
+      SELECT doc_id, h, w[1] || ' ' || w[2] AS blk FROM d WHERE len(w) >= 2
+    ), k2 AS (
+      SELECT doc_id, h, blk,
+             row_number() OVER (PARTITION BY blk ORDER BY h, doc_id) AS r,
+             count(*) OVER (PARTITION BY blk) AS cnt
+      FROM k
+    ), cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS d1,
+             greatest(a.doc_id, b.doc_id) AS d2,
+             a.h AS h1, b.h AS h2
+      FROM k2 a JOIN k2 b ON a.blk = b.blk AND (
+        CASE WHEN a.cnt <= {LINKAGE_BLOCK_CAP}
+             THEN a.doc_id < b.doc_id
+             ELSE b.r - a.r BETWEEN 1 AND {LINKAGE_SNM_WINDOW} END)
+    )
+"""
+
+
+def _blocked_head_candidates(docs: DataFrame) -> DataFrame:
+    """Spark half of the capped candidate rule: (d1, h1, d2, h2) with
+    d1 < d2. Small blocks take the plain keyed self-join; oversized
+    blocks generate rank-window pairs by EXPLODING each member's next
+    W ranks and equi-joining on (blk, rank) — the hot block costs
+    |block|×W join rows, never |block|². Verify kernels are symmetric,
+    so h1/h2 may associate with either endpoint."""
+    from pyspark.sql import Window as W
+
+    d = docs.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 40).alias("h"),
+        F.split(F.lower("text"), " ").alias("w"),
+    ).where(F.size("w") >= 2)
+    k = d.select(
+        "doc_id",
+        "h",
+        F.concat_ws(" ", F.col("w")[0], F.col("w")[1]).alias("blk"),
+    )
+    k2 = k.withColumn(
+        "r",
+        F.row_number().over(W.partitionBy("blk").orderBy("h", "doc_id")),
+    ).withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("blk")))
+
+    small = k2.where(F.col("cnt") <= LINKAGE_BLOCK_CAP)
+    a = small.select(
+        F.col("doc_id").alias("d1"), F.col("h").alias("h1"), "blk"
+    )
+    b = small.select(
+        F.col("doc_id").alias("d2"), F.col("h").alias("h2"), "blk"
+    )
+    pairs_small = (
+        a.join(b, "blk")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "h1", "d2", "h2")
+    )
+
+    big = k2.where(F.col("cnt") > LINKAGE_BLOCK_CAP)
+    # r < cnt guard: F.sequence REVERSES when start > stop, so the
+    # block's last rank would otherwise emit a self-pair
+    probe = big.where(F.col("r") < F.col("cnt")).select(
+        "blk",
+        "doc_id",
+        "h",
+        F.explode(
+            F.sequence(
+                F.col("r") + 1,
+                F.least(
+                    F.col("r") + LINKAGE_SNM_WINDOW, F.col("cnt")
+                ),
+            )
+        ).alias("r2"),
+    )
+    match = big.select(
+        "blk",
+        F.col("r").alias("r2"),
+        F.col("doc_id").alias("dj"),
+        F.col("h").alias("hj"),
+    )
+    pairs_big = probe.join(match, ["blk", "r2"]).select(
+        F.least("doc_id", "dj").alias("d1"),
+        F.col("h").alias("h1"),
+        F.greatest("doc_id", "dj").alias("d2"),
+        F.col("hj").alias("h2"),
+    )
+    return pairs_small.unionByName(pairs_big)
+
+
 @query(
     "dedup_fuzzy_blocked",
-    """
-    WITH d AS (
-      SELECT doc_id,
-             string_split(lower(text), ' ') AS w,
-             substr(lower(text), 1, 40) AS head
-      FROM documents
-      WHERE len(string_split(lower(text), ' ')) >= 2
-    ),
-    k AS (
-      SELECT doc_id, head, w[1] || ' ' || w[2] AS blk FROM d
-    )
-    SELECT a.doc_id AS d1, b.doc_id AS d2,
-           CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
-    FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.head, b.head) <= 8
+    f"""
+    WITH {_BLOCKED_CAND_SQL}
+    SELECT d1, d2, CAST(levenshtein(h1, h2) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(h1, h2) <= 8
     ORDER BY d1, d2
     """,
 )
@@ -1252,31 +1355,11 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     over short prefix blocks and the quadratic edit-distance kernel
     runs only on survivors' fixed-length heads (bounded cost per pair).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.split(F.lower("text"), " ").alias("w"),
-        F.substring(F.lower("text"), 1, 40).alias("head"),
-    ).where(F.size("w") >= 2)
-    k = d.select(
-        "doc_id",
-        "head",
-        F.concat_ws(" ", F.col("w")[0], F.col("w")[1]).alias("blk"),
-    )
-    a = k.select(
-        F.col("doc_id").alias("d1"),
-        F.col("head").alias("h1"),
-        "blk",
-    )
-    b = k.select(
-        F.col("doc_id").alias("d2"),
-        F.col("head").alias("h2"),
-        "blk",
+    cand = _blocked_head_candidates(
+        load_table(spark, sf_dir, "documents")
     )
     return (
-        a.join(b, "blk")
-        .where(F.col("d1") < F.col("d2"))
-        .where(F.levenshtein("h1", "h2") <= 8)
+        cand.where(F.levenshtein("h1", "h2") <= 8)
         .select(
             "d1",
             "d2",
@@ -1536,18 +1619,11 @@ def dedup_minhash_err_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_JARO_WINKLER_SQL = """
-    WITH d AS (
-      SELECT doc_id, substr(lower(text), 1, 40) AS h,
-             string_split(lower(text), ' ') AS w
-      FROM documents
-    ), k AS (
-      SELECT doc_id, h, w[1] || ' ' || w[2] AS blk FROM d WHERE len(w) >= 2
-    )
-    SELECT a.doc_id AS d1, b.doc_id AS d2,
-           round(jaro_winkler_similarity(a.h, b.h), 4) AS jw
-    FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE round(jaro_winkler_similarity(a.h, b.h), 4) >= 0.92
+_JARO_WINKLER_SQL = f"""
+    WITH {_BLOCKED_CAND_SQL}
+    SELECT d1, d2, round(jaro_winkler_similarity(h1, h2), 4) AS jw
+    FROM cand
+    WHERE round(jaro_winkler_similarity(h1, h2), 4) >= 0.92
     ORDER BY d1, d2
 """
 
@@ -1604,14 +1680,16 @@ def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewards shared prefixes where Levenshtein charges every edit, the
     standard choice for name/title linkage).
 
-    Spark-first shape: the block join is a keyed equi-join (never
-    all-pairs; candidate volume is sum-of-|block|-squared — 33k pairs at
-    sf0.1 for the two-token key vs 840k for one token, which is why the
-    wider key was rejected), and the Python kernel runs only on the
-    surviving pairs' fixed 40-char heads via an Arrow-batched pandas
-    UDF — per-pair cost is bounded so the stage scales with candidate
-    count, not corpus size. The threshold is applied to the ROUNDED
-    score on both engines so the cut cannot flip on float noise.
+    Spark-first shape: candidates come from the CAPPED keyed block
+    join (_blocked_head_candidates — all pairs inside normal blocks,
+    sorted-neighborhood rank windows inside hot blocks, so candidate
+    volume is min(Σ|block|², corpus×W) and a boilerplate-head block
+    can never turn the stage quadratic), and the Python kernel runs
+    only on the surviving pairs' fixed 40-char heads via an
+    Arrow-batched pandas UDF — per-pair cost is bounded so the stage
+    scales with candidate count, not corpus size. The threshold is
+    applied to the ROUNDED score on both engines so the cut cannot
+    flip on float noise.
 
     Parity: the reference dedups subscriptions by exact key only
     (pkg/subscription/subscription.go); this op is part of the demanded
@@ -1626,37 +1704,22 @@ def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
             dtype="float64",
         )
 
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.substring(F.lower("text"), 1, 40).alias("h"),
-        F.split(F.lower("text"), " ").alias("w"),
-    ).where(F.size("w") >= 2)
-    k = d.select(
-        "doc_id", "h", F.concat_ws(" ", F.col("w")[0], F.col("w")[1]).alias("blk")
+    cand = _blocked_head_candidates(
+        load_table(spark, sf_dir, "documents")
     )
-    a = k.select(F.col("doc_id").alias("d1"), F.col("h").alias("h1"), "blk")
-    b = k.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"), "blk")
     return (
-        a.join(b, "blk")
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", F.round(jw_udf("h1", "h2"), 4).alias("jw"))
+        cand.select(
+            "d1", "d2", F.round(jw_udf("h1", "h2"), 4).alias("jw")
+        )
         .where(F.col("jw") >= 0.92)
         .orderBy("d1", "d2")
     )
 
 
-_SURVIVORSHIP_SQL = """
-    WITH RECURSIVE d AS (
-      SELECT doc_id, substr(lower(text), 1, 40) AS h,
-             string_split(lower(text), ' ') AS w
-      FROM documents
-    ), k AS (
-      SELECT doc_id, h, w[1] || ' ' || w[2] AS blk FROM d WHERE len(w) >= 2
-    ), dup AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2
-      FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
-      WHERE round(jaro_winkler_similarity(a.h, b.h), 4) >= 0.92
+_SURVIVORSHIP_SQL = f"""
+    WITH RECURSIVE {_BLOCKED_CAND_SQL}, dup AS (
+      SELECT d1, d2 FROM cand
+      WHERE round(jaro_winkler_similarity(h1, h2), 4) >= 0.92
     ), edges AS (
       SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup
     ), reach(a, b) AS (

@@ -385,3 +385,42 @@ def test_survivorship_matches_python_union_find(spark, sf_dir):
         for r in D.mdm_survivorship(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_linkage_hot_block_cap_bounds_candidates(spark):
+    """One 100-member hot block (shared two-token prefix) must produce
+    rank-window candidates — |block|×W, not |block|²/2 — and the Spark
+    generator must agree pair-for-pair with the DuckDB oracle fragment
+    (both encode the sorted-neighborhood rule, so driver hashes stay
+    green even on data that trips the cap). Guards the quadratic knee
+    the 100× scale probe measured (a 1400-member block → 165M pairs)."""
+    import duckdb
+    import pandas as pd
+
+    from pgsink_spark.operators.dedup import (
+        _BLOCKED_CAND_SQL,
+        _blocked_head_candidates,
+        LINKAGE_BLOCK_CAP,
+        LINKAGE_SNM_WINDOW,
+    )
+
+    n = 100
+    assert n > LINKAGE_BLOCK_CAP
+    rows = [(i, f"common head words tail{i:03d}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = _blocked_head_candidates(docs)
+    got = sorted((r.d1, r.d2) for r in cand.collect())
+
+    w = LINKAGE_SNM_WINDOW
+    expect_n = (n - w) * w + w * (w - 1) // 2
+    assert len(got) == expect_n, (len(got), expect_n)
+    assert len(got) < n * (n - 1) // 2  # strictly below all-pairs
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = con.execute(
+        f"WITH {_BLOCKED_CAND_SQL} SELECT d1, d2 FROM cand ORDER BY d1, d2"
+    ).fetchall()
+    con.close()
+    assert got == [(a, b) for a, b in oracle]
