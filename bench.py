@@ -240,36 +240,52 @@ def main() -> None:
 
     spark = get_spark("pgsink-bench")
 
-    # warm the JVM, parquet footers, and OS page cache once so per-query
-    # numbers measure the operators, not first-touch file IO (a count()
-    # alone reads only footers — scan a real column from each big table)
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from pgsink_spark.sources.fixtures import load_table  # noqa: PLC0415
 
-    for t, c in (
-        ("lineitem", "l_extendedprice"),
-        ("orders", "o_totalprice"),
-        ("events", "value"),
-        ("documents", F.length("text")),
-        ("embeddings", F.element_at("embedding", 1)),
-    ):
-        expr = F.col(c) if isinstance(c, str) else c
-        load_table(spark, sf_dir, t).agg(F.sum(expr)).collect()
-
-    # warm whole-stage-codegen compilation per plan shape: run each
-    # headline query once at the smallest SF — identical plans generate
-    # identical Java source, so the compiled-class cache carries over
-    # and the timed runs measure execution, not javac.
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in headline:
-            try:
-                qs[name](spark, warm_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:
-                pass
+
+    def warm_session(s, names) -> None:
+        # warm the JVM, parquet footers, and OS page cache so per-query
+        # numbers measure the operators, not first-touch file IO (a
+        # count() alone reads only footers — scan a real column from
+        # each big table)
+        for t, c in (
+            ("lineitem", "l_extendedprice"),
+            ("orders", "o_totalprice"),
+            ("events", "value"),
+            ("documents", F.length("text")),
+            ("embeddings", F.element_at("embedding", 1)),
+        ):
+            expr = F.col(c) if isinstance(c, str) else c
+            load_table(s, sf_dir, t).agg(F.sum(expr)).collect()
+        # warm whole-stage-codegen compilation per plan shape: run each
+        # query once at the smallest SF — identical plans generate
+        # identical Java source, so the compiled-class cache carries
+        # over and the timed runs measure execution, not javac.
+        if os.path.isdir(warm_dir):
+            for name in names:
+                try:
+                    qs[name](s, warm_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:
+                    pass
+
+    # Session-restart granularity for the timed sweep. One shared
+    # session across the whole (170+-query) registry accumulates
+    # JVM/context state the per-query clearCache+gc below cannot
+    # release — thousands of finished stages on the listener bus,
+    # shuffle/broadcast bookkeeping, generated-class churn — and the
+    # round-5 aggregate drifted 1.06x -> 1.22x vs baseline with ZERO
+    # per-operator code changes (isolated fresh-JVM reruns of the five
+    # most-drifted queries recovered 15-25%). Restarting the context
+    # every GROUP queries bounds that accumulation; each group re-warms
+    # its own page cache + codegen, outside the timed region.
+    GROUP = 40
+
+    warm_session(spark, headline[:GROUP])
 
     # min over RUNS executions per query: local[32] single-JVM timing
     # shows 2-7x noisy-neighbor variance (GC, first-touch page faults,
@@ -332,16 +348,23 @@ def main() -> None:
         times["sink_warehouse_insert"] = round(best, 3)
         release_blocks()
 
-    for name in headline:
-        best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-        release_blocks()
+    for gi in range(0, len(headline), GROUP):
+        group = headline[gi : gi + GROUP]
+        if gi > 0:
+            spark.stop()
+            spark = get_spark("pgsink-bench")
+            warm_session(spark, group)
+            release_blocks()
+        for name in group:
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+            release_blocks()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     regressions: dict[str, list[float]] = {}

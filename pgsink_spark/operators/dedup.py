@@ -1268,6 +1268,22 @@ _BLOCKED_CAND_SQL = f"""
 """
 
 
+def _linkage_blocks(docs: DataFrame) -> DataFrame:
+    """(doc_id, h, blk) for the prefix-blocked linkage family — the
+    one definition of the blocking key, shared by the candidate
+    generator and the blocking audit so they cannot diverge."""
+    d = docs.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 40).alias("h"),
+        F.split(F.lower("text"), " ").alias("w"),
+    ).where(F.size("w") >= 2)
+    return d.select(
+        "doc_id",
+        "h",
+        F.concat_ws(" ", F.col("w")[0], F.col("w")[1]).alias("blk"),
+    )
+
+
 def _blocked_head_candidates(docs: DataFrame) -> DataFrame:
     """Spark half of the capped candidate rule: (d1, h1, d2, h2) with
     d1 < d2. Small blocks take the plain keyed self-join; oversized
@@ -1277,16 +1293,7 @@ def _blocked_head_candidates(docs: DataFrame) -> DataFrame:
     so h1/h2 may associate with either endpoint."""
     from pyspark.sql import Window as W
 
-    d = docs.select(
-        "doc_id",
-        F.substring(F.lower("text"), 1, 40).alias("h"),
-        F.split(F.lower("text"), " ").alias("w"),
-    ).where(F.size("w") >= 2)
-    k = d.select(
-        "doc_id",
-        "h",
-        F.concat_ws(" ", F.col("w")[0], F.col("w")[1]).alias("blk"),
-    )
+    k = _linkage_blocks(docs)
     k2 = k.withColumn(
         "r",
         F.row_number().over(W.partitionBy("blk").orderBy("h", "doc_id")),
@@ -1813,4 +1820,73 @@ def mdm_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup.join(src, "cluster_id")
         .where(F.col("n_members") >= 2)
         .orderBy("cluster_id")
+    )
+
+
+@query(
+    "dedup_blocking_audit",
+    f"""
+    WITH {_BLOCKED_CAND_SQL}
+    , census AS (
+      SELECT blk, CAST(max(cnt) AS BIGINT) AS cnt FROM k2 GROUP BY blk
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN cnt > {LINKAGE_BLOCK_CAP}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_blocks,
+           CAST(max(cnt) AS BIGINT) AS max_block,
+           CAST(sum(CASE WHEN cnt <= {LINKAGE_BLOCK_CAP}
+                         THEN (cnt * (cnt - 1)) // 2
+                         ELSE 0 END) AS BIGINT) AS cand_small,
+           CAST(sum(CASE WHEN cnt > {LINKAGE_BLOCK_CAP}
+                         THEN (cnt - {LINKAGE_SNM_WINDOW})
+                              * {LINKAGE_SNM_WINDOW}
+                              + {LINKAGE_SNM_WINDOW * (LINKAGE_SNM_WINDOW - 1) // 2}
+                         ELSE 0 END) AS BIGINT) AS cand_window,
+           CAST(sum((cnt * (cnt - 1)) // 2) AS BIGINT) AS cand_allpairs
+    FROM census
+    """,
+)
+def dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality AUDIT for the capped linkage candidate
+    generator — the "no silent caps" companion to
+    _blocked_head_candidates: one hash-pinned row stating how many
+    blocks exist, how many tripped the hot-block cap, and the exact
+    candidate volume each regime contributes (cand_small all-pairs +
+    cand_window sorted-neighborhood) against the uncapped Σ|block|²/2
+    (cand_allpairs). A pipeline owner reads this BEFORE trusting the
+    linkage outputs: n_hot_blocks > 0 means recall now depends on the
+    sorted-neighborhood assumption, and cand_allpairs - cand_window
+    quantifies the pruned volume. Closed-form window count per hot
+    block of n members: (n-W)*W + W*(W-1)/2.
+
+    Plan: one row-local key projection, one block-keyed partial-agg
+    census, one global 1-row fold — no joins, no candidate
+    materialization; the audit costs a scan even when the candidate
+    set it describes would be huge.
+    """
+    k = _linkage_blocks(load_table(spark, sf_dir, "documents"))
+    census = k.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cap = F.lit(LINKAGE_BLOCK_CAP)
+    w = LINKAGE_SNM_WINDOW
+    allpairs = F.expr("(cnt * (cnt - 1)) div 2")
+    window_cnt = (F.col("cnt") - w) * w + w * (w - 1) // 2
+    return census.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum((F.col("cnt") > cap).cast("long"))
+        .cast("long")
+        .alias("n_hot_blocks"),
+        F.max("cnt").cast("long").alias("max_block"),
+        F.sum(F.when(F.col("cnt") <= cap, allpairs).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cand_small"),
+        F.sum(
+            F.when(F.col("cnt") > cap, window_cnt).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cand_window"),
+        F.sum(allpairs).cast("long").alias("cand_allpairs"),
     )

@@ -5140,3 +5140,104 @@ def d89_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         mk_s.alias("mk_s"),
         rnd((sen / 100).cast("decimal(18,8)"), 6).alias("sen_slope"),
     ).orderBy("event_type")
+
+
+@query(
+    "d90_skyline_pareto",
+    """
+    WITH dims AS MATERIALIZED (
+      SELECT doc_id,
+             n_chars AS d_len,
+             CAST(len(list_distinct(w)) AS BIGINT) AS d_vocab,
+             CAST(len(list_filter(list_distinct(w),
+                    x -> len(list_filter(w, y -> y = x)) = 1))
+               AS BIGINT) AS d_hapax
+      FROM (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS w
+            FROM documents)
+    )
+    SELECT a.doc_id, a.d_len, a.d_vocab, a.d_hapax
+    FROM dims a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM dims b
+      WHERE b.d_len >= a.d_len AND b.d_vocab >= a.d_vocab
+        AND b.d_hapax >= a.d_hapax
+        AND (b.d_len > a.d_len OR b.d_vocab > a.d_vocab
+             OR b.d_hapax > a.d_hapax)
+    )
+    ORDER BY doc_id
+    """,
+)
+def d90_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto front) over three document-quality axes —
+    length (n_chars), vocabulary size (distinct words), and hapax
+    count (words used exactly once): the multi-criteria curation cut
+    "keep every document no other document beats on ALL axes at once",
+    the standard way to trade off length vs richness without inventing
+    a single scalar score. Equal-on-every-axis ties are mutually
+    non-dominating, so both survive — the skyline is a pure function
+    of the SET, independent of partitioning.
+
+    Spark-first shape (two-phase distributed skyline, the classic
+    block-partitioned design): the three axes are ONE row-local
+    projection; phase 1 computes a per-partition Pareto scan inside
+    mapInPandas (sort desc-lexicographic, then a frontier sweep — a
+    dominator always sorts before its victims, so one pass suffices
+    and the partition's candidate set only shrinks); phase 2 repeats
+    the identical scan over the UNION of partition skylines in one
+    task. Phase 2's input is the only non-row-local traffic and is
+    front-sized (≈√n empirically, KB-scale), never corpus-sized —
+    the same control-plane-merge shape as the bucket-offset maps in
+    export. The oracle states dominance declaratively (NOT EXISTS),
+    so the driver hash pins the full set semantics, not the scan
+    order.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    dims = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("d_len"),
+        F.size(F.array_distinct(w)).cast("long").alias("d_vocab"),
+        F.size(
+            F.filter(
+                F.array_distinct(w),
+                lambda x: F.size(F.filter(w, lambda y: y == x)) == 1,
+            )
+        )
+        .cast("long")
+        .alias("d_hapax"),
+    )
+    out_schema = "doc_id long, d_len long, d_vocab long, d_hapax long"
+
+    def pareto_scan(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            yield pdf
+            return
+        pdf = pdf.sort_values(
+            ["d_len", "d_vocab", "d_hapax", "doc_id"],
+            ascending=[False, False, False, True],
+        )
+        vals = pdf[["d_len", "d_vocab", "d_hapax"]].to_numpy()
+        kept: list[int] = []
+        for i in range(len(vals)):
+            li, vi, hi = vals[i]
+            dominated = False
+            for j in kept:
+                lj, vj, hj = vals[j]
+                if (
+                    lj >= li
+                    and vj >= vi
+                    and hj >= hi
+                    and (lj > li or vj > vi or hj > hi)
+                ):
+                    dominated = True
+                    break
+            if not dominated:
+                kept.append(i)
+        yield pdf.iloc[kept]
+
+    local = dims.mapInPandas(pareto_scan, out_schema)
+    sky = local.repartition(1).mapInPandas(pareto_scan, out_schema)
+    return sky.orderBy("doc_id")

@@ -821,3 +821,79 @@ def test_temperature_sample_flattens_and_replays(spark, sf_dir):
     kept_ratio = max(kept.values()) / min(kept.values())
     if raw_ratio > 1.2:
         assert kept_ratio < raw_ratio, (raw_ratio, kept_ratio)
+
+
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
+    """d90's two-phase distributed scan must equal the O(n²)
+    brute-force dominance definition exactly — an INDEPENDENT replay,
+    not the DuckDB oracle — and every excluded doc must have a
+    skyline witness that dominates it."""
+    from pyspark.sql import functions as F
+
+    from pgsink_spark.operators import relational as rel
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    dims = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("d_len"),
+        F.size(F.array_distinct(w)).cast("long").alias("d_vocab"),
+        F.size(
+            F.filter(
+                F.array_distinct(w),
+                lambda x: F.size(F.filter(w, lambda y: y == x)) == 1,
+            )
+        )
+        .cast("long")
+        .alias("d_hapax"),
+    ).collect()
+    pts = {r.doc_id: (r.d_len, r.d_vocab, r.d_hapax) for r in dims}
+
+    def dominates(a, b):
+        return all(x >= y for x, y in zip(a, b)) and a != b
+
+    expect = {
+        i
+        for i, p in pts.items()
+        if not any(dominates(q, p) for q in pts.values())
+    }
+    got = {
+        r.doc_id
+        for r in rel.QUERIES["d90_skyline_pareto"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    for i, p in pts.items():
+        if i not in got:
+            assert any(dominates(pts[s], p) for s in got), i
+
+
+def test_blocking_audit_counts_match_generator(spark, sf_dir):
+    """The audit's closed-form candidate counts must equal the ACTUAL
+    generator output — on the fixtures (no hot blocks) and on a
+    synthetic corpus with one hot block (cap engaged)."""
+    from pgsink_spark.operators.dedup import (
+        _blocked_head_candidates,
+        dedup_blocking_audit,
+        LINKAGE_BLOCK_CAP,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    row = dedup_blocking_audit(spark, sf_dir).collect()[0]
+    actual = _blocked_head_candidates(
+        load_table(spark, sf_dir, "documents")
+    ).count()
+    assert row.cand_small + row.cand_window == actual
+    assert row.n_hot_blocks == 0  # fixture blocks all under the cap
+    assert row.cand_window == 0
+
+    n = LINKAGE_BLOCK_CAP * 3
+    hot = [(i, f"shared prefix tok{i:04d}") for i in range(n)]
+    cold = [(1000 + i, f"unique{i} key{i} tail") for i in range(5)]
+    docs = spark.createDataFrame(
+        hot + cold, "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text"))
+    cand = _blocked_head_candidates(docs).count()
+    w = 16
+    expect_hot = (n - w) * w + w * (w - 1) // 2
+    assert cand == expect_hot  # cold blocks are singletons: 0 pairs
