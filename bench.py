@@ -205,6 +205,9 @@ HEADLINE = [
     "d89_trend_robust",
     "mdm_survivorship",
     "corpus_temperature_sample",
+    # round-6 additions (Pareto-front curation cut, blocking audit)
+    "d90_skyline_pareto",
+    "dedup_blocking_audit",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

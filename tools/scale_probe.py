@@ -116,6 +116,9 @@ PROBES = [
     # round-6: the r5 verdict's four newest iterative/stateful
     # operators get an explicit 100× row (tools/scale_probe.py 100)
     "dedup_duplicate_spans",
+    # round-6 additions
+    "d90_skyline_pareto",
+    "dedup_blocking_audit",
 ]
 
 
