@@ -717,3 +717,28 @@ def test_bloom_and_holt_plans(spark):
 
     df = D.mdm_survivorship(spark, SF)
     assert has_partial_aggregate(df)
+
+
+def test_skyline_and_blocking_audit_plans(spark):
+    """d90: documents scanned ONCE, pruned to the three axis inputs;
+    the two Pareto scans are the only Python stages, and the only
+    single-partition traffic is phase 2's front-sized merge.
+    audit: one pruned scan into a map-side-combined census — the
+    audit must cost a scan, never a candidate materialization (no
+    joins at all in the plan)."""
+    from pgsink_spark.operators.dedup import dedup_blocking_audit
+
+    df = rel.QUERIES["d90_skyline_pareto"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2
+    cols = [set(c) for c in scan_columns(df)]
+    assert len(cols) == 1, "skyline must scan documents exactly once"
+    assert cols[0] <= {"doc_id", "text", "n_chars"}
+
+    df = dedup_blocking_audit(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "audit must never build candidates"
+    assert has_partial_aggregate(df)
+    cols = [set(c) for c in scan_columns(df)]
+    assert len(cols) == 1
+    assert cols[0] <= {"doc_id", "text"}
