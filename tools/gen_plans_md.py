@@ -32,6 +32,10 @@ def main() -> None:
     import __spark_entry__ as em
 
     qs = em.queries()
+    # retired from queries() (round 6) but still a bench headline
+    from pgsink_spark.operators.dedup import bloom_decontaminate
+
+    qs.setdefault("bloom_decontaminate", bloom_decontaminate)
     lines = [
         "# PLANS — executed-plan audit (auto-generated)",
         "",
