@@ -205,9 +205,11 @@ HEADLINE = [
     "d89_trend_robust",
     "mdm_survivorship",
     "corpus_temperature_sample",
-    # round-6 additions (Pareto-front curation cut, blocking audit)
+    # round-6 additions (Pareto-front curation cut, blocking audit,
+    # label-propagation communities)
     "d90_skyline_pareto",
     "dedup_blocking_audit",
+    "graph_label_propagation",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -488,3 +488,132 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbr.unpersist()
     out._plan_audit_df = pre
     return out
+
+
+LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    steps = []
+    for k in range(LPA_ITERS):
+        steps.append(
+            # MATERIALIZED: each round's labels feed one vote census;
+            # inlining would re-derive every earlier round per round
+            f"""v{k} AS MATERIALIZED (
+      SELECT e.v, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+      FROM nbr e JOIN l{k} l ON l.node = e.z
+      GROUP BY e.v, l.lbl
+    ), l{k + 1} AS MATERIALIZED (
+      SELECT v AS node,
+             min(struct_pack(neg := -cnt, lbl := lbl)).lbl AS lbl
+      FROM v{k} GROUP BY v
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+    raw AS (
+      SELECT doc_id AS src, u.dst
+      FROM docs CROSS JOIN n,
+      UNNEST([(doc_id * doc_id * 7 + 1) % n.n,
+              (doc_id * 13 + 3) % n.n]) AS u(dst)
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    nbr AS MATERIALIZED (
+      SELECT a AS v, b AS z FROM edges
+      UNION ALL SELECT b AS v, a AS z FROM edges
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS lbl FROM nbr),
+    {chain}
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l{LPA_ITERS}
+    GROUP BY lbl
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """
+
+
+@query("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by K=4 SYNCHRONOUS label-propagation rounds
+    over the sparse citation graph (same deterministic edge set as
+    graph_kcore): every node starts as its own community, and each
+    round adopts the most frequent label among its neighbors
+    (tie-break: smallest label). Synchronous rounds with a total tie
+    order make LPA — normally a notoriously nondeterministic
+    algorithm — a pure function of the edge set, so the DuckDB oracle
+    (the identical K rounds unrolled as CTEs, the same
+    min(struct(-count, label)) election used by mdm_survivorship)
+    pins it hash-exactly. Output: the 20 largest communities.
+
+    Iterative-on-Spark shape (the kcore/PageRank discipline): the
+    undirected neighbor list is built once and PERSISTED; each round
+    is one z-keyed hash join (labels are the small moving side) + one
+    (v,label)-keyed partial-agg vote census + one v-keyed election,
+    and the label frame (node-census-sized) is eagerly checkpointed
+    per round so plans stay O(1) deep. The top-20 cut is
+    TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ncount = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    raw = docs.join(F.broadcast(ncount)).select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * F.col("doc_id") * 7 + 1) % F.col("n"),
+                (F.col("doc_id") * 13 + 3) % F.col("n"),
+            )
+        ).alias("dst"),
+    )
+    edges = (
+        raw.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    nbr = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("z"))
+        .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("z")))
+        .persist()
+    )
+    labels = (
+        nbr.select(F.col("v").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(LPA_ITERS):
+        votes = (
+            nbr.join(labels.withColumnRenamed("node", "z"), "z")
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("neg"), F.col("lbl"))
+                )
+                .getField("lbl")
+                .alias("lbl")
+            )
+            .withColumnRenamed("v", "node")
+            .localCheckpoint(eager=True)
+        )
+    pre = (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .select(F.col("lbl").alias("community"), "n_members")
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+    out = pre.localCheckpoint(eager=True)
+    nbr.unpersist()
+    out._plan_audit_df = pre
+    return out

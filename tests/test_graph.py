@@ -172,3 +172,48 @@ def test_bounded_class_list_guard(spark):
     big = spark.range(50).selectExpr("CAST(id AS STRING) AS class")
     with pytest.raises(ValueError, match="distinct values"):
         bounded_class_list(big, max_card=10)
+
+
+def test_label_propagation_matches_python_replay(spark, sf_dir):
+    """graph_label_propagation equals an independent plain-Python
+    replay of the 4 synchronous rounds (most-frequent neighbor label,
+    min-label tie-break) — not the DuckDB oracle, a third
+    implementation — and community sizes sum to the node census."""
+    from collections import Counter, defaultdict
+
+    from pgsink_spark.operators.graph import (
+        LPA_ITERS,
+        graph_label_propagation,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    nbrs = defaultdict(set)
+    for i in ids:
+        for d in ((i * i * 7 + 1) % n, (i * 13 + 3) % n):
+            if d != i:
+                nbrs[i].add(d)
+                nbrs[d].add(i)
+    lbl = {v: v for v in nbrs}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for v, zs in nbrs.items():
+            votes = Counter(lbl[z] for z in zs)
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[v] = best[0]
+        lbl = new
+    sizes = Counter(lbl.values())
+    expect = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = [
+        (r.community, r.n_members)
+        for r in graph_label_propagation(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert sum(sizes.values()) == len(nbrs)

@@ -742,3 +742,17 @@ def test_skyline_and_blocking_audit_plans(spark):
     cols = [set(c) for c in scan_columns(df)]
     assert len(cols) == 1
     assert cols[0] <= {"doc_id", "text"}
+
+
+def test_label_propagation_plan_shape(spark):
+    """LPA rounds must be map-side-combined keyed aggs over the one
+    persisted neighbor list — no single-partition traffic anywhere;
+    the top-20 cut is TakeOrdered, never a global sort."""
+    from pgsink_spark.operators.graph import graph_label_propagation
+
+    df = graph_label_propagation(spark, SF)
+    audit = getattr(df, "_plan_audit_df", df)
+    plan = audit._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+    assert has_partial_aggregate(audit)

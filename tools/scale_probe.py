@@ -119,6 +119,7 @@ PROBES = [
     # round-6 additions
     "d90_skyline_pareto",
     "dedup_blocking_audit",
+    "graph_label_propagation",
 ]
 
 
