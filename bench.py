@@ -210,6 +210,7 @@ HEADLINE = [
     "d90_skyline_pareto",
     "dedup_blocking_audit",
     "graph_label_propagation",
+    "retrieval_mrr",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

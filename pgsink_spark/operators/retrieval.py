@@ -740,3 +740,140 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+MRR_TERMS = ["hash", "join", "scan", "table", "sort"]
+MRR_K = 10
+MRR_REL_TF = 2  # relevant = the query term appears at least twice
+
+
+@query(
+    "retrieval_mrr",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks
+           WHERE tok IN ('hash', 'join', 'scan', 'table', 'sort')
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.tok, tf.doc_id, tf.tf,
+             CAST(ROUND(CAST(
+               ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             AS DECIMAL(18,8)), 6) AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    ranked AS (
+      SELECT tok, doc_id, tf, score,
+             row_number() OVER (
+               PARTITION BY tok ORDER BY score DESC, doc_id) AS r
+      FROM scored
+      QUALIFY r <= {MRR_K}
+    ),
+    firsts AS (
+      SELECT tok, CAST(min(r) AS BIGINT) AS fr
+      FROM ranked WHERE tf >= {MRR_REL_TF} GROUP BY tok
+    )
+    SELECT CAST({len(MRR_TERMS)} AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           COALESCE(CAST(sum(1000000 // fr) // {len(MRR_TERMS)}
+             AS BIGINT), 0) AS mrr_ppm
+    FROM firsts
+    """,
+)
+def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 over a FIVE-query BM25 evaluation set — the multi-query
+    companion to retrieval_ndcg's single-query rank quality: each
+    single-term query ranks the corpus by its (rounded) BM25 score,
+    relevance is deterministic (the term occurs >= 2 times), and the
+    metric is the mean reciprocal rank of the first relevant hit in
+    the top-10 (queries with no relevant hit contribute 0). Reciprocal
+    ranks are INTEGER micro-units (1000000 // rank) and the mean is a
+    floor division, so the metric is a pure integer function of the
+    fixture — hash-exact on both engines with no float summation.
+
+    Plan: the query set is a fixed control-plane list, so this is
+    |Q| independent (scan -> 1-row stats broadcast -> TakeOrdered
+    top-10) pipelines unioned — never a (doc, term) shuffle; every
+    row past the scans is top-10-sized. Ranking uses the ROUNDED
+    score (same discipline as bm25_search) so order ties cannot flip
+    on float noise across engines.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tops = []
+    for qi, t in enumerate(MRR_TERMS):
+        per_doc = docs.select(
+            "doc_id",
+            F.expr(
+                "transform(array(split(lower(text), ' ')), w -> "
+                f"struct(size(w) as dl, size(filter(w, x -> x = '{t}'))"
+                " as tf))[0]"
+            ).alias("s"),
+        ).select(
+            "doc_id",
+            F.col("s.dl").cast("double").alias("dl"),
+            F.col("s.tf").cast("double").alias("tf"),
+        )
+        stats = per_doc.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.sum((F.col("tf") > 0).cast("double")).alias("df"),
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        norm = (
+            F.col("tf")
+            * (K1 + 1)
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+        )
+        top = (
+            per_doc.crossJoin(F.broadcast(stats))
+            .where(F.col("tf") > 0)
+            .select(
+                F.lit(t).alias("tok"),
+                "doc_id",
+                "tf",
+                _round6(idf * norm).alias("score"),
+            )
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(MRR_K)
+        )
+        tops.append(top)
+    ranked = tops[0]
+    for frame in tops[1:]:
+        ranked = ranked.unionByName(frame)
+    with_r = ranked.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("tok").orderBy(F.desc("score"), "doc_id")
+        ),
+    )
+    firsts = (
+        with_r.where(F.col("tf") >= MRR_REL_TF)
+        .groupBy("tok")
+        .agg(F.min("r").cast("long").alias("fr"))
+    )
+    return firsts.agg(
+        F.lit(len(MRR_TERMS)).cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.coalesce(
+            F.expr(f"sum(1000000 div fr) div {len(MRR_TERMS)}").cast(
+                "long"
+            ),
+            F.lit(0).cast("long"),
+        ).alias("mrr_ppm"),
+    )

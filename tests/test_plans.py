@@ -756,3 +756,16 @@ def test_label_propagation_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SinglePartition" not in plan
     assert has_partial_aggregate(audit)
+
+
+def test_mrr_plan_no_doc_term_shuffle(spark):
+    """MRR's five query pipelines must each be scan -> 1-row stats
+    broadcast -> TakeOrdered: no doc-keyed join, and every aggregate
+    is map-side combined."""
+    from pgsink_spark.operators.retrieval import retrieval_mrr
+
+    df = retrieval_mrr(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert has_partial_aggregate(df)
+    assert "SortMergeJoin" not in plan

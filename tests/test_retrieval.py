@@ -165,3 +165,58 @@ def test_gaps_islands_matches_python_recompute(spark, sf_dir):
                 cur = 1
         streaks.append(cur)
         assert got[uid] == (len(streaks), max(streaks)), uid
+
+
+def test_mrr_matches_python_replay(spark, sf_dir):
+    """retrieval_mrr equals a plain-Python BM25 replay: per term, rank
+    by rounded score (doc_id ties), find the first doc with tf >= 2 in
+    the top-10, and fold integer reciprocal micro-ranks."""
+    import math
+
+    from pgsink_spark.operators.retrieval import (
+        B,
+        K1,
+        MRR_K,
+        MRR_REL_TF,
+        MRR_TERMS,
+        retrieval_mrr,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = [
+        (r.doc_id, r.text.lower().split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    n = float(len(docs))
+    avgdl = sum(len(w) for _, w in docs) / n
+    total = 0
+    hits = 0
+    for t in MRR_TERMS:
+        tfs = {d: w.count(t) for d, w in docs if t in w}
+        df = float(len(tfs))
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        dls = {d: len(w) for d, w in docs}
+        scored = sorted(
+            (
+                (
+                    -round(
+                        idf
+                        * tf
+                        * (K1 + 1)
+                        / (tf + K1 * (1 - B + B * dls[d] / avgdl)),
+                        6,
+                    ),
+                    d,
+                    tf,
+                )
+                for d, tf in tfs.items()
+            ),
+        )[:MRR_K]
+        for rank, (_, _, tf) in enumerate(scored, start=1):
+            if tf >= MRR_REL_TF:
+                total += 1_000_000 // rank
+                hits += 1
+                break
+    expect = (len(MRR_TERMS), hits, total // len(MRR_TERMS))
+    row = retrieval_mrr(spark, sf_dir).collect()[0]
+    assert (row.n_queries, row.n_hit, row.mrr_ppm) == expect

@@ -120,6 +120,7 @@ PROBES = [
     "d90_skyline_pareto",
     "dedup_blocking_audit",
     "graph_label_propagation",
+    "retrieval_mrr",
 ]
 
 
