@@ -211,6 +211,8 @@ HEADLINE = [
     "dedup_blocking_audit",
     "graph_label_propagation",
     "retrieval_mrr",
+    "decontaminate_ngram_overlap",
+    "src_xml_roundtrip",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

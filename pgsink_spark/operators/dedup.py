@@ -1890,3 +1890,90 @@ def dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cand_window"),
         F.sum(allpairs).cast("long").alias("cand_allpairs"),
     )
+
+
+NGO_N = 4  # words per overlap shingle
+NGO_THRESHOLD_PPM = 200_000  # >= 20% of a doc's 4-grams seen in train
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {NGO_N}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[i.i : i.i + {NGO_N - 1}], ' ') AS s
+      FROM toks, LATERAL (SELECT unnest(
+             generate_series(1, len(w) - {NGO_N - 1})) AS i) i
+    ),
+    train AS (SELECT DISTINCT s FROM sh WHERE doc_id >= {EVAL_SPLIT_ID}),
+    ev AS (SELECT doc_id, s FROM sh WHERE doc_id < {EVAL_SPLIT_ID}),
+    hits AS (
+      SELECT ev.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit
+      FROM ev LEFT JOIN train t ON ev.s = t.s
+      GROUP BY ev.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           CAST(1000000 * n_hit // n_grams AS BIGINT) AS overlap_ppm,
+           1000000 * n_hit // n_grams >= {NGO_THRESHOLD_PPM}
+             AS contaminated
+    FROM hits ORDER BY doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM OVERLAP decontamination — the published train/test
+    hygiene check (the GPT-3-style "n-gram collision" scan, scaled to
+    this corpus's ~30-word docs with n=4): for every eval-split
+    document, the fraction of its distinct word-4-grams that appear
+    ANYWHERE in the training split, in integer ppm with a 20% verdict
+    column. Complements the pairwise checks: contamination_check
+    answers "which train doc is this eval doc a near-copy of" (doc
+    Jaccard), the Bloom triage answers it probabilistically; this one
+    answers "how much of this eval doc has leaked, regardless of how
+    it is scattered across train" — partial-phrase leakage the
+    pairwise Jaccard threshold never trips.
+
+    Scale shape: shingles are row-local; the train side collapses to
+    ONE distinct-gram set (shingle-keyed partial agg) and the tiny
+    eval side BROADCASTS into the inner membership join, so nothing
+    corpus-sized ever shuffles twice and no eval×train doc pairs
+    materialize. Integer ppm + floor division keep the verdict
+    hash-exact on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, NGO_N)
+    train = (
+        sh.where(F.col("doc_id") >= EVAL_SPLIT_ID)
+        .select("shingle")
+        .distinct()
+    )
+    ev = sh.where(F.col("doc_id") < EVAL_SPLIT_ID)
+    sizes = ev.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    matched = (
+        F.broadcast(ev)
+        .join(train, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    hits = sizes.join(matched, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+    )
+    ppm = F.expr("1000000 * n_hit div n_grams")
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        ppm.cast("long").alias("overlap_ppm"),
+        (ppm >= NGO_THRESHOLD_PPM).alias("contaminated"),
+    ).orderBy("doc_id")

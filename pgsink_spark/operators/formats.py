@@ -207,3 +207,43 @@ def src_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query("src_xml_roundtrip", _ORACLE)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders staged out as XML (Spark 4's NATIVE xml format — the
+    spark-xml package merged into core) and read back with a declared
+    schema — the roundtrip contract for the last mainstream
+    semi-structured feed format alongside CSV/NDJSON/ORC. Like the
+    text formats, values travel stringified inside elements, so the
+    reader's schema drives the typed parse (timestamps included);
+    the shared oracle pins value fidelity against the parquet truth.
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/pgsink_fmt_xml_{h}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_totalprice",
+        ).write.mode("overwrite").format("xml").option(
+            "rowTag", "order"
+        ).save(out)
+    raw = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_orderdate timestamp_ntz, o_totalprice double"
+        )
+        .format("xml")
+        .option("rowTag", "order")
+        .load(out)
+    )
+    return raw.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        rnd(dec("o_totalprice"), 2).alias("tp"),
+    ).orderBy("o_orderkey")

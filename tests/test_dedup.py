@@ -424,3 +424,44 @@ def test_linkage_hot_block_cap_bounds_candidates(spark):
     ).fetchall()
     con.close()
     assert got == [(a, b) for a, b in oracle]
+
+
+def test_ngram_overlap_matches_python_replay(spark, sf_dir):
+    """decontaminate_ngram_overlap equals a plain-Python set replay:
+    distinct eval 4-grams probed against the union of all train
+    4-grams, integer ppm, 20% verdict."""
+    from pgsink_spark.operators.dedup import (
+        EVAL_SPLIT_ID,
+        NGO_N,
+        NGO_THRESHOLD_PPM,
+        decontaminate_ngram_overlap,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = [
+        (r.doc_id, r.text.lower().split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+
+    def grams(w):
+        return {
+            " ".join(w[i : i + NGO_N]) for i in range(len(w) - NGO_N + 1)
+        }
+
+    train = set()
+    for d, w in docs:
+        if d >= EVAL_SPLIT_ID and len(w) >= NGO_N:
+            train |= grams(w)
+    expect = {}
+    for d, w in docs:
+        if d < EVAL_SPLIT_ID and len(w) >= NGO_N:
+            g = grams(w)
+            hit = len(g & train)
+            ppm = 1_000_000 * hit // len(g)
+            expect[d] = (len(g), hit, ppm, ppm >= NGO_THRESHOLD_PPM)
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit, r.overlap_ppm, r.contaminated)
+        for r in decontaminate_ngram_overlap(spark, sf_dir).collect()
+    }
+    assert got == expect

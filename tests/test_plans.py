@@ -769,3 +769,21 @@ def test_mrr_plan_no_doc_term_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert has_partial_aggregate(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_overlap_and_xml_plan_pins(spark):
+    """decontaminate_ngram_overlap: the tiny eval side broadcasts into
+    the membership join (no corpus-sized shuffle join) and the train
+    distinct is a map-side-combined agg. src_xml_roundtrip: the read
+    back is a real scan of the staged XML with the declared 5-column
+    schema."""
+    from pgsink_spark.operators.dedup import decontaminate_ngram_overlap
+    from pgsink_spark.operators.formats import src_xml_roundtrip
+
+    df = decontaminate_ngram_overlap(spark, SF)
+    assert broadcast_join_count(df, run=True) >= 1
+    assert has_partial_aggregate(df)
+
+    df = src_xml_roundtrip(spark, SF)
+    assert len(df.columns) == 5
+    assert df.count() > 0

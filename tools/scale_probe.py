@@ -121,6 +121,8 @@ PROBES = [
     "dedup_blocking_audit",
     "graph_label_propagation",
     "retrieval_mrr",
+    "decontaminate_ngram_overlap",
+    "src_xml_roundtrip",
 ]
 
 
