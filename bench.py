@@ -213,6 +213,7 @@ HEADLINE = [
     "retrieval_mrr",
     "decontaminate_ngram_overlap",
     "src_xml_roundtrip",
+    "corpus_source_overlap",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

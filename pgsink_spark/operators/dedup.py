@@ -1977,3 +1977,88 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm.cast("long").alias("overlap_ppm"),
         (ppm >= NGO_THRESHOLD_PPM).alias("contaminated"),
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_source_overlap",
+    f"""
+    WITH toks AS (
+      SELECT source, string_split(lower(text), ' ') AS w
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {NGO_N}
+    ),
+    sg AS (
+      SELECT DISTINCT source,
+             array_to_string(w[i.i : i.i + {NGO_N - 1}], ' ') AS s
+      FROM toks, LATERAL (SELECT unnest(
+             generate_series(1, len(w) - {NGO_N - 1})) AS i) i
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sg a JOIN sg b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+           CAST(1000000 * n_shared // (sa.n + sb.n - n_shared)
+             AS BIGINT) AS jaccard_ppm
+    FROM shared
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair CONTENT-OVERLAP matrix — the governance view of the
+    decontamination plane: for every pair of ingest sources, the
+    distinct word-4-gram Jaccard between their corpora in integer ppm
+    ("which crawls/feeds duplicate each other"), the table a pipeline
+    owner reads before deciding which source to drop or down-weight
+    in the mixture. Same gram definition as
+    decontaminate_ngram_overlap, so the two reports compose.
+
+    Scale shape: grams collapse to DISTINCT (source, gram) rows —
+    one shingle-keyed partial agg over a row-local projection; the
+    pair census is a gram-keyed self-join whose per-gram fan-out is
+    bounded by the SOURCE COUNT (control-plane small, k² pairs max
+    per gram), never by corpus size, and the result is k²/2 rows.
+    All-integer ppm keeps the hash exact on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sg = (
+        word_shingles(docs, NGO_N)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = sg.select(F.col("source").alias("src_a"), "shingle")
+    b = sg.select(F.col("source").alias("src_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr("1000000 * n_shared div (n_a + n_b - n_shared)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )

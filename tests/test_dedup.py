@@ -465,3 +465,40 @@ def test_ngram_overlap_matches_python_replay(spark, sf_dir):
         for r in decontaminate_ngram_overlap(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_source_overlap_matches_python_replay(spark, sf_dir):
+    """corpus_source_overlap equals a plain-Python per-source gram-set
+    replay (sizes, intersections, integer-ppm Jaccard), and the matrix
+    is symmetric by construction (only src_a < src_b pairs emitted)."""
+    from pgsink_spark.operators.dedup import NGO_N, corpus_source_overlap
+    from pgsink_spark.sources.fixtures import load_table
+
+    by_src: dict = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        w = r.text.lower().split(" ")
+        if len(w) < NGO_N:
+            continue
+        g = by_src.setdefault(r.source, set())
+        g |= {" ".join(w[i : i + NGO_N]) for i in range(len(w) - NGO_N + 1)}
+
+    expect = {}
+    srcs = sorted(by_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(by_src[a] & by_src[b])
+            if shared:
+                na, nb = len(by_src[a]), len(by_src[b])
+                expect[(a, b)] = (
+                    na,
+                    nb,
+                    shared,
+                    1_000_000 * shared // (na + nb - shared),
+                )
+
+    got = {
+        (r.src_a, r.src_b): (r.n_a, r.n_b, r.n_shared, r.jaccard_ppm)
+        for r in corpus_source_overlap(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(a < b for a, b in got)

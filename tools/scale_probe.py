@@ -123,6 +123,7 @@ PROBES = [
     "retrieval_mrr",
     "decontaminate_ngram_overlap",
     "src_xml_roundtrip",
+    "corpus_source_overlap",
 ]
 
 
