@@ -52,6 +52,73 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # mdm_survivorship, corpus_temperature_sample) plus the 40 r1/r2-stale
 # green rows head _ROUND7_PRIORITY next round. See VERIFICATION.md
 # for the rotation ledger.
+# Round 7 burns the never-driver-checked backlog to ZERO (r6 verdict
+# item 2): all 15 queries without a driver row in r1–r6 (the 8 deferred
+# wave-5d singles + the 7 round-6 additions) head the window, followed
+# by the stalest green rows — all 12 r1-vintage rows (d22,d24–d34) and
+# 23 of the 28 r2-vintage rows (the 18 TPC-H queries + the 5 flagship
+# dedup/similarity ops). The 5 deferred r2 rows (ann_bruteforce_topk,
+# dedup_cluster, dedup_embedding_pairs, dedup_simhash_pairs,
+# text_fingerprint) + the r3-vintage block head _ROUND8_PRIORITY.
+# Rotation ledger: VERIFICATION.md.
+_ROUND7_PRIORITY = [
+    # ---- never driver-checked: wave-5d statistical singles ----
+    "d83_seq_match",
+    "d84_kmv_setops",
+    "d86_holt_forecast",
+    "d87_rolling_distinct",
+    "d88_kmv_reach",
+    "d89_trend_robust",
+    "mdm_survivorship",
+    "corpus_temperature_sample",
+    # ---- never driver-checked: round-6 additions ----
+    "d90_skyline_pareto",
+    "dedup_blocking_audit",
+    "graph_label_propagation",
+    "retrieval_mrr",
+    "decontaminate_ngram_overlap",
+    "corpus_source_overlap",
+    "src_xml_roundtrip",
+    # ---- r1-vintage green rows (latest driver check = round 1) ----
+    "d22_asof_join",
+    "d24_percentiles",
+    "d25_set_ops",
+    "d26_cube",
+    "d27_date_arithmetic",
+    "d28_grouping_sets",
+    "d29_window_frames",
+    "d30_tpch_q3",
+    "d31_tpch_q5",
+    "d32_pivot",
+    "d33_string_agg",
+    "d34_exists_combo",
+    # ---- r2-vintage: the TPC-H module (18 rows; q12 is r3) ----
+    "tpch_q02_min_cost_supplier",
+    "tpch_q04_order_priority",
+    "tpch_q06_forecast_revenue",
+    "tpch_q07_volume_shipping",
+    "tpch_q08_market_share",
+    "tpch_q09_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_relationship",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
+    # ---- r2-vintage: flagship dedup/similarity (5 of 10; rest → r8) ----
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "d20_similarity_topk",
+]
+
 _ROUND6_PRIORITY = [
     # ---- never driver-checked, oldest first ----
     # SCD2 / CDC / IVM plane (wave 5b)
@@ -450,8 +517,11 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["text_fingerprint"] = _text.text_fingerprint
 
     ordered: dict[str, QueryFn] = {}
-    for name in _ROUND6_PRIORITY:
+    for name in _ROUND7_PRIORITY:
         ordered[name] = queries[name]
+    for name in _ROUND6_PRIORITY:
+        if name not in ordered:
+            ordered[name] = queries[name]
     for name in _ROUND5_PRIORITY + _ROUND4_PRIORITY + _ROUND1_VINTAGE:
         if name not in ordered:
             ordered[name] = queries[name]

@@ -281,6 +281,23 @@ def main() -> None:
                     ).save()
                 except Exception:
                     pass
+        # then one UNTIMED execution of each query at the BENCH SF.
+        # The sf0.001 pass compiles the codegen classes but gives the
+        # JVM almost no execution time to tier-up JIT Spark's own
+        # infrastructure (scheduler, parquet reader, shuffle paths) —
+        # round 6 showed the first ~6 timed queries after a context
+        # restart paying 2-4x cold-start that even min-of-3
+        # back-to-back runs never amortized (driver r6 `regressions`:
+        # every entry sat at head-of-group position 0-6). A full-SF
+        # priming pass is real work at real scale, so the first TIMED
+        # run executes against a tiered-up JVM.
+        for name in names:
+            try:
+                qs[name](s, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
 
     # Session-restart granularity for the timed sweep. One shared
     # session across the whole (170+-query) registry accumulates
@@ -349,6 +366,8 @@ def main() -> None:
             shutil.rmtree(root, ignore_errors=True)
 
     if not only:
+        sink_warehouse_insert()  # untimed full-SF priming (see warm_session)
+        release_blocks()
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.time()
