@@ -1830,7 +1830,7 @@ def mdm_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     , census AS (
       SELECT blk, CAST(max(cnt) AS BIGINT) AS cnt FROM k2 GROUP BY blk
     )
-    SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_blocked_docs,
            CAST(count(*) AS BIGINT) AS n_blocks,
            CAST(sum(CASE WHEN cnt > {LINKAGE_BLOCK_CAP}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_blocks,
@@ -1860,6 +1860,11 @@ def dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantifies the pruned volume. Closed-form window count per hot
     block of n members: (n-W)*W + W*(W-1)/2.
 
+    ``n_blocked_docs`` counts documents that ENTER blocking (those
+    with >= 2 tokens, _linkage_blocks's key requirement) — it is NOT
+    the corpus census; compare against count(*) on documents to see
+    how many rows blocking skips outright.
+
     Plan: one row-local key projection, one block-keyed partial-agg
     census, one global 1-row fold — no joins, no candidate
     materialization; the audit costs a scan even when the candidate
@@ -1874,7 +1879,7 @@ def dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     allpairs = F.expr("(cnt * (cnt - 1)) div 2")
     window_cnt = (F.col("cnt") - w) * w + w * (w - 1) // 2
     return census.agg(
-        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("cnt").cast("long").alias("n_blocked_docs"),
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
         F.sum((F.col("cnt") > cap).cast("long"))
         .cast("long")
@@ -1894,6 +1899,10 @@ def dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGO_N = 4  # words per overlap shingle
 NGO_THRESHOLD_PPM = 200_000  # >= 20% of a doc's 4-grams seen in train
+# Broadcast ceiling for the eval-split shingle frame (~30-char grams →
+# well under 500 MB); beyond this the membership join must be a keyed
+# shuffle join, not a broadcast.
+NGO_EVAL_MAX_SHINGLES = 5_000_000
 
 
 @query(
@@ -1954,7 +1963,16 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    ev = sh.where(F.col("doc_id") < EVAL_SPLIT_ID)
+    from pgsink_spark.operators.evaluation import bounded_broadcast
+
+    # the eval split is CONTRACTUALLY tiny (50 fixed docs), but the
+    # broadcast is data-shaped, so it routes through the fail-fast
+    # size guard instead of trusting the contract silently
+    ev = bounded_broadcast(
+        sh.where(F.col("doc_id") < EVAL_SPLIT_ID),
+        NGO_EVAL_MAX_SHINGLES,
+        "eval-split shingle set",
+    )
     sizes = ev.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )

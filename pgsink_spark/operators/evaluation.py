@@ -36,20 +36,41 @@ from pgsink_spark.sources.fixtures import load_table
 EVAL_MAX_CLASSES = 1000
 
 
-def bounded_class_list(classes: DataFrame, max_card: int = EVAL_MAX_CLASSES) -> DataFrame:
-    """Assert a to-be-broadcast distinct frame is control-plane sized.
+def bounded_broadcast(df: DataFrame, max_rows: int, what: str) -> DataFrame:
+    """Assert a to-be-broadcast frame is control-plane sized.
 
-    ``limit(max+1).count()`` bounds the check itself — it never pulls
-    more than max_card+1 rows regardless of the true cardinality.
+    ``limit(max+1)`` bounds the check itself — it never pulls more
+    than max_rows+1 rows regardless of the true cardinality — and the
+    limited frame is eagerly localCheckpoint'ed BEFORE the guard
+    count, so the guard and the caller's subsequent broadcast share
+    ONE computation of the input plan instead of running it twice
+    (the checkpointed frame IS the full input whenever the guard
+    passes, since n <= max_rows). Every ``F.broadcast`` site whose
+    input size is DATA-shaped (not a fixed enum / constant-row stats
+    frame) must route through this guard: a silently growing
+    broadcast side is a driver/executor OOM at scale, and the guard
+    converts it into a fail-fast contract violation naming the site.
     """
-    n = classes.limit(max_card + 1).count()
-    if n > max_card:
+    bounded = df.limit(max_rows + 1).localCheckpoint(eager=True)
+    if bounded.count() > max_rows:
+        raise ValueError(
+            f"{what} exceeds {max_rows} rows; refusing to broadcast "
+            "an unbounded frame — rewrite the join as a keyed shuffle "
+            "join instead"
+        )
+    return bounded
+
+
+def bounded_class_list(classes: DataFrame, max_card: int = EVAL_MAX_CLASSES) -> DataFrame:
+    """Assert a to-be-broadcast distinct class frame is enum-sized."""
+    try:
+        return bounded_broadcast(classes, max_card, "class column")
+    except ValueError:
         raise ValueError(
             f"class column exceeds {max_card} distinct values; "
             "refusing to broadcast an unbounded class list — "
             "aggregate by class key directly instead"
-        )
-    return classes
+        ) from None
 
 
 _LANGID_PRED = """

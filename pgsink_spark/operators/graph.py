@@ -31,6 +31,70 @@ PR_SCALE = 1_000_000
 PR_ITERS = 5
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 
+# Deterministic citation-graph edge generator, shared by EVERY graph
+# operator (PageRank/triangles/linkpred use it directly; kcore/LPA use
+# the sparse 2-link variant) and mirrored verbatim by the oracle SQL
+# fragment below. Each doc links to (id²·7+1) mod n (quadratic —
+# non-uniform in-degree) and (id·13+3) mod n; ``densify`` adds ring
+# (+50) and chord (+100) links that close a triangle at every node.
+#
+# RANGE GUARD: ``7·doc_id² + 1`` must stay inside int64. DuckDB raises
+# on overflow where non-ANSI Spark silently wraps — a latent
+# cross-engine divergence. That requires doc_id < √(2⁶³/7) ≈ 1.1479e9;
+# fixture doc_ids are dense 0..n-1, so the formula is safe to ~1.1
+# BILLION documents per corpus. Beyond that, replace the quadratic
+# with a 64-bit mix hash (F.xxhash64 / DuckDB hash()) on BOTH sides.
+# tests/test_graph.py pins the bound against the fixture id range.
+_EDGE_DOC_ID_MAX = 1_147_000_000
+
+
+def _edge_unnest_sql(densify: bool) -> str:
+    """The oracle-side UNNEST target list (must mirror _citation_raw)."""
+    targets = (
+        "(doc_id * doc_id * 7 + 1) % n.n,\n"
+        "              (doc_id * 13 + 3) % n.n"
+    )
+    if densify:
+        targets += (
+            ",\n              (doc_id + 50) % n.n,\n"
+            "              (doc_id + 100) % n.n"
+        )
+    return targets
+
+
+def _citation_raw(
+    spark: SparkSession, sf_dir: str, densify: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """(docs, raw directed src→dst edge frame) for the citation graph."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ncount = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    targets = [
+        (F.col("doc_id") * F.col("doc_id") * 7 + 1) % F.col("n"),
+        (F.col("doc_id") * 13 + 3) % F.col("n"),
+    ]
+    if densify:
+        targets += [
+            (F.col("doc_id") + 50) % F.col("n"),
+            (F.col("doc_id") + 100) % F.col("n"),
+        ]
+    raw = docs.join(F.broadcast(ncount)).select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*targets)).alias("dst"),
+    )
+    return docs, raw
+
+
+def _canonical_edges(raw: DataFrame) -> DataFrame:
+    """Undirected canonical edge list: a < b, self-loops out, distinct."""
+    return (
+        raw.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
 
 def _pr_iter_cte(k: int) -> str:
     return f"""
@@ -47,14 +111,13 @@ r{k + 1} AS (
 
 
 _PAGERANK_ORACLE = (
-    """
+    f"""
     WITH docs AS (SELECT doc_id FROM documents),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
     edges AS (
       SELECT doc_id AS src, u.dst
       FROM docs CROSS JOIN n,
-      UNNEST([(doc_id * doc_id * 7 + 1) % n.n,
-              (doc_id * 13 + 3) % n.n]) AS u(dst)
+      UNNEST([{_edge_unnest_sql(False)}]) AS u(dst)
     ),
     r0 AS (SELECT doc_id, CAST("""
     + str(PR_SCALE)
@@ -89,21 +152,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shallow). The top-20 cut is TakeOrderedAndProject, never a global
     sort.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    ncount = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    edges = (
-        docs.join(F.broadcast(ncount))
-        .select(
-            F.col("doc_id").alias("src"),
-            F.explode(
-                F.array(
-                    (F.col("doc_id") * F.col("doc_id") * 7 + 1) % F.col("n"),
-                    (F.col("doc_id") * 13 + 3) % F.col("n"),
-                )
-            ).alias("dst"),
-        )
-        .persist()
-    )
+    docs, raw = _citation_raw(spark, sf_dir, densify=False)
+    edges = raw.persist()
 
     ranks = docs.select(
         "doc_id", F.lit(PR_SCALE).cast("long").alias("r")
@@ -139,16 +189,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_TRIANGLE_ORACLE = """
+_TRIANGLE_ORACLE = f"""
     WITH docs AS (SELECT doc_id FROM documents),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
     raw AS (
       SELECT doc_id AS src, u.dst
       FROM docs CROSS JOIN n,
-      UNNEST([(doc_id * doc_id * 7 + 1) % n.n,
-              (doc_id * 13 + 3) % n.n,
-              (doc_id + 50) % n.n,
-              (doc_id + 100) % n.n]) AS u(dst)
+      UNNEST([{_edge_unnest_sql(True)}]) AS u(dst)
     ),
     edges AS (
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -189,28 +236,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency, and the per-node fold is a partial agg. Top-20 is
     TakeOrderedAndProject.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    ncount = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    raw = docs.join(F.broadcast(ncount)).select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.array(
-                (F.col("doc_id") * F.col("doc_id") * 7 + 1) % F.col("n"),
-                (F.col("doc_id") * 13 + 3) % F.col("n"),
-                (F.col("doc_id") + 50) % F.col("n"),
-                (F.col("doc_id") + 100) % F.col("n"),
-            )
-        ).alias("dst"),
-    )
-    edges = (
-        raw.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .persist()
-    )
+    _docs, raw = _citation_raw(spark, sf_dir, densify=True)
+    edges = _canonical_edges(raw).persist()
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -239,10 +266,7 @@ _LINKPRED_ORACLE = f"""
     raw AS (
       SELECT doc_id AS src, u.dst
       FROM docs CROSS JOIN n,
-      UNNEST([(doc_id * doc_id * 7 + 1) % n.n,
-              (doc_id * 13 + 3) % n.n,
-              (doc_id + 50) % n.n,
-              (doc_id + 100) % n.n]) AS u(dst)
+      UNNEST([{_edge_unnest_sql(True)}]) AS u(dst)
     ),
     edges AS (
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -294,28 +318,8 @@ def graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot-shingle cap in dedup_ngram_jaccard); the top-20 cut is
     TakeOrderedAndProject, never a global sort.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    ncount = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    raw = docs.join(F.broadcast(ncount)).select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.array(
-                (F.col("doc_id") * F.col("doc_id") * 7 + 1) % F.col("n"),
-                (F.col("doc_id") * 13 + 3) % F.col("n"),
-                (F.col("doc_id") + 50) % F.col("n"),
-                (F.col("doc_id") + 100) % F.col("n"),
-            )
-        ).alias("dst"),
-    )
-    edges = (
-        raw.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .persist()
-    )
+    _docs, raw = _citation_raw(spark, sf_dir, densify=True)
+    edges = _canonical_edges(raw).persist()
     nbr = edges.select(F.col("a").alias("v"), F.col("b").alias("z")).unionAll(
         edges.select(F.col("b").alias("v"), F.col("a").alias("z"))
     )
@@ -378,8 +382,7 @@ def _kcore_oracle() -> str:
     raw AS (
       SELECT doc_id AS src, u.dst
       FROM docs CROSS JOIN n,
-      UNNEST([(doc_id * doc_id * 7 + 1) % n.n,
-              (doc_id * 13 + 3) % n.n]) AS u(dst)
+      UNNEST([{_edge_unnest_sql(False)}]) AS u(dst)
     ),
     edges AS (
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -423,25 +426,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last; checkpoint-per-round is the textbook iterative-graph
     pattern (GraphX/Pregel do the same materialization per superstep).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    ncount = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    raw = docs.join(F.broadcast(ncount)).select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.array(
-                (F.col("doc_id") * F.col("doc_id") * 7 + 1) % F.col("n"),
-                (F.col("doc_id") * 13 + 3) % F.col("n"),
-            )
-        ).alias("dst"),
-    )
-    edges = (
-        raw.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
+    _docs, raw = _citation_raw(spark, sf_dir, densify=False)
+    edges = _canonical_edges(raw)
     nbr = (
         edges.select(F.col("a").alias("v"), F.col("b").alias("z"))
         .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("z")))
@@ -516,8 +502,7 @@ def _lpa_oracle() -> str:
     raw AS (
       SELECT doc_id AS src, u.dst
       FROM docs CROSS JOIN n,
-      UNNEST([(doc_id * doc_id * 7 + 1) % n.n,
-              (doc_id * 13 + 3) % n.n]) AS u(dst)
+      UNNEST([{_edge_unnest_sql(False)}]) AS u(dst)
     ),
     edges AS (
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -558,25 +543,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round so plans stay O(1) deep. The top-20 cut is
     TakeOrderedAndProject, never a global sort.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    ncount = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    raw = docs.join(F.broadcast(ncount)).select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.array(
-                (F.col("doc_id") * F.col("doc_id") * 7 + 1) % F.col("n"),
-                (F.col("doc_id") * 13 + 3) % F.col("n"),
-            )
-        ).alias("dst"),
-    )
-    edges = (
-        raw.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
+    _docs, raw = _citation_raw(spark, sf_dir, densify=False)
+    edges = _canonical_edges(raw)
     nbr = (
         edges.select(F.col("a").alias("v"), F.col("b").alias("z"))
         .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("z")))

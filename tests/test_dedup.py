@@ -502,3 +502,19 @@ def test_source_overlap_matches_python_replay(spark, sf_dir):
     }
     assert got == expect
     assert all(a < b for a, b in got)
+
+
+def test_bounded_broadcast_guard_on_decontamination_shape(spark):
+    """The generic broadcast guard (r6 verdict item 5): passes small
+    frames through with identical content, fails fast over the cap."""
+    import pytest
+
+    from pgsink_spark.operators.evaluation import bounded_broadcast
+
+    small = spark.range(7).selectExpr("id AS doc_id", "'a b c d' AS s")
+    out = bounded_broadcast(small, 10, "eval shingles")
+    assert sorted(r.doc_id for r in out.collect()) == list(range(7))
+
+    big = spark.range(100).selectExpr("id AS doc_id")
+    with pytest.raises(ValueError, match="refusing to broadcast"):
+        bounded_broadcast(big, 10, "eval shingles")

@@ -167,7 +167,12 @@ def test_bounded_class_list_guard(spark):
     from pgsink_spark.operators.evaluation import bounded_class_list
 
     small = spark.range(5).selectExpr("CAST(id AS STRING) AS class")
-    assert bounded_class_list(small, max_card=10) is small
+    out = bounded_class_list(small, max_card=10)
+    # the guard returns the checkpointed bounded frame (one shared
+    # computation for guard + broadcast) with the full class list
+    assert sorted(r["class"] for r in out.collect()) == sorted(
+        r["class"] for r in small.collect()
+    )
 
     big = spark.range(50).selectExpr("CAST(id AS STRING) AS class")
     with pytest.raises(ValueError, match="distinct values"):
@@ -217,3 +222,18 @@ def test_label_propagation_matches_python_replay(spark, sf_dir):
     ]
     assert got == expect
     assert sum(sizes.values()) == len(nbrs)
+
+
+def test_edge_generator_doc_id_range_guard(spark, sf_dir):
+    """7·doc_id² must stay in int64 (DuckDB errors on overflow, Spark
+    silently wraps — a cross-engine divergence). _EDGE_DOC_ID_MAX pins
+    the documented bound; the fixtures must sit far inside it."""
+    from pgsink_spark.operators.graph import _EDGE_DOC_ID_MAX
+
+    assert 7 * _EDGE_DOC_ID_MAX * _EDGE_DOC_ID_MAX + 1 < 2**63
+    max_id = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    assert max_id < _EDGE_DOC_ID_MAX
