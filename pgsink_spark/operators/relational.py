@@ -5195,18 +5195,23 @@ def d90_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.lower("text"), " ")
+    # hapax count, LINEAR in words (r6 verdict item 6 — the previous
+    # nested filter was O(words²) per row): on the SORTED array a word
+    # occurs exactly once iff it differs from both neighbors; F.get is
+    # 0-based and NULL out-of-bounds, so eqNullSafe handles the ends.
+    sw = F.array_sort(w)
+    hapax = F.size(
+        F.filter(
+            sw,
+            lambda x, i: ~x.eqNullSafe(F.get(sw, i - 1))
+            & ~x.eqNullSafe(F.get(sw, i + 1)),
+        )
+    )
     dims = docs.select(
         "doc_id",
         F.col("n_chars").alias("d_len"),
         F.size(F.array_distinct(w)).cast("long").alias("d_vocab"),
-        F.size(
-            F.filter(
-                F.array_distinct(w),
-                lambda x: F.size(F.filter(w, lambda y: y == x)) == 1,
-            )
-        )
-        .cast("long")
-        .alias("d_hapax"),
+        hapax.cast("long").alias("d_hapax"),
     )
     out_schema = "doc_id long, d_len long, d_vocab long, d_hapax long"
 

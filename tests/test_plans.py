@@ -758,15 +758,28 @@ def test_label_propagation_plan_shape(spark):
     assert has_partial_aggregate(audit)
 
 
-def test_mrr_plan_no_doc_term_shuffle(spark):
-    """MRR's five query pipelines must each be scan -> 1-row stats
-    broadcast -> TakeOrdered: no doc-keyed join, and every aggregate
-    is map-side combined."""
+def test_mrr_plan_single_scan(spark):
+    """MRR must scan documents exactly ONCE regardless of |Q| (r6
+    verdict item 6): one row-local tf-array pass, a 1-row broadcast
+    stats fold, and the per-term top-10 as window ranking — no
+    doc-keyed SortMergeJoin, map-side-combined aggregates."""
     from pgsink_spark.operators.retrieval import retrieval_mrr
 
+    from pgsink_spark.operators.retrieval import _mrr_per_doc
+    from pgsink_spark.sources.fixtures import load_table
+
+    # the ONE scan lives in the per-doc tokenization pass, pruned to
+    # doc_id/text …
+    cols = [set(c) for c in scan_columns(_mrr_per_doc(load_table(spark, SF, "documents")))]
+    assert len(cols) == 1
+    assert cols[0] <= {"doc_id", "text"}
+
+    # … and the operator materializes it eagerly, so the final plan
+    # contains NO parquet re-scan: both passes read the checkpoint.
     df = retrieval_mrr(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
+    assert len(scan_columns(df)) == 0, "MRR must not re-scan documents"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert has_partial_aggregate(df)
     assert "SortMergeJoin" not in plan
 
