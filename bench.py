@@ -214,6 +214,12 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
     "src_xml_roundtrip",
     "corpus_source_overlap",
+    # round-7 additions (novelty curve, BFS plane, rank fusion,
+    # exact-size reservoir)
+    "corpus_ngram_novelty",
+    "graph_bfs_distance",
+    "quality_borda_fusion",
+    "sample_reservoir_hash",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

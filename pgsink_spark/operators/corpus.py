@@ -588,3 +588,108 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+BORDA_K = 20
+BORDA_BUCKETS = 32
+
+
+@query(
+    "quality_borda_fusion",
+    """
+    WITH dims AS MATERIALIZED (
+      SELECT doc_id, n_chars AS s_len,
+             CAST(len(list_distinct(w)) AS BIGINT) AS s_vocab,
+             CAST(len(list_filter(list_distinct(w),
+                    x -> len(list_filter(w, y -> y = x)) = 1))
+               AS BIGINT) AS s_hapax
+      FROM (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS w
+            FROM documents)
+    ),
+    r AS (
+      SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY s_len DESC, doc_id) AS BIGINT)
+          AS r_len,
+        CAST(row_number() OVER (ORDER BY s_vocab DESC, doc_id) AS BIGINT)
+          AS r_vocab,
+        CAST(row_number() OVER (ORDER BY s_hapax DESC, doc_id) AS BIGINT)
+          AS r_hapax
+      FROM dims
+    )
+    SELECT doc_id, r_len, r_vocab, r_hapax,
+           r_len + r_vocab + r_hapax AS borda
+    FROM r ORDER BY borda, doc_id LIMIT 20
+    """,
+)
+def quality_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-fusion quality ENSEMBLE: three independent quality signals
+    (length, vocabulary size, hapax count — the d90 skyline axes) each
+    rank the corpus, and documents are scored by Borda count (sum of
+    ranks, lower = better); output is the top-20 consensus documents.
+    Rank fusion is the standard way to combine heterogeneous quality
+    scorers without calibrating their scales (the retrieval_rrf idea
+    applied to curation), and unlike the skyline it yields a TOTAL
+    order you can cut a budget against.
+
+    Scale shape: signals are one row-local pass, checkpointed once.
+    Each global rank uses the deterministic ordered-bucket recipe
+    (operators/ranking.py — range-bucket on the signal, per-bucket
+    counts as a 32-row control-plane collect, broadcast prefix
+    offsets, partition-LOCAL row_number): no single-partition window
+    anywhere. The three rank frames re-join on doc_id (same key →
+    one exchange reused), and the top-20 cut is TakeOrdered.
+    """
+    from pgsink_spark.operators.ranking import bucket_offsets, ordered_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    sw = F.array_sort(w)
+    hapax = F.size(
+        F.filter(
+            sw,
+            lambda x, i: ~x.eqNullSafe(F.get(sw, i - 1))
+            & ~x.eqNullSafe(F.get(sw, i + 1)),
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("s_len"),
+        F.size(F.array_distinct(w)).cast("long").alias("s_vocab"),
+        hapax.cast("long").alias("s_hapax"),
+    ).localCheckpoint(eager=True)
+
+    def global_rank(cname: str, rname: str) -> DataFrame:
+        # descending rank == ascending rank of the NEGATED signal
+        part = base.withColumn(
+            "bucket", ordered_bucket(base, -F.col(cname), BORDA_BUCKETS)
+        )
+        counts = {
+            r["bucket"]: r["cnt"]
+            for r in part.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        off, _n = bucket_offsets(part, counts)
+        wloc = Window.partitionBy("bucket").orderBy(
+            F.col(cname).desc(), "doc_id"
+        )
+        return part.select(
+            "doc_id",
+            (F.row_number().over(wloc) + off).cast("long").alias(rname),
+        )
+
+    fused = (
+        global_rank("s_len", "r_len")
+        .join(global_rank("s_vocab", "r_vocab"), "doc_id")
+        .join(global_rank("s_hapax", "r_hapax"), "doc_id")
+        .select(
+            "doc_id",
+            "r_len",
+            "r_vocab",
+            "r_hapax",
+            (F.col("r_len") + F.col("r_vocab") + F.col("r_hapax"))
+            .cast("long")
+            .alias("borda"),
+        )
+    )
+    return fused.orderBy("borda", "doc_id").limit(BORDA_K)

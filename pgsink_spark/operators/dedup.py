@@ -2080,3 +2080,88 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# Ingest-order bucket width for the novelty curve: doc_id is the
+# fixtures' arrival order, so bucket b holds docs [b*W, (b+1)*W).
+NOVELTY_BUCKET = 50
+
+
+@query(
+    "corpus_ngram_novelty",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {NGO_N}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id // {NOVELTY_BUCKET} AS bucket,
+             array_to_string(w[i.i : i.i + {NGO_N - 1}], ' ') AS s
+      FROM toks, LATERAL (SELECT unnest(
+             generate_series(1, len(w) - {NGO_N - 1})) AS i) i
+    ),
+    present AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_grams
+      FROM sh GROUP BY bucket
+    ),
+    fresh AS (
+      SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new
+      FROM (SELECT s, min(bucket) AS fb FROM sh GROUP BY s)
+      GROUP BY fb
+    )
+    SELECT p.bucket, p.n_grams,
+           COALESCE(f.n_new, 0) AS n_new,
+           CAST(1000000 * COALESCE(f.n_new, 0) // p.n_grams AS BIGINT)
+             AS novelty_ppm
+    FROM present p LEFT JOIN fresh f ON f.bucket = p.bucket
+    ORDER BY p.bucket
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-NOVELTY curve over ingest order — for each arrival
+    bucket of NOVELTY_BUCKET (50) docs, the fraction (integer ppm) of its
+    distinct word-4-grams never seen in ANY earlier bucket: the "is
+    this crawl still adding new content, or are we re-ingesting the
+    same text" governance read a pipeline owner takes before paying
+    for the next crawl round. Complements corpus_source_overlap
+    (cross-source duplication) with the TEMPORAL duplication axis;
+    same gram definition, so the reports compose.
+
+    Scale shape: grams collapse to DISTINCT (bucket, gram) rows — one
+    shingle-keyed partial agg over a row-local projection. From that
+    ONE frame, the per-bucket census and the gram-keyed first-seen
+    fold are both partial aggs, and their outputs are BUCKET-count
+    sized (control plane), so the closing left join broadcasts. No
+    all-pairs anything; cost is two aggs over the distinct-gram set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        word_shingles(docs, NGO_N)
+        .select(
+            F.expr(f"doc_id div {NOVELTY_BUCKET}").alias("bucket"),
+            "shingle",
+        )
+        .distinct()
+    )
+    present = sh.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    fresh = (
+        sh.groupBy("shingle")
+        .agg(F.min("bucket").alias("fb"))
+        .groupBy(F.col("fb").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    return (
+        present.join(F.broadcast(fresh), "bucket", "left")
+        .select(
+            "bucket",
+            "n_grams",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            F.expr("1000000 * coalesce(n_new, 0) div n_grams")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("bucket")
+    )

@@ -585,3 +585,121 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbr.unpersist()
     out._plan_audit_df = pre
     return out
+
+
+BFS_ROUNDS = 4
+BFS_SEED_MOD = 97  # seeds = nodes ≡ 0 (mod 97), ~1% of the graph
+
+
+def _bfs_oracle() -> str:
+    steps = []
+    for k in range(1, BFS_ROUNDS + 1):
+        steps.append(
+            # MATERIALIZED: the visited set is referenced by every later
+            # round — inlining would re-derive all earlier rounds
+            f"""f{k} AS MATERIALIZED (
+      SELECT DISTINCT e.z AS v FROM nbr e
+      JOIN f{k - 1} f ON f.v = e.v
+      WHERE e.z NOT IN (SELECT v FROM vis{k - 1})
+    ), vis{k} AS MATERIALIZED (
+      SELECT v FROM vis{k - 1} UNION ALL SELECT v FROM f{k}
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    levels = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS dist, v FROM f{k}"
+        for k in range(BFS_ROUNDS + 1)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+    raw AS (
+      SELECT doc_id AS src, u.dst
+      FROM docs CROSS JOIN n,
+      UNNEST([{_edge_unnest_sql(False)}]) AS u(dst)
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    nbr AS MATERIALIZED (
+      SELECT a AS v, b AS z FROM edges
+      UNION ALL SELECT b AS v, a AS z FROM edges
+    ),
+    f0 AS MATERIALIZED (
+      SELECT DISTINCT v FROM nbr WHERE v % {BFS_SEED_MOD} = 0
+    ),
+    vis0 AS MATERIALIZED (SELECT v FROM f0),
+    {chain},
+    lv AS ({levels})
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(v) AS BIGINT) AS min_node,
+           CAST(max(v) AS BIGINT) AS max_node
+    FROM lv GROUP BY dist ORDER BY dist
+    """
+
+
+@query("graph_bfs_distance", _bfs_oracle())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS level census over the sparse citation graph:
+    seeds are every node ≡ 0 (mod 97) and the frontier expands
+    BFS_ROUNDS (4) synchronous rounds; output is one row per distance
+    with the level's node count and min/max node — "how many hops
+    does the corpus sit from its hub set", the reachability read that
+    complements PageRank (authority), k-core (density), and LPA
+    (community) on the same deterministic edge set. BFS levels are a
+    pure function of the edge set (no tie-breaking needed: a node's
+    level is the round that first reaches it), so the DuckDB oracle
+    (the identical rounds unrolled as MATERIALIZED CTEs) pins it
+    hash-exactly.
+
+    Iterative-on-Spark shape (the kcore/LPA discipline): the
+    undirected neighbor list is built once and PERSISTED; each round
+    is one v-keyed hash join (the frontier is the small moving side)
+    + one left_anti against the visited set, and the frontier/visited
+    frames (node-census-sized) are eagerly checkpointed per round so
+    plans stay O(1) deep. The final census is a 5-group partial agg.
+    """
+    _docs, raw = _citation_raw(spark, sf_dir, densify=False)
+    edges = _canonical_edges(raw)
+    nbr = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("z"))
+        .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("z")))
+        .persist()
+    )
+    frontier = (
+        nbr.select("v")
+        .where(F.col("v") % BFS_SEED_MOD == 0)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    levels = [frontier.select(F.lit(0).cast("long").alias("dist"), "v")]
+    for k in range(1, BFS_ROUNDS + 1):
+        frontier = (
+            nbr.join(frontier, "v")
+            .select(F.col("z").alias("v"))
+            .distinct()
+            .join(visited, "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        levels.append(
+            frontier.select(F.lit(k).cast("long").alias("dist"), "v")
+        )
+    lv = levels[0]
+    for frame in levels[1:]:
+        lv = lv.unionAll(frame)
+    pre = (
+        lv.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("v").cast("long").alias("min_node"),
+            F.max("v").cast("long").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+    out = pre.localCheckpoint(eager=True)
+    nbr.unpersist()
+    out._plan_audit_df = pre
+    return out

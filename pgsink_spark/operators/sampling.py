@@ -255,3 +255,49 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= DOMAIN_HARD_CAP)
         .orderBy("source", "rk")
     )
+
+
+RESERVOIR_K = 100
+
+
+@query(
+    "sample_reservoir_hash",
+    f"""
+    SELECT doc_id, source,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+             AS BIGINT) AS rank_hash
+    FROM documents
+    ORDER BY rank_hash, doc_id
+    LIMIT {RESERVOIR_K}
+    """,
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SIZE deterministic uniform sample (distributed reservoir):
+    the RESERVOIR_K (100) documents with the smallest md5-derived 52-bit
+    rank — the fixed-budget counterpart to sample_hash_10pct's
+    Bernoulli rate (rate sampling yields a binomial size; eval sets
+    and human-review batches need EXACTLY k rows). Ranking by a
+    content-independent hash of the key is the classic distributed
+    reservoir construction: uniform over the corpus, identical on any
+    engine/partitioning, and incrementally mergeable (the sample of a
+    union is the top-k of the unioned top-ks).
+
+    Scale shape: one row-local hash projection + TakeOrdered top-k —
+    per-partition heaps of k rows, one k-sized merge at the driver,
+    never a global sort. The md5-13-hex recipe keeps the rank value
+    itself hash-comparable across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10)"
+            )
+            .cast("long")
+            .alias("rank_hash"),
+        )
+        .orderBy("rank_hash", "doc_id")
+        .limit(RESERVOIR_K)
+    )

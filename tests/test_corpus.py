@@ -897,3 +897,112 @@ def test_blocking_audit_counts_match_generator(spark, sf_dir):
     w = 16
     expect_hot = (n - w) * w + w * (w - 1) // 2
     assert cand == expect_hot  # cold blocks are singletons: 0 pairs
+
+
+def test_ngram_novelty_matches_python_replay(spark):
+    """corpus_ngram_novelty equals a plain-Python first-seen replay
+    (independent of both engines), and bucket 0 is 100% novel."""
+    from pgsink_spark.operators.dedup import (
+        NGO_N,
+        NOVELTY_BUCKET,
+        corpus_ngram_novelty,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    sf = "/root/testdata/sf0.01"  # 10 buckets (sf0.001 has only one)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    per_bucket: dict[int, set] = {}
+    for r in docs:
+        w = r["text"].lower().split(" ")
+        if len(w) < NGO_N:
+            continue
+        b = r["doc_id"] // NOVELTY_BUCKET
+        grams = {
+            " ".join(w[i : i + NGO_N]) for i in range(len(w) - NGO_N + 1)
+        }
+        per_bucket.setdefault(b, set()).update(grams)
+    seen: set = set()
+    expect = {}
+    for b in sorted(per_bucket):
+        grams = per_bucket[b]
+        new = grams - seen
+        seen |= grams
+        expect[b] = (
+            len(grams),
+            len(new),
+            1_000_000 * len(new) // len(grams),
+        )
+    rows = corpus_ngram_novelty(spark, sf).collect()
+    got = {r["bucket"]: (r["n_grams"], r["n_new"], r["novelty_ppm"]) for r in rows}
+    assert got == expect
+    assert got[0][2] == 1_000_000  # the first bucket is all-new
+    assert len(got) == 10
+
+
+def test_borda_fusion_matches_python_replay(spark):
+    """quality_borda_fusion equals an independent Python rank fusion
+    (full sort per signal, desc with doc_id tiebreak)."""
+    from pgsink_spark.operators.corpus import BORDA_K, quality_borda_fusion
+    from pgsink_spark.sources.fixtures import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    dims = []
+    for r in docs:
+        w = r["text"].lower().split(" ")
+        from collections import Counter
+
+        c = Counter(w)
+        dims.append(
+            (
+                r["doc_id"],
+                r["n_chars"],
+                len(set(w)),
+                sum(1 for v in c.values() if v == 1),
+            )
+        )
+    ranks: dict[int, list[int]] = {d[0]: [] for d in dims}
+    for axis in (1, 2, 3):
+        for rank, row in enumerate(
+            sorted(dims, key=lambda d: (-d[axis], d[0])), start=1
+        ):
+            ranks[row[0]].append(rank)
+    fused = sorted(
+        ((sum(v), k, *v) for k, v in ranks.items())
+    )[:BORDA_K]
+    expect = [
+        (k, r1, r2, r3, b) for (b, k, r1, r2, r3) in fused
+    ]
+    got = [
+        (r["doc_id"], r["r_len"], r["r_vocab"], r["r_hapax"], r["borda"])
+        for r in quality_borda_fusion(spark, sf).collect()
+    ]
+    assert got == expect
+
+
+def test_reservoir_hash_matches_python_replay(spark, sf_dir):
+    """sample_reservoir_hash is exactly the k smallest md5-ranked ids."""
+    import hashlib
+
+    from pgsink_spark.operators.sampling import (
+        RESERVOIR_K,
+        sample_reservoir_hash,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    ranked = sorted(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16), i)
+        for i in ids
+    )
+    expect = [(i, h) for h, i in ranked[: min(RESERVOIR_K, len(ids))]]
+    got = [
+        (r["doc_id"], r["rank_hash"])
+        for r in sample_reservoir_hash(spark, sf_dir).collect()
+    ]
+    assert got == expect

@@ -237,3 +237,45 @@ def test_edge_generator_doc_id_range_guard(spark, sf_dir):
         .collect()[0][0]
     )
     assert max_id < _EDGE_DOC_ID_MAX
+
+
+def test_bfs_distance_matches_python_replay(spark, sf_dir):
+    """graph_bfs_distance equals an independent plain-Python BFS over
+    the same sparse edge set (seeds ≡ 0 mod 97, 4 rounds)."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.graph import (
+        BFS_ROUNDS,
+        BFS_SEED_MOD,
+        graph_bfs_distance,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    n = len(docs)
+    nbr = defaultdict(set)
+    for (d,) in docs:
+        for dst in ((d * d * 7 + 1) % n, (d * 13 + 3) % n):
+            if dst != d:
+                nbr[d].add(dst)
+                nbr[dst].add(d)
+    frontier = {v for v in nbr if v % BFS_SEED_MOD == 0}
+    visited = set(frontier)
+    levels = {0: set(frontier)}
+    for k in range(1, BFS_ROUNDS + 1):
+        nxt = set()
+        for v in frontier:
+            nxt |= nbr[v]
+        frontier = nxt - visited
+        visited |= frontier
+        levels[k] = set(frontier)
+    expect = {
+        k: (len(s), min(s), max(s)) for k, s in levels.items() if s
+    }
+    rows = graph_bfs_distance(spark, sf_dir).collect()
+    got = {
+        r["dist"]: (r["n_nodes"], r["min_node"], r["max_node"]) for r in rows
+    }
+    assert got == expect
+    # level sets are disjoint and level 0 is exactly the seed set
+    assert got[0][0] == len({v for v in nbr if v % BFS_SEED_MOD == 0})

@@ -800,3 +800,39 @@ def test_ngram_overlap_and_xml_plan_pins(spark):
     df = src_xml_roundtrip(spark, SF)
     assert len(df.columns) == 5
     assert df.count() > 0
+
+
+def test_round7_addition_plan_shapes(spark):
+    """Round-7 operators: novelty's census+first-seen reuse one
+    distinct-gram exchange over a single pruned documents scan; BFS
+    rounds are map-side-combined keyed aggs; borda's global ranks use
+    the ordered-bucket recipe (no single-partition window) and the
+    cut is TakeOrdered; the reservoir is one pruned scan into
+    TakeOrdered."""
+    from pgsink_spark.operators.corpus import quality_borda_fusion
+    from pgsink_spark.operators.dedup import corpus_ngram_novelty
+    from pgsink_spark.operators.graph import graph_bfs_distance
+    from pgsink_spark.operators.sampling import sample_reservoir_hash
+
+    df = corpus_ngram_novelty(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"doc_id", "text"} for c in cols)
+    assert "SortMergeJoin" not in plan  # bucket-count join broadcasts
+
+    df = graph_bfs_distance(spark, SF)
+    audit = getattr(df, "_plan_audit_df", df)
+    assert has_partial_aggregate(audit)
+
+    df = quality_borda_fusion(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+    df = sample_reservoir_hash(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    cols = [set(c) for c in scan_columns(df)]
+    assert len(cols) == 1
+    assert cols[0] <= {"doc_id", "source"}

@@ -124,6 +124,11 @@ PROBES = [
     "decontaminate_ngram_overlap",
     "src_xml_roundtrip",
     "corpus_source_overlap",
+    # round-7 additions
+    "corpus_ngram_novelty",
+    "graph_bfs_distance",
+    "quality_borda_fusion",
+    "sample_reservoir_hash",
 ]
 
 
