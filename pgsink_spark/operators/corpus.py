@@ -693,3 +693,75 @@ def quality_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy("borda", "doc_id").limit(BORDA_K)
+
+
+BURST_TOPK = 20
+BURST_BUCKET = 50  # same ingest-bucket width as corpus_ngram_novelty
+
+
+@query(
+    "corpus_term_burstiness",
+    f"""
+    WITH toks AS (
+      SELECT doc_id // {BURST_BUCKET} AS bucket,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    per_bucket AS (
+      SELECT tok, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY tok, bucket
+    ),
+    per_term AS (
+      SELECT tok,
+             CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(max(cnt) AS BIGINT) AS max_bucket
+      FROM per_bucket GROUP BY tok
+    )
+    SELECT tok, total, n_buckets, max_bucket,
+           CAST(1000000 * max_bucket * n_buckets // total AS BIGINT)
+             AS burst_ppm
+    FROM per_term
+    ORDER BY total DESC, tok LIMIT {BURST_TOPK}
+    """,
+)
+def corpus_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term BURSTINESS audit over ingest order: for the corpus's 20
+    most frequent words, the peak-to-mean ratio of their per-bucket
+    counts (integer ppm; 1,000,000 = perfectly even). A bursty term —
+    one crawl bucket contributing most of its mass — is the signature
+    of boilerplate floods and spam injections that corpus-wide
+    frequency alone cannot see; this is the temporal drilldown behind
+    text_zipf_audit's static frequency law.
+
+    Scale shape: one tokenize-explode into a (term, bucket)-keyed
+    partial agg, then a term-keyed partial agg; the top-20 cut is
+    TakeOrdered. Both aggs are map-side combined; nothing is ever
+    keyed on less than the term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr(f"doc_id div {BURST_BUCKET}").alias("bucket"),
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+    per_bucket = toks.groupBy("tok", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per_term = per_bucket.groupBy("tok").agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("cnt").cast("long").alias("max_bucket"),
+    )
+    return (
+        per_term.select(
+            "tok",
+            "total",
+            "n_buckets",
+            "max_bucket",
+            F.expr("1000000 * max_bucket * n_buckets div total")
+            .cast("long")
+            .alias("burst_ppm"),
+        )
+        .orderBy(F.desc("total"), "tok")
+        .limit(BURST_TOPK)
+    )

@@ -5246,3 +5246,85 @@ def d90_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = dims.mapInPandas(pareto_scan, out_schema)
     sky = local.repartition(1).mapInPandas(pareto_scan, out_schema)
     return sky.orderBy("doc_id")
+
+
+@query(
+    "d91_session_bounce",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_no,
+             CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce,
+           CAST(1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS bounce_ppm
+    FROM per_session GROUP BY day ORDER BY day
+    """,
+)
+def d91_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily BOUNCE RATE: sessions (d23's 30-min-gap sessionization)
+    with exactly one event, as an integer-ppm share per day of the
+    session start — the engagement-quality read of the event stream
+    (product analytics' canonical metric), composing the gaps-and-
+    islands machinery into a governance time series.
+
+    Scale shape: the lag/cumsum windows and the per-session groupBy
+    all key on user_id (ONE shuffle reused across both window passes,
+    same as d23); the daily fold is a ~30-group partial agg. No
+    global window anywhere.
+    """
+    events = load_table(spark, sf_dir, "events")
+    micros = F.expr("unix_micros(cast(ts as timestamp))")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select("user_id", "ts", "event_id").withColumn(
+        "is_new",
+        F.when(
+            (micros - F.lag(micros).over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    bounce = (F.col("n_events") == 1).cast("long")
+    return (
+        per_session.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(bounce).cast("long").alias("n_bounce"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounce",
+            F.expr("1000000 * n_bounce div n_sessions")
+            .cast("long")
+            .alias("bounce_ppm"),
+        )
+        .orderBy("day")
+    )

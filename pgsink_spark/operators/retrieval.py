@@ -914,3 +914,113 @@ def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("mrr_ppm"),
     )
+
+
+PHRASE_W1, PHRASE_W2 = "table", "value"
+PHRASE_K = 20
+
+
+@query(
+    "retrieval_phrase_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             CAST(len(list_filter(generate_series(1, len(w) - 1),
+                    i -> w[i] = '{PHRASE_W1}' AND w[i + 1] = '{PHRASE_W2}'))
+               AS BIGINT) AS n_occurrences
+      FROM toks WHERE len(w) >= 2
+    )
+    SELECT doc_id, n_occurrences
+    FROM hits WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc_id LIMIT {PHRASE_K}
+    """,
+)
+def retrieval_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search — top-20 documents by occurrence count of
+    the adjacent-bigram phrase "table value": the positional-match
+    capability the unigram ranking surface (bm25/tfidf/rrf/ndcg/mrr)
+    cannot express, and the building block for quoted-query support.
+    Counting consecutive positions (not distinct bigrams) means a doc
+    repeating the phrase ranks above one mentioning it once.
+
+    Scale shape: the occurrence count is ONE row-local higher-order
+    expression over the split array (a positional index filter — no
+    explode, no posting shuffle), and the cut is TakeOrdered. At
+    cluster scale a persistent phrase index would precompute bigram
+    postings once (word_shingles(n=2) keyed by shingle); the query
+    shape stays a pruned scan + top-k either way.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    n_occ = F.size(
+        F.expr(
+            "filter(sequence(1, size(split(lower(text), ' ')) - 1), "
+            f"i -> split(lower(text), ' ')[i - 1] = '{PHRASE_W1}' "
+            f"AND split(lower(text), ' ')[i] = '{PHRASE_W2}')"
+        )
+    )
+    return (
+        docs.where(F.size(w) >= 2)
+        .select("doc_id", n_occ.cast("long").alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+        .limit(PHRASE_K)
+    )
+
+
+BOOL_MUST = ["hash", "scan"]
+BOOL_NOT = "slow"
+
+
+@query(
+    "retrieval_boolean_query",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> x = '{BOOL_MUST[0]}')) AS BIGINT)
+             AS n_hash,
+           CAST(len(list_filter(w, x -> x = '{BOOL_MUST[1]}')) AS BIGINT)
+             AS n_scan
+    FROM toks
+    WHERE list_contains(w, '{BOOL_MUST[0]}')
+      AND list_contains(w, '{BOOL_MUST[1]}')
+      AND NOT list_contains(w, '{BOOL_NOT}')
+    ORDER BY doc_id
+    """,
+)
+def retrieval_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval — every document matching
+    ``hash AND scan AND NOT slow``, with per-term counts: the filter
+    primitive of an inverted-index engine (must/must-not clauses),
+    complementing the ranked surface. The NOT clause is the part
+    score-based rankers cannot express.
+
+    Scale shape: entirely row-local (array_contains short-circuits;
+    no explode, no shuffle except the output sort). On a real index
+    the same query is a postings intersection minus the NOT postings
+    — the declarative WHERE gives Catalyst the same pushdown freedom.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+
+    def count_of(term: str):
+        return F.size(F.filter(w, lambda x: x == F.lit(term))).cast("long")
+
+    return (
+        docs.where(
+            F.array_contains(w, BOOL_MUST[0])
+            & F.array_contains(w, BOOL_MUST[1])
+            & ~F.array_contains(w, BOOL_NOT)
+        )
+        .select(
+            "doc_id",
+            count_of(BOOL_MUST[0]).alias("n_hash"),
+            count_of(BOOL_MUST[1]).alias("n_scan"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1006,3 +1006,133 @@ def test_reservoir_hash_matches_python_replay(spark, sf_dir):
         for r in sample_reservoir_hash(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_phrase_and_boolean_retrieval_match_python_replay(spark, sf_dir):
+    from pgsink_spark.operators.retrieval import (
+        BOOL_MUST,
+        BOOL_NOT,
+        PHRASE_K,
+        PHRASE_W1,
+        PHRASE_W2,
+        retrieval_boolean_query,
+        retrieval_phrase_search,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    phrase_expect = []
+    bool_expect = []
+    for r in docs:
+        w = r["text"].lower().split(" ")
+        n = sum(
+            1
+            for i in range(len(w) - 1)
+            if w[i] == PHRASE_W1 and w[i + 1] == PHRASE_W2
+        )
+        if n > 0:
+            phrase_expect.append((r["doc_id"], n))
+        if (
+            BOOL_MUST[0] in w
+            and BOOL_MUST[1] in w
+            and BOOL_NOT not in w
+        ):
+            bool_expect.append(
+                (r["doc_id"], w.count(BOOL_MUST[0]), w.count(BOOL_MUST[1]))
+            )
+    phrase_expect.sort(key=lambda t: (-t[1], t[0]))
+    assert phrase_expect, "fixture must contain the phrase"
+    got = [
+        (r["doc_id"], r["n_occurrences"])
+        for r in retrieval_phrase_search(spark, sf_dir).collect()
+    ]
+    assert got == phrase_expect[:PHRASE_K]
+
+    assert bool_expect, "fixture must contain boolean matches"
+    gotb = [
+        (r["doc_id"], r["n_hash"], r["n_scan"])
+        for r in retrieval_boolean_query(spark, sf_dir).collect()
+    ]
+    assert gotb == sorted(bool_expect)
+
+
+def test_session_bounce_matches_python_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    per_day = defaultdict(lambda: [0, 0])  # day -> [sessions, bounces]
+    for _u, evs in by_user.items():
+        evs.sort()
+        cur = []
+        sessions = []
+        for ts, eid in evs:
+            if cur and (ts - cur[-1][0]).total_seconds() > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append((ts, eid))
+        sessions.append(cur)
+        for s in sessions:
+            day = s[0][0].replace(hour=0, minute=0, second=0, microsecond=0)
+            per_day[day][0] += 1
+            if len(s) == 1:
+                per_day[day][1] += 1
+    expect = {
+        d: (v[0], v[1], 1_000_000 * v[1] // v[0])
+        for d, v in per_day.items()
+    }
+    got = {
+        r["day"]: (r["n_sessions"], r["n_bounce"], r["bounce_ppm"])
+        for r in QUERIES["d91_session_bounce"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_term_burstiness_matches_python_replay(spark):
+    from collections import Counter, defaultdict
+
+    from pgsink_spark.operators.corpus import (
+        BURST_BUCKET,
+        BURST_TOPK,
+        corpus_term_burstiness,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    sf = "/root/testdata/sf0.01"  # multiple buckets
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    per_bucket = defaultdict(Counter)
+    for r in docs:
+        per_bucket[r["doc_id"] // BURST_BUCKET].update(
+            r["text"].lower().split(" ")
+        )
+    totals, maxes, nb = Counter(), Counter(), Counter()
+    for _b, c in per_bucket.items():
+        for t, n in c.items():
+            totals[t] += n
+            maxes[t] = max(maxes[t], n)
+            nb[t] += 1
+    top = sorted(totals, key=lambda t: (-totals[t], t))[:BURST_TOPK]
+    expect = [
+        (
+            t,
+            totals[t],
+            nb[t],
+            maxes[t],
+            1_000_000 * maxes[t] * nb[t] // totals[t],
+        )
+        for t in top
+    ]
+    got = [
+        (r["tok"], r["total"], r["n_buckets"], r["max_bucket"], r["burst_ppm"])
+        for r in corpus_term_burstiness(spark, sf).collect()
+    ]
+    assert got == expect

@@ -836,3 +836,33 @@ def test_round7_addition_plan_shapes(spark):
     cols = [set(c) for c in scan_columns(df)]
     assert len(cols) == 1
     assert cols[0] <= {"doc_id", "source"}
+
+
+def test_round7_second_batch_plan_shapes(spark):
+    """Phrase/boolean retrieval are row-local scans (no joins at all);
+    session bounce reuses ONE user-keyed shuffle across both window
+    passes; burstiness is two map-side-combined aggs + TakeOrdered."""
+    from pgsink_spark.operators.corpus import corpus_term_burstiness
+    from pgsink_spark.operators.retrieval import (
+        retrieval_boolean_query,
+        retrieval_phrase_search,
+    )
+
+    for fn in (retrieval_phrase_search, retrieval_boolean_query):
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        cols = [set(c) for c in scan_columns(df)]
+        assert len(cols) == 1
+        assert cols[0] <= {"doc_id", "text"}
+
+    df = rel.QUERIES["d91_session_bounce"](spark, SF)
+    assert has_partial_aggregate(df)
+    # lag window + cumsum window + session groupBy share the user_id
+    # exchange; day fold + presentation sort add at most two more
+    assert exchange_count(df) <= 3
+
+    df = corpus_term_burstiness(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert has_partial_aggregate(df)

@@ -129,6 +129,10 @@ PROBES = [
     "graph_bfs_distance",
     "quality_borda_fusion",
     "sample_reservoir_hash",
+    "retrieval_phrase_search",
+    "retrieval_boolean_query",
+    "d91_session_bounce",
+    "corpus_term_burstiness",
 ]
 
 
