@@ -224,6 +224,10 @@ HEADLINE = [
     "retrieval_boolean_query",
     "d91_session_bounce",
     "corpus_term_burstiness",
+    "graph_modularity",
+    "d92_rfm_segments",
+    "export_manifest_checksums",
+    "ivm_topk_view",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -389,3 +389,59 @@ def export_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard_id", "pos_in_shard")
     )
+
+
+MANIFEST_SHARD_DOCS = 100
+# Residue modulus for the order-independent checksum: per-row values
+# stay < 2^20 so an int64 SUM cannot wrap below ~2^43 rows per shard.
+MANIFEST_CHECK_MOD = 1_000_003
+
+
+@query(
+    "export_manifest_checksums",
+    f"""
+    SELECT doc_id // {MANIFEST_SHARD_DOCS} AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           CAST(sum(CAST(concat('0x',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                % {MANIFEST_CHECK_MOD}) AS BIGINT) AS checksum
+    FROM documents
+    GROUP BY 1 ORDER BY shard_id
+    """,
+)
+def export_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export MANIFEST — per output shard (the same
+    100-docs-by-id sharding export_webdataset writes), the row count,
+    doc_id range, and an order-independent content checksum (sum of
+    per-row md5-13-hex residues mod 1,000,003 — residues keep the sum
+    inside int64 at any shard size, since Spark's long SUM wraps
+    silently where DuckDB widens to HUGEINT). This is the receipt a
+    downstream training job verifies before trusting a transferred
+    shard set, and the diff key for incremental re-exports.
+
+    Scale shape: one row-local hash projection + one shard-keyed
+    partial agg; the manifest is shard-count sized. The checksum is
+    commutative, so partial aggregation and any partitioning give the
+    identical value.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10)"
+    ).cast("long")
+    return (
+        docs.select(
+            F.expr(f"doc_id div {MANIFEST_SHARD_DOCS}").alias("shard_id"),
+            "doc_id",
+            (h % MANIFEST_CHECK_MOD).alias("res"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.sum("res").cast("long").alias("checksum"),
+        )
+        .orderBy("shard_id")
+    )

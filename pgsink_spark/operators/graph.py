@@ -479,7 +479,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITERS = 4
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte_prefix() -> str:
+    """The shared WITH body: edge set, nbr list, and the unrolled LPA
+    rounds through l{LPA_ITERS} (consumed by the LPA and modularity
+    oracles)."""
     steps = []
     for k in range(LPA_ITERS):
         steps.append(
@@ -496,15 +499,14 @@ def _lpa_oracle() -> str:
     )"""
         )
     chain = ",\n    ".join(steps)
-    return f"""
-    WITH docs AS (SELECT doc_id FROM documents),
+    return f"""docs AS (SELECT doc_id FROM documents),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
     raw AS (
       SELECT doc_id AS src, u.dst
       FROM docs CROSS JOIN n,
       UNNEST([{_edge_unnest_sql(False)}]) AS u(dst)
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       FROM raw WHERE src <> dst
     ),
@@ -513,7 +515,12 @@ def _lpa_oracle() -> str:
       UNION ALL SELECT b AS v, a AS z FROM edges
     ),
     l0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS lbl FROM nbr),
-    {chain}
+    {chain}"""
+
+
+def _lpa_oracle() -> str:
+    return f"""
+    WITH {_lpa_cte_prefix()}
     SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
     FROM l{LPA_ITERS}
     GROUP BY lbl
@@ -522,27 +529,10 @@ def _lpa_oracle() -> str:
     """
 
 
-@query("graph_label_propagation", _lpa_oracle())
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by K=4 SYNCHRONOUS label-propagation rounds
-    over the sparse citation graph (same deterministic edge set as
-    graph_kcore): every node starts as its own community, and each
-    round adopts the most frequent label among its neighbors
-    (tie-break: smallest label). Synchronous rounds with a total tie
-    order make LPA — normally a notoriously nondeterministic
-    algorithm — a pure function of the edge set, so the DuckDB oracle
-    (the identical K rounds unrolled as CTEs, the same
-    min(struct(-count, label)) election used by mdm_survivorship)
-    pins it hash-exactly. Output: the 20 largest communities.
-
-    Iterative-on-Spark shape (the kcore/PageRank discipline): the
-    undirected neighbor list is built once and PERSISTED; each round
-    is one z-keyed hash join (labels are the small moving side) + one
-    (v,label)-keyed partial-agg vote census + one v-keyed election,
-    and the label frame (node-census-sized) is eagerly checkpointed
-    per round so plans stay O(1) deep. The top-20 cut is
-    TakeOrderedAndProject, never a global sort.
-    """
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """(persisted nbr list, final LPA label frame) after LPA_ITERS
+    synchronous rounds — the loop shared by graph_label_propagation
+    and graph_modularity. Caller unpersists nbr."""
     _docs, raw = _citation_raw(spark, sf_dir, densify=False)
     edges = _canonical_edges(raw)
     nbr = (
@@ -574,6 +564,31 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("v", "node")
             .localCheckpoint(eager=True)
         )
+    return nbr, labels
+
+
+@query("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by K=4 SYNCHRONOUS label-propagation rounds
+    over the sparse citation graph (same deterministic edge set as
+    graph_kcore): every node starts as its own community, and each
+    round adopts the most frequent label among its neighbors
+    (tie-break: smallest label). Synchronous rounds with a total tie
+    order make LPA — normally a notoriously nondeterministic
+    algorithm — a pure function of the edge set, so the DuckDB oracle
+    (the identical K rounds unrolled as CTEs, the same
+    min(struct(-count, label)) election used by mdm_survivorship)
+    pins it hash-exactly. Output: the 20 largest communities.
+
+    Iterative-on-Spark shape (the kcore/PageRank discipline): the
+    undirected neighbor list is built once and PERSISTED; each round
+    is one z-keyed hash join (labels are the small moving side) + one
+    (v,label)-keyed partial-agg vote census + one v-keyed election,
+    and the label frame (node-census-sized) is eagerly checkpointed
+    per round so plans stay O(1) deep. The top-20 cut is
+    TakeOrderedAndProject, never a global sort.
+    """
+    nbr, labels = _lpa_labels(spark, sf_dir)
     pre = (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
@@ -698,6 +713,75 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").cast("long").alias("max_node"),
         )
         .orderBy("dist")
+    )
+    out = pre.localCheckpoint(eager=True)
+    nbr.unpersist()
+    out._plan_audit_df = pre
+    return out
+
+
+@query(
+    "graph_modularity",
+    f"""
+    WITH {_lpa_cte_prefix()},
+    lab AS MATERIALIZED (SELECT node, lbl FROM l{LPA_ITERS}),
+    j AS (
+      SELECT la.lbl AS c,
+             CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END AS intra
+      FROM nbr e
+      JOIN lab la ON la.node = e.v
+      JOIN lab lb ON lb.node = e.z
+    ),
+    percom AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS d_c,
+             CAST(sum(intra) AS BIGINT) AS e2_c
+      FROM j GROUP BY c
+    ),
+    m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM nbr)
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(m2.m2) // 2 AS BIGINT) AS m_edges,
+           CAST(sum(m2.m2 * e2_c - d_c * d_c) AS BIGINT) AS q_num,
+           CAST(max(m2.m2) * max(m2.m2) AS BIGINT) AS q_den
+    FROM percom CROSS JOIN m2
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the LPA partition — the quality score that
+    tells a pipeline owner whether the detected communities are real
+    structure or noise before they gate sampling on them. Exact
+    integer form: Q = q_num / q_den with
+    q_num = Σ_c (2m·(2·e_c) − d_c²) and q_den = 4m² (e_c intra-edges,
+    d_c degree mass of community c) — both engines emit the integer
+    numerator/denominator, so the hash needs no float division and no
+    floor-semantics agreement on a possibly-negative ratio.
+
+    Scale shape: labels come from the shared LPA loop (_lpa_labels);
+    the per-community census is ONE pass over the persisted nbr list
+    with two node-keyed label joins (labels are node-census-sized,
+    the standard broadcast-or-shuffle small side), then a label-keyed
+    partial agg and a 1-row fold. Nothing is ever keyed on less than
+    a node or community id.
+    """
+    nbr, labels = _lpa_labels(spark, sf_dir)
+    lab_v = labels.select(F.col("node").alias("v"), F.col("lbl").alias("cv"))
+    lab_z = labels.select(F.col("node").alias("z"), F.col("lbl").alias("cz"))
+    j = nbr.join(lab_v, "v").join(lab_z, "z")
+    percom = j.groupBy("cv").agg(
+        F.count(F.lit(1)).cast("long").alias("d_c"),
+        F.sum((F.col("cv") == F.col("cz")).cast("long"))
+        .cast("long")
+        .alias("e2_c"),
+    )
+    m2f = nbr.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    pre = percom.crossJoin(F.broadcast(m2f)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.expr("max(m2) div 2").cast("long").alias("m_edges"),
+        F.sum(
+            F.col("m2") * F.col("e2_c") - F.col("d_c") * F.col("d_c")
+        )
+        .cast("long")
+        .alias("q_num"),
+        (F.max("m2") * F.max("m2")).cast("long").alias("q_den"),
     )
     out = pre.localCheckpoint(eager=True)
     nbr.unpersist()

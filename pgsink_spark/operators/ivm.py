@@ -327,3 +327,84 @@ def ivm_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return view.read().orderBy("o_orderpriority")
+
+
+IVM_TOPK = 10
+
+
+@query(
+    "ivm_topk_view",
+    """
+    WITH end_state AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(ROUND(SUM(CASE WHEN o_orderkey % 10 = 5
+                  THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                            AS DECIMAL(18,4)) + 10
+                  ELSE CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                            AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS revenue
+      FROM orders WHERE o_orderkey % 100 != 7
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders, revenue
+    FROM end_state
+    ORDER BY n_orders DESC, revenue DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained TOP-K: serve the 10 most active
+    customers (by maintained order count, then maintained exact-
+    decimal revenue) straight from the IncrementalAgg state after
+    replaying the module's three-batch history — insert odd keys,
+    insert even keys, then update keys %10==5 (+10) and delete keys
+    %100==7. The point the hash pins: a maintained grouped aggregate
+    makes top-k a TakeOrdered over STATE (customer-count sized),
+    never a rescan of the fact stream — the "leaderboard view" every
+    CDC consumer eventually builds, here priced at O(state) per
+    refresh with deletes handled by the delta rule, not recompute.
+    """
+    from pgsink_spark.sinks.incremental_agg import IncrementalAgg
+
+    path = "/tmp/pgsink_ivmt_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        rnd(dec("o_totalprice"), 2).cast("decimal(18,4)").alias("tp"),
+    )
+    agg = IncrementalAgg(spark, path, ["o_custkey"], "tp")
+    k = F.col("o_orderkey")
+    agg.apply_batch(
+        to_envelope(orders.where(k % 2 == 1), "public", "orders",
+                    lsn=F.lit(1))
+    )
+    agg.apply_batch(
+        to_envelope(orders.where(k % 2 == 0), "public", "orders",
+                    lsn=F.lit(2))
+    )
+    base = [F.col("o_orderkey"), F.col("o_custkey"), F.col("tp")]
+    plus = [
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        (F.col("tp") + F.lit(10).cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("tp"),
+    ]
+    agg.apply_batch(
+        _change_env(orders.where(k % 10 == 5), base, plus).unionByName(
+            _change_env(orders.where(k % 100 == 7), base, None)
+        )
+    )
+    return (
+        agg.read()
+        .select(
+            "o_custkey",
+            F.col("agg_cnt").cast("long").alias("n_orders"),
+            rnd(F.col("agg_sum"), 2).alias("revenue"),
+        )
+        .orderBy(
+            F.desc("n_orders"), F.desc("revenue"), "o_custkey"
+        )
+        .limit(IVM_TOPK)
+    )

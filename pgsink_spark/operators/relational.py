@@ -5328,3 +5328,104 @@ def d91_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+RFM_BUCKETS = 32
+
+
+@query(
+    "d92_rfm_segments",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT o_custkey AS c, max(o_orderdate) AS rec,
+             CAST(count(*) AS BIGINT) AS freq,
+             sum(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                 AS DECIMAL(18,4))) AS mon
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    r AS (
+      SELECT c,
+        CAST(row_number() OVER (ORDER BY rec DESC, c) AS BIGINT) AS rr,
+        CAST(row_number() OVER (ORDER BY freq DESC, c) AS BIGINT) AS rf,
+        CAST(row_number() OVER (ORDER BY mon DESC, c) AS BIGINT) AS rm
+      FROM base
+    )
+    SELECT CAST((1 + (4 * (rr - 1)) // n.n) * 100
+              + (1 + (4 * (rf - 1)) // n.n) * 10
+              + (1 + (4 * (rm - 1)) // n.n) AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM r CROSS JOIN n
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def d92_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic customer-value cube: every
+    customer with orders is quartiled independently on Recency (last
+    order date), Frequency (order count), and Monetary (exact decimal
+    revenue), and the census of the 3-digit segment code (111 = best
+    on all axes … 444 = worst) is returned. Quartiles come from the
+    explicit rank formula ``1 + 4(r-1) div n`` (NOT SQL NTILE, whose
+    remainder distribution is engine-defined), with deterministic
+    custkey tie-breaks, so the cut is a pure function of the data.
+
+    Scale shape: the per-customer fold is one custkey-keyed partial
+    agg; each global rank uses the deterministic ordered-bucket
+    recipe (operators/ranking.py — no single-partition window); the
+    three rank frames re-join on the customer key and the segment
+    census is a ≤64-group partial agg.
+    """
+    from pgsink_spark.operators.ranking import bucket_offsets, ordered_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.max("o_orderdate").alias("rec"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(rnd(dec("o_totalprice"), 2).cast("decimal(18,4)")).alias(
+                "mon"
+            ),
+        )
+        .withColumn(
+            "rec_days", F.datediff("rec", F.lit("1970-01-01")).cast("long")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def global_rank(order_col: str, bucket_col: str, rname: str) -> DataFrame:
+        part = base.withColumn(
+            "bucket", ordered_bucket(base, -F.col(bucket_col), RFM_BUCKETS)
+        )
+        counts = {
+            r["bucket"]: r["cnt"]
+            for r in part.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        off, _n = bucket_offsets(part, counts)
+        wloc = W.partitionBy("bucket").orderBy(
+            F.col(order_col).desc(), "c"
+        )
+        return part.select(
+            "c", (F.row_number().over(wloc) + off).cast("long").alias(rname)
+        )
+
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranks = (
+        global_rank("rec", "rec_days", "rr")
+        .join(global_rank("freq", "freq", "rf"), "c")
+        .join(global_rank("mon", "mon", "rm"), "c")
+        .crossJoin(F.broadcast(nrow))
+    )
+    seg = (
+        (F.lit(1) + F.expr("4 * (rr - 1) div n")) * 100
+        + (F.lit(1) + F.expr("4 * (rf - 1) div n")) * 10
+        + (F.lit(1) + F.expr("4 * (rm - 1) div n"))
+    )
+    return (
+        ranks.select(seg.cast("long").alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("segment")
+    )

@@ -1136,3 +1136,92 @@ def test_term_burstiness_matches_python_replay(spark):
         for r in corpus_term_burstiness(spark, sf).collect()
     ]
     assert got == expect
+
+
+def test_rfm_segments_match_python_replay(spark, sf_dir):
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    import collections
+    import decimal
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    agg = {}
+    for r in orders:
+        rec, freq, mon = agg.get(
+            r["o_custkey"], (None, 0, decimal.Decimal(0))
+        )
+        tp = decimal.Decimal(str(round(r["o_totalprice"], 2)))
+        agg[r["o_custkey"]] = (
+            max(rec, r["o_orderdate"]) if rec else r["o_orderdate"],
+            freq + 1,
+            mon + tp,
+        )
+    n = len(agg)
+
+    def ranks(axis):
+        order = sorted(agg, key=lambda c: (axis(c), c))
+        return {c: i + 1 for i, c in enumerate(order)}
+
+    rr = ranks(lambda c: (-agg[c][0].toordinal(),))
+    rf = ranks(lambda c: (-agg[c][1],))
+    rm = ranks(lambda c: (-agg[c][2],))
+    seg = collections.Counter()
+    for c in agg:
+        q = lambda r: 1 + 4 * (r - 1) // n  # noqa: E731
+        seg[q(rr[c]) * 100 + q(rf[c]) * 10 + q(rm[c])] += 1
+    got = {
+        r["segment"]: r["n_customers"]
+        for r in QUERIES["d92_rfm_segments"](spark, sf_dir).collect()
+    }
+    assert got == dict(seg)
+
+
+def test_manifest_checksums_match_python_replay(spark, sf_dir):
+    import hashlib as H
+
+    from pgsink_spark.operators.export import (
+        MANIFEST_CHECK_MOD,
+        MANIFEST_SHARD_DOCS,
+        export_manifest_checksums,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    shards = {}
+    for i in ids:
+        s = shards.setdefault(i // MANIFEST_SHARD_DOCS, [0, None, None, 0])
+        s[0] += 1
+        s[1] = i if s[1] is None else min(s[1], i)
+        s[2] = i if s[2] is None else max(s[2], i)
+        s[3] += (
+            int(H.md5(str(i).encode()).hexdigest()[:13], 16)
+            % MANIFEST_CHECK_MOD
+        )
+    got = {
+        r["shard_id"]: [r["n_rows"], r["min_doc"], r["max_doc"], r["checksum"]]
+        for r in export_manifest_checksums(spark, sf_dir).collect()
+    }
+    assert got == shards
+
+
+def test_ivm_topk_consistent_with_maintained_state(spark, sf_dir):
+    """The served top-k must be exactly the top-k of the full
+    maintained agg state (same keys, same fold) — the leaderboard is
+    a cut of state, not a separate computation."""
+    from pgsink_spark.operators.ivm import IVM_TOPK, ivm_topk_view
+
+    rows = ivm_topk_view(spark, sf_dir).collect()
+    assert len(rows) == IVM_TOPK
+    key = [(-r["n_orders"], -r["revenue"], r["o_custkey"]) for r in rows]
+    assert key == sorted(key)
+    assert all(r["n_orders"] >= 1 for r in rows)

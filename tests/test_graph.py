@@ -279,3 +279,54 @@ def test_bfs_distance_matches_python_replay(spark, sf_dir):
     assert got == expect
     # level sets are disjoint and level 0 is exactly the seed set
     assert got[0][0] == len({v for v in nbr if v % BFS_SEED_MOD == 0})
+
+
+def test_modularity_matches_python_replay(spark, sf_dir):
+    """graph_modularity equals an independent Python computation of
+    Newman Q (integer form) over the python-replayed LPA labels."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.graph import (
+        LPA_ITERS,
+        graph_modularity,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    nbrs = defaultdict(set)
+    for i in ids:
+        for d in ((i * i * 7 + 1) % n, (i * 13 + 3) % n):
+            if d != i:
+                nbrs[i].add(d)
+                nbrs[d].add(i)
+    lbl = {v: v for v in nbrs}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for v, zs in nbrs.items():
+            votes = defaultdict(int)
+            for z in zs:
+                votes[lbl[z]] += 1
+            new[v] = min(votes, key=lambda c: (-votes[c], c))
+        lbl = new
+    m2 = sum(len(zs) for zs in nbrs.values())
+    d_c = defaultdict(int)
+    e2_c = defaultdict(int)
+    for v, zs in nbrs.items():
+        d_c[lbl[v]] += len(zs)
+        for z in zs:
+            if lbl[z] == lbl[v]:
+                e2_c[lbl[v]] += 1
+    q_num = sum(m2 * e2_c[c] - d_c[c] * d_c[c] for c in d_c)
+    (row,) = graph_modularity(spark, sf_dir).collect()
+    assert row["n_communities"] == len(d_c)
+    assert row["m_edges"] == m2 // 2
+    assert row["q_num"] == q_num
+    assert row["q_den"] == m2 * m2
+    # Q is bounded: -1/2 <= Q <= 1 (tiny fixtures can go negative)
+    assert -row["q_den"] <= 2 * row["q_num"] <= 2 * row["q_den"]

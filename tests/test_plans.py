@@ -866,3 +866,36 @@ def test_round7_second_batch_plan_shapes(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert has_partial_aggregate(df)
+
+
+def test_round7_third_batch_plan_shapes(spark):
+    """Modularity: one label-join pass over the persisted nbr list,
+    map-side-combined censuses; RFM: ordered-bucket ranks, no
+    single-partition window; manifest: one pruned scan into a
+    shard-keyed partial agg, no joins."""
+    from pgsink_spark.operators.export import export_manifest_checksums
+    from pgsink_spark.operators.graph import graph_modularity
+
+    df = graph_modularity(spark, SF)
+    audit = getattr(df, "_plan_audit_df", df)
+    assert has_partial_aggregate(audit)
+
+    df = rel.QUERIES["d92_rfm_segments"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    # the only single-partition traffic allowed is the presentation
+    # sort of the <=64-row segment census; the rank windows themselves
+    # must be bucket-partitioned
+    assert plan.count("Exchange SinglePartition") <= 1
+    import re
+
+    for m in re.finditer(r"Window .*", plan):
+        assert "bucket" in m.group(0) or "partitionBy" in m.group(0).lower()
+
+    df = export_manifest_checksums(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert has_partial_aggregate(df)
+    cols = [set(c) for c in scan_columns(df)]
+    assert len(cols) == 1
+    assert cols[0] <= {"doc_id"}
