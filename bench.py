@@ -228,6 +228,9 @@ HEADLINE = [
     "d92_rfm_segments",
     "export_manifest_checksums",
     "ivm_topk_view",
+    "d93_funnel_conversion_lag",
+    "corpus_simpson_diversity",
+    "src_parquet_partition_prune",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -765,3 +765,66 @@ def corpus_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total"), "tok")
         .limit(BURST_TOPK)
     )
+
+
+@query(
+    "corpus_simpson_diversity",
+    """
+    WITH counts AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+      FROM counts GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           CAST(1000000 * coll // (n_tokens * (n_tokens - 1)) AS BIGINT)
+             AS simpson_ppm
+    FROM per_source ORDER BY source
+    """,
+)
+def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source SIMPSON DIVERSITY index — the probability (integer
+    ppm) that two tokens drawn without replacement from a source are
+    the SAME word: λ = Σ c_i(c_i−1) / n(n−1). High λ = repetitive,
+    low-diversity source (boilerplate farms); the lexical-diversity
+    companion to text_zipf_audit (frequency law) and
+    corpus_term_burstiness (temporal spikes). Exact integer form —
+    no float division until the final ppm floor.
+
+    Int64 range: n(n−1) stays in range to n ≈ 3e9 tokens per source
+    (DuckDB widens to HUGEINT, Spark would wrap — same guard
+    discipline as graph._EDGE_DOC_ID_MAX); past that, lift the
+    arithmetic to DECIMAL(38,0) on both engines.
+
+    Scale shape: one tokenize-explode into a (source, word)-keyed
+    partial agg, then a source-keyed fold — the exact two-level
+    aggregation of text_ngram_topk, output source-count sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_source = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("coll"),
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.expr("1000000 * coll div (n_tokens * (n_tokens - 1))")
+        .cast("long")
+        .alias("simpson_ppm"),
+    ).orderBy("source")

@@ -247,3 +247,37 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         rnd(dec("o_totalprice"), 2).alias("tp"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "src_parquet_partition_prune",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE source = 'src3' ORDER BY doc_id
+    """,
+)
+def src_parquet_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet source with PARTITION PRUNING: stage
+    documents partitioned by source (the write layout every warehouse
+    raw table here uses), then serve one source's slice — the read
+    must touch ONLY that source's directory. Partition pruning is the
+    single biggest scan lever at 100 TB (a 20-source corpus prunes
+    95% of the bytes before a row is read); this registry entry
+    hash-checks the pruned read against the declarative filter, and
+    tests/test_plans.py pins ``PartitionFilters`` in the scan.
+
+    Staging is once per sf_dir (the _SUCCESS latch, same discipline
+    as the other src_* roundtrips).
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/pgsink_fmt_part_{h}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", "source"
+        ).write.mode("overwrite").partitionBy("source").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("source") == "src3")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -5429,3 +5429,85 @@ def d92_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("segment")
     )
+
+
+FUNNEL_LAG_STEP1, FUNNEL_LAG_STEP2 = "view", "purchase"
+
+
+@query(
+    "d93_funnel_conversion_lag",
+    f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = '{FUNNEL_LAG_STEP1}'
+      GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase, max(v.first_view)
+               AS first_view
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_LAG_STEP2}' AND e.ts > v.first_view
+      GROUP BY e.user_id
+    ),
+    lags AS (
+      SELECT CAST(date_trunc('day', first_view) AS TIMESTAMP) AS day,
+             (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
+               AS lag_s
+      FROM p
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(min(lag_s) AS BIGINT) AS min_lag_s,
+           CAST(max(lag_s) AS BIGINT) AS max_lag_s,
+           CAST(sum(lag_s) // count(*) AS BIGINT) AS mean_lag_s
+    FROM lags GROUP BY day ORDER BY day
+    """,
+)
+def d93_funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel CONVERSION LATENCY by cohort day: for every user whose
+    first 'view' is followed by a later
+    'purchase', the seconds between the first view and the
+    first subsequent purchase, folded per day of the view — the "how
+    long does the funnel take" metric that d49_funnel's pure
+    conversion counts cannot answer. Integer seconds (floor), integer
+    mean — hash-exact.
+
+    Scale shape: two user-keyed partial aggs (first view, first
+    qualifying purchase) joined on the user key — one shuffle family,
+    no windows; the daily fold is a ~30-group partial agg. (A median
+    lag would use the d75 weighted-median machinery; min/max/mean
+    stay one fold.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == FUNNEL_LAG_STEP1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        events.where(F.col("event_type") == FUNNEL_LAG_STEP2)
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.max("first_view").alias("first_view"),
+        )
+    )
+    us = lambda c: F.expr(f"unix_micros(cast({c} as timestamp))")  # noqa: E731
+    lags = p.select(
+        F.date_trunc("day", "first_view").alias("day"),
+        ((us("first_purchase") - us("first_view")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("lag_s"),
+    )
+    return (
+        lags.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.min("lag_s").cast("long").alias("min_lag_s"),
+            F.max("lag_s").cast("long").alias("max_lag_s"),
+            F.expr("sum(lag_s) div count(*)").cast("long").alias("mean_lag_s"),
+        )
+        .orderBy("day")
+    )

@@ -1225,3 +1225,74 @@ def test_ivm_topk_consistent_with_maintained_state(spark, sf_dir):
     key = [(-r["n_orders"], -r["revenue"], r["o_custkey"]) for r in rows]
     assert key == sorted(key)
     assert all(r["n_orders"] >= 1 for r in rows)
+
+
+def test_funnel_lag_matches_python_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    first_view, first_purch = {}, {}
+    for r in events:
+        if r["event_type"] == "view":
+            u = r["user_id"]
+            if u not in first_view or r["ts"] < first_view[u]:
+                first_view[u] = r["ts"]
+    for r in events:
+        if r["event_type"] == "purchase" and r["user_id"] in first_view:
+            u = r["user_id"]
+            if r["ts"] > first_view[u] and (
+                u not in first_purch or r["ts"] < first_purch[u]
+            ):
+                first_purch[u] = r["ts"]
+    per_day = defaultdict(list)
+    for u, tp in first_purch.items():
+        tv = first_view[u]
+        day = tv.replace(hour=0, minute=0, second=0, microsecond=0)
+        per_day[day].append(int((tp - tv).total_seconds()))
+    expect = {
+        d: (len(v), min(v), max(v), sum(v) // len(v))
+        for d, v in per_day.items()
+    }
+    got = {
+        r["day"]: (
+            r["n_conversions"],
+            r["min_lag_s"],
+            r["max_lag_s"],
+            r["mean_lag_s"],
+        )
+        for r in QUERIES["d93_funnel_conversion_lag"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_simpson_diversity_matches_python_replay(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from pgsink_spark.operators.corpus import corpus_simpson_diversity
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    per_src = defaultdict(Counter)
+    for r in docs:
+        per_src[r["source"]].update(r["text"].lower().split(" "))
+    expect = {}
+    for s, c in per_src.items():
+        n = sum(c.values())
+        coll = sum(v * (v - 1) for v in c.values())
+        expect[s] = (n, len(c), 1_000_000 * coll // (n * (n - 1)))
+    got = {
+        r["source"]: (r["n_tokens"], r["n_types"], r["simpson_ppm"])
+        for r in corpus_simpson_diversity(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -899,3 +899,19 @@ def test_round7_third_batch_plan_shapes(spark):
     cols = [set(c) for c in scan_columns(df)]
     assert len(cols) == 1
     assert cols[0] <= {"doc_id"}
+
+
+def test_partition_prune_scan_has_partition_filter(spark):
+    """src_parquet_partition_prune: the source predicate must land in
+    PartitionFilters (directory pruning), NOT as a data filter over a
+    full scan — the 100 TB lever this registry entry exists to pin."""
+    from pgsink_spark.operators.formats import src_parquet_partition_prune
+
+    df = src_parquet_partition_prune(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "source" in m.group(1), plan[:800]
+    assert df.count() > 0

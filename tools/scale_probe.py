@@ -137,6 +137,9 @@ PROBES = [
     "d92_rfm_segments",
     "export_manifest_checksums",
     "ivm_topk_view",
+    "d93_funnel_conversion_lag",
+    "corpus_simpson_diversity",
+    "src_parquet_partition_prune",
 ]
 
 
