@@ -231,6 +231,8 @@ HEADLINE = [
     "d93_funnel_conversion_lag",
     "corpus_simpson_diversity",
     "src_parquet_partition_prune",
+    "mm_image_resize",
+    "d94_join_skew_audit",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

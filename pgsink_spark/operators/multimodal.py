@@ -1080,3 +1080,68 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_image_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 AS INTEGER) AS out_w,
+           CAST((16 + doc_id % 16) // 2 AS INTEGER) AS out_h,
+           CAST(16 * ((16 + doc_id % 16) // 2) AS BIGINT) AS n_px,
+           CAST(doc_id % 160 + 15 + (16 + doc_id % 16) // 2 AS DOUBLE)
+             AS mean_px
+    FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIZE pass with an exact oracle — decode every synthetic PNG
+    for real and 2× BOX-DOWNSAMPLE it (each output pixel = mean of a
+    2×2 block, the antialiasing reduction real thumbnail pipelines
+    use, unlike resize_images' nearest-neighbor), then surface the
+    resized geometry and mean. The fixture's closed-form pixel ramp
+    pixel(x,y) = base + x + y makes every 2×2 block mean the exact
+    integer base + 2x' + 2y' + 1, so the resized mean is
+    base + 15 + H//2 — the oracle derives it without touching a byte,
+    and the hash pins the whole decode→resample→stat path.
+
+    Scale shape: Arrow-batched mapInPandas over the binary column
+    (the designated escape hatch for codec work); one task per
+    partition, no shuffle before the presentation sort.
+    """
+    cols = ["media_id", "out_w", "out_h", "n_px", "mean_px"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = codecs.decode_png(bytes(content))
+                h2, w2 = px.shape[0] // 2, px.shape[1] // 2
+                small = (
+                    px[: 2 * h2, : 2 * w2]
+                    .astype(np.float64)
+                    .reshape(h2, 2, w2, 2)
+                    .mean(axis=(1, 3))
+                )
+                rows.append(
+                    (int(mid), w2, h2, int(small.size), float(small.mean()))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("out_w", T.IntegerType(), False),
+            T.StructField("out_h", T.IntegerType(), False),
+            T.StructField("n_px", T.LongType(), False),
+            T.StructField("mean_px", T.DoubleType(), False),
+        ]
+    )
+    imgs = synthesize_media(spark, sf_dir).where(
+        F.col("media_type") == "image"
+    )
+    return (
+        imgs.select("media_id", "content")
+        .mapInPandas(batches, schema)
+        .orderBy("media_id")
+    )

@@ -5511,3 +5511,74 @@ def d93_funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "d94_join_skew_audit",
+    """
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM k
+    )
+    SELECT s.n_keys, s.total, s.max_cnt,
+           CAST(min(CASE WHEN k.cnt = s.max_cnt THEN k.user_id END)
+             AS BIGINT) AS top_key,
+           CAST(1000000 * s.max_cnt // s.total AS BIGINT)
+             AS top_share_ppm,
+           CAST(1000000 * s.max_cnt * s.n_keys // s.total AS BIGINT)
+             AS skew_ppm
+    FROM k CROSS JOIN s
+    GROUP BY s.n_keys, s.total, s.max_cnt
+    """,
+)
+def d94_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW audit for the event stream's user_id — the read a
+    pipeline owner takes BEFORE picking a join strategy: key count,
+    total rows, the hottest key and its row share (ppm), and the
+    peak-to-mean ratio (ppm; 1,000,000 = perfectly uniform). A
+    skew_ppm in the tens of millions is the signal to reach for
+    d44_salted_join / AQE skew handling; this makes that decision a
+    measured one instead of a post-mortem.
+
+    Scale shape: one key-keyed partial agg + a 1-row fold broadcast
+    back for the top-key election — two passes over the key census,
+    zero passes over raw events beyond the first agg.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    s = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    return (
+        k.crossJoin(F.broadcast(s))
+        .groupBy("n_keys", "total", "max_cnt")
+        .agg(
+            F.min(
+                F.when(F.col("cnt") == F.col("max_cnt"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("top_key"),
+        )
+        .select(
+            "n_keys",
+            "total",
+            "max_cnt",
+            "top_key",
+            F.expr("1000000 * max_cnt div total")
+            .cast("long")
+            .alias("top_share_ppm"),
+            F.expr("1000000 * max_cnt * n_keys div total")
+            .cast("long")
+            .alias("skew_ppm"),
+        )
+    )

@@ -1296,3 +1296,36 @@ def test_simpson_diversity_matches_python_replay(spark, sf_dir):
         for r in corpus_simpson_diversity(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_join_skew_audit_matches_python_replay(spark, sf_dir):
+    from collections import Counter
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    counts = Counter(
+        r["user_id"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .collect()
+    )
+    n_keys, total = len(counts), sum(counts.values())
+    max_cnt = max(counts.values())
+    top_key = min(k for k, v in counts.items() if v == max_cnt)
+    (row,) = QUERIES["d94_join_skew_audit"](spark, sf_dir).collect()
+    assert (
+        row["n_keys"],
+        row["total"],
+        row["max_cnt"],
+        row["top_key"],
+        row["top_share_ppm"],
+        row["skew_ppm"],
+    ) == (
+        n_keys,
+        total,
+        max_cnt,
+        top_key,
+        1_000_000 * max_cnt // total,
+        1_000_000 * max_cnt * n_keys // total,
+    )

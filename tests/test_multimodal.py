@@ -267,3 +267,37 @@ def test_phash_banding_is_lossless_for_threshold(spark, sf_dir):
         shared = sum(x == y for x, y in zip(a, b))
         assert shared >= 2
         assert p["hamming"] <= 2
+
+
+def test_image_resize_matches_pixel_replay(spark, sf_dir):
+    """mm_image_resize equals a direct numpy box-downsample of the
+    decoded pixels (independent of the closed-form oracle)."""
+    import numpy as np
+
+    from pgsink_spark.functions import codecs
+    from pgsink_spark.operators.multimodal import (
+        mm_image_resize,
+        synthesize_media,
+    )
+
+    media = {
+        r["media_id"]: bytes(r["content"])
+        for r in synthesize_media(spark, sf_dir)
+        .where("media_type = 'image'")
+        .collect()
+    }
+    got = {
+        r["media_id"]: (r["out_w"], r["out_h"], r["n_px"], r["mean_px"])
+        for r in mm_image_resize(spark, sf_dir).collect()
+    }
+    assert set(got) == set(media)
+    for mid, content in media.items():
+        px = codecs.decode_png(content)
+        h2, w2 = px.shape[0] // 2, px.shape[1] // 2
+        small = (
+            px[: 2 * h2, : 2 * w2]
+            .astype(np.float64)
+            .reshape(h2, 2, w2, 2)
+            .mean(axis=(1, 3))
+        )
+        assert got[mid] == (w2, h2, small.size, small.mean())

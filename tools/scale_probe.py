@@ -140,6 +140,8 @@ PROBES = [
     "d93_funnel_conversion_lag",
     "corpus_simpson_diversity",
     "src_parquet_partition_prune",
+    "mm_image_resize",
+    "d94_join_skew_audit",
 ]
 
 
