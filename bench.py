@@ -233,6 +233,8 @@ HEADLINE = [
     "src_parquet_partition_prune",
     "mm_image_resize",
     "d94_join_skew_audit",
+    "cdc_slot_gap_audit",
+    "ann_ivf_probe_curve",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -5582,3 +5582,81 @@ def d94_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("skew_ppm"),
         )
     )
+
+
+GAP_TOPK = 20
+
+
+@query(
+    "cdc_slot_gap_audit",
+    f"""
+    WITH l AS (
+      SELECT DISTINCT o_orderkey AS lsn FROM orders
+      WHERE (o_orderkey // 100) % 7 <> 3
+    ),
+    g AS (SELECT lag(lsn) OVER (ORDER BY lsn) AS prev, lsn FROM l)
+    SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+           CAST(lsn - 1 AS BIGINT) AS gap_end,
+           CAST(lsn - prev - 1 AS BIGINT) AS n_missing
+    FROM g WHERE prev IS NOT NULL AND lsn - prev > 1
+    ORDER BY n_missing DESC, gap_start LIMIT {GAP_TOPK}
+    """,
+)
+def cdc_slot_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSN GAP detection over a replication ledger — the top-20 widest
+    holes in the committed sequence (orders keys standing in for slot
+    LSNs, with deterministic 100-wide blocks dropped to simulate lost
+    segments — fixture keys are dense). A gap in the
+    acked LSN sequence is the first symptom of lost envelopes /
+    skipped WAL segments, and the reference's confirm-after-append
+    contract (A11) makes "audit the sequence for holes" the standard
+    integrity read on the raw ledger.
+
+    Scale shape — the DISTRIBUTED consecutive-pair recipe (a global
+    lag window would be one partition): deterministic ordered buckets
+    over the LSN range, a lag window INSIDE each bucket, plus the
+    cross-bucket boundary pairs reconstructed from the ≤32-row
+    per-bucket (min, max) census collected control-plane (the
+    bucket_offsets discipline). Union, then TakeOrdered top-20. The
+    oracle states the same gaps with one declarative global window.
+    """
+    from pgsink_spark.operators.ranking import ordered_bucket
+
+    lsns = (
+        load_table(spark, sf_dir, "orders")
+        # simulate lost WAL segments: whole 100-wide LSN blocks missing
+        # (fixture orderkeys are dense, so the holes are synthetic and
+        # identical on both engines)
+        .where(F.expr("(o_orderkey div 100) % 7 != 3"))
+        .select(F.col("o_orderkey").alias("lsn"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    part = lsns.withColumn("bucket", ordered_bucket(lsns, F.col("lsn"), 32))
+    w = W.partitionBy("bucket").orderBy("lsn")
+    within = part.select(
+        "lsn", F.lag("lsn").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull() & (F.col("lsn") - F.col("prev") > 1))
+    gaps_in = within.select(
+        (F.col("prev") + 1).cast("long").alias("gap_start"),
+        (F.col("lsn") - 1).cast("long").alias("gap_end"),
+        (F.col("lsn") - F.col("prev") - 1).cast("long").alias("n_missing"),
+    )
+    bounds = sorted(
+        (r["bucket"], r["mn"], r["mx"])
+        for r in part.groupBy("bucket")
+        .agg(F.min("lsn").alias("mn"), F.max("lsn").alias("mx"))
+        .collect()
+    )
+    boundary = []
+    for (_b1, _mn1, mx1), (_b2, mn2, _mx2) in zip(bounds, bounds[1:]):
+        if mn2 - mx1 > 1:
+            boundary.append((mx1 + 1, mn2 - 1, mn2 - mx1 - 1))
+    bgaps = spark.createDataFrame(
+        boundary, "gap_start long, gap_end long, n_missing long"
+    )
+    return (
+        gaps_in.unionByName(bgaps)
+        .orderBy(F.desc("n_missing"), "gap_start")
+        .limit(GAP_TOPK)
+    )

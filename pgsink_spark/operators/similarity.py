@@ -1118,3 +1118,57 @@ def diversity_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, v, float(d)) for r, v, d in picks],
         "rank int, vec_id bigint, d2 double",
     )
+
+
+IVF_CURVE_PROBES = (1, 2, 4, 8)
+IVF_CURVE_FLOOR = 3  # hits floor at the largest nprobe (= ann_ivf_recall's)
+
+
+@query(
+    "ann_ivf_probe_curve",
+    f"""
+    SELECT CAST(u.nprobe AS BIGINT) AS nprobe,
+           TRUE AS monotone_ok,
+           TRUE AS floor_ok
+    FROM UNNEST([{", ".join(str(p) for p in IVF_CURVE_PROBES)}])
+      AS u(nprobe)
+    ORDER BY nprobe
+    """,
+)
+def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe CURVE gate for the IVF path — the capacity-
+    planning read behind ann_ivf_recall's single point: recall@5 hits
+    are measured at nprobe ∈ {IVF_CURVE_PROBES} and the gate asserts
+    the two properties a correct probe router MUST satisfy:
+    (1) MONOTONE hits — more probes can only grow the candidate set,
+    so hits are nondecreasing in nprobe (a routing bug that drops the
+    true cell breaks this); (2) the largest-nprobe hits meet the
+    ann_ivf_recall floor. Both reduce to booleans, so the driver hash
+    pins them even though absolute recall is float-adjacent.
+
+    Scale shape: |probes| reruns of the IVF search, each a centroid
+    broadcast + per-cell top-k; hit counting joins ≤ |Q|·k-row frames
+    (control-plane at any corpus size).
+    """
+    exact = _exact_top5(spark, sf_dir).select("q_id", "vec_id")
+    hits = []
+    for p in IVF_CURVE_PROBES:
+        ann = ann_ivf_topk(spark, sf_dir, k=5, nprobe=p)
+        hits.append(
+            exact.join(
+                ann.select("q_id", "vec_id"),
+                on=["q_id", "vec_id"],
+                how="left_semi",
+            ).count()
+        )
+    rows = [
+        (
+            int(p),
+            bool(h >= prev),
+            bool(hits[-1] >= IVF_CURVE_FLOOR),
+        )
+        for p, h, prev in zip(IVF_CURVE_PROBES, hits, [0, *hits[:-1]])
+    ]
+    return spark.createDataFrame(
+        rows, "nprobe long, monotone_ok boolean, floor_ok boolean"
+    ).orderBy("nprobe")

@@ -1329,3 +1329,58 @@ def test_join_skew_audit_matches_python_replay(spark, sf_dir):
         1_000_000 * max_cnt // total,
         1_000_000 * max_cnt * n_keys // total,
     )
+
+
+def test_cdc_gap_audit_matches_python_replay(spark, sf_dir):
+    from pgsink_spark.operators.relational import GAP_TOPK, QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    keys = sorted(
+        r["o_orderkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .distinct()
+        .collect()
+        if (r["o_orderkey"] // 100) % 7 != 3
+    )
+    gaps = [
+        (p + 1, c - 1, c - p - 1)
+        for p, c in zip(keys, keys[1:])
+        if c - p > 1
+    ]
+    gaps.sort(key=lambda g: (-g[2], g[0]))
+    got = [
+        (r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in QUERIES["cdc_slot_gap_audit"](spark, sf_dir).collect()
+    ]
+    assert got == gaps[:GAP_TOPK]
+    assert got, "synthetic holes must produce gaps"
+
+
+def test_ivf_probe_curve_hits_are_really_monotone(spark, sf_dir):
+    """Recompute the per-nprobe hit counts independently and check the
+    gate's booleans against them (the gate must not be vacuous)."""
+    from pgsink_spark.operators.similarity import (
+        IVF_CURVE_FLOOR,
+        IVF_CURVE_PROBES,
+        _exact_top5,
+        ann_ivf_probe_curve,
+        ann_ivf_topk,
+    )
+
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in _exact_top5(spark, sf_dir).collect()
+    }
+    hits = []
+    for p in IVF_CURVE_PROBES:
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in ann_ivf_topk(spark, sf_dir, k=5, nprobe=p).collect()
+        }
+        hits.append(len(exact & got))
+    assert hits == sorted(hits), "IVF hits must be monotone in nprobe"
+    assert hits[-1] >= IVF_CURVE_FLOOR
+    rows = ann_ivf_probe_curve(spark, sf_dir).collect()
+    assert [r["nprobe"] for r in rows] == list(IVF_CURVE_PROBES)
+    assert all(r["monotone_ok"] and r["floor_ok"] for r in rows)

@@ -142,6 +142,8 @@ PROBES = [
     "src_parquet_partition_prune",
     "mm_image_resize",
     "d94_join_skew_audit",
+    "cdc_slot_gap_audit",
+    "ann_ivf_probe_curve",
 ]
 
 
