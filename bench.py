@@ -235,6 +235,8 @@ HEADLINE = [
     "d94_join_skew_audit",
     "cdc_slot_gap_audit",
     "ann_ivf_probe_curve",
+    "d95_market_basket",
+    "sample_stratified_quota",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -5660,3 +5660,136 @@ def cdc_slot_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_missing"), "gap_start")
         .limit(GAP_TOPK)
     )
+
+
+BASKET_MIN_SESS = 5  # ignore pairs rarer than this (noise floor)
+
+
+@query(
+    "d95_market_basket",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
+      FROM flagged
+    ), st AS (
+      SELECT DISTINCT user_id, session_no, event_type FROM sess
+    ), n AS (
+      SELECT CAST(count(DISTINCT (user_id, session_no)) AS BIGINT) AS n
+      FROM st
+    ), sup AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ns
+      FROM st GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_no = b.session_no
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_both,
+           CAST(1000000 * n_both // n.n AS BIGINT) AS support_ppm,
+           CAST(1000000 * n_both // sa.ns AS BIGINT) AS conf_a_to_b_ppm,
+           CAST(1000000 * n_both // sb.ns AS BIGINT) AS conf_b_to_a_ppm,
+           CAST((1000000 * n_both // sa.ns) * n.n // sb.ns AS BIGINT)
+             AS lift_ppm
+    FROM pairs
+    JOIN sup sa ON sa.event_type = item_a
+    JOIN sup sb ON sb.event_type = item_b
+    CROSS JOIN n
+    WHERE n_both >= 5
+    ORDER BY item_a, item_b
+    """,
+)
+def d95_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules over event sessions — for every
+    pair of event types co-occurring in a 30-min-gap session (d23's
+    sessionization): support, both conditional confidences, and lift,
+    all integer ppm. The A-Priori 2-itemset pass is the classic
+    "what co-occurs" curation/product read; with a 5-type alphabet
+    the pair lattice is control-plane sized, and at a 10⁵-item
+    catalog the same plan bounds pair fan-out per session by the
+    session's distinct-item count (cap long sessions exactly like the
+    linkage hot-block cap).
+
+    Exactness: lift is computed as ``(1e6·both // sup_a) · n //
+    sup_b`` — two floors in a FIXED order, identical on both engines,
+    keeping every intermediate under int64 at any corpus size (a
+    single-expression 1e6·both·n product would overflow first).
+
+    Scale shape: sessionization is the one user-keyed shuffle; the
+    pair census self-joins the distinct (session, type) frame on the
+    session key (per-session fan-out ≤ |alphabet|²); supports and the
+    session census are partial aggs broadcast back.
+    """
+    events = load_table(spark, sf_dir, "events")
+    micros = F.expr("unix_micros(cast(ts as timestamp))")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn(
+        "is_new",
+        F.when(
+            (micros - F.lag(micros).over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    st = (
+        flagged.withColumn(
+            "session_no",
+            F.sum("is_new").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .select("user_id", "session_no", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = st.select("user_id", "session_no").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sup = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    a = st.select("user_id", "session_no", F.col("event_type").alias("item_a"))
+    b = st.select("user_id", "session_no", F.col("event_type").alias("item_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_no"])
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .where(F.col("n_both") >= BASKET_MIN_SESS)
+    )
+    sa = sup.select(F.col("event_type").alias("item_a"), F.col("ns").alias("ns_a"))
+    sb = sup.select(F.col("event_type").alias("item_b"), F.col("ns").alias("ns_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.expr("1000000 * n_both div n").cast("long").alias("support_ppm"),
+            F.expr("1000000 * n_both div ns_a")
+            .cast("long")
+            .alias("conf_a_to_b_ppm"),
+            F.expr("1000000 * n_both div ns_b")
+            .cast("long")
+            .alias("conf_b_to_a_ppm"),
+            F.expr("(1000000 * n_both div ns_a) * n div ns_b")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy("item_a", "item_b")
+    )

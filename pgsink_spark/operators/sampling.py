@@ -301,3 +301,92 @@ def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank_hash", "doc_id")
         .limit(RESERVOIR_K)
     )
+
+
+STRATA_BUDGET = 200
+
+
+@query(
+    "sample_stratified_quota",
+    f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS ns
+      FROM documents GROUP BY source
+    ),
+    n AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM s),
+    b AS (
+      SELECT source, ns,
+             {STRATA_BUDGET} * ns // n.n AS base,
+             ({STRATA_BUDGET} * ns) % n.n AS rem
+      FROM s CROSS JOIN n
+    ),
+    bt AS (SELECT CAST(sum(base) AS BIGINT) AS base_total FROM b),
+    q AS (
+      SELECT source,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                         <= {STRATA_BUDGET} - bt.base_total
+                    THEN 1 ELSE 0 END AS quota
+      FROM b CROSS JOIN bt
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY CAST(concat('0x',
+                 substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT),
+                 d.doc_id) AS rk,
+             q.quota AS quota
+      FROM documents d JOIN q ON q.source = d.source
+    )
+    SELECT source, doc_id FROM ranked
+    WHERE rk <= quota
+    ORDER BY source, doc_id
+    """,
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SIZE stratified sample with LARGEST-REMAINDER quotas: a
+    fixed total budget of 200 docs is apportioned across sources
+    proportionally to stratum size (base = ⌊K·n_s/N⌋, leftovers to
+    the largest remainders, source-name tie-break — the Hamilton
+    apportionment rule, deterministic and sums to exactly K), then
+    each stratum takes its quota by smallest md5 rank (the
+    sample_reservoir_hash construction per stratum). Rate-based
+    stratified_sample yields binomial sizes; eval budgets need EXACT
+    allocation — this is that operator.
+
+    Scale shape: the stratum census is a source-keyed partial agg
+    (control-plane, 20 rows); quotas are computed on that tiny frame;
+    the per-stratum cut is a source-partitioned window over the
+    hash-ranked scan — one shuffle keyed on source (salt a dominant
+    stratum exactly like d44 if one source is the corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = sorted(
+        (r["source"], r["ns"])
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("ns"))
+        .collect()
+    )
+    total = sum(ns for _s, ns in counts)
+    base = {s: STRATA_BUDGET * ns // total for s, ns in counts}
+    leftover = STRATA_BUDGET - sum(base.values())
+    by_rem = sorted(
+        counts, key=lambda kv: (-((STRATA_BUDGET * kv[1]) % total), kv[0])
+    )
+    quota = dict(base)
+    for s, _ns in by_rem[:leftover]:
+        quota[s] += 1
+    qmap = F.create_map(
+        *[F.lit(x) for kv in sorted(quota.items()) for x in kv]
+    )
+    h = F.expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10)"
+    ).cast("long")
+    w = W.partitionBy("source").orderBy("rank_hash", "doc_id")
+    return (
+        docs.select("source", "doc_id", h.alias("rank_hash"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.element_at(qmap, F.col("source")))
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )

@@ -1384,3 +1384,107 @@ def test_ivf_probe_curve_hits_are_really_monotone(spark, sf_dir):
     rows = ann_ivf_probe_curve(spark, sf_dir).collect()
     assert [r["nprobe"] for r in rows] == list(IVF_CURVE_PROBES)
     assert all(r["monotone_ok"] and r["floor_ok"] for r in rows)
+
+
+def test_market_basket_matches_python_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    from pgsink_spark.operators.relational import BASKET_MIN_SESS, QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    sessions = []
+    for _u, evs in by_user.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        cur = set()
+        prev = None
+        for ts, _eid, et in evs:
+            if prev is not None and (ts - prev).total_seconds() > 1800:
+                sessions.append(cur)
+                cur = set()
+            cur.add(et)
+            prev = ts
+        sessions.append(cur)
+    n = len(sessions)
+    sup = defaultdict(int)
+    both = defaultdict(int)
+    for s in sessions:
+        for t in s:
+            sup[t] += 1
+        items = sorted(s)
+        for i, a in enumerate(items):
+            for b in items[i + 1 :]:
+                both[(a, b)] += 1
+    expect = {}
+    for (a, b), nb in both.items():
+        if nb < BASKET_MIN_SESS:
+            continue
+        conf_ab = 1_000_000 * nb // sup[a]
+        expect[(a, b)] = (
+            nb,
+            1_000_000 * nb // n,
+            conf_ab,
+            1_000_000 * nb // sup[b],
+            conf_ab * n // sup[b],
+        )
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["n_both"],
+            r["support_ppm"],
+            r["conf_a_to_b_ppm"],
+            r["conf_b_to_a_ppm"],
+            r["lift_ppm"],
+        )
+        for r in QUERIES["d95_market_basket"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_stratified_quota_exact_budget_and_membership(spark, sf_dir):
+    """The sample is EXACTLY the budget in size (or the corpus when
+    smaller), per-stratum counts follow Hamilton apportionment, and
+    members are each stratum's smallest-md5-rank docs."""
+    import hashlib as H
+    from collections import Counter
+
+    from pgsink_spark.operators.sampling import (
+        STRATA_BUDGET,
+        sample_stratified_quota,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = [
+        (r["source"], r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id")
+        .collect()
+    ]
+    ns = Counter(s for s, _ in docs)
+    total = sum(ns.values())
+    base = {s: STRATA_BUDGET * c // total for s, c in ns.items()}
+    leftover = STRATA_BUDGET - sum(base.values())
+    order = sorted(ns, key=lambda s: (-((STRATA_BUDGET * ns[s]) % total), s))
+    quota = dict(base)
+    for s in order[:leftover]:
+        quota[s] += 1
+    rows = sample_stratified_quota(spark, sf_dir).collect()
+    assert len(rows) == min(STRATA_BUDGET, total)
+    got_per = Counter(r["source"] for r in rows)
+    assert got_per == Counter({s: q for s, q in quota.items() if q})
+    # membership: per stratum, exactly the smallest md5 ranks
+    per_src = {}
+    for s, d in docs:
+        per_src.setdefault(s, []).append(
+            (int(H.md5(str(d).encode()).hexdigest()[:13], 16), d)
+        )
+    for s, q in quota.items():
+        expect_ids = {d for _h, d in sorted(per_src[s])[:q]}
+        got_ids = {r["doc_id"] for r in rows if r["source"] == s}
+        assert got_ids == expect_ids

@@ -144,6 +144,8 @@ PROBES = [
     "d94_join_skew_audit",
     "cdc_slot_gap_audit",
     "ann_ivf_probe_curve",
+    "d95_market_basket",
+    "sample_stratified_quota",
 ]
 
 
