@@ -237,6 +237,9 @@ HEADLINE = [
     "ann_ivf_probe_curve",
     "d95_market_basket",
     "sample_stratified_quota",
+    "privacy_pseudonymize_ri",
+    "mm_audio_resample",
+    "d96_sequence_pairs",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

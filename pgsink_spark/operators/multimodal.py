@@ -1145,3 +1145,68 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(batches, schema)
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_audio_resample",
+    """
+    SELECT doc_id AS media_id,
+           CAST((1600 + (doc_id % 10) * 160) // 2 AS BIGINT) AS n_out,
+           CAST(8000 AS INTEGER) AS rate_out,
+           CAST(100 + (doc_id % 300) * 100 AS DOUBLE) AS mean_amp,
+           CAST(100 + (doc_id % 300) * 100 AS DOUBLE) AS rms
+    FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id
+    """,
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLE pass with an exact oracle — decode every
+    synthetic WAV for real (PCM parse) and decimate 2× (keep every
+    second sample, halving the rate to 8 kHz), then surface the
+    resampled stats. The fixture's ±amp square wave alternates
+    per-sample, so the kept (even-index) samples are ALL +amp: the
+    oracle predicts n//2 samples, mean exactly +amp, RMS exactly amp
+    — without touching a byte. Together with mm_image_resize this
+    completes the brief's transform verbs (decode / resize /
+    frame-sample / resample) as hash-pinned operators.
+
+    Scale shape: Arrow-batched mapInPandas over the binary column;
+    one task per partition, no shuffle before the presentation sort.
+    (A real anti-aliased resampler would low-pass first; decimation
+    keeps the oracle closed-form while exercising the same plumbing.)
+    """
+    cols = ["media_id", "n_out", "rate_out", "mean_amp", "rms"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = codecs.decode_wav(bytes(content))
+                out = samples[::2].astype(np.float64)
+                rows.append(
+                    (
+                        int(mid),
+                        int(out.size),
+                        rate // 2,
+                        float(out.mean()),
+                        float(np.sqrt((out * out).mean())),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_out", T.LongType(), False),
+            T.StructField("rate_out", T.IntegerType(), False),
+            T.StructField("mean_amp", T.DoubleType(), False),
+            T.StructField("rms", T.DoubleType(), False),
+        ]
+    )
+    wavs = synthesize_media(spark, sf_dir).where(
+        F.col("media_type") == "audio"
+    )
+    return (
+        wavs.select("media_id", "content")
+        .mapInPandas(batches, schema)
+        .orderBy("media_id")
+    )

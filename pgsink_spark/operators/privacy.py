@@ -423,3 +423,85 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(tvd.alias("tvd"), (tvd <= T_CLOSE).alias("close"))
         .orderBy("nation", "segment")
     )
+
+
+@query(
+    "privacy_pseudonymize_ri",
+    """
+    WITH m AS (
+      SELECT c_custkey,
+             CAST(concat('0x', substr(md5(concat('cust|',
+               CAST(c_custkey AS VARCHAR))), 1, 13)) AS BIGINT) AS pseudo
+      FROM customer
+    ),
+    po AS (
+      SELECT m.pseudo, o.o_totalprice
+      FROM orders o JOIN m ON m.c_custkey = o.o_custkey
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders_joined,
+             CAST(count(DISTINCT pseudo) AS BIGINT) AS n_pseudo_keys
+      FROM po
+    ),
+    direct AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders_direct,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_real_keys
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT d.n_orders_direct, s.n_orders_joined,
+           d.n_real_keys, s.n_pseudo_keys,
+           d.n_orders_direct = s.n_orders_joined
+             AND d.n_real_keys = s.n_pseudo_keys AS ri_preserved
+    FROM direct d CROSS JOIN stats s
+    """,
+)
+def privacy_pseudonymize_ri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDONYMIZATION with a REFERENTIAL-INTEGRITY gate: customer
+    keys are replaced by keyed-hash surrogates (md5-13 of a salted
+    key — deterministic, so every table maps a key to the SAME
+    surrogate without a lookup table), and the gate proves the
+    pseudonymized join reproduces the real join exactly — same joined
+    row count, same distinct-entity count (no hash collision merged
+    two customers, no key missed). This is the privacy-engineering
+    contract: analytics on pseudonymous data must equal analytics on
+    real keys, verified not assumed.
+
+    Scale shape: the surrogate is a row-local expression (no mapping
+    table to build, broadcast, or protect); both join counts are
+    key-keyed shuffles + 1-row folds. A collision would need ~2^26
+    customers per birthday bound at 52 bits — and the gate would
+    catch it as n_pseudo_keys < n_real_keys.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    m = cust.select(
+        "c_custkey",
+        F.expr(
+            "cast(conv(substring(md5(concat('cust|', "
+            "cast(c_custkey as string))), 1, 13), 16, 10) as bigint)"
+        ).alias("pseudo"),
+    )
+    po = orders.join(m, m["c_custkey"] == orders["o_custkey"]).select(
+        "pseudo"
+    )
+    stats = po.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_joined"),
+        F.countDistinct("pseudo").cast("long").alias("n_pseudo_keys"),
+    )
+    direct = (
+        orders.join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders_direct"),
+            F.countDistinct("o_custkey").cast("long").alias("n_real_keys"),
+        )
+    )
+    return direct.crossJoin(F.broadcast(stats)).select(
+        "n_orders_direct",
+        "n_orders_joined",
+        "n_real_keys",
+        "n_pseudo_keys",
+        (
+            (F.col("n_orders_direct") == F.col("n_orders_joined"))
+            & (F.col("n_real_keys") == F.col("n_pseudo_keys"))
+        ).alias("ri_preserved"),
+    )

@@ -5793,3 +5793,113 @@ def d95_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+@query(
+    "d96_sequence_pairs",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
+      FROM flagged
+    ), st AS (
+      SELECT user_id, session_no, event_type,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM sess GROUP BY user_id, session_no, event_type
+    ), n AS (
+      SELECT CAST(count(DISTINCT (user_id, session_no)) AS BIGINT) AS n
+      FROM st
+    ), pat AS (
+      SELECT a.event_type AS ant, b.event_type AS cons,
+             CAST(count(*) AS BIGINT) AS n_sessions
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_no = b.session_no
+       AND a.event_type <> b.event_type AND a.first_ts < b.last_ts
+      GROUP BY 1, 2
+    )
+    SELECT ant, cons, n_sessions,
+           CAST(1000000 * n_sessions // n.n AS BIGINT) AS support_ppm
+    FROM pat CROSS JOIN n
+    ORDER BY ant, cons
+    """,
+)
+def d96_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL-PATTERN support — for every ordered event-type pair
+    (ant → cons), the number of 30-min sessions where some ant event
+    strictly precedes some cons event (existence anywhere in the
+    session, the SPADE-style 2-sequence), with integer-ppm support.
+    Complements d95_market_basket (unordered co-occurrence) and
+    d51_transition_matrix (adjacent steps only): this is the "does A
+    eventually lead to B" read.
+
+    Scale shape: the per-(session, type) first/last timestamps are
+    one keyed partial agg over the sessionized stream (the same
+    single user-keyed shuffle as d23/d91/d95); the pattern census
+    self-joins that frame on the session key with per-session fan-out
+    ≤ |alphabet|²; supports fold control-plane.
+    """
+    events = load_table(spark, sf_dir, "events")
+    micros = F.expr("unix_micros(cast(ts as timestamp))")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "is_new",
+            F.when(
+                (micros - F.lag(micros).over(w) > 1_800_000_000)
+                | F.lag("ts").over(w).isNull(),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    st = (
+        sess.groupBy("user_id", "session_no", "event_type")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .localCheckpoint(eager=True)
+    )
+    n = st.select("user_id", "session_no").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = st.select(
+        "user_id", "session_no",
+        F.col("event_type").alias("ant"), "first_ts",
+    )
+    b = st.select(
+        "user_id", "session_no",
+        F.col("event_type").alias("cons"), "last_ts",
+    )
+    pat = (
+        a.join(b, ["user_id", "session_no"])
+        .where(
+            (F.col("ant") != F.col("cons"))
+            & (F.col("first_ts") < F.col("last_ts"))
+        )
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    return (
+        pat.crossJoin(F.broadcast(n))
+        .select(
+            "ant",
+            "cons",
+            "n_sessions",
+            F.expr("1000000 * n_sessions div n")
+            .cast("long")
+            .alias("support_ppm"),
+        )
+        .orderBy("ant", "cons")
+    )

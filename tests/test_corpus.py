@@ -1488,3 +1488,108 @@ def test_stratified_quota_exact_budget_and_membership(spark, sf_dir):
         expect_ids = {d for _h, d in sorted(per_src[s])[:q]}
         got_ids = {r["doc_id"] for r in rows if r["source"] == s}
         assert got_ids == expect_ids
+
+
+def test_sequence_pairs_match_python_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    sessions = []
+    for _u, evs in by_user.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        cur = []
+        prev = None
+        for ts, _eid, et in evs:
+            if prev is not None and (ts - prev).total_seconds() > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append((ts, et))
+            prev = ts
+        sessions.append(cur)
+    pat = defaultdict(int)
+    for s in sessions:
+        first, last = {}, {}
+        for ts, et in s:
+            if et not in first or ts < first[et]:
+                first[et] = ts
+            if et not in last or ts > last[et]:
+                last[et] = ts
+        for a in first:
+            for b in last:
+                if a != b and first[a] < last[b]:
+                    pat[(a, b)] += 1
+    n = len(sessions)
+    expect = {
+        k: (v, 1_000_000 * v // n) for k, v in pat.items()
+    }
+    got = {
+        (r["ant"], r["cons"]): (r["n_sessions"], r["support_ppm"])
+        for r in QUERIES["d96_sequence_pairs"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_pseudonymize_ri_gate_holds_and_detects(spark, sf_dir):
+    """ri_preserved must be TRUE on the fixtures, and the gate's two
+    equalities must be the real ones (counts recomputed in Python)."""
+    from pgsink_spark.operators.privacy import privacy_pseudonymize_ri
+    from pgsink_spark.sources.fixtures import load_table
+
+    (row,) = privacy_pseudonymize_ri(spark, sf_dir).collect()
+    assert row["ri_preserved"]
+    custkeys = {
+        r["c_custkey"]
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    }
+    orders = [
+        r["o_custkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .collect()
+    ]
+    joined = [k for k in orders if k in custkeys]
+    assert row["n_orders_direct"] == row["n_orders_joined"] == len(joined)
+    assert row["n_real_keys"] == row["n_pseudo_keys"] == len(set(joined))
+
+
+def test_audio_resample_matches_sample_replay(spark, sf_dir):
+    import numpy as np
+
+    from pgsink_spark.functions import codecs
+    from pgsink_spark.operators.multimodal import (
+        mm_audio_resample,
+        synthesize_media,
+    )
+
+    media = {
+        r["media_id"]: bytes(r["content"])
+        for r in synthesize_media(spark, sf_dir)
+        .where("media_type = 'audio'")
+        .collect()
+    }
+    got = {
+        r["media_id"]: (r["n_out"], r["rate_out"], r["mean_amp"], r["rms"])
+        for r in mm_audio_resample(spark, sf_dir).collect()
+    }
+    assert set(got) == set(media)
+    for mid, content in media.items():
+        samples, rate = codecs.decode_wav(content)
+        out = samples[::2].astype(np.float64)
+        assert got[mid] == (
+            out.size,
+            rate // 2,
+            out.mean(),
+            float(np.sqrt((out * out).mean())),
+        )

@@ -146,6 +146,9 @@ PROBES = [
     "ann_ivf_probe_curve",
     "d95_market_basket",
     "sample_stratified_quota",
+    "privacy_pseudonymize_ri",
+    "mm_audio_resample",
+    "d96_sequence_pairs",
 ]
 
 
