@@ -240,6 +240,12 @@ HEADLINE = [
     "privacy_pseudonymize_ri",
     "mm_audio_resample",
     "d96_sequence_pairs",
+    # round-7 session-2 additions (annotation-quality eval plane,
+    # seasonal decomposition, windowFunnel)
+    "eval_confusion_matrix",
+    "eval_cohens_kappa",
+    "d97_seasonal_decompose",
+    "d98_window_funnel",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

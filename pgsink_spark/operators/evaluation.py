@@ -25,6 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pgsink_spark.operators.relational import query
+from pgsink_spark.operators.sampling import _duckdb_bucket as _duckdb_bucket_sql
 from pgsink_spark.operators.text import text_lang_id, text_quality_score
 from pgsink_spark.sources.fixtures import load_table
 
@@ -377,4 +378,204 @@ def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos_rate"),
         )
         .orderBy("bucket")
+    )
+
+
+# Deterministic noisy labelers for the annotation-quality operators.
+# The language-ID heuristic cannot serve as a rater here: on the
+# fixture corpus it predicts 'en' for every document, and Cohen's
+# kappa is IDENTICALLY zero whenever one rater is constant (agree·n ==
+# Σ marginal products, by construction) — a degenerate fixture, not a
+# useful one. Instead two independently-corrupted views of the ground
+# truth play the raters: labeler A replaces an md5-bucketed 15% of
+# labels with 'en' (majority-class default errors), labeler B rotates
+# a differently-salted 20% one step through the language enum
+# (confusion-style errors). Both are row-local and engine-identical.
+KAPPA_CORRUPT_PCT = 15
+KAPPA_B_CORRUPT_PCT = 20
+KAPPA_B_SALT = 1_000_003
+
+_LANG_ROTATE_SQL = """
+      CASE lang WHEN 'en' THEN 'fr' WHEN 'fr' THEN 'es'
+                WHEN 'es' THEN 'de' WHEN 'de' THEN 'zh' ELSE 'en' END
+"""
+
+
+def _rater_a_col() -> "F.Column":
+    from pgsink_spark.operators.sampling import hash_bucket
+
+    return (
+        F.when(hash_bucket(F.col("doc_id")) < KAPPA_CORRUPT_PCT, F.lit("en"))
+        .otherwise(F.col("lang"))
+    )
+
+
+def _rater_b_col() -> "F.Column":
+    from pgsink_spark.operators.sampling import hash_bucket
+
+    rot = (
+        F.when(F.col("lang") == "en", "fr")
+        .when(F.col("lang") == "fr", "es")
+        .when(F.col("lang") == "es", "de")
+        .when(F.col("lang") == "de", "zh")
+        .otherwise("en")
+    )
+    return F.when(
+        hash_bucket(F.col("doc_id") + KAPPA_B_SALT) < KAPPA_B_CORRUPT_PCT, rot
+    ).otherwise(F.col("lang"))
+
+
+_RATER_A_SQL = f"""
+      CASE WHEN {_duckdb_bucket_sql("doc_id")} < {KAPPA_CORRUPT_PCT}
+           THEN 'en' ELSE lang END
+"""
+_RATER_B_SQL = f"""
+      CASE WHEN {_duckdb_bucket_sql(f"doc_id + {KAPPA_B_SALT}")}
+                < {KAPPA_B_CORRUPT_PCT}
+           THEN {_LANG_ROTATE_SQL} ELSE lang END
+"""
+
+
+@query(
+    "eval_confusion_matrix",
+    f"""
+    WITH p AS (
+      SELECT lang AS true_lang, {_RATER_A_SQL} AS pred_lang
+      FROM documents
+    ),
+    cells AS (
+      SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, n,
+           CAST(1000000 * n // SUM(n) OVER (PARTITION BY true_lang)
+                AS BIGINT) AS row_ppm
+    FROM cells ORDER BY true_lang, pred_lang
+    """,
+)
+def eval_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full confusion matrix of the noisy labeler (labeler A: ground
+    truth with a deterministic md5-bucketed 15% defaulted to 'en')
+    against ground truth: one row per observed (true, predicted) class
+    pair with the raw count and the row-normalized rate in integer ppm
+    — the per-class error-DIRECTION read that scalar precision/recall
+    collapses (which wrong class a label leaks into decides whether
+    the fix is more annotator guidance or a threshold).
+
+    Truth and prediction live in the same row, so the matrix is one
+    class-pair-keyed aggregation (≤ k² result rows for k classes —
+    control-plane sized at any corpus scale) plus a per-true-class
+    window over those k² rows for the row totals.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            _rater_a_col().alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.expr(
+            "1000000 * n div sum(n) over (partition by true_lang)"
+        )
+        .cast("long")
+        .alias("row_ppm"),
+    ).orderBy("true_lang", "pred_lang")
+
+
+@query(
+    "eval_cohens_kappa",
+    f"""
+    WITH p AS (
+      SELECT {_RATER_A_SQL} AS rater_a,
+             {_RATER_B_SQL} AS rater_b
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN rater_a = rater_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS agree
+      FROM p
+    ),
+    ma AS (SELECT rater_a AS class, CAST(count(*) AS BIGINT) AS na
+           FROM p GROUP BY 1),
+    mb AS (SELECT rater_b AS class, CAST(count(*) AS BIGINT) AS nb
+           FROM p GROUP BY 1),
+    pe AS (
+      SELECT CAST(SUM(ma.na * mb.nb) AS BIGINT) AS pe_num
+      FROM ma JOIN mb ON ma.class = mb.class
+    )
+    SELECT n, agree,
+           CAST(1000000 * agree // n AS BIGINT) AS po_ppm,
+           CAST(1000000 * pe_num // (n * n) AS BIGINT) AS pe_ppm,
+           CAST(CASE WHEN agree * n >= pe_num
+                THEN 1000000 * (agree * n - pe_num) // (n * n - pe_num)
+                ELSE -(1000000 * (pe_num - agree * n) // (n * n - pe_num))
+                END AS BIGINT) AS kappa_ppm
+    FROM tot CROSS JOIN pe
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two deterministic noisy labelers
+    (A: md5-bucketed 15% defaulted to 'en'; B: differently-salted 20%
+    rotated one step through the enum) — chance-corrected agreement,
+    the standard check that two labeling pipelines agree beyond what
+    their marginals force.
+
+    Exact integer form: po and pe stay as (count, n) rationals; kappa
+    = (agree·n − pe_num) / (n² − pe_num) is emitted in ppm with an
+    explicit sign-symmetric truncation (CASE on the numerator's sign)
+    because DuckDB's ``//`` floors while Spark's ``div`` truncates —
+    the CASE makes both truncate toward zero. int64-safe for n <
+    3·10⁹ rows (n² < 9·10¹⁸); beyond that the marginal products
+    switch to ppm-scaled rates, same contract.
+
+    Plan: one row-local projection, one 1-row fold, two class-keyed
+    aggs (k rows each) joined on the class enum. No data-sized
+    shuffle beyond the aggregation itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        _rater_a_col().alias("rater_a"),
+        _rater_b_col().alias("rater_b"),
+    ).localCheckpoint(eager=True)
+    tot = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("rater_a") == F.col("rater_b")).cast("long")).alias(
+            "agree"
+        ),
+    )
+    ma = p.groupBy(F.col("rater_a").alias("class")).agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    mb = p.groupBy(F.col("rater_b").alias("class")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    pe = (
+        ma.join(mb, "class")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("pe_num"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            "agree",
+            F.expr("1000000 * agree div n").cast("long").alias("po_ppm"),
+            F.expr("1000000 * pe_num div (n * n)")
+            .cast("long")
+            .alias("pe_ppm"),
+            F.expr(
+                "CASE WHEN agree * n >= pe_num "
+                "THEN 1000000 * (agree * n - pe_num) div (n * n - pe_num) "
+                "ELSE -(1000000 * (pe_num - agree * n) div (n * n - pe_num)) "
+                "END"
+            )
+            .cast("long")
+            .alias("kappa_ppm"),
+        )
     )

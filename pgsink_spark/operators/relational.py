@@ -5903,3 +5903,187 @@ def d96_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ant", "cons")
     )
+
+
+@query(
+    "d97_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(date_part('dow', CAST(ts AS DATE)) AS BIGINT) AS dow,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                  AS BIGINT) AS total_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, dow, total_cents,
+           CAST(SUM(total_cents) OVER (PARTITION BY dow)
+                // COUNT(*) OVER (PARTITION BY dow) AS BIGINT)
+             AS seasonal_cents,
+           CAST(total_cents
+                - SUM(total_cents) OVER (PARTITION BY dow)
+                  // COUNT(*) OVER (PARTITION BY dow) AS BIGINT)
+             AS residual_cents
+    FROM daily ORDER BY day
+    """,
+)
+def d97_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-value series
+    with a day-of-week period: per day, the observed total, the
+    seasonal component (mean of that weekday's totals across the
+    series), and the residual — the de-seasonalized signal an
+    anomaly review reads instead of raw totals (a quiet Sunday is not
+    an incident; a quiet Tuesday might be).
+
+    Exact integer form: values enter as scale-4 fixed-point cents
+    (CAST to DECIMAL(18,4) then ×10⁴ to int64), the seasonal mean is
+    a floor division of two positive int64s (identical truncation on
+    both engines), and the residual is a pure int64 subtraction — no
+    float drift anywhere.
+
+    Plan: one day-keyed partial agg over the fact scan (map-side
+    combine does the heavy lift), then windows over the DAILY frame
+    only — series-length-sized (365 rows/year), never data-sized, so
+    the decomposition costs one scan + one tiny shuffle at any corpus
+    scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+    daily = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            (F.dayofweek(F.to_date("ts")) - 1).cast("long").alias("dow"),
+            cents.alias("cents"),
+        )
+        .groupBy("day", "dow")
+        .agg(F.sum("cents").cast("long").alias("total_cents"))
+    )
+    seasonal = F.expr(
+        "sum(total_cents) over (partition by dow) "
+        "div count(*) over (partition by dow)"
+    ).cast("long")
+    return daily.select(
+        "day",
+        "dow",
+        "total_cents",
+        seasonal.alias("seasonal_cents"),
+        (F.col("total_cents") - seasonal).cast("long").alias("residual_cents"),
+    ).orderBy("day")
+
+
+# windowFunnel step sequence and window, fixed for the oracle: a user
+# "reaches depth k" when signup -> view -> purchase events occur in
+# order with every step inside 1 hour of the anchoring signup.
+FUNNEL_WINDOW_US = 3_600_000_000
+
+
+@query(
+    "d98_window_funnel",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    d1 AS (SELECT DISTINCT user_id FROM s),
+    sv AS (
+      SELECT s.user_id, s.ts AS ts_s, min(v.ts) AS ts_v
+      FROM s JOIN v ON v.user_id = s.user_id
+       AND v.ts > s.ts
+       AND epoch_us(v.ts) - epoch_us(s.ts) <= {FUNNEL_WINDOW_US}
+      GROUP BY s.user_id, s.ts
+    ),
+    d2 AS (SELECT DISTINCT user_id FROM sv),
+    d3 AS (
+      SELECT DISTINCT sv.user_id
+      FROM sv JOIN p ON p.user_id = sv.user_id
+       AND p.ts > sv.ts_v
+       AND epoch_us(p.ts) - epoch_us(sv.ts_s) <= {FUNNEL_WINDOW_US}
+    ),
+    depth AS (
+      SELECT u.user_id,
+             CASE WHEN d3.user_id IS NOT NULL THEN 3
+                  WHEN d2.user_id IS NOT NULL THEN 2
+                  WHEN d1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM u
+      LEFT JOIN d1 ON d1.user_id = u.user_id
+      LEFT JOIN d2 ON d2.user_id = u.user_id
+      LEFT JOIN d3 ON d3.user_id = u.user_id
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY depth ORDER BY depth
+    """,
+)
+def d98_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel-style max-depth histogram (the ClickHouse verb,
+    complementing d49's per-step counts and d93's conversion lags):
+    for the ordered sequence signup → view → purchase with EVERY step
+    inside one hour of the anchoring signup, the number of users whose
+    deepest reached step is 0/1/2/3.
+
+    Exactness rests on the greedy-earliest reduction: a chain
+    (s, v, p) exists iff one exists using the EARLIEST view after s
+    inside s's window (v' ≤ v keeps p > v' and the window is anchored
+    at s, so shrinking v only widens p's room). That turns the
+    middle step into a per-(user, signup) MIN aggregation instead of
+    an all-pairs existence probe — the same cap argument as the
+    linkage hot-block fix, but exact rather than approximate.
+
+    Plan: three filtered projections of one scan, each join keyed on
+    user_id (co-partitioned shuffles; per-user fan-out bounded by that
+    user's per-type event counts), aggregated to distinct user sets,
+    then a 4-row histogram fold. No window functions over the fact
+    table and no data-sized broadcast.
+    """
+    events = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    ev = events.select("user_id", "event_type", "ts", us.alias("us"))
+    u = ev.select("user_id").distinct()
+    s = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("ts_s"), F.col("us").alias("us_s")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("ts_v"), F.col("us").alias("us_v")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts_p"), F.col("us").alias("us_p")
+    )
+    d1 = s.select("user_id").distinct().withColumn("r1", F.lit(1))
+    sv = (
+        s.join(v, "user_id")
+        .where(
+            (F.col("us_v") > F.col("us_s"))
+            & (F.col("us_v") - F.col("us_s") <= FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id", "us_s")
+        .agg(F.min("us_v").alias("us_v"))
+    )
+    d2 = sv.select("user_id").distinct().withColumn("r2", F.lit(1))
+    d3 = (
+        sv.join(p, "user_id")
+        .where(
+            (F.col("us_p") > F.col("us_v"))
+            & (F.col("us_p") - F.col("us_s") <= FUNNEL_WINDOW_US)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("r3", F.lit(1))
+    )
+    depth = (
+        u.join(d1, "user_id", "left")
+        .join(d2, "user_id", "left")
+        .join(d3, "user_id", "left")
+        .select(
+            F.when(F.col("r3").isNotNull(), 3)
+            .when(F.col("r2").isNotNull(), 2)
+            .when(F.col("r1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("depth")
+        )
+    )
+    return (
+        depth.groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("depth")
+    )

@@ -1593,3 +1593,96 @@ def test_audio_resample_matches_sample_replay(spark, sf_dir):
             out.mean(),
             float(np.sqrt((out * out).mean())),
         )
+
+
+def test_seasonal_decompose_matches_python_replay(spark, sf_dir):
+    """d97_seasonal_decompose equals a pure-Python decomposition in
+    integer cents: exact per-day totals, floor dow means, and exact
+    residuals that sum to ~0 within each dow group (floor remainder)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    )
+    daily = defaultdict(int)
+    for r in rows:
+        d = r["ts"].date()
+        cents = int(
+            Decimal(str(r["value"])).quantize(Decimal("0.0001")) * 10000
+        )
+        daily[d] += cents
+    by_dow = defaultdict(list)
+    for d, tot in daily.items():
+        # python weekday(): Mon=0..Sun=6 ; operator dow: Sun=0..Sat=6
+        dow = (d.weekday() + 1) % 7
+        by_dow[dow].append((d, tot))
+    expect = {}
+    for dow, days in by_dow.items():
+        seasonal = sum(t for _, t in days) // len(days)
+        for d, tot in days:
+            expect[d] = (dow, tot, seasonal, tot - seasonal)
+    got = {
+        r["day"]: (
+            r["dow"],
+            r["total_cents"],
+            r["seasonal_cents"],
+            r["residual_cents"],
+        )
+        for r in QUERIES["d97_seasonal_decompose"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    # residuals within a dow group sum to the floor remainder: 0 <= rem < n
+    for dow, days in by_dow.items():
+        rem = sum(got[d][3] for d, _ in days)
+        assert 0 <= rem < len(days)
+
+
+def test_window_funnel_matches_python_replay(spark, sf_dir):
+    """d98_window_funnel equals a brute-force per-user chain search
+    (NO greedy shortcut: all (signup, view, purchase) triples tried),
+    proving the operator's greedy-earliest reduction exact; depth
+    counts partition the user base."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.relational import FUNNEL_WINDOW_US, QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    by_user = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        by_user[r["user_id"]][r["event_type"]].append(us)
+    depth_count = defaultdict(int)
+    for _u, evs in by_user.items():
+        s, v, p = evs.get("signup", []), evs.get("view", []), evs.get(
+            "purchase", []
+        )
+        depth = 0
+        if s:
+            depth = 1
+        if any(
+            ts < tv <= ts + FUNNEL_WINDOW_US for ts in s for tv in v
+        ):
+            depth = 2
+        if any(
+            ts < tv < tp <= ts + FUNNEL_WINDOW_US
+            for ts in s
+            for tv in v
+            for tp in p
+        ):
+            depth = 3
+        depth_count[depth] += 1
+    got = {
+        r["depth"]: r["n_users"]
+        for r in QUERIES["d98_window_funnel"](spark, sf_dir).collect()
+    }
+    assert got == dict(depth_count)
+    assert sum(got.values()) == len(by_user)

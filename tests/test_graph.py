@@ -330,3 +330,89 @@ def test_modularity_matches_python_replay(spark, sf_dir):
     assert row["q_den"] == m2 * m2
     # Q is bounded: -1/2 <= Q <= 1 (tiny fixtures can go negative)
     assert -row["q_den"] <= 2 * row["q_num"] <= 2 * row["q_den"]
+
+
+def _py_raters(doc_id: int, lang: str) -> tuple[str, str]:
+    """Independent replay of the two deterministic noisy labelers."""
+    import hashlib
+
+    from pgsink_spark.operators.evaluation import (
+        KAPPA_B_CORRUPT_PCT,
+        KAPPA_B_SALT,
+        KAPPA_CORRUPT_PCT,
+    )
+
+    def bucket(x: int) -> int:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16) % 100
+
+    rot = {"en": "fr", "fr": "es", "es": "de", "de": "zh", "zh": "en"}
+    a = "en" if bucket(doc_id) < KAPPA_CORRUPT_PCT else lang
+    b = (
+        rot[lang]
+        if bucket(doc_id + KAPPA_B_SALT) < KAPPA_B_CORRUPT_PCT
+        else lang
+    )
+    return a, b
+
+
+def test_confusion_matrix_matches_python_replay(spark, sf_dir):
+    """eval_confusion_matrix equals a pure-Python confusion census:
+    same cells, same counts, exact floor row_ppm, the cell counts
+    partition the corpus, and the matrix is non-degenerate (has
+    off-diagonal mass)."""
+    from collections import Counter
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    cells = Counter(
+        (r["lang"], _py_raters(r["doc_id"], r["lang"])[0]) for r in docs
+    )
+    row_tot = Counter()
+    for (t, _), n in cells.items():
+        row_tot[t] += n
+    expect = {
+        (t, pd): (n, 1_000_000 * n // row_tot[t])
+        for (t, pd), n in cells.items()
+    }
+    got = {
+        (r["true_lang"], r["pred_lang"]): (r["n"], r["row_ppm"])
+        for r in QUERIES["eval_confusion_matrix"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(n for n, _ in got.values()) == len(docs)
+    assert any(t != p for t, p in got), "matrix must have error cells"
+    assert any(t == p for t, p in got), "matrix must have diagonal mass"
+
+
+def test_cohens_kappa_matches_python_replay(spark, sf_dir):
+    """eval_cohens_kappa equals the textbook computation done in pure
+    Python over the same deterministic raters, including the exact
+    integer ppm floors; the fixture regime is agreement well beyond
+    chance but below perfect."""
+    from collections import Counter
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    pairs = [_py_raters(r["doc_id"], r["lang"]) for r in docs]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    ma = Counter(a for a, _ in pairs)
+    mb = Counter(b for _, b in pairs)
+    pe_num = sum(ma[c] * mb[c] for c in set(ma) | set(mb))
+    num = agree * n - pe_num
+    den = n * n - pe_num
+    kappa = 1_000_000 * num // den if num >= 0 else -(1_000_000 * -num // den)
+    (row,) = QUERIES["eval_cohens_kappa"](spark, sf_dir).collect()
+    assert row["n"] == n and row["agree"] == agree
+    assert row["po_ppm"] == 1_000_000 * agree // n
+    assert row["pe_ppm"] == 1_000_000 * pe_num // (n * n)
+    assert row["kappa_ppm"] == kappa
+    assert 300_000 < row["kappa_ppm"] < 990_000

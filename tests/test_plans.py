@@ -915,3 +915,36 @@ def test_partition_prune_scan_has_partition_filter(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "source" in m.group(1), plan[:800]
     assert df.count() > 0
+
+
+def test_round7_fourth_batch_plan_shapes(spark):
+    """Eval plane: confusion matrix and kappa are partial-agged folds
+    with no data-sized shuffles beyond the class aggs; seasonal
+    decomposition windows only the tiny daily frame (its window may be
+    unpartitioned-by-dow but is series-length-sized); windowFunnel's
+    joins are all keyed on user_id — no cartesian products anywhere."""
+    from pgsink_spark.operators import evaluation as ev
+
+    df = ev.eval_confusion_matrix(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in plan
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"doc_id", "lang"} for c in cols), cols
+
+    df = ev.eval_cohens_kappa(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    df = rel.QUERIES["d97_seasonal_decompose"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)  # daily totals combine map-side
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"ts", "value"} for c in cols), cols
+
+    df = rel.QUERIES["d98_window_funnel"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "user_id" in plan  # every join keyed on the user
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"user_id", "event_type", "ts"} for c in cols), cols
