@@ -246,6 +246,10 @@ HEADLINE = [
     "eval_cohens_kappa",
     "d97_seasonal_decompose",
     "d98_window_funnel",
+    "text_hapax_ratio",
+    "text_stopword_profile",
+    "ann_range_search",
+    "src_parquet_schema_merge",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

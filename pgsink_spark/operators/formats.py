@@ -281,3 +281,45 @@ def src_parquet_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "src_parquet_schema_merge",
+    """
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN doc_id % 2 = 1 THEN source END AS source
+    FROM documents ORDER BY doc_id
+    """,
+)
+def src_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution on the READ path: the staged table
+    holds two physical generations — gen1 files written before the
+    ``source`` column existed (even doc_ids), gen2 files with it (odd
+    doc_ids) — and one ``mergeSchema`` read serves the union schema,
+    surfacing the missing column as NULL in old files. This is the
+    add-column contract every long-lived warehouse directory needs
+    (files are immutable; schema grows), proven on the source side
+    exactly like src_json_schema_drift proves it for text feeds. The
+    oracle re-derives the expected frame declaratively from the
+    documents table, so the staged directory itself is under test.
+
+    Scale shape: mergeSchema unions FILE FOOTERS (a metadata
+    operation), not data; the scan stays one pass with column pruning
+    intact, and old files simply lack the pruned column's pages.
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/pgsink_fmt_merge_{h}"
+    docs = load_table(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(out, "gen2", "_SUCCESS")):
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(os.path.join(out, "gen1"))
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars", "source"
+        ).write.mode("overwrite").parquet(os.path.join(out, "gen2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(out, "gen1"), os.path.join(out, "gen2"))
+        .select("doc_id", "lang", "n_chars", "source")
+        .orderBy("doc_id")
+    )

@@ -1172,3 +1172,90 @@ def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nprobe long, monotone_ok boolean, floor_ok boolean"
     ).orderBy("nprobe")
+
+
+# Range-search threshold and LSH floor: at cosine >= 0.3 the fixture
+# yields 18 / 66 exact pairs at sf0.01 / sf0.1 over the 5 probe
+# queries; the multi-probe LSH candidate path verified 10 / 7 / 30
+# of them at sf0.001/0.01/0.1 — floor 3 keeps >=2x margin at the
+# worst SF (same tripwire discipline as the recall gates).
+RANGE_TAU = 0.3
+RANGE_LSH_FLOOR = 3
+
+
+@query(
+    "ann_range_search",
+    f"""
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 5
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= {RANGE_TAU}) AS n_pairs,
+           TRUE AS lsh_hits_ok
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) similarity search — every neighbor with
+    cosine ≥ τ rather than a fixed top-k — the primitive behind
+    near-duplicate sweeps and "find everything like this" curation
+    passes, where the right answer size is data-dependent.
+
+    Emits one gate row: the EXACT pair count over the 5 probe queries
+    (DuckDB reproduces it, so the driver hash pins the brute-force
+    path) and a boolean that the multi-probe LSH candidate route
+    (4 hyperplane signs, Hamming-radius-1 probes — the 100 TB path,
+    reading |probes|/16 of a bucket-partitioned corpus) verified at
+    least RANGE_LSH_FLOOR of those pairs after exact re-scoring.
+    A broken bucket function, probe expansion, or distance fold drops
+    verified hits below the floor and flips the hash red.
+
+    Scale shape: the exact side is one broadcast of the ≤|Q| probe
+    frame against the corpus scan; the LSH side joins on bucket id
+    (corpus pre-partitioned by bucket at ingest), so neither path
+    shuffles the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("c_emb")
+    )
+    q = cand.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("c_emb").alias("q_emb")
+    )
+    exact = (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .where(
+            cosine(F.col("q_emb"), F.col("c_emb")) >= F.lit(RANGE_TAU)
+        )
+        .select("q_id", "vec_id")
+    )
+    n_pairs = exact.count()
+
+    cb = cand.withColumn("bucket", lsh_bucket(F.col("c_emb"), 4))
+    qb = cb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("c_emb").alias("q_emb"),
+        "bucket",
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(4)],
+    )
+    qb = qb.select("q_id", "q_emb", F.explode(probes).alias("bucket"))
+    lsh_pairs = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .where(
+            cosine(F.col("q_emb"), F.col("c_emb")) >= F.lit(RANGE_TAU)
+        )
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    hits = exact.join(
+        lsh_pairs, on=["q_id", "vec_id"], how="left_semi"
+    ).count()
+    return spark.createDataFrame(
+        [(5, n_pairs, hits >= RANGE_LSH_FLOOR)],
+        "n_queries long, n_pairs long, lsh_hits_ok boolean",
+    )

@@ -986,3 +986,143 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, cnt bigint"
     )
+
+
+@query(
+    "text_hapax_ratio",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM w GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(1000000 * count(*) // SUM(c) AS BIGINT) AS ttr_ppm,
+           CAST(1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS hapax_ppm
+    FROM wc GROUP BY source ORDER BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-richness census: token count, type count
+    (distinct words), hapax-legomenon count (words occurring exactly
+    once in the source), type-token ratio and hapax share in integer
+    ppm — the Heaps'-law health read of a corpus slice. A source
+    whose TTR collapses is boilerplate/dupe-heavy; one whose hapax
+    share explodes is OCR noise or ID spam. Complements
+    text_zipf_audit (global rank-frequency) with the per-source
+    vocabulary-growth axis the mixture planner actually keys on.
+
+    Plan: one explode → (source, word)-keyed partial agg (map-side
+    combine absorbs the token stream) → source-keyed fold. All keys
+    are data-bounded; no windows, no broadcasts, no driver state.
+    At 100 TB the (source, word) census IS the shuffle — same shape
+    as text_ngram_topk, the already-probed scale path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("1000000 * n_types div n_tokens")
+            .cast("long")
+            .alias("ttr_ppm"),
+            F.expr("1000000 * n_hapax div n_types")
+            .cast("long")
+            .alias("hapax_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# The stopword panel: one marker per fixture language (the same
+# markers the language-ID heuristic keys on) — the per-source rates
+# form a language-mix fingerprint.
+_STOPWORD_PANEL = ("the", "le", "der", "el", "de")
+
+
+@query(
+    "text_stopword_profile",
+    f"""
+    WITH w AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM w GROUP BY source
+    ),
+    hits AS (
+      SELECT source, word AS stopword, CAST(count(*) AS BIGINT) AS n
+      FROM w
+      WHERE word IN {_STOPWORD_PANEL!r}
+      GROUP BY source, word
+    )
+    SELECT h.source, h.stopword, h.n,
+           CAST(1000000 * h.n // t.n_tokens AS BIGINT) AS ppm
+    FROM hits h JOIN tot t ON t.source = h.source
+    ORDER BY h.source, h.stopword
+    """,
+)
+def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stopword fingerprint: for each (source, marker) pair
+    with the marker drawn from one stopword per fixture language, the
+    absolute token count and its rate in ppm of the source's tokens.
+    Sources are language mixtures; this profile is the cheap row-local
+    signal a mixture planner reads to spot a source whose language
+    composition drifted between crawls (the same markers the lang-ID
+    heuristic uses, but aggregated by SOURCE rather than predicted
+    per document).
+
+    Plan: one explode feeding two source-keyed partial aggs (total
+    tokens; panel hits filtered BEFORE the shuffle, so the hit agg
+    moves only stopword tokens), then a 20-row × 5-row join. The
+    panel is a compile-time constant — no broadcast of data-shaped
+    frames anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    )
+    tot = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    hits = (
+        w.where(F.col("word").isin(*_STOPWORD_PANEL))
+        .groupBy("source", F.col("word").alias("stopword"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        hits.join(tot, "source")
+        .select(
+            "source",
+            "stopword",
+            "n",
+            F.expr("1000000 * n div n_tokens").cast("long").alias("ppm"),
+        )
+        .orderBy("source", "stopword")
+    )

@@ -1686,3 +1686,109 @@ def test_window_funnel_matches_python_replay(spark, sf_dir):
     }
     assert got == dict(depth_count)
     assert sum(got.values()) == len(by_user)
+
+
+def test_hapax_and_stopword_match_python_replay(spark, sf_dir):
+    """text_hapax_ratio and text_stopword_profile equal pure-Python
+    censuses over the same whitespace tokenization, including exact
+    ppm floors."""
+    from collections import Counter, defaultdict
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.operators.text import _STOPWORD_PANEL
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    per_src = defaultdict(Counter)
+    for r in rows:
+        per_src[r["source"]].update(r["text"].lower().split(" "))
+    expect_h = {}
+    expect_s = {}
+    for src, wc in per_src.items():
+        n_tok = sum(wc.values())
+        n_typ = len(wc)
+        n_hap = sum(1 for c in wc.values() if c == 1)
+        expect_h[src] = (
+            n_tok,
+            n_typ,
+            n_hap,
+            1_000_000 * n_typ // n_tok,
+            1_000_000 * n_hap // n_typ,
+        )
+        for sw in _STOPWORD_PANEL:
+            if wc[sw]:
+                expect_s[(src, sw)] = (wc[sw], 1_000_000 * wc[sw] // n_tok)
+    got_h = {
+        r["source"]: (
+            r["n_tokens"],
+            r["n_types"],
+            r["n_hapax"],
+            r["ttr_ppm"],
+            r["hapax_ppm"],
+        )
+        for r in QUERIES["text_hapax_ratio"](spark, sf_dir).collect()
+    }
+    assert got_h == expect_h
+    got_s = {
+        (r["source"], r["stopword"]): (r["n"], r["ppm"])
+        for r in QUERIES["text_stopword_profile"](spark, sf_dir).collect()
+    }
+    assert got_s == expect_s
+    assert len(got_s) > 5, "panel must hit multiple sources"
+
+
+def test_range_search_gate_and_exact_count(spark, sf_dir):
+    """ann_range_search's exact pair count equals a pure-Python
+    brute-force cosine census at the same threshold, and the LSH
+    verification gate holds."""
+    import math
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.operators.similarity import RANGE_TAU
+    from pgsink_spark.sources.fixtures import load_table
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    expect = sum(
+        1
+        for q in range(5)
+        for v, emb in vecs.items()
+        if v != q and cos(vecs[q], emb) >= RANGE_TAU
+    )
+    (row,) = QUERIES["ann_range_search"](spark, sf_dir).collect()
+    assert row["n_queries"] == 5
+    assert row["n_pairs"] == expect
+    assert row["lsh_hits_ok"] is True
+
+
+def test_schema_merge_nulls_only_in_old_generation(spark, sf_dir):
+    """src_parquet_schema_merge: every even doc_id (gen1, written
+    without the column) reads back NULL source; every odd doc_id
+    carries its true source; row count covers the whole table."""
+    from pgsink_spark.operators.formats import src_parquet_schema_merge
+    from pgsink_spark.sources.fixtures import load_table
+
+    got = src_parquet_schema_merge(spark, sf_dir).collect()
+    truth = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert len(got) == len(truth)
+    for r in got:
+        if r["doc_id"] % 2 == 0:
+            assert r["source"] is None
+        else:
+            assert r["source"] == truth[r["doc_id"]]

