@@ -828,3 +828,51 @@ def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simpson_ppm"),
     ).orderBy("source")
+
+
+@query(
+    "corpus_dup_rate_by_source",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_distinct,
+           CAST(n_docs - n_distinct AS BIGINT) AS dup_docs,
+           CAST(1000000 * (n_docs - n_distinct) // n_docs AS BIGINT)
+             AS dup_ppm
+    FROM per ORDER BY source
+    """,
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate: document count, distinct-text
+    count (by md5 fingerprint, so the shuffle moves 16-byte keys
+    instead of document bodies), duplicate count and rate in ppm —
+    the governance crossover between the dedup plane and the source
+    scorecard. dedup_exact answers "which rows do I drop"; this
+    answers "which SOURCE is feeding me copies", which is what gets a
+    crawler reconfigured. Duplicate rate per source is also the
+    canonical pre/post metric around any dedup deployment.
+
+    Plan: one scan → (source, md5) partial agg — the same two-level
+    aggregation Spark compiles count(DISTINCT) into, with map-side
+    combine on both levels. No joins, no windows, no broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary")))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).cast("long").alias("dup_docs"),
+        F.expr("1000000 * (n_docs - n_distinct) div n_docs")
+        .cast("long")
+        .alias("dup_ppm"),
+    ).orderBy("source")

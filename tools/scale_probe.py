@@ -149,6 +149,15 @@ PROBES = [
     "privacy_pseudonymize_ri",
     "mm_audio_resample",
     "d96_sequence_pairs",
+    # round-7 session-2 additions
+    "eval_confusion_matrix",
+    "eval_cohens_kappa",
+    "d97_seasonal_decompose",
+    "d98_window_funnel",
+    "text_hapax_ratio",
+    "text_stopword_profile",
+    "ann_range_search",
+    "src_parquet_schema_merge",
 ]
 
 
