@@ -250,6 +250,15 @@ HEADLINE = [
     "text_stopword_profile",
     "ann_range_search",
     "src_parquet_schema_merge",
+    "corpus_dup_rate_by_source",
+    "graph_jaccard_edges",
+    "d99_winsorized_stats",
+    "stream_hopping_window",
+    "retrieval_fuzzy_match",
+    "retrieval_snippet_extract",
+    "export_curriculum_order",
+    "graph_assortativity",
+    "d100_interarrival_histogram",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -445,3 +445,72 @@ def export_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+CURRICULUM_SHARD_DOCS = 100
+
+
+@query(
+    "export_curriculum_order",
+    f"""
+    WITH s AS (
+      SELECT doc_id // {CURRICULUM_SHARD_DOCS} AS shard_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1
+    )
+    SELECT shard_id, n_docs, sum_chars,
+           CAST(1000 * sum_chars // n_docs AS BIGINT) AS mean_chars_milli,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY 1000 * sum_chars // n_docs, shard_id) AS BIGINT)
+             AS curriculum_rank
+    FROM s ORDER BY curriculum_rank
+    """,
+)
+def export_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum export ordering: shards ranked easy→hard by mean
+    document length (the standard no-model difficulty proxy; swap the
+    metric column for a learned difficulty score without changing the
+    plan). A curriculum trainer consumes shards in ``curriculum_rank``
+    order; the milli-scaled floor mean makes the rank deterministic
+    and engine-identical even when two shards tie to the micro-digit
+    (shard_id breaks the tie).
+
+    Plan: one shard-keyed partial agg over a 2-column pruned scan,
+    then a window over the SHARD frame (corpus/100 rows — at 10¹⁰
+    docs that is 10⁸ shard rows, still a single-column sort of a
+    metadata-sized frame; the rank is the only global step and it
+    runs on receipts, not data).
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select(
+            F.expr(f"doc_id div {CURRICULUM_SHARD_DOCS}")
+            .cast("bigint")
+            .alias("shard_id"),
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    mean = F.expr("1000 * sum_chars div n_docs").cast("long")
+    return (
+        s.select(
+            "shard_id",
+            "n_docs",
+            "sum_chars",
+            mean.alias("mean_chars_milli"),
+        )
+        .withColumn(
+            "curriculum_rank",
+            F.row_number()
+            .over(W.orderBy("mean_chars_milli", "shard_id"))
+            .cast("long"),
+        )
+        .orderBy("curriculum_rank")
+    )

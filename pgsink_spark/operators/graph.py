@@ -787,3 +787,213 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbr.unpersist()
     out._plan_audit_df = pre
     return out
+
+
+@query(
+    "graph_jaccard_edges",
+    f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+    raw AS (
+      SELECT doc_id AS src, u.dst
+      FROM docs CROSS JOIN n,
+      UNNEST([{{targets}}]) AS u(dst)
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    adj AS (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    common AS (
+      SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS c
+      FROM edges e
+      JOIN adj na ON na.v = e.a
+      JOIN adj nb ON nb.v = e.b AND nb.w = na.w
+      GROUP BY e.a, e.b
+    )
+    SELECT c.a, c.b, c.c AS n_common,
+           CAST(da.d + db.d - c.c AS BIGINT) AS n_union,
+           CAST(1000000 * c.c // (da.d + db.d - c.c) AS BIGINT)
+             AS jaccard_ppm
+    FROM common c
+    JOIN deg da ON da.v = c.a
+    JOIN deg db ON db.v = c.b
+    ORDER BY a, b
+    """.format(targets=_edge_unnest_sql(True)),
+)
+def graph_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity for every EXISTING edge of the
+    densified citation graph — |N(a)∩N(b)| / |N(a)∪N(b)| in exact
+    integer ppm, emitted only for edges whose endpoints share at least
+    one neighbor. This is the edge-strength read (strong/embedded tie
+    vs bridge) that complements graph_linkpred (which scores
+    NON-edges): low-Jaccard edges are bridges whose removal fragments
+    the graph, high-Jaccard edges are intra-community redundancy —
+    the signal community-aware samplers and graph-cut curation use.
+
+    Plan: the common-neighbor count is one edge-keyed double join
+    through the adjacency list (the standard triangle-enumeration
+    shape, cost Σ_v deg(v)² like graph_triangles — the already-probed
+    scale path); degrees join back on the edge endpoints. All
+    integer, no windows, no broadcasts beyond the 1-row doc count.
+    """
+    _docs, raw = _citation_raw(spark, sf_dir, densify=True)
+    edges = _canonical_edges(raw).localCheckpoint(eager=True)
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    na = adj.select(F.col("v").alias("a"), F.col("w").alias("wa"))
+    nb = adj.select(F.col("v").alias("b2"), F.col("w").alias("wb"))
+    common = (
+        edges.join(na, "a")
+        .join(
+            nb,
+            (F.col("b") == F.col("b2")) & (F.col("wa") == F.col("wb")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    return (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("c").alias("n_common"),
+            (F.col("da") + F.col("db") - F.col("c"))
+            .cast("long")
+            .alias("n_union"),
+            F.expr("1000000 * c div (da + db - c)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "graph_assortativity",
+    f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+    raw AS (
+      SELECT doc_id AS src, u.dst
+      FROM docs CROSS JOIN n,
+      UNNEST([{{targets}}]) AS u(dst)
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    adj AS (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    ends AS (
+      SELECT da.d AS x, db.d AS y
+      FROM adj
+      JOIN deg da ON da.v = adj.v
+      JOIN deg db ON db.v = adj.w
+    ),
+    moms AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM ends
+    ),
+    -- moment PRODUCTS in 128-bit (HUGEINT): the int64 form overflowed
+    -- at the 100x probe, whose id-aliased replica creates degree hubs
+    -- (s1² and m2·s2 blow past 2^63 while the raw sums stay tiny)
+    wide AS (
+      SELECT m2, s1, s2, sxy,
+             CAST(m2 AS HUGEINT) * CAST(sxy AS HUGEINT)
+               - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS num,
+             CAST(m2 AS HUGEINT) * CAST(s2 AS HUGEINT)
+               - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS den
+      FROM moms
+    )
+    SELECT m2, s1, s2, sxy,
+           CAST(CASE WHEN num >= 0
+                THEN 1000000 * num // den
+                ELSE -(1000000 * (-num) // den)
+                END AS BIGINT) AS assortativity_ppm
+    FROM wide
+    """.format(targets=_edge_unnest_sql(True)),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the densified citation graph — Newman's
+    r, the Pearson correlation of endpoint degrees over every ordered
+    edge end. For the UNDIRECTED symmetric form both marginals are
+    identical, so r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) is a pure
+    RATIONAL of integer moment sums — no square root — and the
+    operator emits the exact moment sums in int64 plus a
+    sign-symmetric-truncated ppm image (assortative crawls look like
+    social graphs, disassortative like citation/web graphs; the sign
+    flip is the diagnostic). The moment PRODUCTS are computed in
+    128-bit integer arithmetic (Spark decimal(38,0) / DuckDB HUGEINT)
+    because the int64 form overflowed at the 100× probe — the
+    id-aliased replica creates degree hubs whose s1² passes 2⁶³ while
+    the raw sums stay small. Binding bound is now the SUMS themselves
+    (Σ over edge ends of deg², < 2⁶³ ≈ corpora with trillions of
+    edge-end-degree² mass), far past any realistic crawl graph.
+
+    Plan: degree census (node-keyed agg), two degree joins back onto
+    the directed-both-ways end list (the SAME shape as modularity's
+    label joins), and a 1-row moment fold.
+    """
+    _docs, raw = _citation_raw(spark, sf_dir, densify=True)
+    edges = _canonical_edges(raw)
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("v").alias("v"), F.col("d").alias("x"))
+    db = deg.select(F.col("v").alias("w2"), F.col("d").alias("y"))
+    ends = adj.join(da, "v").join(db, F.col("w") == F.col("w2"))
+    moms = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    # moment PRODUCTS in decimal(38,0) — exact 128-bit-style integer
+    # arithmetic on Spark's side (DuckDB mirrors with HUGEINT): the
+    # int64 form overflowed at the 100x probe, whose id-aliased
+    # replica creates degree hubs (s1² and m2·s2 blow past 2^63
+    # while the raw sums stay tiny)
+    wide = moms.select(
+        "m2",
+        "s1",
+        "s2",
+        "sxy",
+        F.expr(
+            "cast(m2 as decimal(38,0)) * cast(sxy as decimal(38,0))"
+            " - cast(s1 as decimal(38,0)) * cast(s1 as decimal(38,0))"
+        ).alias("num"),
+        F.expr(
+            "cast(m2 as decimal(38,0)) * cast(s2 as decimal(38,0))"
+            " - cast(s1 as decimal(38,0)) * cast(s1 as decimal(38,0))"
+        ).alias("den"),
+    )
+    return wide.select(
+        "m2",
+        "s1",
+        "s2",
+        "sxy",
+        F.expr(
+            "CASE WHEN num >= 0 "
+            "THEN 1000000 * num div den "
+            "ELSE -(1000000 * (-num) div den) END"
+        )
+        .cast("long")
+        .alias("assortativity_ppm"),
+    )

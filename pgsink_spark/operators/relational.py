@@ -6087,3 +6087,168 @@ def d98_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("depth")
     )
+
+
+@query(
+    "d99_winsorized_stats",
+    """
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    cuts AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN rn = (n - 1) // 10 + 1
+                           THEN cents END) AS BIGINT) AS lo_cents,
+             CAST(MAX(CASE WHEN rn = ((n - 1) * 9) // 10 + 1
+                           THEN cents END) AS BIGINT) AS hi_cents
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_type, cuts.n, cuts.lo_cents, cuts.hi_cents,
+           CAST(SUM(r.cents) AS BIGINT) AS raw_sum_cents,
+           CAST(SUM(LEAST(GREATEST(r.cents, cuts.lo_cents),
+                          cuts.hi_cents)) AS BIGINT) AS wins_sum_cents
+    FROM r JOIN cuts ON cuts.event_type = r.event_type
+    GROUP BY r.event_type, cuts.n, cuts.lo_cents, cuts.hi_cents
+    ORDER BY r.event_type
+    """,
+)
+def d99_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics: for each event type, the exact
+    p10/p90 ORDER-STATISTIC cut points (rank-based — deterministic on
+    both engines, no interpolation ambiguity) and the value sum before
+    and after clamping to them, all in int64 fixed-point cents. The
+    raw-vs-winsorized delta is the standard robust-metrics read: a KPI
+    whose winsorized trend diverges from its raw trend is being moved
+    by tail outliers, not by the base.
+
+    EXACT TWO-PASS CENSUS plan (not a per-group rank window): the
+    group key has cardinality 5, so ranking the raw rows would cap
+    parallelism at 5 tasks — measured 16× wall at the 100× probe. The
+    fixed-point domain is small (scale-4 cents of a bounded metric),
+    so the operator instead builds a (type, cents) VALUE CENSUS
+    (map-side combined, fully parallel), runs the cumulative-count
+    window over the census (≤ |types|·|distinct cents| rows — census-
+    sized, never data-sized), reads the order statistics off the
+    cumulative counts, and folds the winsorized sums from census
+    weights. Identical output to the rank form (the replay test pins
+    it against literal per-row sorting), but every data-sized stage
+    is a keyed partial agg.
+    """
+    events = load_table(spark, sf_dir, "events")
+    census = (
+        events.select(
+            "event_type",
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wt = W.partitionBy("event_type").orderBy("cents")
+    cum = census.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt")
+        .over(wt.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("grp_n"),
+    ).withColumns(
+        {
+            "lo_idx": F.expr("(grp_n - 1) div 10 + 1"),
+            "hi_idx": F.expr("((grp_n - 1) * 9) div 10 + 1"),
+        }
+    )
+    cuts = cum.groupBy("event_type").agg(
+        F.max("grp_n").cast("long").alias("n"),
+        F.min(F.when(F.col("cum") >= F.col("lo_idx"), F.col("cents")))
+        .cast("long")
+        .alias("lo_cents"),
+        F.min(F.when(F.col("cum") >= F.col("hi_idx"), F.col("cents")))
+        .cast("long")
+        .alias("hi_cents"),
+    )
+    return (
+        census.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(F.col("cents") * F.col("cnt"))
+            .cast("long")
+            .alias("raw_sum_cents"),
+            F.sum(
+                F.least(
+                    F.greatest(F.col("cents"), F.col("lo_cents")),
+                    F.col("hi_cents"),
+                )
+                * F.col("cnt")
+            )
+            .cast("long")
+            .alias("wins_sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "d100_interarrival_histogram",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(len(CAST(gap_us // 1000000 AS VARCHAR)) AS BIGINT)
+             AS gap_digits,
+           CAST(count(*) AS BIGINT) AS n
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type, gap_digits
+    ORDER BY event_type, gap_digits
+    """,
+)
+def d100_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time histogram per event type: gaps between a
+    user's consecutive events of the same type, bucketed by the DIGIT
+    COUNT of the gap in whole seconds (a decimal-log histogram
+    computed with pure integer/string ops — no floating log whose
+    last-ulp could diverge between engines). The shape read: burst
+    traffic piles in the low buckets, dead integrations show mass
+    migrating to the high ones — the ops-side twin of
+    corpus_term_burstiness.
+
+    Plan: one (user_id, event_type)-keyed LAG window (partitioned on
+    the natural high-cardinality key — never a global sort), then a
+    (type × ~7 buckets)-keyed partial agg. Both stages scale with the
+    keyed shuffle, nothing else.
+    """
+    events = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    wk = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = events.select(
+        "event_type",
+        (us - F.lag(us).over(wk)).alias("gap_us"),
+    )
+    return (
+        g.where(F.col("gap_us").isNotNull())
+        .select(
+            "event_type",
+            F.length(F.expr("CAST(gap_us div 1000000 AS STRING)"))
+            .cast("long")
+            .alias("gap_digits"),
+        )
+        .groupBy("event_type", "gap_digits")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "gap_digits")
+    )

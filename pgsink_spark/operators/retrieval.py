@@ -1024,3 +1024,147 @@ def retrieval_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Typo'd query terms for the fuzzy-match operator: each is edit
+# distance 1 from a high-frequency corpus word ("hash", "join", "scan") and distance >1 from everything else frequent, so the match
+# set is non-trivial but unambiguous.
+FUZZY_TERMS = ("hashh", "joi", "scen")
+FUZZY_MAX_DIST = 1
+FUZZY_TOPK = 5
+
+
+@query(
+    "retrieval_fuzzy_match",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT DISTINCT tok FROM toks),
+    q AS (SELECT unnest({list(FUZZY_TERMS)!r}) AS term),
+    matched AS (
+      SELECT q.term, v.tok
+      FROM q JOIN vocab v
+        ON levenshtein(q.term, v.tok) <= {FUZZY_MAX_DIST}
+    ),
+    hits AS (
+      SELECT m.term, t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM matched m JOIN toks t ON t.tok = m.tok
+      GROUP BY m.term, t.doc_id
+    )
+    SELECT term, doc_id, n_hits FROM (
+      SELECT term, doc_id, n_hits,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY n_hits DESC, doc_id) AS rnk
+      FROM hits) t
+    WHERE rnk <= {FUZZY_TOPK}
+    ORDER BY term, n_hits DESC, doc_id
+    """,
+)
+def retrieval_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant term search: each (misspelled) query term expands
+    to every VOCABULARY word within Levenshtein distance 1, then docs
+    rank by total matched-token count — the classic two-stage fuzzy
+    retrieval (edit distance against the vocab, not against every
+    token occurrence). "hsah" finds the "hash" docs even though no
+    document contains the typo.
+
+    Scale shape: the edit-distance scan runs over the DISTINCT
+    vocabulary (Heaps-law sized, ~√corpus) against a constant-size
+    term list — never over the token stream; the expansion's postings
+    join is keyed on the matched word. At a 10⁸-type vocabulary the
+    vocab scan gets a length/prefix blocking filter first (same
+    discipline as dedup_fuzzy_blocked); the fixture-size operator
+    keeps the exact unblocked form the blocked variant is validated
+    against.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    vocab = toks.select("tok").distinct()
+    q = spark.createDataFrame(
+        [(t,) for t in FUZZY_TERMS], "term string"
+    )
+    matched = F.broadcast(q).join(
+        vocab, F.levenshtein(F.col("term"), F.col("tok")) <= FUZZY_MAX_DIST
+    )
+    hits = (
+        matched.join(toks, "tok")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    w = W.partitionBy("term").orderBy(F.col("n_hits").desc(), "doc_id")
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= FUZZY_TOPK)
+        .select("term", "doc_id", "n_hits")
+        .orderBy("term", F.col("n_hits").desc(), "doc_id")
+    )
+
+
+SNIPPET_TERM = "join"
+SNIPPET_RADIUS = 3
+SNIPPET_LIMIT = 20
+
+
+@query(
+    "retrieval_snippet_extract",
+    f"""
+    WITH pos AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS ws,
+             list_position(string_split(lower(text), ' '),
+                           '{SNIPPET_TERM}') AS p
+      FROM documents
+    )
+    SELECT doc_id, CAST(p AS BIGINT) AS first_pos,
+           array_to_string(
+             list_slice(ws, GREATEST(p - {SNIPPET_RADIUS}, 1),
+                        p + {SNIPPET_RADIUS}), ' ') AS snippet
+    FROM pos WHERE p IS NOT NULL AND p > 0
+    ORDER BY doc_id LIMIT {SNIPPET_LIMIT}
+    """,
+)
+def retrieval_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippet extraction: for every document containing
+    the query term, the 1-based position of its FIRST occurrence and
+    the ±{SNIPPET_RADIUS}-word window around it — the context preview a
+    search UI renders under each hit. Completely row-local (array
+    position + slice + join on the already-split token array), so the
+    cost is the scan; the LIMIT is presentation.
+
+    Both engines use 1-based array positions and inclusive slice
+    bounds; the left edge clamps at 1 (GREATEST/greatest), the right
+    edge is handled by both engines' slice-past-end semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.col("text")), " ")
+    pos = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.array_position(ws, SNIPPET_TERM).alias("p"),
+    )
+    return (
+        pos.where(F.col("p") > 0)
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("first_pos"),
+            F.array_join(
+                F.slice(
+                    F.col("ws"),
+                    F.greatest(F.col("p") - SNIPPET_RADIUS, F.lit(1)),
+                    # inclusive window [max(p-R,1), p+R] expressed as
+                    # (start, length) for Spark's slice
+                    (
+                        F.col("p")
+                        + SNIPPET_RADIUS
+                        - F.greatest(F.col("p") - SNIPPET_RADIUS, F.lit(1))
+                        + 1
+                    ).cast("int"),
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+        .limit(SNIPPET_LIMIT)
+    )

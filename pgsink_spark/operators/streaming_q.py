@@ -1045,3 +1045,75 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "click_id", "purchase_id")
     )
+
+
+@query(
+    "stream_hopping_window",
+    """
+    WITH mx AS (
+      SELECT DATE_TRUNC('milliseconds', max(ts)) AS m FROM events
+    ),
+    e2 AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE,
+             event_type, value
+      FROM events
+    )
+    SELECT w, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM e2 CROSS JOIN mx
+    GROUP BY w, event_type, mx.m
+    HAVING w + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
+    ORDER BY w, event_type
+    """,
+)
+def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILT-IN stateful streaming, HOPPING (sliding) windows: 1-hour
+    windows every 30 minutes, so each event lands in exactly two
+    overlapping windows — the smoothing shape dashboards and rate
+    alarms use where tumbling windows alias the signal at the window
+    boundary. Same watermark/append emission contract as
+    stream_tumbling_agg (a window is released once the ms-floored max
+    event time minus 10 min passes its END), so the oracle states the
+    eviction rule declaratively: each event replicated into its two
+    covering 30-min-grid windows, grouped, and gated on window end ≤
+    watermark. The driver hash therefore pins Spark's slide-window
+    REPLICATION factor (size/slide) as well as the eviction boundary.
+
+    Scale shape: one keyed exchange on (window, event_type) with
+    map-side partial agg, exactly like tumbling, but with a 2× state
+    and shuffle amplification that IS the documented cost of hopping
+    windows (state = active windows × groups, windows/instant = 2).
+    """
+    def build(raw: DataFrame) -> DataFrame:
+        ev = _ts_cast(raw).select("ts", "event_type", "value")
+        return (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("win"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+
+    out = _run_availablenow(
+        spark, sf_dir, "hop", build, output_mode="append"
+    )
+    return (
+        out.select(
+            F.col("win.start").cast("timestamp_ntz").alias("w"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("w", "event_type")
+    )

@@ -1792,3 +1792,119 @@ def test_schema_merge_nulls_only_in_old_generation(spark, sf_dir):
             assert r["source"] is None
         else:
             assert r["source"] == truth[r["doc_id"]]
+
+
+def test_dup_rate_by_source_matches_python_replay(spark, sf_dir):
+    """corpus_dup_rate_by_source equals a pure-Python per-source
+    distinct-text census with exact ppm floors; n_docs partitions the
+    corpus."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    texts = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    ):
+        texts[r["source"]].append(r["text"])
+    expect = {}
+    for src, ts in texts.items():
+        nd = len(set(ts))
+        expect[src] = (
+            len(ts),
+            nd,
+            len(ts) - nd,
+            1_000_000 * (len(ts) - nd) // len(ts),
+        )
+    got = {
+        r["source"]: (r["n_docs"], r["n_distinct"], r["dup_docs"], r["dup_ppm"])
+        for r in QUERIES["corpus_dup_rate_by_source"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == sum(
+        len(ts) for ts in texts.values()
+    )
+
+
+def test_winsorized_stats_matches_python_replay(spark, sf_dir):
+    """d99_winsorized_stats equals a pure-Python order-statistic
+    winsorization in integer cents; the winsorized sum never exceeds
+    the raw-sum bound given by clamping."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in rows:
+        cents = int(
+            Decimal(str(r["value"])).quantize(Decimal("0.0001")) * 10000
+        )
+        per[r["event_type"]].append((cents, r["event_id"]))
+    expect = {}
+    for et, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[(n - 1) // 10][0]
+        hi = vals[((n - 1) * 9) // 10][0]
+        raw = sum(c for c, _ in vals)
+        wins = sum(min(max(c, lo), hi) for c, _ in vals)
+        expect[et] = (n, lo, hi, raw, wins)
+    got = {
+        r["event_type"]: (
+            r["n"],
+            r["lo_cents"],
+            r["hi_cents"],
+            r["raw_sum_cents"],
+            r["wins_sum_cents"],
+        )
+        for r in QUERIES["d99_winsorized_stats"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    for et, (n, lo, hi, raw, wins) in got.items():
+        assert n * lo <= wins <= n * hi
+
+
+def test_interarrival_histogram_matches_python_replay(spark, sf_dir):
+    """d100_interarrival_histogram equals a pure-Python per-(user,
+    type) gap census with digit-count bucketing; bucket counts cover
+    every consecutive same-type pair."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        per[(r["user_id"], r["event_type"])].append((us, r["event_id"]))
+    hist = defaultdict(int)
+    n_gaps = 0
+    for (_u, et), evs in per.items():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            gap_s = (b - a) // 1_000_000
+            hist[(et, len(str(gap_s)))] += 1
+            n_gaps += 1
+    got = {
+        (r["event_type"], r["gap_digits"]): r["n"]
+        for r in QUERIES["d100_interarrival_histogram"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == dict(hist)
+    assert sum(got.values()) == n_gaps

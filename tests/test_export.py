@@ -170,3 +170,50 @@ def test_epoch_shuffle_permutation_properties(spark, sf_dir):
             )
         orders[ep] = [d for _, d in pos]
     assert orders[0] != orders[1], "epochs must shuffle differently"
+
+
+def test_curriculum_order_matches_python_replay(spark, sf_dir):
+    """export_curriculum_order equals a pure-Python shard census with
+    the exact floor mean and deterministic tie-broken rank; ranks are
+    a permutation of 1..n_shards and means are non-decreasing."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.export import (
+        CURRICULUM_SHARD_DOCS,
+        export_curriculum_order,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    sh = defaultdict(lambda: [0, 0])
+    for r in rows:
+        s = sh[r["doc_id"] // CURRICULUM_SHARD_DOCS]
+        s[0] += 1
+        s[1] += r["n_chars"]
+    order = sorted(
+        sh.items(), key=lambda kv: (1000 * kv[1][1] // kv[1][0], kv[0])
+    )
+    expect = {
+        sid: (nd, sc, 1000 * sc // nd, i + 1)
+        for i, (sid, (nd, sc)) in enumerate(order)
+    }
+    got = {
+        r["shard_id"]: (
+            r["n_docs"],
+            r["sum_chars"],
+            r["mean_chars_milli"],
+            r["curriculum_rank"],
+        )
+        for r in export_curriculum_order(spark, sf_dir).collect()
+    }
+    assert got == expect
+    means = [
+        m for _, (_, _, m, _) in sorted(
+            got.items(), key=lambda kv: kv[1][3]
+        )
+    ]
+    assert means == sorted(means)

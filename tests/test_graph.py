@@ -416,3 +416,94 @@ def test_cohens_kappa_matches_python_replay(spark, sf_dir):
     assert row["pe_ppm"] == 1_000_000 * pe_num // (n * n)
     assert row["kappa_ppm"] == kappa
     assert 300_000 < row["kappa_ppm"] < 990_000
+
+
+def test_jaccard_edges_matches_python_replay(spark, sf_dir):
+    """graph_jaccard_edges equals a pure-Python neighbor-set Jaccard
+    over the same densified edge generator, including exact ppm
+    floors; every output row is a real edge with >=1 common
+    neighbor."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    edges = set()
+    for d in ids:
+        for dst in (
+            (d * d * 7 + 1) % n,
+            (d * 13 + 3) % n,
+            (d + 50) % n,
+            (d + 100) % n,
+        ):
+            if dst != d:
+                edges.add((min(d, dst), max(d, dst)))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = {}
+    for a, b in edges:
+        common = len(adj[a] & adj[b])
+        if common:
+            union = len(adj[a] | adj[b])
+            expect[(a, b)] = (common, union, 1_000_000 * common // union)
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["n_union"], r["jaccard_ppm"])
+        for r in QUERIES["graph_jaccard_edges"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got, "densified graph must have embedded edges"
+
+
+def test_assortativity_matches_python_replay(spark, sf_dir):
+    """graph_assortativity equals the textbook symmetric-moments
+    computation over the same densified edge generator, including the
+    exact rational and sign-safe ppm truncation; r is within [-1, 1]
+    as a rational."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.graph import graph_assortativity
+    from pgsink_spark.sources.fixtures import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    edges = set()
+    for d in ids:
+        for dst in (
+            (d * d * 7 + 1) % n,
+            (d * 13 + 3) % n,
+            (d + 50) % n,
+            (d + 100) % n,
+        ):
+            if dst != d:
+                edges.add((min(d, dst), max(d, dst)))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(zs) for v, zs in adj.items()}
+    ends = [(deg[v], deg[w]) for v, zs in adj.items() for w in zs]
+    m2 = len(ends)
+    s1 = sum(x for x, _ in ends)
+    s2 = sum(x * x for x, _ in ends)
+    sxy = sum(x * y for x, y in ends)
+    num = m2 * sxy - s1 * s1
+    den = m2 * s2 - s1 * s1
+    ppm = 1_000_000 * num // den if num >= 0 else -(1_000_000 * -num // den)
+    (row,) = graph_assortativity(spark, sf_dir).collect()
+    assert (row["m2"], row["s1"], row["s2"], row["sxy"]) == (m2, s1, s2, sxy)
+    assert row["assortativity_ppm"] == ppm
+    assert -den <= num <= den  # |r| <= 1

@@ -979,3 +979,80 @@ def test_round7_fifth_batch_plan_shapes(spark):
     # assert the row itself says both paths executed
     (row,) = df.collect()
     assert row["n_queries"] == 5 and row["lsh_hits_ok"] is True
+
+
+def test_round7_sixth_batch_plan_shapes(spark):
+    """Dup-rate: two-level count-distinct agg, no joins; winsorized:
+    per-group rank window (partitioned — never single-partition on the
+    fact side) + broadcast of the 5-row cuts frame; jaccard: adjacency
+    joins keyed on node ids, no cartesian products."""
+    from pgsink_spark.operators.corpus import corpus_dup_rate_by_source
+    from pgsink_spark.operators.graph import graph_jaccard_edges
+
+    df = corpus_dup_rate_by_source(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    assert "Join" not in plan
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"source", "text"} for c in cols), cols
+
+    df = rel.QUERIES["d99_winsorized_stats"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window .*", plan):
+        assert "event_type" in m.group(0)
+    assert broadcast_join_count(df) >= 1  # the 5-row cuts frame
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"event_type", "event_id", "value"} for c in cols), cols
+
+    df = graph_jaccard_edges(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_round7_seventh_batch_plan_shapes(spark):
+    """Fuzzy match: edit-distance scan over the DISTINCT vocab with the
+    3-term frame broadcast; snippet: row-local array ops, no joins;
+    curriculum: shard-keyed partial agg + a window over the shard
+    frame; winsorized (census rewrite): NO window over the raw rows —
+    the only windows run over the (type, cents) census; interarrival:
+    LAG partitioned on the high-cardinality (user, type) key."""
+    import re
+
+    from pgsink_spark.operators.export import export_curriculum_order
+    from pgsink_spark.operators.retrieval import (
+        retrieval_fuzzy_match,
+        retrieval_snippet_extract,
+    )
+
+    df = retrieval_fuzzy_match(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoop" in plan
+
+    df = retrieval_snippet_extract(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"doc_id", "text"} for c in cols), cols
+
+    df = export_curriculum_order(spark, SF)
+    assert has_partial_aggregate(df)
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"doc_id", "n_chars"} for c in cols), cols
+
+    df = rel.QUERIES["d99_winsorized_stats"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # census rewrite: every window must consume the post-agg census
+    # (HashAggregate below it), never the raw scan
+    assert has_partial_aggregate(df)
+    assert plan.index("Window") > plan.index("HashAggregate") or \
+        "Window" not in plan
+
+    df = rel.QUERIES["d100_interarrival_histogram"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window .*", plan):
+        assert "user_id" in m.group(0)
+    assert has_partial_aggregate(df)

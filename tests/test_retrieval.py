@@ -220,3 +220,96 @@ def test_mrr_matches_python_replay(spark, sf_dir):
     expect = (len(MRR_TERMS), hits, total // len(MRR_TERMS))
     row = retrieval_mrr(spark, sf_dir).collect()[0]
     assert (row.n_queries, row.n_hit, row.mrr_ppm) == expect
+
+
+def test_fuzzy_match_matches_python_replay(spark, sf_dir):
+    """retrieval_fuzzy_match equals a pure-Python edit-distance
+    expansion + token count; every typo'd term matches at least its
+    intended word."""
+    from collections import Counter, defaultdict
+
+    from pgsink_spark.operators.retrieval import (
+        FUZZY_MAX_DIST,
+        FUZZY_TERMS,
+        FUZZY_TOPK,
+        retrieval_fuzzy_match,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    def lev(a: str, b: str) -> int:
+        if abs(len(a) - len(b)) > FUZZY_MAX_DIST:
+            return FUZZY_MAX_DIST + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    tok_count = defaultdict(Counter)  # doc -> word -> count
+    vocab = set()
+    for r in rows:
+        ws = r["text"].lower().split(" ")
+        vocab.update(ws)
+        tok_count[r["doc_id"]].update(ws)
+    expect = {}
+    for term in FUZZY_TERMS:
+        matched = {w for w in vocab if lev(term, w) <= FUZZY_MAX_DIST}
+        assert matched, term
+        hits = [
+            (d, sum(c[w] for w in matched))
+            for d, c in tok_count.items()
+            if any(c[w] for w in matched)
+        ]
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        expect[term] = hits[:FUZZY_TOPK]
+    got = defaultdict(list)
+    for r in retrieval_fuzzy_match(spark, sf_dir).collect():
+        got[r["term"]].append((r["doc_id"], r["n_hits"]))
+    assert dict(got) == expect
+
+
+def test_snippet_extract_matches_python_replay(spark, sf_dir):
+    """retrieval_snippet_extract equals a pure-Python first-occurrence
+    window extraction with the same clamping."""
+    from pgsink_spark.operators.retrieval import (
+        SNIPPET_LIMIT,
+        SNIPPET_RADIUS,
+        SNIPPET_TERM,
+        retrieval_snippet_extract,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    expect = []
+    for r in sorted(rows, key=lambda x: x["doc_id"]):
+        ws = r["text"].lower().split(" ")
+        if SNIPPET_TERM in ws:
+            p = ws.index(SNIPPET_TERM) + 1  # 1-based
+            lo = max(p - SNIPPET_RADIUS, 1)
+            snippet = " ".join(ws[lo - 1 : p + SNIPPET_RADIUS])
+            expect.append((r["doc_id"], p, snippet))
+        if len(expect) == SNIPPET_LIMIT:
+            break
+    got = [
+        (r["doc_id"], r["first_pos"], r["snippet"])
+        for r in retrieval_snippet_extract(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert got, "query term must occur in the fixture"

@@ -578,3 +578,51 @@ def test_session_window_exact_gap_boundary(spark):
     ).fetchall()
     con.close()
     assert got == [(1, 1), (2, 2)], got
+
+
+def test_hopping_window_replication_and_eviction(spark, sf_dir):
+    """stream_hopping_window: every emitted (window, type) group
+    equals the batch recomputation over the two covering windows per
+    event; each event contributes to exactly 2 windows (size/slide);
+    no emitted window end exceeds the watermark."""
+    from collections import defaultdict
+    from datetime import timedelta
+    from decimal import Decimal
+
+    from pgsink_spark.operators.streaming_q import stream_hopping_window
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "value")
+        .collect()
+    )
+    mx = max(r["ts"] for r in rows).replace(microsecond=0) + timedelta(
+        milliseconds=max(r["ts"] for r in rows).microsecond // 1000
+    )
+    watermark = mx - timedelta(minutes=10)
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for r in rows:
+        ts = r["ts"]
+        grid = ts.replace(
+            minute=(ts.minute // 30) * 30, second=0, microsecond=0
+        )
+        for start in (grid, grid - timedelta(minutes=30)):
+            if start + timedelta(hours=1) <= watermark:
+                k = (start, r["event_type"])
+                agg[k][0] += 1
+                agg[k][1] += Decimal(str(r["value"])).quantize(
+                    Decimal("0.0001")
+                )
+    expect = {
+        k: (c, float(round(s, 2))) for k, (c, s) in agg.items()
+    }
+    got = {
+        (r["w"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in stream_hopping_window(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # replication factor: total emitted events across windows is 2x
+    # the events fully covered by two emitted windows — cheaper exact
+    # invariant: every event counted at most twice
+    assert sum(c for c, _ in got.values()) <= 2 * len(rows)
