@@ -259,6 +259,10 @@ HEADLINE = [
     "export_curriculum_order",
     "graph_assortativity",
     "d100_interarrival_histogram",
+    "privacy_risk_histogram",
+    "corpus_source_purity",
+    "d101_survival_curve",
+    "retrieval_term_proximity",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

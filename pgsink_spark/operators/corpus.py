@@ -876,3 +876,67 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_ppm"),
     ).orderBy("source")
+
+
+@query(
+    "corpus_source_purity",
+    """
+    WITH per AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    ranked AS (
+      SELECT source, lang, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, lang) AS rnk,
+             SUM(n) OVER (PARTITION BY source) AS tot
+      FROM per
+    )
+    SELECT source, lang AS majority_lang, n AS n_majority,
+           CAST(tot AS BIGINT) AS n_docs,
+           CAST(1000000 * n // tot AS BIGINT) AS purity_ppm,
+           CAST(1000000 * (tot - n) // tot AS BIGINT) AS minority_ppm
+    FROM ranked WHERE rnk = 1 ORDER BY source
+    """,
+)
+def corpus_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language purity: the majority language, its document
+    count, and the majority/minority shares in exact ppm — the "is
+    this source what its crawl config says it is" scorecard row. A
+    source whose purity collapses between snapshots changed its
+    upstream (domain parking, CDN swap, injected spam) and needs its
+    sampling weight re-derived; the minority share is also the
+    denominator for routing docs to per-language cleaning pipelines.
+
+    Plan: one (source, lang) partial agg (≤ sources × languages result
+    rows — census-sized), then rank + total windows over that census.
+    Nothing data-sized past the first agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ws = Window.partitionBy("source")
+    ranked = per.select(
+        "source",
+        "lang",
+        "n",
+        F.row_number()
+        .over(ws.orderBy(F.col("n").desc(), "lang"))
+        .alias("rnk"),
+        F.sum("n").over(ws).alias("tot"),
+    )
+    return (
+        ranked.where(F.col("rnk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("majority_lang"),
+            F.col("n").alias("n_majority"),
+            F.col("tot").cast("long").alias("n_docs"),
+            F.expr("1000000 * n div tot").cast("long").alias("purity_ppm"),
+            F.expr("1000000 * (tot - n) div tot")
+            .cast("long")
+            .alias("minority_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -505,3 +505,66 @@ def privacy_pseudonymize_ri(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_real_keys") == F.col("n_pseudo_keys"))
         ).alias("ri_preserved"),
     )
+
+
+@query(
+    "privacy_risk_histogram",
+    """
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS k
+      FROM q GROUP BY c_nationkey, c_mktsegment, band
+    ),
+    tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM g)
+    SELECT k AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(k * count(*) AS BIGINT) AS n_records,
+           CAST(1000000 * k * count(*) // MAX(tot.n) AS BIGINT)
+             AS record_ppm
+    FROM g CROSS JOIN tot
+    GROUP BY k ORDER BY k
+    """,
+)
+def privacy_risk_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk PROFILE: the distribution of
+    quasi-identifier equivalence-class sizes (how many classes of size
+    k, how many records live in them, record share in ppm) over the
+    same (nation, segment, balance-band) quasi-key the k-anonymity
+    operator suppresses on. privacy_k_anonymity answers "which rows to
+    suppress at k=5"; this answers "what k is even achievable" — the
+    histogram a privacy officer reads to CHOOSE k, since the records
+    in size-1 classes are the uniquely re-identifiable ones.
+
+    Plan: one quasi-key partial agg (class census), a class-size
+    re-agg over the census (census-sized), and a 1-row total
+    broadcast. No windows over the data, no joins beyond the 1-row
+    fold.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").alias("band"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    tot = g.agg(F.sum("k").cast("long").alias("n"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.expr("CAST(class_size * count(*) AS BIGINT)").alias(
+                "n_records"
+            ),
+            F.expr(
+                "CAST(1000000 * class_size * count(*) div max(n) AS BIGINT)"
+            ).alias("record_ppm"),
+        )
+        .orderBy("class_size")
+    )

@@ -6252,3 +6252,91 @@ def d100_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("event_type", "gap_digits")
     )
+
+
+@query(
+    "d101_survival_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= f.t0
+      GROUP BY e.user_id
+    ),
+    lag AS (
+      SELECT f.user_id,
+             CAST((epoch_us(c.tp) - epoch_us(f.t0)) // 86400000000
+                  AS BIGINT) AS days
+      FROM first_seen f JOIN conv c ON c.user_id = f.user_id
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM first_seen),
+    hist AS (
+      SELECT days, CAST(count(*) AS BIGINT) AS n_converted
+      FROM lag GROUP BY days
+    )
+    SELECT days, n_converted,
+           CAST(SUM(n_converted) OVER (ORDER BY days) AS BIGINT)
+             AS cum_converted,
+           CAST(1000000 * SUM(n_converted) OVER (ORDER BY days)
+                // MAX(n.n_users) OVER () AS BIGINT) AS cum_ppm
+    FROM hist CROSS JOIN n
+    ORDER BY days
+    """,
+)
+def d101_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion survival curve: for each whole-day lag
+    between a user's FIRST event and their first purchase at or after
+    it, the converting-user count, the running cumulative, and the
+    cumulative conversion share of ALL users in exact ppm — the
+    Kaplan-Meier-style read (without censoring weights, since the
+    fixture window is closed) that tells a growth team WHEN conversion
+    happens, where d50's cohort table tells them IF.
+
+    Plan: two user-keyed partial aggs (first-seen, first-purchase) and
+    a user-keyed join — all on the natural key — then windows over the
+    DAY-LAG HISTOGRAM only (≤ observation-window days — ~30 rows), so
+    the running sum never touches a data-sized frame.
+    """
+    events = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    first_seen = events.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    conv = (
+        events.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    lag = first_seen.join(conv, "user_id").select(
+        F.expr(
+            "(unix_micros(cast(tp as timestamp))"
+            " - unix_micros(cast(t0 as timestamp))) div 86400000000"
+        )
+        .cast("long")
+        .alias("days")
+    )
+    n = first_seen.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    hist = lag.groupBy("days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted")
+    )
+    wd = W.orderBy("days")
+    return (
+        hist.crossJoin(F.broadcast(n))
+        .select(
+            "days",
+            "n_converted",
+            F.sum("n_converted")
+            .over(wd.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long")
+            .alias("cum_converted"),
+            F.expr(
+                "CAST(1000000 * sum(n_converted) over ("
+                "order by days rows between unbounded preceding and"
+                " current row) div max(n_users) over () AS BIGINT)"
+            ).alias("cum_ppm"),
+        )
+        .orderBy("days")
+    )

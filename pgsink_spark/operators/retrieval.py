@@ -1168,3 +1168,77 @@ def retrieval_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(SNIPPET_LIMIT)
     )
+
+
+PROX_TERM_A = "hash"
+PROX_TERM_B = "join"
+PROX_LIMIT = 20
+
+
+@query(
+    "retrieval_term_proximity",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, r.p AS p, ws[r.p] AS w
+      FROM d, UNNEST(range(1, len(ws) + 1)) AS r(p)
+      WHERE ws[r.p] IN ('{PROX_TERM_A}', '{PROX_TERM_B}')
+    ),
+    p1 AS (SELECT doc_id, p FROM pos WHERE w = '{PROX_TERM_A}'),
+    p2 AS (SELECT doc_id, p FROM pos WHERE w = '{PROX_TERM_B}'),
+    dist AS (
+      SELECT p1.doc_id,
+             CAST(count(DISTINCT p1.p) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT p2.p) AS BIGINT) AS n_b,
+             CAST(min(abs(p1.p - p2.p)) AS BIGINT) AS min_dist
+      FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id
+      GROUP BY p1.doc_id
+    )
+    SELECT doc_id, n_a, n_b, min_dist
+    FROM dist ORDER BY min_dist, doc_id LIMIT {PROX_LIMIT}
+    """,
+)
+def retrieval_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-proximity ranking: documents containing BOTH query terms,
+    ranked by the minimum token distance between any occurrence pair —
+    the relevance signal between bag-of-words (BM25, distance-blind)
+    and exact phrase match (distance = 1, order-fixed). Docs where
+    "hash" and "join" collide are about hash JOINS; docs where they
+    sit paragraphs apart merely mention both.
+
+    Plan: tokenize-with-position (posexplode — one row per PANEL term
+    occurrence only, filtered before any shuffle), then a doc-keyed
+    join of the two position sets: per-doc fan-out is n_a·n_b
+    occurrence pairs — bounded by per-doc term frequency, never
+    corpus-sized (the same per-key fan-out argument as
+    d98_window_funnel, with the min() collapsing map-side).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "p0", "w"
+        ),
+    ).where(F.col("w").isin(PROX_TERM_A, PROX_TERM_B)).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "w"
+    )
+    p1 = pos.where(F.col("w") == PROX_TERM_A).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    p2 = pos.where(F.col("w") == PROX_TERM_B).select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    dist = (
+        p1.join(p2, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("pa").cast("long").alias("n_a"),
+            F.countDistinct("pb").cast("long").alias("n_b"),
+            F.min(F.abs(F.col("pa") - F.col("pb")))
+            .cast("long")
+            .alias("min_dist"),
+        )
+    )
+    return dist.orderBy("min_dist", "doc_id").limit(PROX_LIMIT)

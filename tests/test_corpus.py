@@ -1908,3 +1908,108 @@ def test_interarrival_histogram_matches_python_replay(spark, sf_dir):
     }
     assert got == dict(hist)
     assert sum(got.values()) == n_gaps
+
+
+def test_source_purity_and_risk_histogram_match_python_replay(spark, sf_dir):
+    """corpus_source_purity and privacy_risk_histogram equal pure-
+    Python censuses with exact ppm floors."""
+    import math
+    from collections import Counter, defaultdict
+
+    from pgsink_spark.operators.privacy import privacy_risk_histogram  # noqa: F401 — registers
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    langs = defaultdict(Counter)
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "lang")
+        .collect()
+    ):
+        langs[r["source"]][r["lang"]] += 1
+    expect_p = {}
+    for src, c in langs.items():
+        maj, n = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        tot = sum(c.values())
+        expect_p[src] = (
+            maj,
+            n,
+            tot,
+            1_000_000 * n // tot,
+            1_000_000 * (tot - n) // tot,
+        )
+    got_p = {
+        r["source"]: (
+            r["majority_lang"],
+            r["n_majority"],
+            r["n_docs"],
+            r["purity_ppm"],
+            r["minority_ppm"],
+        )
+        for r in QUERIES["corpus_source_purity"](spark, sf_dir).collect()
+    }
+    assert got_p == expect_p
+
+    classes = Counter()
+    for r in (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    ):
+        classes[
+            (r["c_nationkey"], r["c_mktsegment"], math.floor(r["c_acctbal"] / 1000))
+        ] += 1
+    n_tot = sum(classes.values())
+    by_k = Counter(classes.values())
+    expect_h = {
+        k: (nc, k * nc, 1_000_000 * k * nc // n_tot)
+        for k, nc in by_k.items()
+    }
+    got_h = {
+        r["class_size"]: (r["n_classes"], r["n_records"], r["record_ppm"])
+        for r in QUERIES["privacy_risk_histogram"](spark, sf_dir).collect()
+    }
+    assert got_h == expect_h
+    assert sum(v[1] for v in got_h.values()) == n_tot
+
+
+def test_survival_curve_matches_python_replay(spark, sf_dir):
+    """d101_survival_curve equals a pure-Python first-event →
+    first-purchase lag census; the cumulative is monotone and bounded
+    by the user count."""
+    from collections import Counter, defaultdict
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    first = {}
+    purch = defaultdict(list)
+    for r in rows:
+        u = r["user_id"]
+        first[u] = min(first.get(u, r["ts"]), r["ts"])
+        if r["event_type"] == "purchase":
+            purch[u].append(r["ts"])
+    hist = Counter()
+    for u, t0 in first.items():
+        ps = [t for t in purch.get(u, []) if t >= t0]
+        if ps:
+            us0 = int(t0.timestamp() * 1_000_000)
+            usp = int(min(ps).timestamp() * 1_000_000)
+            hist[(usp - us0) // 86_400_000_000] += 1
+    n_users = len(first)
+    cum = 0
+    expect = {}
+    for d in sorted(hist):
+        cum += hist[d]
+        expect[d] = (hist[d], cum, 1_000_000 * cum // n_users)
+    got = {
+        r["days"]: (r["n_converted"], r["cum_converted"], r["cum_ppm"])
+        for r in QUERIES["d101_survival_curve"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert cum <= n_users

