@@ -263,6 +263,9 @@ HEADLINE = [
     "corpus_source_purity",
     "d101_survival_curve",
     "retrieval_term_proximity",
+    "text_oov_rate",
+    "eval_mcnemar",
+    "d102_rolling_slope",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

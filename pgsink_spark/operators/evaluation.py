@@ -579,3 +579,85 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kappa_ppm"),
         )
     )
+
+
+@query(
+    "eval_mcnemar",
+    f"""
+    WITH p AS (
+      SELECT lang,
+             {_RATER_A_SQL} AS rater_a,
+             {_RATER_B_SQL} AS rater_b
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN rater_a = lang AND rater_b = lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+             CAST(SUM(CASE WHEN rater_a = lang AND rater_b <> lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+             CAST(SUM(CASE WHEN rater_a <> lang AND rater_b = lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+             CAST(SUM(CASE WHEN rater_a <> lang AND rater_b <> lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+      FROM p
+    )
+    SELECT both_right, only_a, only_b, both_wrong,
+           CAST(CASE WHEN only_a + only_b > 0
+                THEN 1000000 * (only_a - only_b) * (only_a - only_b)
+                     // (only_a + only_b)
+                ELSE 0 END AS BIGINT) AS chi2_micro
+    FROM cells
+    """,
+)
+def eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired-classifier test between the two noisy labelers
+    against ground truth: the 2×2 agreement table (both right / only A
+    / only B / both wrong) and the uncorrected χ² statistic
+    (b−c)²/(b+c) in exact integer micro-units — the standard "is
+    labeler A actually better than labeler B on the SAME documents"
+    check, which marginal accuracy comparisons get wrong when the two
+    labelers err on different rows. (b−c)² is non-negative, so no
+    truncation-sign CASE is needed; int64-safe while (b−c)² · 10⁶ <
+    2⁶³, i.e. |b−c| < 3·10⁶ disagreements — past that the statistic's
+    decision is already saturated and the counts alone carry it.
+
+    Plan: one row-local projection and a single 1-row fold. Nothing
+    shuffles but four partial-agg counters.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "lang",
+        _rater_a_col().alias("rater_a"),
+        _rater_b_col().alias("rater_b"),
+    )
+    cells = p.agg(
+        F.sum(
+            ((F.col("rater_a") == F.col("lang"))
+             & (F.col("rater_b") == F.col("lang"))).cast("long")
+        ).alias("both_right"),
+        F.sum(
+            ((F.col("rater_a") == F.col("lang"))
+             & (F.col("rater_b") != F.col("lang"))).cast("long")
+        ).alias("only_a"),
+        F.sum(
+            ((F.col("rater_a") != F.col("lang"))
+             & (F.col("rater_b") == F.col("lang"))).cast("long")
+        ).alias("only_b"),
+        F.sum(
+            ((F.col("rater_a") != F.col("lang"))
+             & (F.col("rater_b") != F.col("lang"))).cast("long")
+        ).alias("both_wrong"),
+    )
+    return cells.select(
+        "both_right",
+        "only_a",
+        "only_b",
+        "both_wrong",
+        F.expr(
+            "CASE WHEN only_a + only_b > 0 "
+            "THEN 1000000 * (only_a - only_b) * (only_a - only_b) "
+            "div (only_a + only_b) ELSE 0 END"
+        )
+        .cast("long")
+        .alias("chi2_micro"),
+    )

@@ -6340,3 +6340,114 @@ def d101_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("days")
     )
+
+
+ROLLSLOPE_W = 7
+
+
+@query(
+    "d102_rolling_slope",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    d0 AS (SELECT min(day) AS day0 FROM daily),
+    idx AS (
+      SELECT event_type, day,
+             CAST(day - d0.day0 AS BIGINT) AS x, y
+      FROM daily CROSS JOIN d0
+    ),
+    win AS (
+      SELECT event_type, day,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+      FROM idx
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {ROLLSLOPE_W - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(CASE WHEN n * sxy - sx * sy >= 0
+                THEN 1000 * (n * sxy - sx * sy) // (n * sxx - sx * sx)
+                ELSE -(1000 * (sx * sy - n * sxy)
+                       // (n * sxx - sx * sx))
+                END AS BIGINT) AS slope_milli
+    FROM win WHERE n = {ROLLSLOPE_W}
+    ORDER BY event_type, day
+    """,
+)
+def d102_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLLSLOPE_W}-day OLS trend slope of the daily
+    event-value series per event type — the "is this KPI turning"
+    read, emitted as the EXACT rational (n·Σxy − Σx·Σy) /
+    (n·Σxx − (Σx)²) in int64 plus a sign-symmetric milli image.
+    x is the day offset from the series start (small), y is int64
+    fixed-point cents; int64-safe while the window's Σx·Σy stays
+    under 2⁶³ — with a 10-year horizon that allows ~$10⁹/day, far
+    past the fixture. Windows with fewer than {ROLLSLOPE_W} days
+    (series head) are suppressed, so every emitted slope is a full
+    window — no partial-window edge semantics to diverge on.
+
+    Plan: one day-keyed partial agg collapses the facts; ALL windows
+    run over the daily frame (≤ types × days rows). Same census
+    discipline as d97/d99.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    d0 = daily.agg(F.min("day").alias("day0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        "day",
+        F.datediff(F.col("day"), F.col("day0")).cast("long").alias("x"),
+        "y",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ROLLSLOPE_W - 1), W.currentRow)
+    )
+    win = idx.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+    )
+    return (
+        win.where(F.col("n") == ROLLSLOPE_W)
+        .select(
+            "event_type",
+            "day",
+            F.expr("n * sxy - sx * sy").cast("long").alias("slope_num"),
+            F.expr("n * sxx - sx * sx").cast("long").alias("slope_den"),
+            F.expr(
+                "CASE WHEN n * sxy - sx * sy >= 0 "
+                "THEN 1000 * (n * sxy - sx * sy) div (n * sxx - sx * sx) "
+                "ELSE -(1000 * (sx * sy - n * sxy) "
+                "div (n * sxx - sx * sx)) END"
+            )
+            .cast("long")
+            .alias("slope_milli"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1126,3 +1126,85 @@ def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "stopword")
     )
+
+
+OOV_VOCAB_K = 1000
+
+
+@query(
+    "text_oov_rate",
+    f"""
+    WITH w AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, CAST(count(*) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (ORDER BY count(*) DESC, word) AS rnk
+        FROM w GROUP BY word) t
+      WHERE rnk <= {OOV_VOCAB_K}
+    )
+    SELECT w.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(1000000 * SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM w LEFT JOIN vocab v ON v.word = w.word
+    GROUP BY w.source ORDER BY w.source
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus's own
+    top-{OOV_VOCAB_K} word vocabulary — the tokenizer-fit read: a
+    source whose OOV share spikes against the trained vocabulary is
+    the source that will fragment into long byte-level token
+    sequences (cost) or noise (quality), and the one to re-weight
+    before a vocab refresh. Deterministic: the vocabulary cut is
+    rank-ordered with a word tiebreak.
+
+    Plan: one (word) census (map-side combined) ranked to the top-K
+    cut — the rank window runs over the VOCABULARY census, not the
+    token stream — then a word-keyed LEFT join of tokens against the
+    K-row vocab (broadcast-sized by construction) and a source-keyed
+    fold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    )
+    from pyspark.sql import Window as Wd
+
+    census = w.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vocab = (
+        census.withColumn(
+            "rnk",
+            F.row_number().over(Wd.orderBy(F.col("c").desc(), "word")),
+        )
+        .where(F.col("rnk") <= OOV_VOCAB_K)
+        .select("word")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    return (
+        w.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("1000000 * n_oov div n_tokens")
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )

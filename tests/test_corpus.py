@@ -2013,3 +2013,127 @@ def test_survival_curve_matches_python_replay(spark, sf_dir):
     }
     assert got == expect
     assert cum <= n_users
+
+
+def test_oov_rate_matches_python_replay(spark, sf_dir):
+    """text_oov_rate equals a pure-Python top-K vocabulary cut and
+    per-source OOV census with exact ppm floors."""
+    from collections import Counter, defaultdict
+
+    from pgsink_spark.operators.text import OOV_VOCAB_K, text_oov_rate
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    global_c = Counter()
+    per_src = defaultdict(list)
+    for r in rows:
+        ws = r["text"].lower().split(" ")
+        global_c.update(ws)
+        per_src[r["source"]].extend(ws)
+    vocab = {
+        w
+        for w, _ in sorted(global_c.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :OOV_VOCAB_K
+        ]
+    }
+    expect = {}
+    for src, ws in per_src.items():
+        oov = sum(1 for w in ws if w not in vocab)
+        expect[src] = (len(ws), oov, 1_000_000 * oov // len(ws))
+    got = {
+        r["source"]: (r["n_tokens"], r["n_oov"], r["oov_ppm"])
+        for r in text_oov_rate(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_mcnemar_matches_python_replay(spark, sf_dir):
+    """eval_mcnemar equals the textbook 2x2 paired table and chi2 in
+    pure Python over the same deterministic raters; the table
+    partitions the corpus."""
+    from pgsink_spark.operators.evaluation import eval_mcnemar
+    from pgsink_spark.sources.fixtures import load_table
+    from tests.test_graph import _py_raters
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    br = oa = ob = bw = 0
+    for r in docs:
+        a, b = _py_raters(r["doc_id"], r["lang"])
+        ra, rb = a == r["lang"], b == r["lang"]
+        if ra and rb:
+            br += 1
+        elif ra:
+            oa += 1
+        elif rb:
+            ob += 1
+        else:
+            bw += 1
+    chi2 = (
+        1_000_000 * (oa - ob) * (oa - ob) // (oa + ob) if oa + ob else 0
+    )
+    (row,) = eval_mcnemar(spark, sf_dir).collect()
+    assert (
+        row["both_right"],
+        row["only_a"],
+        row["only_b"],
+        row["both_wrong"],
+    ) == (br, oa, ob, bw)
+    assert row["chi2_micro"] == chi2
+    assert br + oa + ob + bw == len(docs)
+
+
+def test_rolling_slope_matches_python_replay(spark, sf_dir):
+    """d102_rolling_slope equals a pure-Python OLS over each full
+    trailing window of the daily series, exact rationals included."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from pgsink_spark.operators.relational import QUERIES, ROLLSLOPE_W
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    daily = defaultdict(int)
+    for r in rows:
+        cents = int(
+            Decimal(str(r["value"])).quantize(Decimal("0.0001")) * 10000
+        )
+        daily[(r["event_type"], r["ts"].date())] += cents
+    day0 = min(d for _, d in daily)
+    series = defaultdict(list)
+    for (et, d), y in daily.items():
+        series[et].append(((d - day0).days, d, y))
+    expect = {}
+    for et, pts in series.items():
+        pts.sort()
+        for i in range(ROLLSLOPE_W - 1, len(pts)):
+            w = pts[i - ROLLSLOPE_W + 1 : i + 1]
+            n = ROLLSLOPE_W
+            sx = sum(x for x, _, _ in w)
+            sy = sum(y for _, _, y in w)
+            sxx = sum(x * x for x, _, _ in w)
+            sxy = sum(x * y for x, _, y in w)
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx
+            milli = (
+                1000 * num // den if num >= 0 else -(1000 * -num // den)
+            )
+            expect[(et, pts[i][1])] = (num, den, milli)
+    got = {
+        (r["event_type"], r["day"]): (
+            r["slope_num"],
+            r["slope_den"],
+            r["slope_milli"],
+        )
+        for r in QUERIES["d102_rolling_slope"](spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -1097,3 +1097,29 @@ def test_round7_eighth_batch_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     # the two-term IN filter must precede the doc-keyed position join
     assert plan.index("Filter") < plan.index("Join") or "hash" in plan
+
+
+def test_round7_ninth_batch_plan_shapes(spark):
+    """OOV: the vocab rank window runs over the word census, the
+    K-row vocab broadcasts; McNemar: one row-local fold, no joins;
+    rolling slope: all windows over the daily frame."""
+    from pgsink_spark.operators.evaluation import eval_mcnemar
+    from pgsink_spark.operators.text import text_oov_rate
+
+    df = text_oov_rate(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    assert broadcast_join_count(df) >= 1  # the K-row vocab
+
+    df = eval_mcnemar(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"doc_id", "lang", "text"} for c in cols), cols
+
+    df = rel.QUERIES["d102_rolling_slope"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    # windows consume the daily agg (plan prints top-down: the census
+    # HashAggregate sits below the Window that consumes it)
+    assert plan.rindex("HashAggregate") > plan.index("Window")

@@ -171,6 +171,9 @@ PROBES = [
     "corpus_source_purity",
     "d101_survival_curve",
     "retrieval_term_proximity",
+    "text_oov_rate",
+    "eval_mcnemar",
+    "d102_rolling_slope",
 ]
 
 
