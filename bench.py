@@ -266,6 +266,9 @@ HEADLINE = [
     "text_oov_rate",
     "eval_mcnemar",
     "d102_rolling_slope",
+    "d103_bag_set_ops",
+    "curation_filter_impact",
+    "dedup_lsh_band_curve",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -240,3 +240,96 @@ def curation_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pr.cast("decimal(18,8)"), 6).cast("double").alias("pr"),
         (pr >= QUANTILE_KEEP_FRAC).alias("kept"),
     ).orderBy("doc_id")
+
+
+# Two candidate length-filter policies under comparison: the impact
+# report quantifies what tightening A -> B costs per source BEFORE
+# anyone reruns a 100 TB filter job.
+FILTER_A_MIN_CHARS = 200
+FILTER_B_MIN_CHARS = 400
+
+
+@query(
+    "curation_filter_impact",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars >= {FILTER_A_MIN_CHARS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_a,
+           CAST(SUM(CASE WHEN n_chars >= {FILTER_B_MIN_CHARS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_b,
+           CAST(SUM(CASE WHEN n_chars >= {FILTER_A_MIN_CHARS}
+                         THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_a,
+           CAST(SUM(CASE WHEN n_chars >= {FILTER_B_MIN_CHARS}
+                         THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_b,
+           CAST(CASE WHEN SUM(CASE WHEN n_chars >= {FILTER_A_MIN_CHARS}
+                                   THEN 1 ELSE 0 END) > 0
+                THEN 1000000 * (SUM(CASE WHEN n_chars >= {FILTER_A_MIN_CHARS}
+                                         THEN 1 ELSE 0 END)
+                                - SUM(CASE WHEN n_chars >= {FILTER_B_MIN_CHARS}
+                                           THEN 1 ELSE 0 END))
+                     // SUM(CASE WHEN n_chars >= {FILTER_A_MIN_CHARS}
+                                 THEN 1 ELSE 0 END)
+                ELSE 0 END AS BIGINT) AS tighten_loss_ppm
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def curation_filter_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-policy impact report: for the current length filter (A:
+    ≥{FILTER_A_MIN_CHARS} chars) and a proposed tightening (B:
+    ≥{FILTER_B_MIN_CHARS}), the per-source document and character
+    yields plus the tightening loss in ppm of A's survivors — the
+    ablation table a curation owner reads BEFORE rerunning a 100 TB
+    filter job, and the per-source breakdown that shows which sources
+    the tightening actually hits (a uniform-looking global loss often
+    concentrates in two sources).
+
+    Plan: ONE scan with both policies evaluated as conditional
+    aggregates — no second pass, no join of two filtered frames; the
+    whole report is a source-keyed partial agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ka = F.sum((F.col("n_chars") >= FILTER_A_MIN_CHARS).cast("long"))
+    kb = F.sum((F.col("n_chars") >= FILTER_B_MIN_CHARS).cast("long"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            ka.cast("long").alias("kept_a"),
+            kb.cast("long").alias("kept_b"),
+            F.sum(
+                F.when(
+                    F.col("n_chars") >= FILTER_A_MIN_CHARS,
+                    F.col("n_chars"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("chars_a"),
+            F.sum(
+                F.when(
+                    F.col("n_chars") >= FILTER_B_MIN_CHARS,
+                    F.col("n_chars"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("chars_b"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "kept_a",
+            "kept_b",
+            "chars_a",
+            "chars_b",
+            F.expr(
+                "CASE WHEN kept_a > 0 "
+                "THEN 1000000 * (kept_a - kept_b) div kept_a "
+                "ELSE 0 END"
+            )
+            .cast("long")
+            .alias("tighten_loss_ppm"),
+        )
+        .orderBy("source")
+    )

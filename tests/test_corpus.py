@@ -2137,3 +2137,87 @@ def test_rolling_slope_matches_python_replay(spark, sf_dir):
         for r in QUERIES["d102_rolling_slope"](spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_bag_set_ops_matches_python_replay(spark, sf_dir):
+    """d103_bag_set_ops equals pure-Python multiset arithmetic AND
+    Python's own Counter intersection/difference semantics."""
+    from collections import Counter
+
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    ca = Counter(
+        r["c_nationkey"]
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_nationkey")
+        .collect()
+    )
+    cb = Counter(
+        r["s_nationkey"]
+        for r in load_table(spark, sf_dir, "supplier")
+        .select("s_nationkey")
+        .collect()
+    )
+    inter = ca & cb
+    diff = ca - cb
+    expect = {
+        k: (ca.get(k, 0), cb.get(k, 0), inter.get(k, 0), diff.get(k, 0))
+        for k in set(ca) | set(cb)
+    }
+    got = {
+        r["k"]: (
+            r["n_cust"],
+            r["n_supp"],
+            r["intersect_all_n"],
+            r["except_all_n"],
+        )
+        for r in QUERIES["d103_bag_set_ops"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_filter_impact_matches_python_replay(spark, sf_dir):
+    """curation_filter_impact equals a pure-Python two-policy census;
+    policy B survivors are always a subset of policy A's."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.curation import (
+        FILTER_A_MIN_CHARS,
+        FILTER_B_MIN_CHARS,
+        curation_filter_impact,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    per = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .collect()
+    ):
+        s = per[r["source"]]
+        s[0] += 1
+        if r["n_chars"] >= FILTER_A_MIN_CHARS:
+            s[1] += 1
+            s[3] += r["n_chars"]
+        if r["n_chars"] >= FILTER_B_MIN_CHARS:
+            s[2] += 1
+            s[4] += r["n_chars"]
+    expect = {}
+    for src, (n, ka, kb, cha, chb) in per.items():
+        loss = 1_000_000 * (ka - kb) // ka if ka else 0
+        expect[src] = (n, ka, kb, cha, chb, loss)
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["kept_a"],
+            r["kept_b"],
+            r["chars_a"],
+            r["chars_b"],
+            r["tighten_loss_ppm"],
+        )
+        for r in curation_filter_impact(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for n, ka, kb, *_ in got.values():
+        assert kb <= ka <= n

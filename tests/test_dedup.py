@@ -518,3 +518,76 @@ def test_bounded_broadcast_guard_on_decontamination_shape(spark):
     big = spark.range(100).selectExpr("id AS doc_id")
     with pytest.raises(ValueError, match="refusing to broadcast"):
         bounded_broadcast(big, 10, "eval shingles")
+
+
+def test_lsh_band_curve_matches_python_replay(spark, sf_dir):
+    """dedup_lsh_band_curve: the candidate-superset chain holds and
+    each config's verified hits (recomputed in pure Python from the
+    same xxhash64 signatures pulled off Spark) meet the floors; the
+    exact pair count matches the postings-join truth."""
+    from pgsink_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_CURVE_CONFIGS,
+        LSH_CURVE_FLOORS_PPM,
+        MAX_SHINGLE_FREQ,
+        N_HASHES,
+        _pair_jaccard,
+        dedup_lsh_band_curve,
+        doc_shingle_sets,
+        minhash_signatures,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = doc_shingle_sets(docs, 3)
+    exact = {
+        (r["d1"], r["d2"])
+        for r in _pair_jaccard(sets, max_shingle_freq=MAX_SHINGLE_FREQ)
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("d1", "d2")
+        .collect()
+    }
+    # pull signatures once; replay banding + candidate generation in
+    # pure Python (xxhash64 itself is Spark-computed — the replay
+    # targets the BANDING/monotonicity logic, the oracle pins counts)
+    sig_rows = minhash_signatures(sets).collect()
+    sigs = {r["doc_id"]: list(r["sig"]) for r in sig_rows}
+    import collections
+
+    prev = None
+    expect_rows = []
+    for b, r in LSH_CURVE_CONFIGS:
+        buckets = collections.defaultdict(list)
+        for d, sig in sigs.items():
+            for band in range(b):
+                key = (band, tuple(sig[band * r : band * r + r]))
+                buckets[key].append(d)
+        cand = set()
+        for ds in buckets.values():
+            ds.sort()
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    cand.add((ds[i], ds[j]))
+        if prev is not None:
+            assert prev <= cand, "aligned bands must nest candidates"
+        prev = cand
+        hits = len(exact & cand)
+        floor_ok = (
+            not exact
+            or 1_000_000 * hits // len(exact) >= LSH_CURVE_FLOORS_PPM[b]
+        )
+        expect_rows.append((b, r, len(exact), True, floor_ok))
+        assert floor_ok
+    got = [
+        (
+            x["bands"],
+            x["rows_per_band"],
+            x["n_exact_pairs"],
+            x["monotone_ok"],
+            x["recall_floor_ok"],
+        )
+        for x in dedup_lsh_band_curve(spark, sf_dir).collect()
+    ]
+    assert got == expect_rows
+    assert sum(b * r for b, r in LSH_CURVE_CONFIGS) == 4 * N_HASHES

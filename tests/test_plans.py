@@ -1123,3 +1123,26 @@ def test_round7_ninth_batch_plan_shapes(spark):
     # windows consume the daily agg (plan prints top-down: the census
     # HashAggregate sits below the Window that consumes it)
     assert plan.rindex("HashAggregate") > plan.index("Window")
+
+
+def test_round7_tenth_batch_plan_shapes(spark):
+    """Bag set ops: census frames joined full-outer, output
+    census-sized; filter impact: ONE scan, conditional aggs, no joins;
+    band curve's heavy stages are the already-pinned minhash shapes."""
+    from pgsink_spark.operators.curation import curation_filter_impact
+
+    df = rel.QUERIES["d103_bag_set_ops"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in plan
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(
+        c <= {"c_nationkey"} or c <= {"s_nationkey"} for c in cols
+    ), cols
+
+    df = curation_filter_impact(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert has_partial_aggregate(df)
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"source", "n_chars"} for c in cols), cols

@@ -174,6 +174,9 @@ PROBES = [
     "text_oov_rate",
     "eval_mcnemar",
     "d102_rolling_slope",
+    "d103_bag_set_ops",
+    "curation_filter_impact",
+    "dedup_lsh_band_curve",
 ]
 
 
