@@ -269,6 +269,8 @@ HEADLINE = [
     "d103_bag_set_ops",
     "curation_filter_impact",
     "dedup_lsh_band_curve",
+    "pipeline_stage_metrics",
+    "d104_sql_api_views",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

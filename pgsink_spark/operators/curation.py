@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pgsink_spark.operators.relational import query
+from pgsink_spark.operators.relational import ORACLES, query
 from pgsink_spark.operators.sampling import _duckdb_bucket, hash_bucket
 from pgsink_spark.operators.text import _duck_count, _substr_count
 from pgsink_spark.sources.fixtures import load_table
@@ -332,4 +332,70 @@ def curation_filter_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tighten_loss_ppm"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "pipeline_stage_metrics",
+    """
+    WITH pipe AS (
+    """
+    + ORACLES["pipeline_curation"].replace("ORDER BY doc_id", "")
+    + """
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN quality >= 0.45 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quality_pass,
+           CAST(SUM(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_canonical,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(1000000 * SUM(CASE WHEN kept THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS kept_ppm
+    FROM pipe
+    """,
+)
+def pipeline_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via Spark's OBSERVATION API: the flagship
+    curation pipeline runs ONCE with an ``observe()`` node attached,
+    and the stage metrics (docs in, quality passes, canonical
+    survivors, kept, kept-rate ppm) come out of the observation — not
+    from re-running the pipeline per metric. This is the production
+    pattern for pipeline health counters at 100 TB: observe() folds
+    the aggregates into the SAME job that does the work (zero extra
+    scans, zero extra shuffles), where a naive metrics pass would
+    re-execute the pipeline once per dashboard row. The oracle
+    recomputes every counter declaratively from the pipeline's own
+    oracle SQL, so the driver hash pins that Spark's observed values
+    equal the semantic truth.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("curation_stages")
+    pipe = pipeline_curation(spark, sf_dir)
+    observed = pipe.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("quality") >= QUALITY_KEEP).cast("long")).alias(
+            "n_quality_pass"
+        ),
+        F.sum(
+            (F.col("doc_id") == F.col("canonical_id")).cast("long")
+        ).alias("n_canonical"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_docs"],
+                m["n_quality_pass"],
+                m["n_canonical"],
+                m["n_kept"],
+                1_000_000 * m["n_kept"] // m["n_docs"],
+            )
+        ],
+        "n_docs long, n_quality_pass long, n_canonical long,"
+        " n_kept long, kept_ppm long",
     )

@@ -6518,3 +6518,44 @@ def d103_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# One SQL text, two engines: d104 runs this through spark.sql() over
+# temp views and the driver oracle runs it through DuckDB verbatim —
+# the cross-engine-portable ANSI subset this whole registry's oracles
+# rely on, demonstrated as a user-facing surface (the reference serves
+# SQL text too; pkg/api query endpoints).
+D104_SQL = """
+    WITH rev AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS
+                  DECIMAL(28,4)) AS total
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY c.c_nationkey
+    )
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(ROUND(rev.total, 2) AS DOUBLE) AS revenue
+    FROM rev
+    JOIN nation n ON n.n_nationkey = rev.nk
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    ORDER BY revenue DESC, nation
+"""
+
+
+@query("d104_sql_api_views", D104_SQL)
+def d104_sql_api_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT API surface: the exact same ANSI query string the
+    DuckDB oracle executes is fed verbatim to ``spark.sql()`` over
+    registered temp views — one artifact, two engines, zero
+    translation layer. This is the registry's only operator whose
+    Spark side IS its oracle text, pinning (a) the temp-view catalog
+    path every BI/ad-hoc user hits instead of the DataFrame API, and
+    (b) the portability of the dialect subset the other 300 oracles
+    are written in. Catalyst gets the same plan freedom as with the
+    DataFrame API (the joins here broadcast the two dimension
+    tables; the revenue agg is partial-agged before its shuffle).
+    """
+    for t in ("orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(D104_SQL)

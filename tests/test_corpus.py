@@ -2221,3 +2221,33 @@ def test_filter_impact_matches_python_replay(spark, sf_dir):
     assert got == expect
     for n, ka, kb, *_ in got.values():
         assert kb <= ka <= n
+
+
+def test_stage_metrics_match_pipeline_and_sql_views_identity(spark, sf_dir):
+    """pipeline_stage_metrics' observed counters equal direct
+    recomputation from the pipeline frame; d104's Spark result comes
+    from the SAME SQL text its oracle uses (identity pinned here, not
+    just equivalence)."""
+    from pgsink_spark.operators.curation import (
+        QUALITY_KEEP,
+        pipeline_curation,
+        pipeline_stage_metrics,
+    )
+    from pgsink_spark.operators.relational import D104_SQL, ORACLES
+
+    rows = pipeline_curation(spark, sf_dir).collect()
+    n = len(rows)
+    qp = sum(1 for r in rows if r["quality"] >= QUALITY_KEEP)
+    canon = sum(1 for r in rows if r["doc_id"] == r["canonical_id"])
+    kept = sum(1 for r in rows if r["kept"])
+    (m,) = pipeline_stage_metrics(spark, sf_dir).collect()
+    assert (
+        m["n_docs"],
+        m["n_quality_pass"],
+        m["n_canonical"],
+        m["n_kept"],
+        m["kept_ppm"],
+    ) == (n, qp, canon, kept, 1_000_000 * kept // n)
+    assert 0 < kept <= canon <= n
+
+    assert ORACLES["d104_sql_api_views"] == D104_SQL

@@ -1146,3 +1146,13 @@ def test_round7_tenth_batch_plan_shapes(spark):
     assert has_partial_aggregate(df)
     cols = [set(c) for c in scan_columns(df)]
     assert all(c <= {"source", "n_chars"} for c in cols), cols
+
+
+def test_round7_eleventh_batch_plan_shapes(spark):
+    """d104 through spark.sql: dimension joins broadcast, revenue agg
+    partial; stage metrics adds an observe node, not extra scans."""
+    from pgsink_spark.operators import relational as r
+
+    df = r.QUERIES["d104_sql_api_views"](spark, SF)
+    assert broadcast_join_count(df) >= 2  # nation + region
+    assert has_partial_aggregate(df)

@@ -177,6 +177,8 @@ PROBES = [
     "d103_bag_set_ops",
     "curation_filter_impact",
     "dedup_lsh_band_curve",
+    "pipeline_stage_metrics",
+    "d104_sql_api_views",
 ]
 
 
