@@ -271,6 +271,8 @@ HEADLINE = [
     "dedup_lsh_band_curve",
     "pipeline_stage_metrics",
     "d104_sql_api_views",
+    "stream_complete_totals",
+    "eval_bootstrap_replicates",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -661,3 +661,108 @@ def eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chi2_micro"),
     )
+
+
+# Deterministic hash-Poisson(1) bootstrap: each (doc, replicate) draws
+# its multiplicity from the md5 bucket of (doc_id + replicate·SALT) via
+# the truncated-Poisson(1) CDF over 1000 buckets. Weights are integers
+# and the draw is a pure row-local function of (doc_id, r) — identical
+# on both engines, stable across partitionings and reruns.
+BOOT_REPLICATES = 10
+BOOT_SALT = 7_777_777
+# cumulative 1000·P(X ≤ k) for Poisson(1), truncated at 5
+_BOOT_CDF = (368, 736, 920, 981, 996, 1000)
+
+
+def _boot_weight_sql(expr: str) -> str:
+    b = (
+        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 1000"
+    )
+    cases = " ".join(
+        f"WHEN {b} < {c} THEN {k}" for k, c in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+@query(
+    "eval_bootstrap_replicates",
+    f"""
+    WITH reps AS (
+      SELECT d.doc_id, d.n_chars, r.rep,
+             {_boot_weight_sql(f"d.doc_id + r.rep * {BOOT_SALT}")} AS w
+      FROM documents d,
+           UNNEST(range(0, {BOOT_REPLICATES})) AS r(rep)
+    )
+    SELECT CAST(rep AS BIGINT) AS rep,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * n_chars) AS BIGINT) AS sum_chars,
+           CAST(1000 * SUM(w * n_chars) // SUM(w) AS BIGINT)
+             AS mean_chars_milli
+    FROM reps GROUP BY rep ORDER BY rep
+    """,
+)
+def eval_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap for metric uncertainty, the DISTRIBUTED
+    bootstrap (Chamandy et al.'s pattern): instead of resampling n
+    docs with replacement (which needs global coordination), each
+    (doc, replicate) pair independently draws a Poisson(1)
+    multiplicity — here from a deterministic md5-bucket CDF ladder, so
+    the "randomness" is a pure row-local function and both engines
+    reproduce it bit-for-bit. Emits per-replicate effective sizes and
+    the mean-length statistic in exact integer milli-units; the
+    spread ACROSS the {BOOT_REPLICATES} replicate means is the
+    standard error a curation owner quotes on the metric.
+
+    Scale shape: one scan fanned out ×{BOOT_REPLICATES} row-locally
+    (explode on a literal range — no shuffle amplification beyond the
+    replicate-keyed partial agg), output is {BOOT_REPLICATES} rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))
+        ).alias("rep"),
+    )
+    from pgsink_spark.operators.sampling import hash_bucket
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    (F.col("doc_id") + F.col("rep") * BOOT_SALT).cast(
+                        "string"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    w = F.lit(5)
+    for k, c in reversed(list(enumerate(_BOOT_CDF))):
+        w = F.when(bucket < c, F.lit(k)).otherwise(w)
+    return (
+        reps.select("rep", "n_chars", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("n_chars"))
+            .cast("long")
+            .alias("sum_chars"),
+        )
+        .select(
+            F.col("rep").cast("long").alias("rep"),
+            "n_eff",
+            "sum_chars",
+            F.expr("1000 * sum_chars div n_eff")
+            .cast("long")
+            .alias("mean_chars_milli"),
+        )
+        .orderBy("rep")
+    )

@@ -1117,3 +1117,49 @@ def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w", "event_type")
     )
+
+
+@query(
+    "stream_complete_totals",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_complete_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILT-IN stateful streaming in COMPLETE output mode: an
+    unwindowed running aggregate whose sink state is REPLACED with the
+    full result every trigger — the third output-mode semantics next
+    to the registry's append (tumbling/hopping/session windows emit
+    finalized groups) and the custom update-style stateful operators.
+    Complete mode is what live dashboards consume: no watermark, no
+    eviction, every group's current total after all data seen. The
+    memory sink holds exactly the last snapshot, so after the
+    availableNow drain the table IS the batch aggregate — the oracle
+    states that equivalence directly, and the driver hash pins that
+    Spark's complete-mode snapshot replacement (not append
+    accumulation) produced it.
+
+    Scale note: complete mode re-emits the FULL result per trigger, so
+    it is only sane when the result is group-census sized (it is: one
+    row per event type); the windowed append operators are the shape
+    for unbounded keys.
+    """
+    def build(raw: DataFrame) -> DataFrame:
+        ev = _ts_cast(raw).select("event_type", "value")
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    out = _run_availablenow(
+        spark, sf_dir, "cmpl", build, output_mode="complete"
+    )
+    return out.select("event_type", "cnt", "sum_value").orderBy(
+        "event_type"
+    )

@@ -2251,3 +2251,53 @@ def test_stage_metrics_match_pipeline_and_sql_views_identity(spark, sf_dir):
     assert 0 < kept <= canon <= n
 
     assert ORACLES["d104_sql_api_views"] == D104_SQL
+
+
+def test_bootstrap_replicates_match_python_replay(spark, sf_dir):
+    """eval_bootstrap_replicates equals a pure-Python hash-Poisson
+    draw; replicate means vary (the draw is real) but each n_eff stays
+    within 20% of n (Poisson(1) mass conservation)."""
+    import hashlib
+    from collections import defaultdict
+
+    from pgsink_spark.operators.evaluation import (
+        _BOOT_CDF,
+        BOOT_REPLICATES,
+        BOOT_SALT,
+        eval_bootstrap_replicates,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+
+    def weight(doc_id, rep):
+        b = (
+            int(
+                hashlib.md5(
+                    str(doc_id + rep * BOOT_SALT).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % 1000
+        )
+        for k, c in enumerate(_BOOT_CDF):
+            if b < c:
+                return k
+        return 5
+
+    expect = {}
+    for rep in range(BOOT_REPLICATES):
+        n_eff = sum(weight(r["doc_id"], rep) for r in docs)
+        s = sum(weight(r["doc_id"], rep) * r["n_chars"] for r in docs)
+        expect[rep] = (n_eff, s, 1000 * s // n_eff)
+    got = {
+        r["rep"]: (r["n_eff"], r["sum_chars"], r["mean_chars_milli"])
+        for r in eval_bootstrap_replicates(spark, sf_dir).collect()
+    }
+    assert got == expect
+    n = len(docs)
+    for n_eff, _, _ in got.values():
+        assert 0.8 * n <= n_eff <= 1.2 * n
+    assert len({m for _, _, m in got.values()}) > 1, "replicates must vary"

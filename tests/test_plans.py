@@ -1156,3 +1156,16 @@ def test_round7_eleventh_batch_plan_shapes(spark):
     df = r.QUERIES["d104_sql_api_views"](spark, SF)
     assert broadcast_join_count(df) >= 2  # nation + region
     assert has_partial_aggregate(df)
+
+
+def test_round7_twelfth_batch_plan_shapes(spark):
+    """Bootstrap: replicate fan-out is a row-local explode over a
+    literal range — ONE scan of two pruned columns, no joins."""
+    from pgsink_spark.operators.evaluation import eval_bootstrap_replicates
+
+    df = eval_bootstrap_replicates(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert has_partial_aggregate(df)
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"doc_id", "n_chars"} for c in cols), cols

@@ -626,3 +626,35 @@ def test_hopping_window_replication_and_eviction(spark, sf_dir):
     # the events fully covered by two emitted windows — cheaper exact
     # invariant: every event counted at most twice
     assert sum(c for c, _ in got.values()) <= 2 * len(rows)
+
+
+def test_complete_totals_equal_batch_aggregate(spark, sf_dir):
+    """stream_complete_totals' snapshot equals the batch aggregate
+    exactly (complete mode replaces, never accumulates: a doubled
+    count would flag append-style accumulation in the memory sink)."""
+    from decimal import Decimal
+
+    from pgsink_spark.operators.streaming_q import stream_complete_totals
+    from pgsink_spark.sources.fixtures import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for r in rows:
+        agg[r["event_type"]][0] += 1
+        agg[r["event_type"]][1] += Decimal(str(r["value"])).quantize(
+            Decimal("0.0001")
+        )
+    expect = {
+        k: (c, float(round(s, 2))) for k, (c, s) in agg.items()
+    }
+    got = {
+        r["event_type"]: (r["cnt"], r["sum_value"])
+        for r in stream_complete_totals(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -179,6 +179,8 @@ PROBES = [
     "dedup_lsh_band_curve",
     "pipeline_stage_metrics",
     "d104_sql_api_views",
+    "stream_complete_totals",
+    "eval_bootstrap_replicates",
 ]
 
 
