@@ -273,6 +273,8 @@ HEADLINE = [
     "d104_sql_api_views",
     "stream_complete_totals",
     "eval_bootstrap_replicates",
+    "src_csv_malformed_quarantine",
+    "text_feature_hashing",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

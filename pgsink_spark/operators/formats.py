@@ -323,3 +323,65 @@ def src_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", "source")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "src_csv_malformed_quarantine",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 <> 3 THEN o_custkey END AS o_custkey,
+           CASE WHEN o_orderkey % 10 <> 3 THEN o_orderstatus END
+             AS o_orderstatus,
+           (o_orderkey % 10 = 3) AS quarantined
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def src_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row QUARANTINE on the CSV ingestion path: the staged
+    feed deterministically corrupts every orderkey ≡ 3 (mod 10) row
+    (its numeric o_custkey field carries a non-numeric token), and
+    the PERMISSIVE reader with ``columnNameOfCorruptRecord`` routes
+    those rows to the quarantine column instead of failing the load
+    or silently dropping them — the poison-pill contract every
+    production file feed needs: good rows parse, bad rows are
+    COUNTED AND KEPT for replay, nothing aborts. The oracle
+    re-derives the expected frame declaratively from orders (corrupt
+    rows surface with NULL typed fields and the quarantine flag), so
+    the driver hash pins Spark's PERMISSIVE parse semantics, not just
+    the staging.
+
+    Scale shape: a map-only parse; the quarantine flag is row-local.
+    Staged once per sf_dir (same _SUCCESS latch as the other src_*).
+    """
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/pgsink_fmt_quar_{h}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 10 == 3, F.lit("CORRUPT<payload>")
+            )
+            .otherwise(F.col("o_custkey").cast("string"))
+            .alias("o_custkey"),
+            "o_orderstatus",
+        ).write.mode("overwrite").option("header", "true").csv(out)
+    raw = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " _corrupt string"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    return raw.select(
+        "o_orderkey",
+        "o_custkey",
+        # PERMISSIVE keeps fields BEFORE the corrupt one; normalize the
+        # whole row to the quarantine contract (typed fields NULL)
+        F.when(F.col("_corrupt").isNull(), F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.col("_corrupt").isNotNull().alias("quarantined"),
+    ).orderBy("o_orderkey")

@@ -1208,3 +1208,58 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+FEATHASH_DIM = 64
+FEATHASH_DOCS = 20
+
+
+@query(
+    "text_feature_hashing",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents WHERE doc_id < {FEATHASH_DOCS}
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT)
+                % {FEATHASH_DIM} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM w
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK vectorizer (Weinberger et al.): each token
+    maps to one of {FEATHASH_DIM} buckets by a portable md5-prefix
+    hash and the document's sparse feature vector is the per-bucket
+    count — the fixed-width, vocabulary-free featurization that feeds
+    linear quality models at corpus scale (no vocab broadcast, no OOV
+    problem: new words land in existing buckets by construction,
+    trading collisions for O(1) memory). Emitted in sparse COO form
+    (doc, bucket, count) for a fixed probe set of documents so the
+    driver hash pins the hash routing itself.
+
+    Scale shape: completely row-local hashing + a (doc, bucket)-keyed
+    partial agg; at full corpus the probe-set filter disappears and
+    the output IS the training matrix, written partitioned however
+    the trainer shards.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.where(F.col("doc_id") < FEATHASH_DOCS).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % FEATHASH_DIM
+    )
+    return (
+        w.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )

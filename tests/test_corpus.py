@@ -2301,3 +2301,54 @@ def test_bootstrap_replicates_match_python_replay(spark, sf_dir):
     for n_eff, _, _ in got.values():
         assert 0.8 * n <= n_eff <= 1.2 * n
     assert len({m for _, _, m in got.values()}) > 1, "replicates must vary"
+
+
+def test_quarantine_and_feature_hashing_match_python_replay(spark, sf_dir):
+    """src_csv_malformed_quarantine: quarantined rows are exactly the
+    orderkey%10==3 set and good rows carry true values;
+    text_feature_hashing equals a pure-Python md5-bucket count."""
+    import hashlib
+    from collections import Counter
+
+    from pgsink_spark.operators.formats import src_csv_malformed_quarantine
+    from pgsink_spark.operators.text import (
+        FEATHASH_DIM,
+        FEATHASH_DOCS,
+        text_feature_hashing,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    truth = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_orderstatus"])
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .collect()
+    }
+    got = src_csv_malformed_quarantine(spark, sf_dir).collect()
+    assert len(got) == len(truth)
+    for r in got:
+        bad = r["o_orderkey"] % 10 == 3
+        assert r["quarantined"] == bad
+        if bad:
+            assert r["o_custkey"] is None and r["o_orderstatus"] is None
+        else:
+            assert (r["o_custkey"], r["o_orderstatus"]) == truth[
+                r["o_orderkey"]
+            ]
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(f"doc_id < {FEATHASH_DOCS}")
+        .select("doc_id", "text")
+        .collect()
+    )
+    expect = Counter()
+    for r in docs:
+        for wd in r["text"].lower().split(" "):
+            b = int(hashlib.md5(wd.encode()).hexdigest()[:8], 16) % FEATHASH_DIM
+            expect[(r["doc_id"], b)] += 1
+    got_fh = {
+        (r["doc_id"], r["bucket"]): r["cnt"]
+        for r in text_feature_hashing(spark, sf_dir).collect()
+    }
+    assert got_fh == dict(expect)

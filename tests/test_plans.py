@@ -1169,3 +1169,19 @@ def test_round7_twelfth_batch_plan_shapes(spark):
     assert has_partial_aggregate(df)
     cols = [set(c) for c in scan_columns(df)]
     assert all(c <= {"doc_id", "n_chars"} for c in cols), cols
+
+
+def test_round7_thirteenth_batch_plan_shapes(spark):
+    """Quarantine: map-only permissive parse, no joins; feature
+    hashing: pushdown of the probe-set filter + keyed partial agg."""
+    from pgsink_spark.operators.formats import src_csv_malformed_quarantine
+    from pgsink_spark.operators.text import text_feature_hashing
+
+    df = src_csv_malformed_quarantine(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    df = text_feature_hashing(spark, SF)
+    assert has_partial_aggregate(df)
+    pf = pushed_filters(df)
+    assert any("doc_id" in f for f in pf), pf

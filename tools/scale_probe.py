@@ -181,6 +181,8 @@ PROBES = [
     "d104_sql_api_views",
     "stream_complete_totals",
     "eval_bootstrap_replicates",
+    "src_csv_malformed_quarantine",
+    "text_feature_hashing",
 ]
 
 
