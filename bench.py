@@ -275,6 +275,8 @@ HEADLINE = [
     "eval_bootstrap_replicates",
     "src_csv_malformed_quarantine",
     "text_feature_hashing",
+    "graph_transitivity",
+    "corpus_token_coverage",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -940,3 +940,85 @@ def corpus_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+COVERAGE_KS = (10, 100, 1000)
+
+
+@query(
+    "corpus_token_coverage",
+    f"""
+    WITH w AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    census AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY word
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rnk,
+             SUM(c) OVER () AS total
+      FROM census
+    )
+    SELECT k.k,
+           CAST(SUM(CASE WHEN rnk <= k.k THEN c ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           CAST(1000000 * SUM(CASE WHEN rnk <= k.k THEN c ELSE 0 END)
+                // MAX(total) AS BIGINT) AS coverage_ppm
+    FROM ranked
+    CROSS JOIN (VALUES {", ".join(f"({k})" for k in COVERAGE_KS)}) AS k(k)
+    GROUP BY k.k ORDER BY k.k
+    """,
+)
+def corpus_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of the corpus's token
+    stream covered by its top-k most frequent words, for k ∈
+    {COVERAGE_KS} — the Zipf-integral read behind every vocabulary-
+    size decision (text_zipf_audit checks the rank-frequency SLOPE;
+    this is the cumulative mass the tokenizer planner actually
+    budgets with, and the denominator text_oov_rate's per-source
+    shares roll up to).
+
+    Plan: one word census (map-side combined), a rank window over the
+    CENSUS (vocabulary-sized), then a 3-row fold — the coverage sums
+    are conditional aggregates over the census, never a second pass
+    over the token stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    census = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = census.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "word"))
+        .alias("rnk"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in COVERAGE_KS])
+    ).alias("k")
+    return (
+        ranked.select("c", "rnk", "total", ks)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.max("total").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "covered_tokens",
+            "total_tokens",
+            F.expr("1000000 * covered_tokens div total_tokens")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("k")
+    )

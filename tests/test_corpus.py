@@ -2352,3 +2352,34 @@ def test_quarantine_and_feature_hashing_match_python_replay(spark, sf_dir):
         for r in text_feature_hashing(spark, sf_dir).collect()
     }
     assert got_fh == dict(expect)
+
+
+def test_token_coverage_matches_python_replay(spark, sf_dir):
+    """corpus_token_coverage equals a pure-Python Zipf-integral; the
+    curve is monotone in k and the top-1000 coverage dominates."""
+    from collections import Counter
+
+    from pgsink_spark.operators.corpus import (
+        COVERAGE_KS,
+        corpus_token_coverage,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    c = Counter()
+    for r in (
+        load_table(spark, sf_dir, "documents").select("text").collect()
+    ):
+        c.update(r["text"].lower().split(" "))
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    expect = {}
+    for k in COVERAGE_KS:
+        cov = sum(cnt for _, cnt in ordered[:k])
+        expect[k] = (cov, total, 1_000_000 * cov // total)
+    got = {
+        r["k"]: (r["covered_tokens"], r["total_tokens"], r["coverage_ppm"])
+        for r in corpus_token_coverage(spark, sf_dir).collect()
+    }
+    assert got == expect
+    covs = [got[k][2] for k in sorted(got)]
+    assert covs == sorted(covs)

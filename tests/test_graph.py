@@ -507,3 +507,46 @@ def test_assortativity_matches_python_replay(spark, sf_dir):
     assert (row["m2"], row["s1"], row["s2"], row["sxy"]) == (m2, s1, s2, sxy)
     assert row["assortativity_ppm"] == ppm
     assert -den <= num <= den  # |r| <= 1
+
+
+def test_transitivity_matches_python_replay(spark, sf_dir):
+    """graph_transitivity equals the textbook 3·triangles/wedges over
+    the same densified generator; 0 <= transitivity <= 1 as a
+    rational."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.graph import graph_transitivity
+    from pgsink_spark.sources.fixtures import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    edges = set()
+    for d in ids:
+        for dst in (
+            (d * d * 7 + 1) % n,
+            (d * 13 + 3) % n,
+            (d + 50) % n,
+            (d + 100) % n,
+        ):
+            if dst != d:
+                edges.add((min(d, dst), max(d, dst)))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = 0
+    for a, b in edges:
+        tri += len(adj[a] & adj[b])
+    tri //= 3  # each triangle counted once per edge
+    wedges2 = sum(len(zs) * (len(zs) - 1) for zs in adj.values())
+    ppm = 1_000_000 * 6 * tri // wedges2 if wedges2 else 0
+    (row,) = graph_transitivity(spark, sf_dir).collect()
+    assert row["n_tri"] == tri
+    assert row["n_wedges"] == wedges2 // 2
+    assert row["transitivity_ppm"] == ppm
+    assert 0 <= row["transitivity_ppm"] <= 1_000_000

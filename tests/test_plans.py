@@ -1185,3 +1185,20 @@ def test_round7_thirteenth_batch_plan_shapes(spark):
     assert has_partial_aggregate(df)
     pf = pushed_filters(df)
     assert any("doc_id" in f for f in pf), pf
+
+
+def test_round7_fourteenth_batch_plan_shapes(spark):
+    """Transitivity: triangle join + degree fold, 1-row frames crossed
+    at the end; token coverage: rank window over the word census."""
+    from pgsink_spark.operators.corpus import corpus_token_coverage
+    from pgsink_spark.operators.graph import graph_transitivity
+
+    df = graph_transitivity(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+
+    df = corpus_token_coverage(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    # the window consumes the census agg (tree prints top-down)
+    assert plan.rindex("HashAggregate") > plan.index("Window")

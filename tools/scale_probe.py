@@ -183,6 +183,8 @@ PROBES = [
     "eval_bootstrap_replicates",
     "src_csv_malformed_quarantine",
     "text_feature_hashing",
+    "graph_transitivity",
+    "corpus_token_coverage",
 ]
 
 
