@@ -277,6 +277,8 @@ HEADLINE = [
     "text_feature_hashing",
     "graph_transitivity",
     "corpus_token_coverage",
+    "cdc_cross_table_snapshot",
+    "sample_kish_neff",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

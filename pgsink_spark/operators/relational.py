@@ -6559,3 +6559,96 @@ def d104_sql_api_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(D104_SQL)
+
+
+@query(
+    "cdc_cross_table_snapshot",
+    """
+    WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+    del AS (
+      SELECT o_orderkey AS k FROM orders CROSS JOIN mx
+      WHERE o_orderkey % 17 = 0 AND 2 * o_orderkey + 1 <= mk
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM orders
+       WHERE o_orderkey NOT IN (SELECT k FROM del)) AS n_orders,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT k FROM del)) AS n_lineitems,
+      CAST(0 AS BIGINT) AS n_orphans
+    """,
+)
+def cdc_cross_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTIONALLY CONSISTENT cross-table time travel: orders and
+    lineitem are replayed as two envelope ledgers whose delete
+    transactions share ONE LSN (deleting order k removes the order AND
+    all its lineitems at lsn base+2k+1 — the atomic multi-table commit
+    the reference's transaction sequencing exists to preserve,
+    pkg/logical ordering). Both tables are reconstructed AS OF the
+    same mid-churn bound and the emitted row carries the surviving
+    counts plus the ORPHAN count — lineitems whose parent order is
+    gone. Atomic replay makes orphans exactly zero at ANY bound; an
+    implementation that applied even slightly different cuts to the
+    two ledgers (the classic per-table-watermark bug) surfaces
+    non-zero orphans and flips the driver hash.
+
+    Plan: two ledger scans with row-local lsn predicates, one
+    compaction window each (pk-keyed), and one orderkey-keyed
+    anti-join for the orphan census.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    k = F.col("o_orderkey")
+    base = F.lit(1_000_000_000).cast("bigint")
+
+    o_rows = o.select(
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("lsn"),
+        F.lit("IMPORT").alias("op"),
+    )
+    o_del = o.where(k % 17 == 0).select(
+        "o_orderkey",
+        (base + 2 * k + 1).alias("lsn"),
+        F.lit("DELETE").alias("op"),
+    )
+    o_env = o_rows.unionByName(o_del)
+
+    bound = o.agg((base + F.max("o_orderkey")).alias("lsn_bound"))
+
+    wo = W.partitionBy("o_orderkey").orderBy(F.col("lsn").desc_nulls_last())
+    o_asof = (
+        o_env.crossJoin(F.broadcast(bound))
+        .where(F.col("lsn").isNull() | (F.col("lsn") <= F.col("lsn_bound")))
+        .withColumn("rn", F.row_number().over(wo))
+        .where((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .select("o_orderkey")
+    )
+    # the child table replays its half of the transaction as KEYED
+    # cascading deletes (delete-by-orderkey at the shared lsn): the
+    # visible delete-key set anti-joins the imported rows. The
+    # fixture's (l_orderkey, l_linenumber) is intentionally NOT unique
+    # (composite-PK duplicates), so per-row compaction would collapse
+    # legitimate rows — keyed delete replay is both the correct CDC
+    # semantics for a cascade and the only shape that preserves bag
+    # cardinality.
+    l_delkeys = (
+        o.where(k % 17 == 0)
+        .select("o_orderkey", (base + 2 * k + 1).alias("lsn"))
+        .crossJoin(F.broadcast(bound))
+        .where(F.col("lsn") <= F.col("lsn_bound"))
+        .select(F.col("o_orderkey").alias("delk"))
+    )
+    l_asof = li.join(
+        l_delkeys, li["l_orderkey"] == l_delkeys["delk"], "left_anti"
+    ).select("l_orderkey")
+    orphans = l_asof.join(
+        o_asof, l_asof["l_orderkey"] == o_asof["o_orderkey"], "left_anti"
+    )
+    n_o = o_asof.count()
+    n_l = l_asof.count()
+    n_orph = orphans.count()
+    return spark.createDataFrame(
+        [(n_o, n_l, n_orph)],
+        "n_orders long, n_lineitems long, n_orphans long",
+    )

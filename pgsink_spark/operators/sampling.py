@@ -390,3 +390,52 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "sample_kish_neff",
+    """
+    WITH w AS (
+      SELECT CAST(n_chars AS HUGEINT) AS wt FROM documents
+    )
+    SELECT CAST(SUM(wt) AS BIGINT) AS sum_w,
+           CAST(SUM(wt * wt) AS BIGINT) AS sum_w2,
+           CAST(1000 * (SUM(wt) * SUM(wt)) // SUM(wt * wt) AS BIGINT)
+             AS neff_milli,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w
+    """,
+)
+def sample_kish_neff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of a weighted corpus — n_eff =
+    (Σw)² / Σw² with document length as the weight (the token-weighted
+    regime every mixture sampler actually operates in): when weights
+    are equal n_eff = n, and the n_eff/n ratio is the design-effect
+    penalty a curation owner pays for length skew before quoting any
+    corpus-level statistic. Emitted as exact integers (weight moments
+    in int64; the (Σw)² product in 128-bit — Spark decimal(38,0) /
+    DuckDB HUGEINT, the same overflow discipline graph_assortativity
+    uses, since Σw is corpus-sized and its square passes 2⁶³ long
+    before any real corpus does).
+
+    Plan: one scan, one 1-row fold. Nothing else.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg(
+        F.sum(F.col("n_chars").cast("long")).alias("sum_w"),
+        F.sum(
+            F.col("n_chars").cast("long") * F.col("n_chars").cast("long")
+        ).alias("sum_w2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return m.select(
+        F.col("sum_w").cast("long").alias("sum_w"),
+        F.col("sum_w2").cast("long").alias("sum_w2"),
+        F.expr(
+            "1000 * (cast(sum_w as decimal(38,0))"
+            " * cast(sum_w as decimal(38,0))) div sum_w2"
+        )
+        .cast("long")
+        .alias("neff_milli"),
+        "n",
+    )

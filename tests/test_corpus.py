@@ -2383,3 +2383,58 @@ def test_token_coverage_matches_python_replay(spark, sf_dir):
     assert got == expect
     covs = [got[k][2] for k in sorted(got)]
     assert covs == sorted(covs)
+
+
+def test_cross_table_snapshot_and_kish_match_python_replay(spark, sf_dir):
+    """cdc_cross_table_snapshot equals a pure-Python two-ledger as-of
+    replay (orphans computed, not assumed zero); sample_kish_neff
+    equals the textbook (sum w)^2 / sum w^2 and satisfies
+    1 <= n_eff <= n."""
+    from pgsink_spark.operators.relational import QUERIES
+    from pgsink_spark.sources.fixtures import load_table
+
+    mk = max(
+        r["o_orderkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .collect()
+    )
+    okeys = [
+        r["o_orderkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    lkeys = [
+        r["l_orderkey"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .collect()
+    ]
+    deleted = {
+        k for k in okeys if k % 17 == 0 and 2 * k + 1 <= mk
+    }
+    ords = [k for k in okeys if k not in deleted]
+    lis = [k for k in lkeys if k not in deleted]
+    orphans = sum(1 for k in lis if k in deleted)
+    (row,) = QUERIES["cdc_cross_table_snapshot"](spark, sf_dir).collect()
+    assert (row["n_orders"], row["n_lineitems"], row["n_orphans"]) == (
+        len(ords),
+        len(lis),
+        orphans,
+    )
+    assert row["n_orphans"] == 0
+
+    from pgsink_spark.operators.sampling import sample_kish_neff  # noqa: F401 — registers
+
+    ws = [
+        r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("n_chars")
+        .collect()
+    ]
+    sw, sw2 = sum(ws), sum(w * w for w in ws)
+    (kr,) = QUERIES["sample_kish_neff"](spark, sf_dir).collect()
+    assert (kr["sum_w"], kr["sum_w2"], kr["n"]) == (sw, sw2, len(ws))
+    assert kr["neff_milli"] == 1000 * sw * sw // sw2
+    assert 1000 <= kr["neff_milli"] <= 1000 * len(ws)

@@ -1202,3 +1202,17 @@ def test_round7_fourteenth_batch_plan_shapes(spark):
     assert has_partial_aggregate(df)
     # the window consumes the census agg (tree prints top-down)
     assert plan.rindex("HashAggregate") > plan.index("Window")
+
+
+def test_round7_fifteenth_batch_plan_shapes(spark):
+    """Cross-table snapshot: lsn predicates row-local, compaction
+    window pk-keyed, orphan census is a keyed anti-join; Kish: one
+    scan + 1-row fold."""
+    from pgsink_spark.operators.sampling import sample_kish_neff
+
+    df = sample_kish_neff(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert has_partial_aggregate(df)
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"n_chars"} for c in cols), cols

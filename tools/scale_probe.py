@@ -185,6 +185,8 @@ PROBES = [
     "text_feature_hashing",
     "graph_transitivity",
     "corpus_token_coverage",
+    "cdc_cross_table_snapshot",
+    "sample_kish_neff",
 ]
 
 
