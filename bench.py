@@ -279,6 +279,8 @@ HEADLINE = [
     "corpus_token_coverage",
     "cdc_cross_table_snapshot",
     "sample_kish_neff",
+    "graph_local_bridges",
+    "corpus_length_gini",
 ]
 
 # Round-over-round regression gate: compare per-query times against the

@@ -1022,3 +1022,74 @@ def corpus_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "corpus_length_gini",
+    """
+    WITH r AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS w,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS n,
+             SUM(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(tot) AS BIGINT) AS total_chars,
+           -- Gini via the rank formula, exact integer milli:
+           -- G = (2·Σ i·w_i − (n+1)·Σw) / (n·Σw)
+           CAST(CASE WHEN 2 * SUM(i * w) >= (MAX(n) + 1) * MAX(tot)
+                THEN 1000 * (2 * SUM(i * w) - (MAX(n) + 1) * MAX(tot))
+                     // (MAX(n) * MAX(tot))
+                ELSE -(1000 * ((MAX(n) + 1) * MAX(tot) - 2 * SUM(i * w))
+                       // (MAX(n) * MAX(tot)))
+                END AS BIGINT) AS gini_milli
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def corpus_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document length — the length-
+    CONCENTRATION read (0 = all docs equal, →1 = a few megadocs carry
+    the source) that decides whether a source needs per-document
+    token caps before mixing: two sources with the same mean length
+    and wildly different Ginis behave completely differently under a
+    token-budgeted sampler. Computed by the exact rank formula
+    G = (2Σᵢ i·wᵢ − (n+1)Σw) / (n·Σw) over the length-sorted ranks,
+    all int64 with a sign-symmetric milli image (G can only be
+    negative by floating error — here it cannot, but the CASE keeps
+    engine truncation identical anyway).
+
+    Plan: one per-source rank window (partitioned on the
+    high-cardinality-enough source key) + a source-keyed fold.
+    int64-safe while Σ i·wᵢ < 2⁶³ — n·max_chars·n ≈ 10¹⁸ allows ~10⁶
+    docs/source at 10⁶ chars; past that the weights rescale to KB
+    units, same contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source")
+    r = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("w"),
+        F.row_number()
+        .over(ws.orderBy("n_chars", "doc_id"))
+        .alias("i"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+        F.sum("n_chars").over(ws).alias("tot"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.max("tot").cast("long").alias("total_chars"),
+            F.expr(
+                "CAST(CASE WHEN 2 * sum(i * w) >= (max(n) + 1) * max(tot) "
+                "THEN 1000 * (2 * sum(i * w) - (max(n) + 1) * max(tot)) "
+                "div (max(n) * max(tot)) "
+                "ELSE -(1000 * ((max(n) + 1) * max(tot) - 2 * sum(i * w)) "
+                "div (max(n) * max(tot))) END AS BIGINT)"
+            ).alias("gini_milli"),
+        )
+        .orderBy("source")
+    )

@@ -1077,3 +1077,74 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("transitivity_ppm"),
     )
+
+
+@query(
+    "graph_local_bridges",
+    f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+    raw AS (
+      SELECT doc_id AS src, u.dst
+      FROM docs CROSS JOIN n,
+      UNNEST([{{targets}}]) AS u(dst)
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    adj AS (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    common AS (
+      SELECT e.a, e.b
+      FROM edges e
+      JOIN adj na ON na.v = e.a
+      JOIN adj nb ON nb.v = e.b AND nb.w = na.w
+      GROUP BY e.a, e.b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(count(*) - (SELECT count(*) FROM common) AS BIGINT)
+             AS n_local_bridges,
+           CAST(1000000 * (count(*) - (SELECT count(*) FROM common))
+                // count(*) AS BIGINT) AS bridge_ppm
+    FROM edges
+    """.format(targets=_edge_unnest_sql(True)),
+)
+def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-BRIDGE census: edges whose endpoints share NO common
+    neighbor — the structural holes of the graph (Granovetter's weak
+    ties; removing one lengthens its endpoints' distance to ≥ 3).
+    The exact complement of graph_jaccard_edges' output (which emits
+    only common ≥ 1 edges): bridges are where information/links cross
+    communities, and the bridge share is the "how fragmented is this
+    crawl graph" scalar next to transitivity's "how clustered".
+
+    Plan: the same edge-keyed common-neighbor join as jaccard/
+    triangles (Σdeg² — the probed shape) reduced to a census, then a
+    1-row subtraction; no new heavy stage.
+    """
+    _docs, raw = _citation_raw(spark, sf_dir, densify=True)
+    edges = _canonical_edges(raw).localCheckpoint(eager=True)
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    na = adj.select(F.col("v").alias("a"), F.col("w").alias("wa"))
+    nb = adj.select(F.col("v").alias("b2"), F.col("w").alias("wb"))
+    common = (
+        edges.join(na, "a")
+        .join(
+            nb,
+            (F.col("b") == F.col("b2")) & (F.col("wa") == F.col("wb")),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    n_edges = edges.count()
+    n_common = common.count()
+    nb_ = n_edges - n_common
+    return spark.createDataFrame(
+        [(n_edges, nb_, 1_000_000 * nb_ // n_edges)],
+        "n_edges long, n_local_bridges long, bridge_ppm long",
+    )

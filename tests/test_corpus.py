@@ -2438,3 +2438,37 @@ def test_cross_table_snapshot_and_kish_match_python_replay(spark, sf_dir):
     assert (kr["sum_w"], kr["sum_w2"], kr["n"]) == (sw, sw2, len(ws))
     assert kr["neff_milli"] == 1000 * sw * sw // sw2
     assert 1000 <= kr["neff_milli"] <= 1000 * len(ws)
+
+
+def test_length_gini_matches_python_replay(spark, sf_dir):
+    """corpus_length_gini equals the textbook rank-formula Gini in
+    pure Python; 0 <= G < 1 for positive weights."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.corpus import corpus_length_gini
+    from pgsink_spark.sources.fixtures import load_table
+
+    per = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars")
+        .collect()
+    ):
+        per[r["source"]].append((r["n_chars"], r["doc_id"]))
+    expect = {}
+    for src, ws in per.items():
+        ws.sort()
+        n = len(ws)
+        tot = sum(w for w, _ in ws)
+        s = sum((i + 1) * w for i, (w, _) in enumerate(ws))
+        num = 2 * s - (n + 1) * tot
+        den = n * tot
+        g = 1000 * num // den if num >= 0 else -(1000 * -num // den)
+        expect[src] = (n, tot, g)
+    got = {
+        r["source"]: (r["n_docs"], r["total_chars"], r["gini_milli"])
+        for r in corpus_length_gini(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for _, _, g in got.values():
+        assert 0 <= g < 1000

@@ -550,3 +550,39 @@ def test_transitivity_matches_python_replay(spark, sf_dir):
     assert row["n_wedges"] == wedges2 // 2
     assert row["transitivity_ppm"] == ppm
     assert 0 <= row["transitivity_ppm"] <= 1_000_000
+
+
+def test_local_bridges_matches_python_replay(spark, sf_dir):
+    """graph_local_bridges equals a pure-Python structural-hole census
+    and is the exact complement of the jaccard-edges support."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.graph import graph_local_bridges
+    from pgsink_spark.sources.fixtures import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    edges = set()
+    for d in ids:
+        for dst in (
+            (d * d * 7 + 1) % n,
+            (d * 13 + 3) % n,
+            (d + 50) % n,
+            (d + 100) % n,
+        ):
+            if dst != d:
+                edges.add((min(d, dst), max(d, dst)))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    bridges = sum(1 for a, b in edges if not (adj[a] & adj[b]))
+    (row,) = graph_local_bridges(spark, sf_dir).collect()
+    assert row["n_edges"] == len(edges)
+    assert row["n_local_bridges"] == bridges
+    assert row["bridge_ppm"] == 1_000_000 * bridges // len(edges)

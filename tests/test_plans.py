@@ -1216,3 +1216,19 @@ def test_round7_fifteenth_batch_plan_shapes(spark):
     assert has_partial_aggregate(df)
     cols = [set(c) for c in scan_columns(df)]
     assert all(c <= {"n_chars"} for c in cols), cols
+
+
+def test_round7_sixteenth_batch_plan_shapes(spark):
+    """Local bridges reuse the probed common-neighbor join; Gini's
+    rank window is source-partitioned (never global)."""
+    import re
+
+    from pgsink_spark.operators.corpus import corpus_length_gini
+
+    df = corpus_length_gini(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregate(df)
+    for m in re.finditer(r"Window .*", plan):
+        assert "source" in m.group(0)
+    cols = [set(c) for c in scan_columns(df)]
+    assert all(c <= {"source", "doc_id", "n_chars"} for c in cols), cols

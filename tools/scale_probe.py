@@ -187,6 +187,8 @@ PROBES = [
     "corpus_token_coverage",
     "cdc_cross_table_snapshot",
     "sample_kish_neff",
+    "graph_local_bridges",
+    "corpus_length_gini",
 ]
 
 
