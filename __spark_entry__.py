@@ -61,6 +61,71 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # dedup_cluster, dedup_embedding_pairs, dedup_simhash_pairs,
 # text_fingerprint) + the r3-vintage block head _ROUND8_PRIORITY.
 # Rotation ledger: VERIFICATION.md.
+# Round 8 drains the 63-query never-driver-checked backlog created by
+# the round-7 registrations (r7 verdict item 1): the window is exactly
+# 50 of the 63, hardest-to-trust first — the cross-engine-arithmetic
+# and multi-stage kernels (graph_*, d98/d99, eval_*, borda fusion, the
+# LSH/IVF curves, streaming windows, CDC snapshot, source-format edge
+# cases, the retrieval five, multimodal resamplers) before the simple
+# census aggs. The 13 deferred single-pass census rows + the 5 r2 +
+# 45 r3-vintage stale rows head _ROUND9_PRIORITY. Registry growth is
+# frozen this round (≤10 new registrations, §2 gaps only) so the
+# queue arithmetic converges — see VERIFICATION.md rotation ledger.
+_ROUND8_PRIORITY = [
+    # ---- never driver-checked: verdict-named hard kernels ----
+    "graph_assortativity",
+    "d99_winsorized_stats",
+    "d98_window_funnel",
+    "eval_cohens_kappa",
+    "quality_borda_fusion",
+    "dedup_lsh_band_curve",
+    "ann_ivf_probe_curve",
+    "ann_range_search",
+    "stream_hopping_window",
+    "stream_complete_totals",
+    "cdc_cross_table_snapshot",
+    "src_parquet_schema_merge",
+    "src_csv_malformed_quarantine",
+    "retrieval_phrase_search",
+    "retrieval_boolean_query",
+    "retrieval_fuzzy_match",
+    "retrieval_snippet_extract",
+    "retrieval_term_proximity",
+    "graph_bfs_distance",
+    "graph_modularity",
+    "graph_jaccard_edges",
+    "graph_transitivity",
+    "graph_local_bridges",
+    "mm_image_resize",
+    "mm_audio_resample",
+    # ---- never driver-checked: multi-stage / cross-engine rest ----
+    "d93_funnel_conversion_lag",
+    "d94_join_skew_audit",
+    "d95_market_basket",
+    "d96_sequence_pairs",
+    "d97_seasonal_decompose",
+    "d101_survival_curve",
+    "d102_rolling_slope",
+    "d103_bag_set_ops",
+    "d104_sql_api_views",
+    "cdc_slot_gap_audit",
+    "corpus_token_coverage",
+    "text_oov_rate",
+    "corpus_ngram_novelty",
+    "eval_confusion_matrix",
+    "eval_mcnemar",
+    "eval_bootstrap_replicates",
+    "export_manifest_checksums",
+    "export_curriculum_order",
+    "ivm_topk_view",
+    "privacy_pseudonymize_ri",
+    "privacy_risk_histogram",
+    "sample_stratified_quota",
+    "sample_kish_neff",
+    "curation_filter_impact",
+    "pipeline_stage_metrics",
+]
+
 _ROUND7_PRIORITY = [
     # ---- never driver-checked: wave-5d statistical singles ----
     "d83_seq_match",
@@ -517,8 +582,11 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["text_fingerprint"] = _text.text_fingerprint
 
     ordered: dict[str, QueryFn] = {}
-    for name in _ROUND7_PRIORITY:
+    for name in _ROUND8_PRIORITY:
         ordered[name] = queries[name]
+    for name in _ROUND7_PRIORITY:
+        if name not in ordered:
+            ordered[name] = queries[name]
     for name in _ROUND6_PRIORITY:
         if name not in ordered:
             ordered[name] = queries[name]
