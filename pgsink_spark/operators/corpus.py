@@ -980,11 +980,25 @@ def corpus_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgets with, and the denominator text_oov_rate's per-source
     shares roll up to).
 
-    Plan: one word census (map-side combined), a rank window over the
-    CENSUS (vocabulary-sized), then a 3-row fold — the coverage sums
-    are conditional aggregates over the census, never a second pass
-    over the token stream.
+    Plan (no global rank anywhere): the word census collapses to an
+    exact DISTINCT-COUNT value census (c → word count, group mass) —
+    a frame bounded by √(2·total_tokens) rows regardless of
+    vocabulary size, since D distinct counts force ≥ D(D+1)/2 tokens
+    — and the top-k coverage sum reads off its c-descending
+    cumulants: covered(k) = mass_above(t) + (k − words_above(t))·t at
+    the count value t holding rank k (exact, because rows tied at t
+    contribute t each, so the word-level tiebreak provably cannot
+    move the sum). The cumulants use the deterministic ordered-bucket
+    recipe (operators/ranking.py, same as quality_borda_fusion) in
+    −log(c) space (log-width buckets absorb the Zipf skew of count
+    values; distinct c ⇒ no tie straddles a bucket): per-bucket
+    subtotals via a ≤64-row control-plane collect, broadcast prefix
+    offsets, partition-LOCAL cumulative windows — the
+    vocabulary-growing single-partition WindowExec this operator
+    shipped with in round 7 is gone (r7 verdict item 3).
     """
+    from pgsink_spark.operators.ranking import ordered_bucket
+
     docs = load_table(spark, sf_dir, "documents")
     census = (
         docs.select(
@@ -993,27 +1007,82 @@ def corpus_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    ranked = census.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.col("c").desc(), "word"))
-        .alias("rnk"),
-        F.sum("c").over(Window.partitionBy()).alias("total"),
+    # Exact value census over distinct counts; c·n_words ≤ total
+    # tokens, so the per-group mass stays int64 at any corpus scale.
+    vc = (
+        census.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+        .select("c", "n_words", (F.col("c") * F.col("n_words")).alias("mass"))
+        .localCheckpoint(eager=True)
     )
-    ks = F.explode(
-        F.array(*[F.lit(k) for k in COVERAGE_KS])
-    ).alias("k")
+    part = vc.withColumn(
+        "bucket",
+        ordered_bucket(vc, -F.log(F.col("c").cast("double")), 64),
+    )
+    bstats = part.groupBy("bucket").agg(
+        F.sum("n_words").alias("w"), F.sum("mass").alias("m")
+    ).collect()
+    offw: dict[int, int] = {}
+    offm: dict[int, int] = {}
+    accw = accm = 0
+    for r in sorted(bstats, key=lambda r: r["bucket"]):
+        offw[r["bucket"]] = accw
+        offm[r["bucket"]] = accm
+        accw += r["w"]
+        accm += r["m"]
+    total_mass = accm
+    off_w = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offw.items()) for x in kv]),
+        F.col("bucket"),
+    )
+    off_m = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offm.items()) for x in kv]),
+        F.col("bucket"),
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = part.select(
+        "c",
+        "n_words",
+        "mass",
+        (F.sum("n_words").over(wloc) + off_w).alias("cum_words"),
+        (F.sum("mass").over(wloc) + off_m).alias("cum_mass"),
+    )
+    boundary = cum.select(
+        "c",
+        (F.col("cum_words") - F.col("n_words")).alias("words_above"),
+        (F.col("cum_mass") - F.col("mass")).alias("mass_above"),
+        "cum_words",
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(int(k)) for k in COVERAGE_KS])).alias("k")
+    )
+    hit = boundary.join(
+        F.broadcast(ks),
+        (F.col("words_above") < F.col("k"))
+        & (F.col("k") <= F.col("cum_words")),
+    ).select(
+        "k",
+        (
+            F.col("mass_above")
+            + (F.col("k") - F.col("words_above")) * F.col("c")
+        ).alias("covered"),
+    )
     return (
-        ranked.select("c", "rnk", "total", ks)
-        .groupBy("k")
-        .agg(
-            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("c")).otherwise(0))
-            .cast("long")
-            .alias("covered_tokens"),
-            F.max("total").cast("long").alias("total_tokens"),
-        )
+        ks.join(hit, "k", "left")
         .select(
             F.col("k").cast("int").alias("k"),
+            # k past the vocabulary covers everything
+            F.coalesce(F.col("covered"), F.lit(total_mass))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.lit(total_mass).cast("long").alias("total_tokens"),
+        )
+        .select(
+            "k",
             "covered_tokens",
             "total_tokens",
             F.expr("1000000 * covered_tokens div total_tokens")

@@ -335,16 +335,29 @@ def curation_filter_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The stage-metrics oracle re-derives every counter from the pipeline's
+# own oracle SQL, minus its trailing ORDER BY (an ORDER BY inside a CTE
+# is illegal-adjacent and pointless). Guard the strip: if the embedded
+# oracle's wording ever changes, fail at import rather than silently
+# diverging.
+_PIPE_ORACLE_BODY = ORACLES["pipeline_curation"].replace("ORDER BY doc_id", "")
+if _PIPE_ORACLE_BODY == ORACLES["pipeline_curation"]:
+    raise AssertionError(
+        "pipeline_curation oracle no longer ends in 'ORDER BY doc_id'; "
+        "update pipeline_stage_metrics' CTE strip to match"
+    )
+
+
 @query(
     "pipeline_stage_metrics",
     """
     WITH pipe AS (
     """
-    + ORACLES["pipeline_curation"].replace("ORDER BY doc_id", "")
-    + """
+    + _PIPE_ORACLE_BODY
+    + f"""
     )
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN quality >= 0.45 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN quality >= {QUALITY_KEEP} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_quality_pass,
            CAST(SUM(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_canonical,

@@ -726,8 +726,6 @@ def eval_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))
         ).alias("rep"),
     )
-    from pgsink_spark.operators.sampling import hash_bucket
-
     bucket = (
         F.conv(
             F.substring(

@@ -96,6 +96,60 @@ def _canonical_edges(raw: DataFrame) -> DataFrame:
     )
 
 
+# Degree-hub cap for the common-neighbor (wedge) join family
+# (graph_jaccard_edges, graph_local_bridges). The wedge join costs
+# Σ_v deg(v)² — fine on flat-degree graphs, quadratic on one hub (a
+# crawl graph's portal page with 10⁶ in-links turns the stage into
+# 10¹² join rows on its own). The mitigation is the dedup hot-block
+# pattern (dedup.py LINKAGE_BLOCK_CAP): each node's adjacency list is
+# capped at its GRAPH_HUB_CAP smallest-id neighbors inside the wedge
+# join ONLY — degrees and edge lists stay exact — bounding the stage
+# at Σ_v min(deg, cap)·deg ≤ cap·2E, linear in edges. The cap rule is
+# encoded in BOTH engines (_capped_adj_sql / _capped_adj), so the
+# driver hash stays green even on data that trips it, and
+# graph_hub_cap_audit emits the truncation census (how many hubs were
+# capped, how many adjacency rows dropped) so a capped run is always
+# visibly capped, never silently wrong. The cap exceeds every fixture
+# degree at all three SFs (max ≈ 20), so oracle results there are
+# unchanged.
+GRAPH_HUB_CAP = 64
+
+
+def _capped_adj_sql() -> str:
+    """Oracle half of the hub-cap rule. Expects ``edges(a, b)``;
+    yields ``cadj(v, w)`` = each node's ≤{cap} smallest-id neighbors
+    (deterministic: neighbor ids are unique per node)."""
+    return f"""
+    adj AS (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    cadj AS (
+      SELECT v, w FROM (
+        SELECT v, w, row_number() OVER (PARTITION BY v ORDER BY w) AS r
+        FROM adj) t
+      WHERE r <= {GRAPH_HUB_CAP}
+    )"""
+
+
+def _capped_adj(edges: DataFrame) -> DataFrame:
+    """Spark half of the hub-cap rule: (v, w) adjacency keeping each
+    node's GRAPH_HUB_CAP smallest-id neighbors — a v-keyed rank
+    window (never global) over the exact adjacency."""
+    from pyspark.sql import Window as W
+
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    return (
+        adj.withColumn(
+            "r", F.row_number().over(W.partitionBy("v").orderBy("w"))
+        )
+        .where(F.col("r") <= GRAPH_HUB_CAP)
+        .select("v", "w")
+    )
+
+
 def _pr_iter_cte(k: int) -> str:
     return f"""
 r{k + 1} AS (
@@ -803,16 +857,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       FROM raw WHERE src <> dst
     ),
-    adj AS (
-      SELECT a AS v, b AS w FROM edges
-      UNION ALL SELECT b, a FROM edges
-    ),
+    {{capped_adj}},
     deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
     common AS (
       SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS c
       FROM edges e
-      JOIN adj na ON na.v = e.a
-      JOIN adj nb ON nb.v = e.b AND nb.w = na.w
+      JOIN cadj na ON na.v = e.a
+      JOIN cadj nb ON nb.v = e.b AND nb.w = na.w
       GROUP BY e.a, e.b
     )
     SELECT c.a, c.b, c.c AS n_common,
@@ -823,7 +874,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN deg da ON da.v = c.a
     JOIN deg db ON db.v = c.b
     ORDER BY a, b
-    """.format(targets=_edge_unnest_sql(True)),
+    """.format(targets=_edge_unnest_sql(True), capped_adj=_capped_adj_sql()),
 )
 def graph_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood Jaccard similarity for every EXISTING edge of the
@@ -836,10 +887,13 @@ def graph_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signal community-aware samplers and graph-cut curation use.
 
     Plan: the common-neighbor count is one edge-keyed double join
-    through the adjacency list (the standard triangle-enumeration
-    shape, cost Σ_v deg(v)² like graph_triangles — the already-probed
-    scale path); degrees join back on the edge endpoints. All
-    integer, no windows, no broadcasts beyond the 1-row doc count.
+    through the HUB-CAPPED adjacency list (GRAPH_HUB_CAP smallest-id
+    neighbors per node — the dedup hot-block discipline, bounding the
+    wedge stage at cap·2E join rows instead of Σdeg²; the cap rule is
+    identical in the oracle, and graph_hub_cap_audit reports any
+    truncation); degrees stay EXACT and join back on the edge
+    endpoints. All integer, no global windows, no broadcasts beyond
+    the 1-row doc count.
     """
     _docs, raw = _citation_raw(spark, sf_dir, densify=True)
     edges = _canonical_edges(raw).localCheckpoint(eager=True)
@@ -847,8 +901,9 @@ def graph_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("v"), F.col("b").alias("w")
     ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    na = adj.select(F.col("v").alias("a"), F.col("w").alias("wa"))
-    nb = adj.select(F.col("v").alias("b2"), F.col("w").alias("wb"))
+    cadj = _capped_adj(edges)
+    na = cadj.select(F.col("v").alias("a"), F.col("w").alias("wa"))
+    nb = cadj.select(F.col("v").alias("b2"), F.col("w").alias("wb"))
     common = (
         edges.join(na, "a")
         .join(
@@ -1093,15 +1148,12 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       FROM raw WHERE src <> dst
     ),
-    adj AS (
-      SELECT a AS v, b AS w FROM edges
-      UNION ALL SELECT b, a FROM edges
-    ),
+    {{capped_adj}},
     common AS (
       SELECT e.a, e.b
       FROM edges e
-      JOIN adj na ON na.v = e.a
-      JOIN adj nb ON nb.v = e.b AND nb.w = na.w
+      JOIN cadj na ON na.v = e.a
+      JOIN cadj nb ON nb.v = e.b AND nb.w = na.w
       GROUP BY e.a, e.b
     )
     SELECT CAST(count(*) AS BIGINT) AS n_edges,
@@ -1110,7 +1162,7 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1000000 * (count(*) - (SELECT count(*) FROM common))
                 // count(*) AS BIGINT) AS bridge_ppm
     FROM edges
-    """.format(targets=_edge_unnest_sql(True)),
+    """.format(targets=_edge_unnest_sql(True), capped_adj=_capped_adj_sql()),
 )
 def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCAL-BRIDGE census: edges whose endpoints share NO common
@@ -1121,17 +1173,20 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     communities, and the bridge share is the "how fragmented is this
     crawl graph" scalar next to transitivity's "how clustered".
 
-    Plan: the same edge-keyed common-neighbor join as jaccard/
-    triangles (Σdeg² — the probed shape) reduced to a census, then a
-    1-row subtraction; no new heavy stage.
+    Plan: the same edge-keyed common-neighbor join as
+    graph_jaccard_edges — through the HUB-CAPPED adjacency
+    (GRAPH_HUB_CAP smallest-id neighbors per node, identical rule in
+    the oracle; cap·2E join rows, never Σdeg²; truncation visible in
+    graph_hub_cap_audit) — reduced to a census, then a 1-row
+    subtraction; no new heavy stage. Under an active cap the census
+    reads "no common neighbor within the capped neighborhoods", the
+    standard bounded-neighborhood relaxation.
     """
     _docs, raw = _citation_raw(spark, sf_dir, densify=True)
     edges = _canonical_edges(raw).localCheckpoint(eager=True)
-    adj = edges.select(
-        F.col("a").alias("v"), F.col("b").alias("w")
-    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
-    na = adj.select(F.col("v").alias("a"), F.col("w").alias("wa"))
-    nb = adj.select(F.col("v").alias("b2"), F.col("w").alias("wb"))
+    cadj = _capped_adj(edges)
+    na = cadj.select(F.col("v").alias("a"), F.col("w").alias("wa"))
+    nb = cadj.select(F.col("v").alias("b2"), F.col("w").alias("wb"))
     common = (
         edges.join(na, "a")
         .join(
@@ -1147,4 +1202,71 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_edges, nb_, 1_000_000 * nb_ // n_edges)],
         "n_edges long, n_local_bridges long, bridge_ppm long",
+    )
+
+
+@query(
+    "graph_hub_cap_audit",
+    f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+    raw AS (
+      SELECT doc_id AS src, u.dst
+      FROM docs CROSS JOIN n,
+      UNNEST([{{targets}}]) AS u(dst)
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    adj AS (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v)
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+           CAST(max(d) AS BIGINT) AS max_degree,
+           CAST(SUM(CASE WHEN d > {GRAPH_HUB_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped_hubs,
+           CAST(SUM(CASE WHEN d > {GRAPH_HUB_CAP}
+                         THEN d - {GRAPH_HUB_CAP} ELSE 0 END)
+                AS BIGINT) AS dropped_adj_rows
+    FROM deg
+    """.format(targets=_edge_unnest_sql(True)),
+)
+def graph_hub_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATION CENSUS for the hub-capped wedge family: how many
+    nodes exceed GRAPH_HUB_CAP (their wedge-join neighborhoods were
+    truncated in graph_jaccard_edges / graph_local_bridges), the max
+    degree, and how many adjacency rows the cap dropped. The dedup
+    plane's blocking-audit discipline applied to graphs: a capped run
+    is always VISIBLY capped — a reviewer reads n_capped_hubs > 0 and
+    knows the jaccard/bridge numbers are bounded-neighborhood reads,
+    never silently-exact-looking approximations.
+
+    Plan: exact degree census (edge-keyed partial agg) + a 1-row
+    fold; the audit costs one pass over the edge list — nothing from
+    the Σdeg² family it audits.
+    """
+    _docs, raw = _citation_raw(spark, sf_dir, densify=True)
+    edges = _canonical_edges(raw)
+    adj = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("sum(d) div 2").cast("long").alias("n_edges"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum((F.col("d") > GRAPH_HUB_CAP).cast("long"))
+        .cast("long")
+        .alias("n_capped_hubs"),
+        F.sum(
+            F.when(
+                F.col("d") > GRAPH_HUB_CAP, F.col("d") - GRAPH_HUB_CAP
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dropped_adj_rows"),
     )

@@ -5914,16 +5914,20 @@ def d96_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
                   AS BIGINT) AS total_cents
       FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT day, dow, total_cents,
+             SUM(total_cents) OVER (PARTITION BY dow) AS s,
+             COUNT(*) OVER (PARTITION BY dow) AS c
+      FROM daily
     )
     SELECT day, dow, total_cents,
-           CAST(SUM(total_cents) OVER (PARTITION BY dow)
-                // COUNT(*) OVER (PARTITION BY dow) AS BIGINT)
-             AS seasonal_cents,
+           CAST(CASE WHEN s >= 0 THEN s // c ELSE -((-s) // c) END
+                AS BIGINT) AS seasonal_cents,
            CAST(total_cents
-                - SUM(total_cents) OVER (PARTITION BY dow)
-                  // COUNT(*) OVER (PARTITION BY dow) AS BIGINT)
-             AS residual_cents
-    FROM daily ORDER BY day
+                - CASE WHEN s >= 0 THEN s // c ELSE -((-s) // c) END
+                AS BIGINT) AS residual_cents
+    FROM w ORDER BY day
     """,
 )
 def d97_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5936,9 +5940,11 @@ def d97_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact integer form: values enter as scale-4 fixed-point cents
     (CAST to DECIMAL(18,4) then ×10⁴ to int64), the seasonal mean is
-    a floor division of two positive int64s (identical truncation on
-    both engines), and the residual is a pure int64 subtraction — no
-    float drift anywhere.
+    an int64 division truncated toward zero on BOTH engines (Spark
+    ``div`` truncates natively; the oracle wraps DuckDB's floor ``//``
+    in a sign-symmetric CASE — same guard as d102/eval_cohens_kappa —
+    so equivalence holds even for negative daily totals), and the
+    residual is a pure int64 subtraction — no float drift anywhere.
 
     Plan: one day-keyed partial agg over the fact scan (map-side
     combine does the heavy lift), then windows over the DAILY frame

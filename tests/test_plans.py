@@ -1199,9 +1199,17 @@ def test_round7_fourteenth_batch_plan_shapes(spark):
 
     df = corpus_token_coverage(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert has_partial_aggregate(df)
-    # the window consumes the census agg (tree prints top-down)
-    assert plan.rindex("HashAggregate") > plan.index("Window")
+    # r8 rework: cumulants run over the checkpointed distinct-count
+    # value census with BUCKET-partitioned windows (ordered-bucket
+    # recipe) — no unpartitioned global window anywhere, and the
+    # 3-row k frame joins as a broadcast.
+    specs = [
+        plan[m + len("windowspecdefinition(") :][:10]
+        for m in range(len(plan))
+        if plan.startswith("windowspecdefinition(", m)
+    ]
+    assert specs and all(s.startswith("bucket") for s in specs), specs
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_round7_fifteenth_batch_plan_shapes(spark):
