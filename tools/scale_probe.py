@@ -189,6 +189,7 @@ PROBES = [
     "sample_kish_neff",
     "graph_local_bridges",
     "corpus_length_gini",
+    "graph_hub_cap_audit",
 ]
 
 
