@@ -280,6 +280,7 @@ HEADLINE = [
     "cdc_cross_table_snapshot",
     "sample_kish_neff",
     "graph_local_bridges",
+    "graph_hub_cap_audit",
     "corpus_length_gini",
 ]
 
