@@ -323,7 +323,13 @@ def main() -> None:
 
     warm_dir = "/root/testdata/sf0.001"
 
+    warm_untimed_s = [0.0]
+
     def warm_session(s, names) -> None:
+        # Warm wall time is accumulated (untimed per-query, but
+        # DECLARED in the output as warm_untimed_s) so the cost of the
+        # priming passes stays visible as the headline grows.
+        _w0 = time.time()
         # warm the JVM, parquet footers, and OS page cache so per-query
         # numbers measure the operators, not first-touch file IO (a
         # count() alone reads only footers — scan a real column from
@@ -366,6 +372,7 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass
+        warm_untimed_s[0] += time.time() - _w0
 
     # Session-restart granularity for the timed sweep. One shared
     # session across the whole (170+-query) registry accumulates
@@ -489,6 +496,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf else None,
         "vs_baseline": vs_baseline,
+        "warm_untimed_s": round(warm_untimed_s[0], 3),
         "n_common_with_baseline": len(common),
         "regressions": regressions,
     }
@@ -521,6 +529,7 @@ def main() -> None:
                 "sf": full["sf"],
                 "n_queries": len(times),
                 "vs_baseline": vs_baseline,
+                "warm_untimed_s": round(warm_untimed_s[0], 3),
                 "queries": slowest,
                 "worst_vs_baseline": worst_ratio,
                 "regressions": regressions,
