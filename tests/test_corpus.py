@@ -2472,3 +2472,35 @@ def test_length_gini_matches_python_replay(spark, sf_dir):
     assert got == expect
     for _, _, g in got.values():
         assert 0 <= g < 1000
+
+
+def test_token_coverage_k_past_vocabulary(spark, sf_dir):
+    """A k larger than the vocabulary covers the whole token stream —
+    the census join has no boundary row there and the operator must
+    fall back to total mass (the coalesce path), not drop the k."""
+    from collections import Counter
+
+    from pgsink_spark.operators import corpus as C
+    from pgsink_spark.sources.fixtures import load_table
+
+    c = Counter()
+    for r in (
+        load_table(spark, sf_dir, "documents").select("text").collect()
+    ):
+        c.update(r["text"].lower().split(" "))
+    total = sum(c.values())
+    assert len(c) < 10**9  # the probe k really is past the vocabulary
+
+    orig = C.COVERAGE_KS
+    try:
+        C.COVERAGE_KS = (10, 10**9)
+        rows = {
+            r["k"]: (r["covered_tokens"], r["total_tokens"], r["coverage_ppm"])
+            for r in C.corpus_token_coverage(spark, sf_dir).collect()
+        }
+    finally:
+        C.COVERAGE_KS = orig
+    assert rows[10**9] == (total, total, 1_000_000)
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    cov10 = sum(cnt for _, cnt in ordered[:10])
+    assert rows[10] == (cov10, total, 1_000_000 * cov10 // total)
