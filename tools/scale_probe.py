@@ -190,6 +190,14 @@ PROBES = [
     "graph_local_bridges",
     "corpus_length_gini",
     "graph_hub_cap_audit",
+    # r2-vintage flagships, probe rows added round 8 ahead of their
+    # round-9 driver re-check
+    "ann_bruteforce_topk",
+    "dedup_cluster",
+    "dedup_embedding_pairs",
+    "dedup_simhash_pairs",
+    "text_fingerprint",
+    "d20_similarity_topk",
 ]
 
 
