@@ -376,20 +376,100 @@ def minhash_band_keys(sets: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_verified_pairs(sets: DataFrame, keep_jac: bool = False) -> DataFrame:
-    """(d1, d2[, jac]) near-dup pairs: LSH band candidates verified by
-    exact Jaccard ≥ threshold. Shared core of :func:`dedup_minhash_lsh`
-    and :func:`dedup_cluster` — cost ∝ candidates, never all shingle-
-    sharing pairs."""
-    bands = minhash_band_keys(sets)
-    b1 = bands.select(F.col("doc_id").alias("d1"), "bkey")
-    b2 = bands.select(F.col("doc_id").alias("d2"), "bkey")
-    cands = (
-        b1.join(b2, "bkey")
+# Hot-bucket cap for the LSH CLUSTERING path. The band self-join emits
+# C(|bucket|, 2) candidate pairs per bucket — fine while buckets stay
+# flat (max 4 at all three fixture SFs), quadratic on a mega-cluster
+# (boilerplate pages, mirror crawls: one true dup cluster of 10⁵ docs
+# shares every band, so one bucket alone would emit 5·10⁹ candidates).
+# The round-8 100× probe measured it: dedup_cluster hit ratio 130
+# (super-linear) on the replica's 392-member buckets. Pair-LISTING
+# queries (dedup_minhash_lsh, dedup_lexical_pairs) keep the exact
+# all-pairs rule — their OUTPUT is the pair list, quadratic per
+# cluster by definition (the documented lexical_pairs asterisk). The
+# CLUSTERING consumer only needs CONNECTIVITY, so buckets over the cap
+# switch to CHAIN+STAR candidates — each member pairs with its
+# doc_id-rank neighbor (chain) and with the bucket minimum (star),
+# 2|bucket| rows, linear — and exact verification still gates every
+# emitted edge. True dup clusters (the only thing that makes a mega
+# bucket) are near-identical docs, so chain/star edges verify and the
+# component — hence the canonical min — is unchanged; the pinning test
+# forces cap=2 on the fixture and asserts the clustering is identical
+# to the uncapped run. The cap cannot be oracle-encoded (band keys are
+# Spark xxhash64, unreproducible in DuckDB), so it lives Spark-side
+# with fixture headroom pinned by test instead (same trade the r6
+# verdict accepted for bloom triage).
+LSH_BUCKET_CAP = 32
+
+
+def _band_candidates(
+    bands: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
+    """(d1, d2) distinct candidate pairs from band buckets; all-pairs
+    below ``bucket_cap``, chain+star above (None = all-pairs always)."""
+    if bucket_cap is None:
+        b1 = bands.select(F.col("doc_id").alias("d1"), "bkey")
+        b2 = bands.select(F.col("doc_id").alias("d2"), "bkey")
+        return (
+            b1.join(b2, "bkey")
+            .where(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+        )
+    from pyspark.sql import Window as W
+
+    k = bands.select(
+        "doc_id",
+        "bkey",
+        F.row_number()
+        .over(W.partitionBy("bkey").orderBy("doc_id"))
+        .alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("bkey")).alias("cnt"),
+    )
+    small = k.where(F.col("cnt") <= bucket_cap)
+    s1 = small.select(F.col("doc_id").alias("d1"), "bkey")
+    s2 = small.select(F.col("doc_id").alias("d2"), "bkey")
+    pairs_small = (
+        s1.join(s2, "bkey")
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
-        .distinct()
     )
+    big = k.where(F.col("cnt") > bucket_cap)
+    # chain: rank r joins rank r+1 (doc_id order ⇒ d1 < d2); star:
+    # every member joins rank 1 (the bucket's min doc_id)
+    chain = (
+        big.select("bkey", F.col("doc_id").alias("d1"), (F.col("r") + 1).alias("r2"))
+        .join(
+            big.select("bkey", F.col("doc_id").alias("d2"), F.col("r").alias("r2")),
+            ["bkey", "r2"],
+        )
+        .select("d1", "d2")
+    )
+    star = (
+        big.where(F.col("r") == 1)
+        .select("bkey", F.col("doc_id").alias("d1"))
+        .join(
+            big.where(F.col("r") > 2).select(
+                "bkey", F.col("doc_id").alias("d2")
+            ),
+            "bkey",
+        )
+        .select("d1", "d2")
+    )
+    return pairs_small.unionAll(chain).unionAll(star).distinct()
+
+
+def _lsh_verified_pairs(
+    sets: DataFrame,
+    keep_jac: bool = False,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """(d1, d2[, jac]) near-dup pairs: LSH band candidates verified by
+    exact Jaccard ≥ threshold. Shared core of :func:`dedup_minhash_lsh`
+    (all-pairs: its output IS the pair list) and :func:`dedup_cluster`
+    (``bucket_cap=LSH_BUCKET_CAP``: connectivity only) — cost ∝
+    candidates, never all shingle-sharing pairs."""
+    bands = minhash_band_keys(sets)
+    cands = _band_candidates(bands, bucket_cap)
     # Verify ONLY the candidate pairs: attach d2 to d1's shingles, then
     # intersect against d2's shingles. Cost ∝ candidate shingle volume,
     # not all shingle-sharing pairs — the LSH pruning is the point; AQE
@@ -650,8 +730,13 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = doc_shingle_sets(docs, 3).persist()
     # Pairs via LSH candidates + exact verify (verified-exact at this
     # threshold ⇒ identical to the all-shared-shingle exact path, but
-    # cost ∝ candidates) — the scale path feeds the clustering.
-    pairs = _lsh_verified_pairs(sets).localCheckpoint(eager=True)
+    # cost ∝ candidates) — the scale path feeds the clustering. The
+    # hot-bucket cap keeps mega dup-clusters from turning candidate
+    # generation quadratic (chain+star edges preserve the component
+    # and its min; see LSH_BUCKET_CAP).
+    pairs = _lsh_verified_pairs(
+        sets, bucket_cap=LSH_BUCKET_CAP
+    ).localCheckpoint(eager=True)
     sets.unpersist()
     comp = connected_components(pairs)
     return (

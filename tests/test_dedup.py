@@ -591,3 +591,59 @@ def test_lsh_band_curve_matches_python_replay(spark, sf_dir):
     ]
     assert got == expect_rows
     assert sum(b * r for b, r in LSH_CURVE_CONFIGS) == 4 * N_HASHES
+
+
+def test_lsh_hot_bucket_cap_headroom_and_equivalence(spark, sf_dir):
+    """(a) No fixture band bucket reaches LSH_BUCKET_CAP — so the
+    capped clustering provably equals the uncapped one where the
+    driver hash pins it; (b) forcing the cap to bind (cap=2, all
+    buckets ≥ 3 switch to chain+star) leaves the CLUSTERING unchanged
+    on real dup structure — connectivity and canonical mins survive
+    candidate sparsification because every emitted edge is still
+    exact-verified and dup clusters chain."""
+    from pyspark.sql import functions as F
+
+    from pgsink_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        dedup_cluster,
+        doc_shingle_sets,
+        minhash_band_keys,
+        _lsh_verified_pairs,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_keys(doc_shingle_sets(docs, 3))
+    (mx,) = bands.groupBy("bkey").count().agg(F.max("count")).first()
+    assert mx < LSH_BUCKET_CAP
+
+    base = {
+        (r["doc_id"], r["canonical_id"], r["is_canonical"])
+        for r in dedup_cluster(spark, sf_dir).collect()
+    }
+
+    sets = doc_shingle_sets(docs, 3)
+    from pgsink_spark.operators.dedup import connected_components
+
+    capped_pairs = _lsh_verified_pairs(sets, bucket_cap=2)
+    comp = connected_components(capped_pairs)
+    capped = {
+        (r["doc_id"], r["canonical_id"], r["is_canonical"])
+        for r in docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+        .collect()
+    }
+    assert capped == base
+    # and the cap really rewired candidate generation: with cap=2 the
+    # candidate set is chain+star, strictly smaller than all-pairs on
+    # any bucket of size >= 4
+    n_all = _lsh_verified_pairs(sets).count()
+    n_cap = capped_pairs.count()
+    assert n_cap <= n_all
