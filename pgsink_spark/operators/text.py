@@ -851,14 +851,24 @@ def text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
     )
     # The frame is the 500-row top-k cut — control-plane sized by
-    # construction — so a one-partition window is intentional; the
-    # literal partition key declares that (and keeps the
-    # vocabulary-frame WindowExec warning sweep at zero).
-    ranked = tf.select(
-        "freq",
-        F.row_number()
-        .over(W.partitionBy(F.lit(0)).orderBy(F.col("freq").desc(), "w"))
-        .alias("rnk"),
+    # construction — so rank is computed as a counting self-join
+    # (≤500² comparison rows, trivially parallel) instead of a
+    # single-partition window: same ranks, no global-window stage at
+    # all (Catalyst constant-folds any literal partition key, so a
+    # window here cannot avoid the one-partition plan).
+    tfc = tf.localCheckpoint(eager=True)
+    a = tfc.select(F.col("freq").alias("fa"), F.col("w").alias("wa"))
+    b = tfc.select(F.col("freq").alias("fb"), F.col("w").alias("wb"))
+    ranked = (
+        a.join(
+            b,
+            (F.col("fb") > F.col("fa"))
+            | ((F.col("fb") == F.col("fa")) & (F.col("wb") < F.col("wa"))),
+            "left",
+        )
+        .groupBy("fa", "wa")
+        .agg((F.count("wb") + 1).alias("rnk"))
+        .select(F.col("fa").alias("freq"), "rnk")
     )
     lf = F.log(F.col("freq").cast("double"))
     lr = F.log(F.col("rnk").cast("double"))

@@ -585,9 +585,14 @@ def test_wave5c_plan_pins(spark):
     assert broadcast_join_count(df) >= 1
     assert has_partial_aggregate(df)
 
-    # zipf: top-500 cut is TakeOrderedAndProject, not a global sort
+    # zipf: the top-500 cut runs as TakeOrderedAndProject inside the
+    # eager checkpoint (r8: the 500-row rank is now a counting
+    # self-join over the checkpointed cut — no Window node at all, so
+    # the final plan must be window-free and join-ranked)
     df = text_zipf_audit(spark, SF)
-    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+    zplan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in zplan
+    assert "Join" in zplan
 
     # domain cap / quantile filter: one source-keyed window (+ output sort)
     for fn in (sample_domain_cap, curation_quantile_filter):
