@@ -415,47 +415,39 @@ def _band_candidates(
             .select("d1", "d2")
             .distinct()
         )
-    from pyspark.sql import Window as W
-
-    k = bands.select(
-        "doc_id",
-        "bkey",
-        F.row_number()
-        .over(W.partitionBy("bkey").orderBy("doc_id"))
-        .alias("r"),
-        F.count(F.lit(1)).over(W.partitionBy("bkey")).alias("cnt"),
+    # ONE bkey-keyed aggregation collects each bucket's sorted member
+    # list, then pair generation is entirely row-local array math —
+    # all-pairs for buckets ≤ cap, chain (adjacent) + star (to the
+    # min) above it. One shuffle total (the old all-pairs path
+    # shuffled the band table twice for its self-join); no windows,
+    # no branch recomputation. Row width is bounded by the largest
+    # bucket (10⁵-member mega-cluster ≈ 0.8 MB array — fine; the
+    # quadratic it replaces is what kills).
+    grouped = bands.groupBy("bkey").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("m")
     )
-    small = k.where(F.col("cnt") <= bucket_cap)
-    s1 = small.select(F.col("doc_id").alias("d1"), "bkey")
-    s2 = small.select(F.col("doc_id").alias("d2"), "bkey")
-    pairs_small = (
-        s1.join(s2, "bkey")
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
+    m = F.col("m")
+    all_pairs = F.expr(
+        "flatten(transform(m, (x, i) -> "
+        "transform(slice(m, i + 2, size(m) - i - 1), "
+        "y -> struct(x AS d1, y AS d2))))"
     )
-    big = k.where(F.col("cnt") > bucket_cap)
-    # chain: rank r joins rank r+1 (doc_id order ⇒ d1 < d2); star:
-    # every member joins rank 1 (the bucket's min doc_id)
-    chain = (
-        big.select("bkey", F.col("doc_id").alias("d1"), (F.col("r") + 1).alias("r2"))
-        .join(
-            big.select("bkey", F.col("doc_id").alias("d2"), F.col("r").alias("r2")),
-            ["bkey", "r2"],
-        )
-        .select("d1", "d2")
+    chain = F.expr(
+        "zip_with(slice(m, 1, size(m) - 1), slice(m, 2, size(m) - 1), "
+        "(x, y) -> struct(x AS d1, y AS d2))"
     )
-    star = (
-        big.where(F.col("r") == 1)
-        .select("bkey", F.col("doc_id").alias("d1"))
-        .join(
-            big.where(F.col("r") > 2).select(
-                "bkey", F.col("doc_id").alias("d2")
-            ),
-            "bkey",
-        )
-        .select("d1", "d2")
+    star = F.expr(
+        "transform(slice(m, 3, size(m) - 2), "
+        "y -> struct(m[0] AS d1, y AS d2))"
     )
-    return pairs_small.unionAll(chain).unionAll(star).distinct()
+    cand = F.when(F.size(m) <= bucket_cap, all_pairs).otherwise(
+        F.concat(chain, star)
+    )
+    return (
+        grouped.select(F.explode(cand).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .distinct()
+    )
 
 
 def _lsh_verified_pairs(
