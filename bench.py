@@ -388,6 +388,26 @@ def main() -> None:
 
     warm_session(spark, headline[:GROUP])
 
+    # Host-state calibration: a fixed, data-independent JVM workload
+    # timed min-of-3 after warm-up. Per-query ratios vs a baseline
+    # recorded at a different time conflate code changes with ambient
+    # host drift (round 8 measured the same untouched queries at
+    # 0.98× in the morning and 1.5× in the afternoon on an idle
+    # guest); this number lets a reader attribute drift to the host —
+    # if calibration_s moved by the same factor as the aggregate, the
+    # code didn't change speed, the machine did.
+    def _calibrate(s) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            s.range(200_000_000).selectExpr(
+                "sum(id * 2 + 1) AS s"
+            ).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    calibration_s = _calibrate(spark)
+
     # min over RUNS executions per query: local[32] single-JVM timing
     # shows 2-7x noisy-neighbor variance (GC, first-touch page faults,
     # and multi-second host-steal windows that a min-of-2 back-to-back
@@ -497,6 +517,7 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "vs_baseline": vs_baseline,
         "warm_untimed_s": round(warm_untimed_s[0], 3),
+        "calibration_s": calibration_s,
         "n_common_with_baseline": len(common),
         "regressions": regressions,
     }
@@ -530,6 +551,7 @@ def main() -> None:
                 "n_queries": len(times),
                 "vs_baseline": vs_baseline,
                 "warm_untimed_s": round(warm_untimed_s[0], 3),
+                "calibration_s": calibration_s,
                 "queries": slowest,
                 "worst_vs_baseline": worst_ratio,
                 "regressions": regressions,
