@@ -71,6 +71,73 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # 45 r3-vintage stale rows head _ROUND9_PRIORITY. Registry growth is
 # frozen this round (≤10 new registrations, §2 gaps only) so the
 # queue arithmetic converges — see VERIFICATION.md rotation ledger.
+# Round 9 drains the driver-evidence queue to ZERO never-checked (r8
+# verdict item 1): the window is exactly the 14 rows with no driver
+# row in r1–r8 (the round-7/8 census additions + graph_hub_cap_audit,
+# all mirror-green at sf0.01), then the 5 r2-vintage rows deferred
+# since round 7 (ann_bruteforce_topk, dedup_cluster,
+# dedup_embedding_pairs, dedup_simhash_pairs, text_fingerprint), then
+# the oldest 31 of the 45 registered r3-vintage rows in their original
+# round-3 window order. The remaining 14 r3 rows head
+# _ROUND10_PRIORITY, which restores "no green row older than two
+# rounds" registry-wide. Growth freeze continues (≤5 new
+# registrations). Rotation ledger: VERIFICATION.md.
+_ROUND9_PRIORITY = [
+    # ---- never driver-checked (14) ----
+    "corpus_dup_rate_by_source",
+    "corpus_length_gini",
+    "corpus_simpson_diversity",
+    "corpus_source_purity",
+    "corpus_term_burstiness",
+    "d91_session_bounce",
+    "d92_rfm_segments",
+    "d100_interarrival_histogram",
+    "graph_hub_cap_audit",
+    "sample_reservoir_hash",
+    "src_parquet_partition_prune",
+    "text_feature_hashing",
+    "text_hapax_ratio",
+    "text_stopword_profile",
+    # ---- r2-vintage (5, deferred since round 7) ----
+    "ann_bruteforce_topk",
+    "dedup_cluster",
+    "dedup_embedding_pairs",
+    "dedup_simhash_pairs",
+    "text_fingerprint",
+    # ---- oldest 31 r3-vintage stale rows (round-3 window order) ----
+    "tpch_q12_priority_lateness",
+    "mm_decode_stats",
+    "mm_audio_stats",
+    "mm_audio_windows",
+    "ivm_join_view",
+    "ivm_agg_view",
+    "ivm_minmax_view",
+    "stream_sessionize",
+    "stream_ewma_anomalies",
+    "pack_sequences",
+    "pack_sequences_greedy",
+    "chunk_documents",
+    "dedup_paragraph",
+    "text_ngram_topk",
+    "domain_mix_sample",
+    "quality_lm_score",
+    "quality_model_score",
+    "contamination_check",
+    "pii_redact",
+    "sample_weighted",
+    "a18_view_asof",
+    "d45_resample_locf",
+    "d46_unpivot",
+    "d47_distribution_windows",
+    "d48_profile_documents",
+    "d49_funnel",
+    "d50_cohort_retention",
+    "d51_transition_matrix",
+    "d52_share_of_total",
+    "d53_month_over_month",
+    "d54_recursive_series",
+]
+
 _ROUND8_PRIORITY = [
     # ---- never driver-checked: verdict-named hard kernels ----
     "graph_assortativity",
@@ -582,8 +649,11 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["text_fingerprint"] = _text.text_fingerprint
 
     ordered: dict[str, QueryFn] = {}
-    for name in _ROUND8_PRIORITY:
+    for name in _ROUND9_PRIORITY:
         ordered[name] = queries[name]
+    for name in _ROUND8_PRIORITY:
+        if name not in ordered:
+            ordered[name] = queries[name]
     for name in _ROUND7_PRIORITY:
         if name not in ordered:
             ordered[name] = queries[name]
