@@ -296,6 +296,18 @@ BASELINE_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
 )
 
+# Reference calibration_s for THIS host class, recorded alongside the
+# round-8 benches (0.084 on the final run, 0.099 on the driver run —
+# the fixed data-independent JVM fold in _calibrate below). The
+# calibrated aggregate divides out host-speed drift:
+#   host_factor          = calibration_s / CALIBRATION_REF_S
+#   vs_baseline_calibrated = vs_baseline / host_factor
+# so a run on a 1.5×-slower host window (the ambient swing round 8
+# measured on identical code) reads ≈1.0× calibrated instead of a
+# spurious 1.5× "regression". The fold is CPU-only; IO-side drift is
+# not captured, so the RAW ratio is always reported alongside.
+CALIBRATION_REF_S = 0.0915
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -508,6 +520,14 @@ def main() -> None:
         if common
         else None
     )
+    host_factor = (
+        round(calibration_s / CALIBRATION_REF_S, 3) if calibration_s else None
+    )
+    vs_baseline_calibrated = (
+        round(vs_baseline / host_factor, 3)
+        if vs_baseline is not None and host_factor
+        else None
+    )
 
     full = {
         "metric": "headline_queries_total",
@@ -516,8 +536,11 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf else None,
         "vs_baseline": vs_baseline,
+        "vs_baseline_calibrated": vs_baseline_calibrated,
+        "host_factor": host_factor,
         "warm_untimed_s": round(warm_untimed_s[0], 3),
         "calibration_s": calibration_s,
+        "calibration_ref_s": CALIBRATION_REF_S,
         "n_common_with_baseline": len(common),
         "regressions": regressions,
     }
@@ -550,6 +573,8 @@ def main() -> None:
                 "sf": full["sf"],
                 "n_queries": len(times),
                 "vs_baseline": vs_baseline,
+                "vs_baseline_calibrated": vs_baseline_calibrated,
+                "host_factor": host_factor,
                 "warm_untimed_s": round(warm_untimed_s[0], 3),
                 "calibration_s": calibration_s,
                 "queries": slowest,

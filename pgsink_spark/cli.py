@@ -47,7 +47,13 @@ def save_publication(root: str, pub: Publication) -> None:
 
 
 def make_api(root: str) -> TablesAPI:
-    os.makedirs(root, exist_ok=True)
+    # migrate-on-boot: every control-plane entry point converges the
+    # root to the current schema version before touching it, exactly
+    # where the reference runs goose.Up (reference
+    # internal/migration/migration.go:15-39, invoked from app boot)
+    from pgsink_spark.control.migration import migrate
+
+    migrate(root)
     pub = load_publication(root)
     jobs = ImportJobStore(os.path.join(root, "jobs.json"))
     return TablesAPI(pub, jobs)
@@ -597,6 +603,23 @@ def cmd_capture(args) -> int:
     return 0
 
 
+def cmd_migrate(args) -> int:
+    """Explicit goose-style ``migrate`` command (the reference ships
+    internal/migration/cmd/goose.go for the same operator story); the
+    control-plane commands also migrate implicitly at boot via
+    make_api."""
+    from pgsink_spark.control.migration import applied_versions, migrate
+
+    applied = migrate(args.root)
+    for v in applied:
+        print(f"applied {v}")
+    print(
+        f"schema_migrations={len(applied_versions(args.root))}"
+        f" newly_applied={len(applied)}"
+    )
+    return 0
+
+
 def cmd_stats(args) -> int:
     """ANALYZE-style table statistics (one scan, one aggregation)."""
     from pgsink_spark.operators.relational import profile_table
@@ -767,6 +790,13 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--out", required=True, help="capture file to append to")
     cp.add_argument("--max-txns", type=int, default=None)
     cp.set_defaults(fn=cmd_capture)
+
+    mg = sub.add_parser(
+        "migrate",
+        help="apply control-schema migrations (goose up analogue)",
+    )
+    mg.add_argument("--root", default=".pgsink")
+    mg.set_defaults(fn=cmd_migrate)
 
     sa = sub.add_parser("stats", help="one-pass table column statistics")
     sa.add_argument("table")

@@ -388,16 +388,25 @@ def minhash_band_keys(sets: DataFrame) -> DataFrame:
 # cluster by definition (the documented lexical_pairs asterisk). The
 # CLUSTERING consumer only needs CONNECTIVITY, so buckets over the cap
 # switch to CHAIN+STAR candidates — each member pairs with its
-# doc_id-rank neighbor (chain) and with the bucket minimum (star),
-# 2|bucket| rows, linear — and exact verification still gates every
-# emitted edge. True dup clusters (the only thing that makes a mega
-# bucket) are near-identical docs, so chain/star edges verify and the
-# component — hence the canonical min — is unchanged; the pinning test
-# forces cap=2 on the fixture and asserts the clustering is identical
-# to the uncapped run. The cap cannot be oracle-encoded (band keys are
-# Spark xxhash64, unreproducible in DuckDB), so it lives Spark-side
-# with fixture headroom pinned by test instead (same trade the r6
-# verdict accepted for bloom triage).
+# doc_id-rank neighbor (chain) and with the two smallest members (dual
+# star anchors), ≈3|bucket| rows, linear — and exact verification
+# still gates every emitted edge. The connectivity invariant is
+# PRESERVED FOR BUCKETS WHOSE MEMBERS ARE PAIRWISE NEAR-DUPS (the
+# overwhelmingly common mega-bucket: one true dup cluster sharing
+# every band). It is NOT guaranteed for mixed buckets — a sub-threshold
+# collision doc adjacent in the chain drops its two chain edges at
+# verification, and a component can split only if BOTH star anchors
+# are also collision docs (the dual anchor exists precisely to make
+# that require two independent failures instead of one). Capped runs
+# are therefore VISIBLY capped: dedup_cluster_cap_audit reports the
+# over-cap cluster census and pruned-candidate volume, mirroring
+# graph_hub_cap_audit, so nobody reads a capped clustering as silently
+# exact. The pinning tests force cap=2 on the fixture and assert the
+# clustering is identical to the uncapped run, and check the capped
+# candidate set directly on a synthetic mixed bucket. The cap cannot
+# be oracle-encoded (band keys are Spark xxhash64, unreproducible in
+# DuckDB), so it lives Spark-side with fixture headroom pinned by test
+# instead (same trade the r6 verdict accepted for bloom triage).
 LSH_BUCKET_CAP = 32
 
 
@@ -417,12 +426,15 @@ def _band_candidates(
         )
     # ONE bkey-keyed aggregation collects each bucket's sorted member
     # list, then pair generation is entirely row-local array math —
-    # all-pairs for buckets ≤ cap, chain (adjacent) + star (to the
-    # min) above it. One shuffle total (the old all-pairs path
-    # shuffled the band table twice for its self-join); no windows,
-    # no branch recomputation. Row width is bounded by the largest
-    # bucket (10⁵-member mega-cluster ≈ 0.8 MB array — fine; the
-    # quadratic it replaces is what kills).
+    # all-pairs for buckets ≤ cap, chain (adjacent) + dual stars (to
+    # the two smallest members) above it. One shuffle total (the old
+    # all-pairs path shuffled the band table twice for its self-join);
+    # no windows, no branch recomputation. Row width is bounded by the
+    # largest bucket (10⁵-member mega-cluster ≈ 0.8 MB array — fine;
+    # the quadratic it replaces is what kills). The second star anchor
+    # (m[1]) means a component split requires BOTH anchors to be
+    # sub-threshold collision docs, not just the bucket minimum — see
+    # the LSH_BUCKET_CAP invariant note above.
     grouped = bands.groupBy("bkey").agg(
         F.array_sort(F.collect_list("doc_id")).alias("m")
     )
@@ -440,8 +452,13 @@ def _band_candidates(
         "transform(slice(m, 3, size(m) - 2), "
         "y -> struct(m[0] AS d1, y AS d2))"
     )
+    # second anchor: m[1] → m[3..]; (m[1], m[2]) is already a chain edge
+    star2 = F.expr(
+        "transform(slice(m, 4, size(m) - 3), "
+        "y -> struct(m[1] AS d1, y AS d2))"
+    )
     cand = F.when(F.size(m) <= bucket_cap, all_pairs).otherwise(
-        F.concat(chain, star)
+        F.concat(chain, star, star2)
     )
     return (
         grouped.select(F.explode(cand).alias("p"))
@@ -458,7 +475,8 @@ def _lsh_verified_pairs(
     """(d1, d2[, jac]) near-dup pairs: LSH band candidates verified by
     exact Jaccard ≥ threshold. Shared core of :func:`dedup_minhash_lsh`
     (all-pairs: its output IS the pair list) and :func:`dedup_cluster`
-    (``bucket_cap=LSH_BUCKET_CAP``: connectivity only) — cost ∝
+    (``bucket_cap=LSH_BUCKET_CAP``: connectivity, preserved for
+    pairwise-near-dup buckets — see the LSH_BUCKET_CAP note) — cost ∝
     candidates, never all shingle-sharing pairs."""
     bands = minhash_band_keys(sets)
     cands = _band_candidates(bands, bucket_cap)
@@ -724,8 +742,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold ⇒ identical to the all-shared-shingle exact path, but
     # cost ∝ candidates) — the scale path feeds the clustering. The
     # hot-bucket cap keeps mega dup-clusters from turning candidate
-    # generation quadratic (chain+star edges preserve the component
-    # and its min; see LSH_BUCKET_CAP).
+    # generation quadratic; chain+dual-star edges preserve the
+    # component and its min for pairwise-near-dup buckets (the common
+    # mega bucket), and dedup_cluster_cap_audit makes capped runs
+    # visible — see the LSH_BUCKET_CAP invariant note.
     pairs = _lsh_verified_pairs(
         sets, bucket_cap=LSH_BUCKET_CAP
     ).localCheckpoint(eager=True)
@@ -894,6 +914,97 @@ def contamination_check(
 
 
 from pgsink_spark.operators.relational import query  # noqa: E402 — shared registry
+
+
+@query(
+    "dedup_cluster_cap_audit",
+    # Exact component census over the same near-dup graph (recursive
+    # CTE, as in the dedup_cluster oracle) with the identical cap
+    # arithmetic — a capped Spark run that split a component would
+    # shift n_clusters/max_cluster and hash-mismatch here.
+    "WITH RECURSIVE "
+    + _DUCKDB_SHINGLES
+    + f""", dup AS (SELECT d1, d2 FROM jac WHERE jac >= 0.8),
+    edges AS (SELECT d1 AS a, d2 AS b FROM dup
+              UNION SELECT d2, d1 FROM dup),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    canon AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp
+              FROM reach GROUP BY a),
+    csizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS n
+               FROM canon GROUP BY comp)
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_docs,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(coalesce(max(n), 0) AS BIGINT) AS max_cluster,
+           CAST(coalesce(sum(CASE WHEN n > {LSH_BUCKET_CAP}
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_over_cap,
+           CAST(coalesce(sum(CASE WHEN n > {LSH_BUCKET_CAP}
+                                  THEN (n * (n - 1)) // 2 - (3 * n - 6)
+                                  ELSE 0 END), 0) AS BIGINT)
+             AS est_pruned_candidates
+    FROM csizes
+    """,
+)
+def dedup_cluster_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATION CENSUS for the bucket-capped LSH clustering path —
+    the dedup plane's answer to graph_hub_cap_audit (ADVICE r8,
+    dedup.py LSH_BUCKET_CAP): one row stating how many near-dup
+    clusters exist, the largest, how many exceed LSH_BUCKET_CAP (their
+    band buckets ran in the chain+dual-star regime, so their
+    connectivity rests on the pairwise-near-dup assumption rather than
+    all-pairs verification), and the candidate volume the cap pruned
+    (all-pairs C(n,2) minus the ≈3n-6 chain+dual-star rows per
+    over-cap cluster). A pipeline owner reads n_over_cap BEFORE
+    trusting a capped clustering: 0 means the run was effectively
+    uncapped; >0 quantifies the exposure the LSH_BUCKET_CAP note
+    documents.
+
+    Cross-engine falsifiability: the census is computed from the
+    ACTUAL capped Spark pipeline's components, while the oracle
+    recomputes it from the exact Jaccard graph by recursive CTE — a
+    cap-induced component split changes n_clusters/max_cluster and
+    fails the hash, so this row doubles as a standing capped-vs-exact
+    parity check at driver scale.
+
+    Plan: the capped verified-pair graph (2 data-proportional
+    shuffles, see _lsh_verified_pairs) + the CC fixpoint on the tiny
+    pair graph + a size census and 1-row fold — no new shuffle shapes
+    beyond dedup_cluster itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sets = doc_shingle_sets(docs, 3).persist()
+    pairs = _lsh_verified_pairs(
+        sets, bucket_cap=LSH_BUCKET_CAP
+    ).localCheckpoint(eager=True)
+    sets.unpersist()
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cap = F.lit(LSH_BUCKET_CAP)
+    pruned = F.expr("(n * (n - 1)) div 2 - (3 * n - 6)")
+    census = sizes.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_dup_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_cluster"),
+        F.coalesce(F.sum((F.col("n") > cap).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_over_cap"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > cap, pruned).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("est_pruned_candidates"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # 1-row × 1-row broadcast cross join — constant, not a data path
+    return n_docs.crossJoin(census)
 
 
 @query(

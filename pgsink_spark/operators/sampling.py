@@ -417,7 +417,10 @@ def sample_kish_neff(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal / DuckDB HUGEINT, the same overflow discipline
     graph_assortativity uses — since Σw is corpus-sized and squared
     terms pass 2⁶³ long before any real corpus does; the final
-    BIGINT casts fail loudly rather than wrap on both engines.
+    BIGINT casts fail loudly on BOTH engines — DuckDB errors natively
+    on HUGEINT→BIGINT overflow, and the Spark cast is guarded by
+    ``raise_error`` because a bare non-ANSI decimal→long cast would
+    yield NULL instead of erroring (ADVICE r8).
 
     Plan: one scan, one 1-row fold. Nothing else.
     """
@@ -430,15 +433,20 @@ def sample_kish_neff(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdec = F.col("n_chars").cast("decimal(19,0)")
     m = docs.agg(
         F.sum(F.col("n_chars").cast("long")).alias("sum_w"),
-        F.sum(wdec * wdec).cast("long").alias("sum_w2"),
+        F.sum(wdec * wdec).alias("sum_w2_dec"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     return m.select(
         F.col("sum_w").cast("long").alias("sum_w"),
-        F.col("sum_w2").cast("long").alias("sum_w2"),
+        F.expr(
+            "CASE WHEN sum_w2_dec >"
+            " CAST(9223372036854775807 AS DECIMAL(38,0))"
+            " THEN CAST(raise_error('sum_w2 overflows BIGINT') AS BIGINT)"
+            " ELSE CAST(sum_w2_dec AS BIGINT) END"
+        ).alias("sum_w2"),
         F.expr(
             "1000 * (cast(sum_w as decimal(38,0))"
-            " * cast(sum_w as decimal(38,0))) div sum_w2"
+            " * cast(sum_w as decimal(38,0))) div sum_w2_dec"
         )
         .cast("long")
         .alias("neff_milli"),

@@ -641,9 +641,49 @@ def test_lsh_hot_bucket_cap_headroom_and_equivalence(spark, sf_dir):
         .collect()
     }
     assert capped == base
-    # and the cap really rewired candidate generation: with cap=2 the
-    # candidate set is chain+star, strictly smaller than all-pairs on
-    # any bucket of size >= 4
-    n_all = _lsh_verified_pairs(sets).count()
-    n_cap = capped_pairs.count()
-    assert n_cap <= n_all
+    # Verified-pair parity: with chain+dual-star the capped candidate
+    # SET equals all-pairs on every bucket of size <= 4 (the fixture
+    # max), so the verified outputs must be IDENTICAL — equality, not
+    # <=, is the strongest fixture-level check here. Strict candidate
+    # reduction is asserted on a synthetic size-8 bucket in
+    # test_band_candidates_cap_rewires_generation, where the cap
+    # demonstrably binds.
+    all_pairs = {
+        (r["d1"], r["d2"]) for r in _lsh_verified_pairs(sets).collect()
+    }
+    cap_pairs = {(r["d1"], r["d2"]) for r in capped_pairs.collect()}
+    assert cap_pairs == all_pairs
+
+
+def test_band_candidates_cap_rewires_generation(spark):
+    """Direct candidate-set check (ADVICE r8): on a synthetic size-8
+    bucket with cap=2, _band_candidates must emit EXACTLY the
+    chain + star(m[0]) + star(m[1]) set (3n-6 = 18 pairs), strictly
+    smaller than the 28 all-pairs — a regression where bucket_cap is
+    silently ignored flips this to the full 28 and fails."""
+    from pgsink_spark.operators.dedup import _band_candidates
+
+    members = list(range(1, 9))
+    bands = spark.createDataFrame(
+        [(d, 7777) for d in members], "doc_id long, bkey long"
+    )
+    got = {
+        (r["d1"], r["d2"])
+        for r in _band_candidates(bands, bucket_cap=2).collect()
+    }
+    chain = {(a, a + 1) for a in range(1, 8)}
+    star = {(1, y) for y in range(3, 9)}
+    star2 = {(2, y) for y in range(4, 9)}
+    expected = chain | star | star2
+    assert got == expected
+    assert len(expected) == 3 * len(members) - 6
+    n_all_pairs = len(members) * (len(members) - 1) // 2
+    assert len(got) < n_all_pairs
+    # and below the cap it is exact all-pairs
+    got_uncapped = {
+        (r["d1"], r["d2"])
+        for r in _band_candidates(bands, bucket_cap=8).collect()
+    }
+    assert got_uncapped == {
+        (a, b) for a in members for b in members if a < b
+    }

@@ -1245,3 +1245,69 @@ def test_round7_sixteenth_batch_plan_shapes(spark):
         assert "source" in m.group(0)
     cols = [set(c) for c in scan_columns(df)]
     assert all(c <= {"source", "doc_id", "n_chars"} for c in cols), cols
+
+
+# ---------------------------------------------------------------------------
+# Global-window whitelist (r8 verdict item 4): the set of registered
+# queries whose OPTIMIZED LOGICAL PLAN contains a Window node with an
+# empty partitionSpec must equal this declared list. Each entry is a
+# deliberate, bounded global window — the frame the window runs over is
+# already aggregate-sized (top-k lists, per-bucket summaries, score
+# deciles), so "Moving all data to a single partition" moves kilobytes,
+# not the corpus. A NEW unbounded global window over a data-sized frame
+# fails this test instead of adding SELFCHECK warning #100.
+GLOBAL_WINDOW_WHITELIST = {
+    # cumulative km-estimate over the (≤ n_distinct_durations) survival
+    # table — the product frame is one row per distinct duration
+    "d101_survival_curve",
+    # THE running-sum demo query: a global ordered frame is its
+    # documented semantics; input is the 5-key keyed-agg output
+    "d10_running_sum",
+    # share-of-total percent ranks over a 25-row group-by result
+    "d52_share_of_total",
+    # month-over-month lag over one row per (month) bucket
+    "d53_month_over_month",
+    # reliability deciles: ntile over the scored eval set (bounded by
+    # the eval fixture, and decile assignment needs a total order)
+    "eval_calibration",
+    # ROC sweep: rank over distinct score thresholds
+    "eval_score_auc",
+    # curriculum export: the global difficulty order IS the contract
+    "export_curriculum_order",
+    # NDCG: rank over per-query top-k lists after the k-truncation
+    "retrieval_ndcg",
+    # RRF: fuses two top-k rankings — frame is 2×k rows
+    "retrieval_rrf",
+}
+
+
+@pytest.mark.audit
+def test_global_window_whitelist_is_exact(spark):
+    """Walk every registered query's optimized logical plan; the set of
+    queries containing a no-partition Window must EQUAL the whitelist
+    (an extra hit means someone added an unbounded global window; a
+    missing hit means the whitelist is stale and should shrink)."""
+    import __spark_entry__ as em
+
+    def has_global_window(df) -> bool:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if (
+                node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()
+            ):
+                return True
+            ch = node.children()
+            stack.extend(ch.apply(i) for i in range(ch.size()))
+        return False
+
+    hits = {
+        name
+        for name, fn in em.queries().items()
+        if has_global_window(fn(spark, SF))
+    }
+    assert hits == GLOBAL_WINDOW_WHITELIST, (
+        f"new global windows: {sorted(hits - GLOBAL_WINDOW_WHITELIST)}; "
+        f"stale whitelist entries: {sorted(GLOBAL_WINDOW_WHITELIST - hits)}"
+    )
