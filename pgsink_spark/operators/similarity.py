@@ -292,26 +292,62 @@ def dedup_embedding_pairs(
     """Embedding-cosine near-duplicate pairs (vec_id asc), blocked exact.
 
     Scale shape (replaces the r1 all-pairs self-join, an O(n²)
-    scale-killer): IVF-style blocking with a *deterministic exactness
-    guarantee*. On unit vectors, cos(a,b) ≥ t ⇔ ‖â−b̂‖ ≤ √(2−2t); with
-    per-cell centroids c_i and radii r_i, the triangle inequality admits
-    a cell pair only when ‖c_i−c_j‖ ≤ r_i + r_j + √(2−2t) — any pair in
-    a skipped cell pair provably cannot qualify, so recall is 100% (no
-    LSH-style probability; qualifying pairs in this corpus sit right at
-    the 0.4 boundary, where banded LSH cannot guarantee the oracle).
+    scale-killer), two layers:
 
-    Plan shape: cell stats are one aggregation pass; the admissible
+    1. **Exact-value collapse** (r8 verdict item 2 — the measured
+       scale path): group bit-identical (label, vector) values into
+       value-groups FIRST and run the pair search over one
+       representative per group. Duplicated embedding mass — replica
+       copies, boilerplate re-encodes, the exact thing that made the
+       uncollapsed 100× probe quadratic — no longer multiplies the
+       GEMM: distinct-vector count is invariant under duplication, so
+       the verify work is constant while output pairs (the contract)
+       are regenerated by row-local expansion of the group id-lists
+       (cross-group combos for qualifying representative pairs;
+       within-group all-pairs, since cos(v,v)=1 ≥ t for any norm>0
+       vector). Same trick the text plane's exact-dedup-before-
+       near-dedup step uses, applied to vectors.
+    2. **IVF-style blocking with a deterministic exactness
+       guarantee** over the representatives. On unit vectors,
+       cos(a,b) ≥ t ⇔ ‖â−b̂‖ ≤ √(2−2t); with per-cell centroids c_i
+       and radii r_i, the triangle inequality admits a cell pair only
+       when ‖c_i−c_j‖ ≤ r_i + r_j + √(2−2t) — any pair in a skipped
+       cell pair provably cannot qualify, so recall is 100% (no
+       LSH-style probability; qualifying pairs in this corpus sit
+       right at the 0.4 boundary, where banded LSH cannot guarantee
+       the oracle).
+
+    Both layers are exact, so the output — hence the driver hash — is
+    identical to the all-pairs oracle at any scale.
+
+    Plan shape: the collapse is one keyed aggregation; cell stats are
+    one aggregation pass over representatives; the admissible
     cell-pair list (K² driver-side, K = label count) broadcasts; the
     candidate join is *equi on cell id* — no cartesian product — and
     candidates are verified with the same cosine fold the oracle uses.
-    At 100 TB comparisons scale with Σ admissible |cell_i|·|cell_j|,
-    not n², and the corpus stays partitioned by cell for free reuse.
+    At 100 TB comparisons scale with Σ admissible |rep_i|·|rep_j| over
+    DISTINCT vectors, never n², and expansion cost equals output size.
+    dedup_embedding_collapse_audit reports the collapse census.
     """
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
+    e0 = emb.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+    # layer 1: value-groups. gid = min vec_id of the group, ids = the
+    # sorted member list (bounded by the corpus' max duplication
+    # multiplicity — array width, not a shuffle blow-up).
+    groups = (
+        e0.groupBy("label", "e")
+        .agg(
+            F.sort_array(F.collect_list("vec_id")).alias("ids"),
+            F.min("vec_id").alias("gid"),
+        )
+        .persist()
+    )
+    e = groups.select(
+        F.col("gid").alias("vec_id"), "label", "e"
     ).withColumn("u", _normalized(F.col("e")))
     e = e.persist()  # reused: centroid pass, radius pass, candidate join
 
@@ -374,7 +410,7 @@ def dedup_embedding_pairs(
         else:
             # cross tile appears once (la < lb): order ids in-kernel
             d1, d2 = np.minimum(d1, d2), np.maximum(d1, d2)
-        return pd.DataFrame({"d1": d1, "d2": d2})
+        return pd.DataFrame({"g1": d1, "g2": d2})
 
     tagged_a = e.join(
         F.broadcast(pairs_df), F.col("label") == F.col("ca")
@@ -382,12 +418,49 @@ def dedup_embedding_pairs(
     tagged_b = e.join(
         F.broadcast(pairs_df), F.col("label") == F.col("cb")
     ).select("ca", "cb", "vec_id", "e", F.lit(1).alias("side"))
-    return (
+    rep_pairs = (
         tagged_a.unionByName(tagged_b)
         .groupBy("ca", "cb")
-        .applyInPandas(verify_tile, "d1 long, d2 long")
-        .orderBy("d1", "d2")
+        .applyInPandas(verify_tile, "g1 long, g2 long")
     )
+    # expansion back to vec_id pairs — row-local, cost = output size.
+    # Cross-group: every id combo of a qualifying representative pair
+    # qualifies (same values). Group id ranges can interleave, so the
+    # pair is re-ordered per id combo, not per group.
+    ids1 = groups.select(F.col("gid").alias("g1"), F.col("ids").alias("ids1"))
+    ids2 = groups.select(F.col("gid").alias("g2"), F.col("ids").alias("ids2"))
+    cross = (
+        rep_pairs.join(ids1, "g1")
+        .join(ids2, "g2")
+        .select(F.explode("ids1").alias("i1"), "ids2")
+        .select("i1", F.explode("ids2").alias("i2"))
+        .select(
+            F.least("i1", "i2").alias("d1"),
+            F.greatest("i1", "i2").alias("d2"),
+        )
+    )
+    # Within-group: identical vectors have cos = 1 ≥ t (for t ≤ 1)
+    # unless the vector is all-zero, where the cosine is undefined and
+    # the GEMM path drops it too (NaN comparison) — keep both paths
+    # consistent by gating on norm > 0.
+    norm_sq = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    all_id_pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS d1, y AS d2))))"
+    )
+    within = (
+        groups.where((F.size("ids") >= 2) & (norm_sq > 0))
+        .select(F.explode(all_id_pairs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+    )
+    if threshold > 1.0:  # degenerate: nothing can qualify, even dups
+        within = within.where(F.lit(False))
+    return cross.unionByName(within).orderBy("d1", "d2")
 
 
 def dedup_embedding_pairs_allpairs(
@@ -540,6 +613,48 @@ def ann_ivf_kmeans_topk(
 
 
 from pgsink_spark.operators.relational import query  # noqa: E402 — shared registry
+
+
+@query(
+    "dedup_embedding_collapse_audit",
+    """
+    WITH g AS (
+      SELECT label, embedding, CAST(count(*) AS BIGINT) AS m
+      FROM embeddings GROUP BY label, embedding
+    )
+    SELECT CAST(sum(m) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(max(m) AS BIGINT) AS max_multiplicity,
+           CAST(sum(CASE WHEN m > 1 THEN m ELSE 0 END) AS BIGINT)
+             AS dup_mass
+    FROM g
+    """,
+)
+def dedup_embedding_collapse_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collapse census for dedup_embedding_pairs' exact-value layer:
+    total vectors, distinct (label, value) groups, the largest
+    multiplicity, and how many vectors sit in duplicated values
+    (dup_mass). n_groups is the size the blocked GEMM actually runs
+    at — a pipeline owner reads n_vecs/n_groups to see how much of
+    the corpus the collapse removed from the quadratic-risk zone (on
+    the 100× key-shift replica the ratio is the full factor; on a
+    dedup-clean corpus it is 1 and the audit proves the collapse is
+    free). One keyed partial-agg census + a 1-row fold.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.groupBy("label", "embedding").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    return g.agg(
+        F.sum("m").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max("m").cast("long").alias("max_multiplicity"),
+        F.sum(F.when(F.col("m") > 1, F.col("m")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_mass"),
+    )
 
 
 def _recall_gate(
