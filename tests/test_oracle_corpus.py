@@ -10,6 +10,12 @@ import pytest
 import __spark_entry__ as entrymod
 from pgsink_spark.testing import compare_frames, duckdb_conn
 
+# The judge shard: `pytest -m core` runs the full cross-engine oracle
+# gate (every queries() entry vs DuckDB at sf0.001) in ~4 min — the
+# single highest-signal check in the suite. See VERIFICATION.md
+# "Suite shards".
+pytestmark = pytest.mark.core
+
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
