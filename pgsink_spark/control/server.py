@@ -60,7 +60,18 @@ def _make_handler(
             return json.loads(self.rfile.read(n) or b"{}")
 
         def do_GET(self):
-            if self.path == "/api/health":
+            if self.path in ("/", "/ui", "/ui/"):
+                # read-only status page — the reference web SPA analog
+                # (web/src/components/Tables.tsx; see control/ui.py)
+                from pgsink_spark.control.ui import render_status_page
+
+                data = render_status_page(api, catalog()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif self.path == "/api/health":
                 self._json(200, {"status": "healthy"})
             elif self.path == "/api/openapi.json":
                 # machine-readable spec derived from the dataclass

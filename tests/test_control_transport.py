@@ -662,3 +662,33 @@ def test_openapi_spec_served_and_matches_client(sf_dir, tmp_path):
         assert set(live_imports[0]) == set(schemas["Import"]["properties"])
     finally:
         server.stop()
+
+
+def test_status_page_read_only(sf_dir, tmp_path):
+    """GET / renders the reference web-SPA analog (control/ui.py): the
+    table list with publication/import badges and the import-jobs
+    table, server-side HTML, no mutation surface."""
+    root = str(tmp_path / "state")
+    api = make_api(root)
+    server = ControlServer(api, lambda: fixture_catalog(sf_dir)).start()
+    try:
+        base = server.address
+        api.add_table("public", "nation")
+        with urllib.request.urlopen(f"{base}/", timeout=10) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+        # published table shows active; unpublished stays inactive
+        assert "public.nation" in page
+        assert 'class="badge active">active' in page
+        assert 'class="badge inactive">inactive' in page
+        # the enqueued import job row renders with scheduled status
+        assert 'class="badge scheduled">scheduled' in page
+        # READ-ONLY: no form/POST surface in the document
+        assert "<form" not in page and "method=" not in page
+        # /ui alias serves the same document shape
+        with urllib.request.urlopen(f"{base}/ui", timeout=10) as r2:
+            assert r2.status == 200
+            assert "pgsink-spark control plane" in r2.read().decode()
+    finally:
+        server.stop()
