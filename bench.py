@@ -282,6 +282,9 @@ HEADLINE = [
     "graph_local_bridges",
     "graph_hub_cap_audit",
     "corpus_length_gini",
+    # round-9 additions (cap/collapse truncation censuses)
+    "dedup_cluster_cap_audit",
+    "dedup_embedding_collapse_audit",
 ]
 
 # Round-over-round regression gate: compare per-query times against the
@@ -418,7 +421,22 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
+    # Second calibration axis: per-QUERY fixed overhead (job submit,
+    # scheduler, listener bus, noop commit) via a trivial 1-task write.
+    # Round 9 measured steal windows that inflate every sub-second
+    # query 2-3× while the CPU fold above stays FAST — the two probes
+    # together separate "machine computes slower" from "every job pays
+    # more fixed cost". Reference on this host class: ~0.04-0.08 s.
+    def _calibrate_overhead(s) -> float:
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.time()
+            s.range(1_000).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     calibration_s = _calibrate(spark)
+    calibration_overhead_s = _calibrate_overhead(spark)
 
     # min over RUNS executions per query: local[32] single-JVM timing
     # shows 2-7x noisy-neighbor variance (GC, first-touch page faults,
@@ -540,6 +558,7 @@ def main() -> None:
         "host_factor": host_factor,
         "warm_untimed_s": round(warm_untimed_s[0], 3),
         "calibration_s": calibration_s,
+        "calibration_overhead_s": calibration_overhead_s,
         "calibration_ref_s": CALIBRATION_REF_S,
         "n_common_with_baseline": len(common),
         "regressions": regressions,
@@ -577,6 +596,7 @@ def main() -> None:
                 "host_factor": host_factor,
                 "warm_untimed_s": round(warm_untimed_s[0], 3),
                 "calibration_s": calibration_s,
+                "calibration_overhead_s": calibration_overhead_s,
                 "queries": slowest,
                 "worst_vs_baseline": worst_ratio,
                 "regressions": regressions,

@@ -414,7 +414,8 @@ def _band_candidates(
     bands: DataFrame, bucket_cap: int | None = None
 ) -> DataFrame:
     """(d1, d2) distinct candidate pairs from band buckets; all-pairs
-    below ``bucket_cap``, chain+star above (None = all-pairs always)."""
+    below ``bucket_cap``, chain+dual-star above (None = all-pairs
+    always)."""
     if bucket_cap is None:
         b1 = bands.select(F.col("doc_id").alias("d1"), "bkey")
         b2 = bands.select(F.col("doc_id").alias("d2"), "bkey")

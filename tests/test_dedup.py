@@ -597,7 +597,7 @@ def test_lsh_hot_bucket_cap_headroom_and_equivalence(spark, sf_dir):
     """(a) No fixture band bucket reaches LSH_BUCKET_CAP — so the
     capped clustering provably equals the uncapped one where the
     driver hash pins it; (b) forcing the cap to bind (cap=2, all
-    buckets ≥ 3 switch to chain+star) leaves the CLUSTERING unchanged
+    buckets ≥ 3 switch to chain+dual-star) leaves the CLUSTERING unchanged
     on real dup structure — connectivity and canonical mins survive
     candidate sparsification because every emitted edge is still
     exact-verified and dup clusters chain."""

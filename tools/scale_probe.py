@@ -194,7 +194,9 @@ PROBES = [
     # round-9 driver re-check
     "ann_bruteforce_topk",
     "dedup_cluster",
+    "dedup_cluster_cap_audit",
     "dedup_embedding_pairs",
+    "dedup_embedding_collapse_audit",
     "dedup_simhash_pairs",
     "text_fingerprint",
     "d20_similarity_topk",
