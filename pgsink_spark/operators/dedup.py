@@ -453,9 +453,12 @@ def _band_candidates(
         "transform(slice(m, 3, size(m) - 2), "
         "y -> struct(m[0] AS d1, y AS d2))"
     )
-    # second anchor: m[1] → m[3..]; (m[1], m[2]) is already a chain edge
+    # second anchor: m[1] → m[3..]; (m[1], m[2]) is already a chain
+    # edge. greatest(0, …) guards the slice length for size-2 buckets
+    # (reachable only under a cap < 2, where Spark's slice would
+    # otherwise error on a negative length).
     star2 = F.expr(
-        "transform(slice(m, 4, size(m) - 3), "
+        "transform(slice(m, 4, greatest(0, size(m) - 3)), "
         "y -> struct(m[1] AS d1, y AS d2))"
     )
     cand = F.when(F.size(m) <= bucket_cap, all_pairs).otherwise(
