@@ -200,6 +200,39 @@ PROBES = [
     "dedup_simhash_pairs",
     "text_fingerprint",
     "d20_similarity_topk",
+    # round-9: the r3-vintage window rows that never had probe rows —
+    # all expected linear (keyed aggs, windows, row-local transforms);
+    # probed so the bound is measured, not asserted
+    "tpch_q12_priority_lateness",
+    "mm_decode_stats",
+    "mm_audio_stats",
+    "mm_audio_windows",
+    "ivm_join_view",
+    "ivm_agg_view",
+    "ivm_minmax_view",
+    "stream_sessionize",
+    "stream_ewma_anomalies",
+    "pack_sequences",
+    "pack_sequences_greedy",
+    "chunk_documents",
+    "dedup_paragraph",
+    "text_ngram_topk",
+    "domain_mix_sample",
+    "quality_lm_score",
+    "quality_model_score",
+    "contamination_check",
+    "pii_redact",
+    "sample_weighted",
+    "a18_view_asof",
+    "d46_unpivot",
+    "d47_distribution_windows",
+    "d48_profile_documents",
+    "d49_funnel",
+    "d50_cohort_retention",
+    "d51_transition_matrix",
+    "d52_share_of_total",
+    "d53_month_over_month",
+    "d54_recursive_series",
 ]
 
 
