@@ -781,11 +781,28 @@ def semdedup_cluster_prune(
     out of scope by design, which turns the quadratic corpus problem
     into per-cluster tiles.
 
-    Plan: one shuffle keyed on the cluster id, then one NumPy GEMM per
-    cluster inside applyInPandas (Arrow batches; the FAISS-style inner
-    loop). At 100 TB cost is Σ |cluster|² over balanced kmeans cells —
-    the published SemDeDup scaling — and the keep decision never leaves
-    the cluster tile, so there is no second shuffle.
+    Exact-value collapse (round 9 — the dedup_embedding_pairs layer
+    applied here after the 100× probe measured ratio 847 on value-
+    duplicated cells): the per-cluster GEMM runs over one
+    representative (min vec_id) per bit-identical (label, vector)
+    group, and the keep decision expands row-locally. This is
+    semantics-EXACT, not approximate: a non-representative copy always
+    has its group minimum as an earlier cos=1 neighbor ⇒ pruned; and a
+    representative B is pruned iff some earlier same-cluster vector y
+    with cos ≥ t exists, which holds iff some representative A with
+    gid_A < gid_B and cos(A,B) ≥ t exists (y's group minimum is such
+    an A; conversely A itself is such a y). Zero-norm vectors keep the
+    NaN-comparison behavior of the uncollapsed kernel (never pruned by
+    their copies) via the norm>0 gate in the expansion.
+
+    Plan: STILL one shuffle keyed on the cluster id — the collapse
+    happens inside the tile kernel (np.unique over the cell's rows),
+    so the plan shape is unchanged and the fixture pays nothing. The
+    GEMM and its n² similarity matrix run over DISTINCT vectors only.
+    At 100 TB cost is Σ |distinct(cluster)|² over balanced kmeans
+    cells — the published SemDeDup scaling with duplicated mass (the
+    thing boilerplate corpora actually have) removed from the
+    quadratic term; the keep decision never leaves the cluster tile.
     """
     import pandas as pd
 
@@ -799,12 +816,37 @@ def semdedup_cluster_prune(
 
         order = pdf.sort_values("vec_id")
         E = np.stack(order["e"].to_numpy())
-        U = E / np.linalg.norm(E, axis=1, keepdims=True)
-        S = U @ U.T
         n = len(order)
-        removed = np.zeros(n, dtype=bool)
-        iu, ju = np.triu_indices(n, k=1)
-        removed[np.unique(ju[S[iu, ju] >= threshold])] = True
+        # exact-value collapse inside the tile: rows sorted by vec_id,
+        # so each value-group's first occurrence IS its min-vec_id
+        # representative
+        _, first_idx, inv = np.unique(
+            E, axis=0, return_index=True, return_inverse=True
+        )
+        m = len(first_idx)
+        rep_pos = np.sort(first_idx)  # rep row positions, vec_id order
+        R = E[rep_pos]
+        Ur = R / np.linalg.norm(R, axis=1, keepdims=True)
+        S = Ur @ Ur.T
+        rep_removed_sorted = np.zeros(m, dtype=bool)
+        iu, ju = np.triu_indices(m, k=1)
+        rep_removed_sorted[np.unique(ju[S[iu, ju] >= threshold])] = True
+        # map the verdict back to np.unique's value-group ids
+        pos_of_uniq = np.empty(m, dtype=np.int64)
+        pos_of_uniq[np.argsort(first_idx)] = np.arange(m)
+        rep_removed = rep_removed_sorted[pos_of_uniq]
+        # expand: the representative carries the GEMM verdict; a copy
+        # is pruned by its cos=1 group minimum unless the vector is
+        # zero-norm (NaN cosine never prunes, matching the uncollapsed
+        # kernel) or the threshold is degenerate (> 1)
+        is_rep = np.zeros(n, dtype=bool)
+        is_rep[first_idx] = True
+        norms = np.linalg.norm(E, axis=1)
+        removed = np.where(
+            is_rep,
+            rep_removed[inv],
+            (norms > 0) & (threshold <= 1.0),
+        )
         return pd.DataFrame(
             {
                 "vec_id": order["vec_id"].to_numpy(),

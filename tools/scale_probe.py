@@ -233,6 +233,28 @@ PROBES = [
     "d52_share_of_total",
     "d53_month_over_month",
     "d54_recursive_series",
+    # round-9 second sweep: the 14 rows heading _ROUND10_PRIORITY + the
+    # never-probed streaming block
+    "d55_lateral_topn",
+    "d56_time_range_frame",
+    "d57_table_diff",
+    "d58_histogram",
+    "quality_gopher_rules",
+    "tfidf_top_terms",
+    "dedup_dupfrac_ngram",
+    "d59_grouped_percentiles",
+    "d60_grouped_moments",
+    "stream_interval_join",
+    "d61_distribution_windows",
+    "d62_regression_agg",
+    "semdedup_cluster_prune",
+    "stream_tumbling_agg",
+    "stream_scd2",
+    "stream_sample_evictions",
+    "stream_dedup_replay",
+    "stream_attribution",
+    "stream_rolling_zscore",
+    "stream_cusum",
 ]
 
 
