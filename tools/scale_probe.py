@@ -255,6 +255,28 @@ PROBES = [
     "stream_attribution",
     "stream_rolling_zscore",
     "stream_cusum",
+    # round-9 third sweep: the r2-vintage relational/curation block
+    "d21_text_group",
+    "d23_session_gap",
+    "b8_array_agg",
+    "d36_sliding_window",
+    "d37_json_struct_map",
+    "d38_lateral_explode",
+    "d39_scalar_subquery",
+    "d40_conditional_agg",
+    "d41_regex_translate",
+    "d42_range_frame",
+    "d43_keyed_running_sum",
+    "d44_salted_join",
+    "sample_hash_10pct",
+    "train_test_split",
+    "stratified_sample",
+    "pipeline_curation",
+    "text_repetition",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "ivm_distinct_view",
 ]
 
 
