@@ -277,6 +277,24 @@ PROBES = [
     "text_quality_score",
     "text_token_count",
     "ivm_distinct_view",
+    # round-9 fourth sweep: §2.B/D control + relational remainder
+    "d24_percentiles", "d25_set_ops", "d26_cube", "d27_date_arithmetic",
+    "d28_grouping_sets", "d29_window_frames", "d32_pivot",
+    "d33_string_agg", "d34_exists_combo",
+    "d1_filter_pushdown", "d2_join_agg_topk", "d2b_broadcast_join",
+    "d3_outer_join_agg", "d4_range_join", "d6_count_distinct",
+    "d7_rollup", "d9_lag_lead", "d10_running_sum", "d11_topk_order",
+    "d12_intersect", "d13_string_fns", "d14_date_trunc",
+    "d15_array_fns", "d16_json_fns", "d17_tumbling_window",
+    "d18_distinct_dedup", "d19_udf_parity", "d35_approx_distinct",
+    "a3_total_order", "a5_keyset_scan", "a16_compaction_view",
+    "a17_claim_predicate", "b1_filter_limit", "b2_inner_join",
+    "b3_left_join_inlist", "b4_latest_per_key", "b5_anti_join_diff",
+    "b6_semi_join", "b7_include_exclude", "b11_scalar_fns",
+    "b12_arith_update", "b13_count", "b8_array_agg",
+    "d63_interpolate_linear", "cdc_refresh_endstate",
+    "dedup_fuzzy_blocked", "mm_frame_stats", "mm_frame_sample",
+    "pipeline_curate_pack",
 ]
 
 
