@@ -295,6 +295,17 @@ PROBES = [
     "d63_interpolate_linear", "cdc_refresh_endstate",
     "dedup_fuzzy_blocked", "mm_frame_stats", "mm_frame_sample",
     "pipeline_curate_pack",
+    # round-9 fifth sweep: the TPC-H module at 100x (= SF-10 scale)
+    "tpch_q02_min_cost_supplier", "tpch_q04_order_priority",
+    "tpch_q06_forecast_revenue", "tpch_q07_volume_shipping",
+    "tpch_q08_market_share", "tpch_q09_product_profit",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q13_order_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_relationship",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue", "tpch_q20_potential_promotion",
+    "tpch_q22_global_sales_opportunity", "d30_tpch_q3", "d31_tpch_q5",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
 ]
 
 
