@@ -82,6 +82,73 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # _ROUND10_PRIORITY, which restores "no green row older than two
 # rounds" registry-wide. Growth freeze continues (≤5 new
 # registrations). Rotation ledger: VERIFICATION.md.
+# Round 10 drains the evidence queue to ZERO (r9 verdict items 2+5):
+# the window is the 2 never-driver-checked round-9 audit registrations
+# (dedup_cluster_cap_audit, dedup_embedding_collapse_audit — the
+# falsifiability instruments for the cap/collapse fixes, called out in
+# verdict item 5), then the 14 remaining r3-vintage rows in their
+# original round-3 window order, then the oldest 34 of the 50
+# r4-vintage rows in their round-4 window order. After this round no
+# green row is older than two rounds registry-wide for the r3 block,
+# and the steady-state rotation (stalest-50 each round) keeps it that
+# way. The 16 youngest r4 rows head _ROUND11_PRIORITY. Growth freeze
+# continues (≤5 new registrations). Rotation ledger: VERIFICATION.md.
+_ROUND10_PRIORITY = [
+    # ---- never driver-checked: the round-9 audits (2) ----
+    "dedup_cluster_cap_audit",
+    "dedup_embedding_collapse_audit",
+    # ---- r3-vintage stale rows, round-3 window order (14) ----
+    "d55_lateral_topn",
+    "d56_time_range_frame",
+    "d57_table_diff",
+    "d58_histogram",
+    "quality_gopher_rules",
+    "bm25_search",
+    "tfidf_top_terms",
+    "dedup_dupfrac_ngram",
+    "d59_grouped_percentiles",
+    "d60_grouped_moments",
+    "stream_interval_join",
+    "d61_distribution_windows",
+    "d62_regression_agg",
+    "semdedup_cluster_prune",
+    # ---- oldest 34 r4-vintage stale rows, round-4 window order ----
+    "cdc_refresh_endstate",
+    "d63_interpolate_linear",
+    "dedup_fuzzy_blocked",
+    "mm_frame_stats",
+    "mm_frame_sample",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "ann_kmeans_recall",
+    "mm_embedding_recall",
+    "d35_approx_distinct",
+    "retrieval_rrf",
+    "dsir_importance",
+    "text_kn_bigram",
+    "d64_gaps_islands",
+    "mm_keyframes",
+    "pipeline_curate_pack",
+    "a5_keyset_scan",
+    "a16_compaction_view",
+    "a3_total_order",
+    "a17_claim_predicate",
+    "b5_anti_join_diff",
+    "b1_filter_limit",
+    "b2_inner_join",
+    "b3_left_join_inlist",
+    "b4_latest_per_key",
+    "b6_semi_join",
+    "b7_include_exclude",
+    "b11_scalar_fns",
+    "b12_arith_update",
+    "b13_count",
+    "d1_filter_pushdown",
+    "d2_join_agg_topk",
+    "d2b_broadcast_join",
+    "d3_outer_join_agg",
+]
+
 _ROUND9_PRIORITY = [
     # ---- never driver-checked (14) ----
     "corpus_dup_rate_by_source",
@@ -649,8 +716,11 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["text_fingerprint"] = _text.text_fingerprint
 
     ordered: dict[str, QueryFn] = {}
-    for name in _ROUND9_PRIORITY:
+    for name in _ROUND10_PRIORITY:
         ordered[name] = queries[name]
+    for name in _ROUND9_PRIORITY:
+        if name not in ordered:
+            ordered[name] = queries[name]
     for name in _ROUND8_PRIORITY:
         if name not in ordered:
             ordered[name] = queries[name]
