@@ -16,6 +16,8 @@ Arrow + NumPy beats codegen (see ``cosine_topk_pandas``).
 
 from __future__ import annotations
 
+from math import sqrt as math_sqrt
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -69,6 +71,92 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k neighbors, Arrow-batched with BIT-IDENTICAL fold
+    arithmetic (r10 — the hot-path twin of :func:`brute_force_topk`).
+
+    The JVM ``zip_with``/``aggregate`` cosine fold is interpreted
+    per-element, which dominates the exact-search queries at fixture
+    scale. This kernel accumulates per-DIMENSION across the batch
+    (``acc += q[j] * E[:, j]`` for j left-to-right), which performs,
+    per row, the exact IEEE-754 double operation sequence of the
+    sequential fold — products and additions in the same order, no
+    pairwise/SIMD re-association, no FMA — so every cosine, hence
+    every ranking and driver hash, is bit-identical to the fold
+    scorer (pinned by test_arrow_topk_bitwise_matches_fold).
+
+    Scale shape: map-side partial top-k — each Arrow batch emits at
+    most |Q|·k candidate rows (NaN cosines rank first, matching
+    Spark's NaN-greatest desc ordering), so the final ranking window
+    sees (batches × |Q| × k) rows instead of n×|Q|. At 100 TB the
+    shuffle is control-plane sized; the corpus is read once.
+
+    ``queries`` must be control-plane small (it is collected, like
+    the broadcast in the fold twin). Returns (q_id, vec_id, rnk).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_consts = []
+    for r in queries.collect():
+        qe = [float(x) for x in r["q_emb"]]
+        qn2 = 0.0
+        for x in qe:  # sequential fold, same order as norm2()
+            qn2 += x * x
+        q_consts.append((r["q_id"], qe, math_sqrt(qn2)))
+
+    cand = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("c_emb")
+    )
+
+    def score(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["c_emb"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            d = E.shape[1]
+            n2 = np.zeros(len(E))
+            for j in range(d):  # left-to-right: ((0 + x0²) + x1²) + …
+                c = E[:, j]
+                n2 = n2 + c * c
+            rn = np.sqrt(n2)
+            out_q, out_v, out_c = [], [], []
+            for q_id, qe, qn in q_consts:
+                dp = np.zeros(len(E))
+                for j in range(d):
+                    dp = dp + qe[j] * E[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dp / (qn * rn)
+                m = ids != q_id
+                cosm, idsm = cos[m], ids[m]
+                # Spark sorts NaN greater than any value → first under
+                # desc; emulate with a -inf sort key ascending
+                key = np.where(np.isnan(cosm), -np.inf, -cosm)
+                order = np.lexsort((idsm, key))[:k]
+                out_q.append(np.full(len(order), q_id, dtype=np.int64))
+                out_v.append(idsm[order])
+                out_c.append(cosm[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    scored = cand.mapInPandas(score, "q_id long, vec_id long, cos double")
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "rnk")
+    )
+
+
 def d20_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-D20: top-10 nearest to vec_id=1 by cosine (exact baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -77,7 +165,7 @@ def d20_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("embedding")).alias("q_emb"),
     )
     return (
-        brute_force_topk(emb, q, k=10)
+        brute_force_topk_arrow(emb, q, k=10)
         .select("vec_id")
         .orderBy("vec_id")
     )
@@ -85,13 +173,14 @@ def d20_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 neighbors for each of the first 5 vectors (multi-query
-    fan-out: one broadcast, one pass over the corpus for all queries)."""
+    fan-out: one corpus pass with map-side partial top-k for all
+    queries)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"),
         as_double(F.col("embedding")).alias("q_emb"),
     )
-    return brute_force_topk(emb, q, k=5).orderBy("q_id", "rnk")
+    return brute_force_topk_arrow(emb, q, k=5).orderBy("q_id", "rnk")
 
 
 def ivf_centroids(emb: DataFrame) -> DataFrame:
@@ -852,7 +941,7 @@ def _exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         as_double(F.col("embedding")).alias("q_emb"),
     )
-    return brute_force_topk(emb, q, k=5)
+    return brute_force_topk_arrow(emb, q, k=5)
 
 
 @query("ann_ivf_recall", _RECALL_ORACLE)

@@ -283,3 +283,21 @@ def test_embedding_pairs_dup_branch_matches_allpairs(spark, sf_dir, tmp_path):
     allpairs = sim.dedup_embedding_pairs_allpairs(spark, out).collect()
     assert blocked == allpairs
     assert len(blocked) > 0
+
+
+def test_arrow_topk_bitwise_matches_fold(spark, sf_dir):
+    """brute_force_topk_arrow must reproduce the JVM fold scorer's
+    ranking EXACTLY (same (q_id, vec_id, rnk) rows, same order) — the
+    per-dimension accumulation performs the identical IEEE-754 double
+    operation sequence, so this is a bitwise contract, not a tolerance
+    check (r10: the Arrow twin took over the exact-search hot paths)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        sim.as_double(F.col("embedding")).alias("q_emb"),
+    )
+    fold = sim.brute_force_topk(emb, q, k=7).orderBy("q_id", "rnk").collect()
+    arrow = (
+        sim.brute_force_topk_arrow(emb, q, k=7).orderBy("q_id", "rnk").collect()
+    )
+    assert arrow == fold
