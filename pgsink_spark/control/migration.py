@@ -59,28 +59,40 @@ def _save_jobs(root: str, data: dict) -> None:
     _write_json(os.path.join(root, JOBS_FILE), data)
 
 
+def _jobs_lock(root: str):
+    """The ImportJobStore's own file lock (f"{jobs_path}.lock" —
+    imports/jobs.py:317). Every jobs.json read-modify-write in a
+    migration runs under it so a `migrate` against a LIVE root cannot
+    interleave with a running server's store writes and clobber them
+    (the schema_migrations lock only serializes migrators against each
+    other, not against the store)."""
+    return _flocked(os.path.join(root, f"{JOBS_FILE}.lock"))
+
+
 def _backfill(root: str, key: str, default) -> None:
     """ALTER TABLE import_jobs ADD COLUMN key DEFAULT default — as a
     record backfill. No-op when the store doesn't exist yet or every
     record already carries the key."""
-    data = _load_jobs(root)
-    if data is None:
-        return
-    changed = False
-    for j in data.get("jobs", []):
-        if key not in j:
-            j[key] = default
-            changed = True
-    if changed:
-        _save_jobs(root, data)
+    with _jobs_lock(root):
+        data = _load_jobs(root)
+        if data is None:
+            return
+        changed = False
+        for j in data.get("jobs", []):
+            if key not in j:
+                j[key] = default
+                changed = True
+        if changed:
+            _save_jobs(root, data)
 
 
 def _create_jobs_store(root: str) -> None:
     """CREATE TABLE import_jobs — an empty queue file with the
     ImportJobStore on-disk shape."""
-    path = os.path.join(root, JOBS_FILE)
-    if not os.path.exists(path):
-        _write_json(path, {"next_id": 1, "jobs": []})
+    with _jobs_lock(root):
+        path = os.path.join(root, JOBS_FILE)
+        if not os.path.exists(path):
+            _write_json(path, {"next_id": 1, "jobs": []})
 
 
 # Canonical record shape as of the head of the chain — the reference's
@@ -103,10 +115,15 @@ def _normalize_records(root: str) -> None:
     record into the canonical structure, dropping keys the current
     schema doesn't declare (a column the old build wrote and the new
     build dropped) and stamping required timestamps."""
-    data = _load_jobs(root)
+    with _jobs_lock(root):
+        data = _load_jobs(root)
+        if data is not None:
+            _normalize_locked(data, root)
     if data is None:
         _create_jobs_store(root)
-        return
+
+
+def _normalize_locked(data: dict, root: str) -> None:
     allowed = {
         "id",
         "subscription_id",

@@ -664,10 +664,11 @@ def test_openapi_spec_served_and_matches_client(sf_dir, tmp_path):
         server.stop()
 
 
-def test_status_page_read_only(sf_dir, tmp_path):
+def test_status_page_renders_with_sync_toggle(sf_dir, tmp_path):
     """GET / renders the reference web-SPA analog (control/ui.py): the
-    table list with publication/import badges and the import-jobs
-    table, server-side HTML, no mutation surface."""
+    table list with publication/import badges, the import-jobs table,
+    and per-row sync toggles wired to the goa action endpoints
+    (TableSyncToggle.tsx parity, r9 verdict item 7)."""
     root = str(tmp_path / "state")
     api = make_api(root)
     server = ControlServer(api, lambda: fixture_catalog(sf_dir)).start()
@@ -684,8 +685,11 @@ def test_status_page_read_only(sf_dir, tmp_path):
         assert 'class="badge inactive">inactive' in page
         # the enqueued import job row renders with scheduled status
         assert 'class="badge scheduled">scheduled' in page
-        # READ-ONLY: no form/POST surface in the document
-        assert "<form" not in page and "method=" not in page
+        # sync toggles: active row gets Stop (stop-table), inactive
+        # rows get Sync (add-table), posting to the SPA's endpoints
+        assert 'data-action="stop-table"' in page
+        assert 'data-action="add-table"' in page
+        assert "/api/subscriptions/current/actions/" in page
         # /ui alias serves the same document shape
         with urllib.request.urlopen(f"{base}/ui", timeout=10) as r2:
             assert r2.status == 200
