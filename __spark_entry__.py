@@ -91,8 +91,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r4-vintage rows in their round-4 window order. After this round no
 # green row is older than two rounds registry-wide for the r3 block,
 # and the steady-state rotation (stalest-50 each round) keeps it that
-# way. The 16 youngest r4 rows head _ROUND11_PRIORITY. Growth freeze
-# continues (≤5 new registrations). Rotation ledger: VERIFICATION.md.
+# way. The 16 youngest r4 rows + d3_outer_join_agg head
+# _ROUND11_PRIORITY (d3 gave its r10 slot to the round's one new
+# registration, dedup_embedding_dup_branch — the driver-gate pin for
+# the adaptive collapse's plan-level branch, which the dedup-clean
+# fixture never exercises; windowing it keeps never-checked at ZERO).
+# Growth freeze holds (1 of ≤5 new registrations this round).
+# Rotation ledger: VERIFICATION.md.
 _ROUND10_PRIORITY = [
     # ---- never driver-checked: the round-9 audits (2) ----
     "dedup_cluster_cap_audit",
@@ -146,7 +151,8 @@ _ROUND10_PRIORITY = [
     "d1_filter_pushdown",
     "d2_join_agg_topk",
     "d2b_broadcast_join",
-    "d3_outer_join_agg",
+    # ---- round-10 registration: plan-level collapse branch pin ----
+    "dedup_embedding_dup_branch",
 ]
 
 _ROUND9_PRIORITY = [

@@ -629,7 +629,15 @@ def dedup_embedding_pairs(
     e0 = emb.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("e")
     )
+    return _embedding_pairs_adaptive(spark, e0, threshold)
 
+
+def _embedding_pairs_adaptive(
+    spark: SparkSession, e0: DataFrame, threshold: float
+) -> DataFrame:
+    """Census-gated adaptive core of :func:`dedup_embedding_pairs`,
+    shared with :func:`dedup_embedding_dup_branch` (the driver query
+    that pins the plan-level branch). ``e0`` is (vec_id, label, e)."""
     census = e0.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(F.xxhash64("label", "e")).alias("nd"),
@@ -890,6 +898,62 @@ def dedup_embedding_collapse_audit(
         .cast("long")
         .alias("dup_mass"),
     )
+
+
+@query(
+    "dedup_embedding_dup_branch",
+    """
+    WITH c AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + (SELECT CAST(max(vec_id) + 1 AS BIGINT)
+                       FROM embeddings) AS vec_id,
+             label, embedding
+      FROM embeddings
+    )
+    SELECT a.vec_id AS d1, b.vec_id AS d2
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ORDER BY d1, d2
+    """,
+)
+def dedup_embedding_dup_branch(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Driver-gate pin for the duplicate-heavy PLAN-LEVEL collapse
+    branch of :func:`dedup_embedding_pairs` (r10).
+
+    The adaptive gate's dup branch — the one the 100× probe bound
+    relies on — never runs on the dedup-clean fixture (dup_ratio ≈ 0),
+    so until now its only evidence was a pytest. This query builds a
+    duplicate-heavy corpus IN-PLAN (the embeddings table unioned with
+    an id-shifted copy of itself → dup_ratio = 1/2 > 0.25, far beyond
+    approx_count_distinct's error band) and runs the same adaptive
+    core, forcing the census down the plan-level path: groupBy over
+    full vectors, representative tile search, codegen explode
+    expansion, within-group emission. The DuckDB oracle computes the
+    all-pairs answer over the identically constructed corpus, so a
+    collapse regression (lost within-group pairs, wrong expansion
+    combos, id-ordering mistakes) fails the driver value-hash — the
+    falsifiability instrument for the branch, in the same spirit as
+    dedup_embedding_collapse_audit's census pin.
+
+    The id offset is max(vec_id)+1 computed FROM the data on both
+    engines (one scalar agg each), so the construction never collides
+    at any SF or on key-shifted probe replicas. At sf0.01 the output
+    is exactly 4·|P| + n = 736 rows (P = the 59 base pairs, n = 500
+    norm>0 self-pairs), the closed-form expansion identity.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e0 = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+    off = e0.agg((F.max("vec_id") + 1).cast("long")).head()[0]
+    doubled = e0.unionByName(
+        e0.withColumn("vec_id", (F.col("vec_id") + F.lit(off)).cast("long"))
+    )
+    return _embedding_pairs_adaptive(spark, doubled, threshold)
 
 
 def _recall_gate(
