@@ -375,13 +375,126 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def _make_tile_kernel(threshold: float):
+    """Build the per-tile verify kernel shared by every
+    ``_blocked_tile_pairs`` plan shape (admission-blocked tiles and the
+    single-tile fast path): applyInPandas → NumPy GEMM with the
+    exact-value collapse inlined — np.unique per side, GEMM over
+    distinct vectors, row-local expansion back to id pairs. Each group
+    is one (cell_i × cell_j) tile so peak memory is bounded by the
+    largest admissible tile, not the corpus. Diagonal tiles ship each
+    row once (side 0 only) — the kernel mirrors them."""
+    import numpy as np
+    import pandas as pd
+
+    def _collapse(rows: "pd.DataFrame"):
+        E = np.stack(rows["e"].to_numpy())
+        ids = rows["vec_id"].to_numpy()
+        uniq, inv = np.unique(E, axis=0, return_inverse=True)
+        inv = inv.ravel()  # numpy 2.0 shapes axis-inverse as (n, 1)
+        order = np.argsort(inv, kind="stable")
+        sorted_ids = ids[order]
+        cnt = np.bincount(inv)
+        off = np.concatenate(([0], np.cumsum(cnt)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norms = np.linalg.norm(uniq, axis=1, keepdims=True)
+            U = uniq / norms  # zero-norm rows → NaN → sims NaN → never ≥ t
+        return U, sorted_ids, cnt, off, norms.ravel()
+
+    def _expand(gi, gj, idsA, cntA, offA, idsB, cntB, offB):
+        """All id combos for each qualifying distinct-pair (g, h) —
+        row-local, cost = output size. Fast path when neither side has
+        duplicates (the dedup-clean fixture): pure vectorized gather."""
+        if cntA.max(initial=1) == 1 and cntB.max(initial=1) == 1:
+            a, b = idsA[offA[gi]], idsB[offB[gj]]
+            return [np.minimum(a, b)], [np.maximum(a, b)]
+        d1p, d2p = [], []
+        for g, h in zip(gi, gj):
+            a = np.repeat(idsA[offA[g] : offA[g + 1]], cntB[h])
+            b = np.tile(idsB[offB[h] : offB[h + 1]], cntA[g])
+            d1p.append(np.minimum(a, b))
+            d2p.append(np.maximum(a, b))
+        return d1p, d2p
+
+    def verify_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "d1": pd.Series(dtype="int64"),
+                "d2": pd.Series(dtype="int64"),
+            }
+        )
+        diag = bool(pdf["ca"].iat[0] == pdf["cb"].iat[0])
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = a_rows if diag else pdf[pdf["side"] == 1]
+        if a_rows.empty or b_rows.empty:
+            return empty
+        UA, idsA, cntA, offA, normsA = _collapse(a_rows)
+        d1p, d2p = [], []
+        if diag:
+            S = UA @ UA.T
+            iu, ju = np.triu_indices(len(UA), k=1)
+            q = S[iu, ju] >= threshold
+            gi, gj = iu[q], ju[q]
+            if gi.size:
+                p1, p2 = _expand(gi, gj, idsA, cntA, offA, idsA, cntA, offA)
+                d1p += p1
+                d2p += p2
+            # within-group: bit-identical vectors have cos = 1 ≥ t for
+            # t ≤ 1 unless zero-norm, where the cosine is undefined and
+            # the GEMM path drops it too (NaN comparison)
+            if threshold <= 1.0:
+                for g in np.nonzero((cntA >= 2) & (normsA > 0))[0]:
+                    mem = np.sort(idsA[offA[g] : offA[g + 1]])
+                    ii, jj = np.triu_indices(len(mem), k=1)
+                    d1p.append(mem[ii])
+                    d2p.append(mem[jj])
+        else:
+            UB, idsB, cntB, offB, _ = _collapse(b_rows)
+            S = UA @ UB.T
+            gi, gj = np.nonzero(S >= threshold)
+            if gi.size:
+                p1, p2 = _expand(gi, gj, idsA, cntA, offA, idsB, cntB, offB)
+                d1p += p1
+                d2p += p2
+        if not d1p:
+            return empty
+        return pd.DataFrame(
+            {"d1": np.concatenate(d1p), "d2": np.concatenate(d2p)}
+        )
+
+    return verify_tile
+
+
+#: Single-tile fast-path gate: when the corpus (or its distinct-value
+#: representative set) has at most this many rows, the whole search is
+#: ONE diagonal tile — the n×n similarity matrix is ≤ 8192²·8 B =
+#: 512 MB inside one Arrow task (well under a 4 GB/task budget), and
+#: the cell-stats passes + tile-admission shuffle are pure overhead at
+#: that size (a loose threshold admits every tile anyway, shipping
+#: each row to K copies). Above the gate the triangle-admission
+#: blocked plan is the scale route; the 100× probe replicas exceed the
+#: gate so the blocked path stays probe-exercised.
+SMALL_TILE_MAX_ROWS = 8192
+
+
 def _blocked_tile_pairs(
-    spark: SparkSession, e_rows: DataFrame, threshold: float
+    spark: SparkSession,
+    e_rows: DataFrame,
+    threshold: float,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact blocked cosine-pair search over ``(vec_id, label, e)``
     rows: triangle-inequality cell admission + per-tile NumPy GEMM with
     an in-kernel exact-value collapse. Returns ``(d1, d2)`` id pairs
     (d1 < d2), unordered. Shared by both dedup_embedding_pairs branches.
+
+    ``n_rows`` (when the caller already knows it — the adaptive census
+    does) gates the FAISS-style small-corpus fast path: at or below
+    :data:`SMALL_TILE_MAX_ROWS` the whole corpus is verified as one
+    diagonal tile through the SAME kernel (one group, no cell stats,
+    no admission join), because blocking overhead dominates any corpus
+    that fits a single bounded GEMM. Identical arithmetic either way —
+    the gate steers cost only, never results.
 
     Cell stats are two Arrow-batched mapInPandas partial-aggregate
     passes (the r9 posexplode/higher-order-fold stats pass was
@@ -398,6 +511,24 @@ def _blocked_tile_pairs(
 
     import numpy as np
     import pandas as pd
+
+    verify_tile = _make_tile_kernel(threshold)
+
+    if n_rows is not None and 0 <= n_rows <= SMALL_TILE_MAX_ROWS:
+        # Small-corpus fast path: the whole corpus is ONE diagonal
+        # tile — no cell-stats passes, no admission join, one Arrow
+        # group through the same kernel. Bounded by the gate: the
+        # kernel's S matrix is ≤ 8192²·8 B.
+        tagged = e_rows.select(
+            F.lit(0).alias("ca"),
+            F.lit(0).alias("cb"),
+            "vec_id",
+            "e",
+            F.lit(0).alias("side"),
+        )
+        return tagged.groupBy("ca", "cb").applyInPandas(
+            verify_tile, "d1 long, d2 long"
+        )
 
     def _cent_partials(it):
         for pdf in it:
@@ -477,88 +608,8 @@ def _blocked_tile_pairs(
                 pairs.append((la, lb))
     pairs_df = spark.createDataFrame(pairs, "ca long, cb long")
 
-    # verify kernel: one blocked GEMM per admissible cell pair
-    # (applyInPandas → NumPy matmul, the FAISS-style inner loop) with
-    # the exact-value collapse inlined — np.unique per side, GEMM over
-    # distinct vectors, row-local expansion back to id pairs. Each
-    # group is one (cell_i × cell_j) tile so peak memory is bounded by
-    # the largest admissible tile, not the corpus. Diagonal tiles ship
-    # each row once (side 0 only) — the kernel mirrors them.
-    def _collapse(rows: "pd.DataFrame"):
-        E = np.stack(rows["e"].to_numpy())
-        ids = rows["vec_id"].to_numpy()
-        uniq, inv = np.unique(E, axis=0, return_inverse=True)
-        inv = inv.ravel()  # numpy 2.0 shapes axis-inverse as (n, 1)
-        order = np.argsort(inv, kind="stable")
-        sorted_ids = ids[order]
-        cnt = np.bincount(inv)
-        off = np.concatenate(([0], np.cumsum(cnt)))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            norms = np.linalg.norm(uniq, axis=1, keepdims=True)
-            U = uniq / norms  # zero-norm rows → NaN → sims NaN → never ≥ t
-        return U, sorted_ids, cnt, off, norms.ravel()
-
-    def _expand(gi, gj, idsA, cntA, offA, idsB, cntB, offB):
-        """All id combos for each qualifying distinct-pair (g, h) —
-        row-local, cost = output size. Fast path when neither side has
-        duplicates (the dedup-clean fixture): pure vectorized gather."""
-        if cntA.max(initial=1) == 1 and cntB.max(initial=1) == 1:
-            a, b = idsA[offA[gi]], idsB[offB[gj]]
-            return [np.minimum(a, b)], [np.maximum(a, b)]
-        d1p, d2p = [], []
-        for g, h in zip(gi, gj):
-            a = np.repeat(idsA[offA[g] : offA[g + 1]], cntB[h])
-            b = np.tile(idsB[offB[h] : offB[h + 1]], cntA[g])
-            d1p.append(np.minimum(a, b))
-            d2p.append(np.maximum(a, b))
-        return d1p, d2p
-
-    def verify_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        empty = pd.DataFrame(
-            {
-                "d1": pd.Series(dtype="int64"),
-                "d2": pd.Series(dtype="int64"),
-            }
-        )
-        diag = bool(pdf["ca"].iat[0] == pdf["cb"].iat[0])
-        a_rows = pdf[pdf["side"] == 0]
-        b_rows = a_rows if diag else pdf[pdf["side"] == 1]
-        if a_rows.empty or b_rows.empty:
-            return empty
-        UA, idsA, cntA, offA, normsA = _collapse(a_rows)
-        d1p, d2p = [], []
-        if diag:
-            S = UA @ UA.T
-            iu, ju = np.triu_indices(len(UA), k=1)
-            q = S[iu, ju] >= threshold
-            gi, gj = iu[q], ju[q]
-            if gi.size:
-                p1, p2 = _expand(gi, gj, idsA, cntA, offA, idsA, cntA, offA)
-                d1p += p1
-                d2p += p2
-            # within-group: bit-identical vectors have cos = 1 ≥ t for
-            # t ≤ 1 unless zero-norm, where the cosine is undefined and
-            # the GEMM path drops it too (NaN comparison)
-            if threshold <= 1.0:
-                for g in np.nonzero((cntA >= 2) & (normsA > 0))[0]:
-                    mem = np.sort(idsA[offA[g] : offA[g + 1]])
-                    ii, jj = np.triu_indices(len(mem), k=1)
-                    d1p.append(mem[ii])
-                    d2p.append(mem[jj])
-        else:
-            UB, idsB, cntB, offB, _ = _collapse(b_rows)
-            S = UA @ UB.T
-            gi, gj = np.nonzero(S >= threshold)
-            if gi.size:
-                p1, p2 = _expand(gi, gj, idsA, cntA, offA, idsB, cntB, offB)
-                d1p += p1
-                d2p += p2
-        if not d1p:
-            return empty
-        return pd.DataFrame(
-            {"d1": np.concatenate(d1p), "d2": np.concatenate(d2p)}
-        )
-
+    # verify kernel: one blocked GEMM per admissible cell pair (the
+    # FAISS-style inner loop — see _make_tile_kernel).
     tagged_a = e_rows.join(
         F.broadcast(pairs_df), F.col("label") == F.col("ca")
     ).select("ca", "cb", "vec_id", "e", F.lit(0).alias("side"))
@@ -619,6 +670,18 @@ def dedup_embedding_pairs(
     from the boundary). dedup_embedding_collapse_audit reports the
     exact census behind the gate.
 
+    Tile-granularity gate (r10): the census row count also picks the
+    TILE plan — at ≤ SMALL_TILE_MAX_ROWS rows (or distinct reps, in
+    the dup branch) the whole corpus is ONE diagonal tile through the
+    same kernel (no cell-stats passes, no admission shuffle: blocking
+    a corpus that fits a single bounded GEMM is pure overhead — the
+    FAISS brute-force-under-threshold rule); above it, the
+    triangle-admission blocked plan is the scale route. The probe
+    replicas' value-identical mass collapses BELOW the gate (the
+    probe measures the collapse+single-tile route, the right plan for
+    that corpus); the admission route is pinned exact by a direct
+    parity test (test_admission_blocked_path_is_exact).
+
     Plan shape: cell stats are mapInPandas partial-agg passes; the
     admissible cell-pair list (K² driver-side, K = label count)
     broadcasts; the candidate join is *equi on cell id* — no cartesian
@@ -648,7 +711,9 @@ def _embedding_pairs_adaptive(
     )
 
     if dup_ratio <= 0.25:
-        return _blocked_tile_pairs(spark, e0, threshold).orderBy("d1", "d2")
+        return _blocked_tile_pairs(
+            spark, e0, threshold, n_rows=n_rows
+        ).orderBy("d1", "d2")
 
     # plan-level collapse: gid = min vec_id of the value-group, ids =
     # the sorted member list (array width bounded by the corpus' max
@@ -664,7 +729,12 @@ def _embedding_pairs_adaptive(
         .localCheckpoint(eager=True)
     )
     reps = groups.select(F.col("gid").alias("vec_id"), "label", "e")
-    rep_pairs = _blocked_tile_pairs(spark, reps, threshold)
+    # the approx-distinct estimate (±2%) is the rep count — good
+    # enough for the single-tile cost gate, which steers plan shape
+    # only, never results
+    rep_pairs = _blocked_tile_pairs(
+        spark, reps, threshold, n_rows=int(census["nd"] or 0)
+    )
 
     # expansion back to vec_id pairs — cost = output size. Cross-group:
     # every id combo of a qualifying representative pair qualifies

@@ -88,6 +88,42 @@ def test_blocked_embedding_dedup_is_exact(spark, sf_dir):
     assert len(blocked) > 0
 
 
+def test_admission_blocked_path_is_exact(spark, sf_dir):
+    """The triangle-admission BLOCKED plan (the >SMALL_TILE_MAX_ROWS
+    scale route) must reproduce the all-pairs result exactly. Called
+    directly with n_rows=None because every fixture corpus — and the
+    probe replicas after their value-identical mass collapses — sits
+    under the single-tile gate, so nothing else exercises admission."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e0 = emb.select(
+        "vec_id", "label", sim.as_double(F.col("embedding")).alias("e")
+    )
+    blocked = (
+        sim._blocked_tile_pairs(spark, e0, 0.4).orderBy("d1", "d2").collect()
+    )
+    allpairs = sim.dedup_embedding_pairs_allpairs(spark, sf_dir).collect()
+    assert blocked == allpairs
+    assert len(blocked) > 0
+
+
+def test_single_tile_gate_picks_fast_path(spark, sf_dir):
+    """Under the gate the plan is ONE applyInPandas with no admission
+    join (no BroadcastHashJoin feeding it); over the gate (n_rows
+    above SMALL_TILE_MAX_ROWS) the admission join appears."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e0 = emb.select(
+        "vec_id", "label", sim.as_double(F.col("embedding")).alias("e")
+    )
+    fast = sim._blocked_tile_pairs(spark, e0, 0.4, n_rows=100)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in fast_plan
+    slow = sim._blocked_tile_pairs(
+        spark, e0, 0.4, n_rows=sim.SMALL_TILE_MAX_ROWS + 1
+    )
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in slow_plan
+
+
 def test_blocked_embedding_dedup_plan_has_no_cross_product(spark, sf_dir):
     df = sim.dedup_embedding_pairs(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
