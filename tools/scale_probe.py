@@ -197,6 +197,7 @@ PROBES = [
     "dedup_cluster_cap_audit",
     "dedup_embedding_pairs",
     "dedup_embedding_collapse_audit",
+    "dedup_embedding_dup_branch",
     "dedup_simhash_pairs",
     "text_fingerprint",
     "d20_similarity_topk",
