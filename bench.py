@@ -285,6 +285,8 @@ HEADLINE = [
     # round-9 additions (cap/collapse truncation censuses)
     "dedup_cluster_cap_audit",
     "dedup_embedding_collapse_audit",
+    # round-10 addition (plan-level collapse branch driver pin)
+    "dedup_embedding_dup_branch",
 ]
 
 # Round-over-round regression gate: compare per-query times against the
