@@ -313,6 +313,15 @@ BASELINE_FILE = os.path.join(
 # not captured, so the RAW ratio is always reported alongside.
 CALIBRATION_REF_S = 0.0915
 
+# Reference for the shuffle calibration axis (_calibrate_shuffle):
+# idle steady-state on this host class, 2026-08-17 (warm repeats
+# 0.236-0.322 s; fresh-JVM min-of-2 as the probe actually runs lands
+# 0.3-0.5 s on a healthy sweep). Attribution-only — a group whose
+# shuffle_s sits well above this band while calibration_s is quiet is
+# paying exchange-side steal (shuffle files / page cache / executor
+# threads), the drift mode the CPU fold cannot see.
+SHUFFLE_REF_S = 0.30
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -437,8 +446,37 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
+    # Fourth calibration axis (r10): a fixed data-independent SHUFFLE.
+    # The round-10 forensics found the missing case the first two axes
+    # cannot see: a sweep where the CPU fold is FAST (host_factor
+    # 0.96) and per-job overhead is quiet, yet every shuffle-heavy
+    # query — untouched code — sits uniformly at 1.3-1.8x. Exchange
+    # write/read goes through shuffle files, page cache, and executor
+    # threads that co-tenant IO steals without touching a
+    # cache-resident arithmetic fold. This probe pays one real
+    # 2-stage exchange (1M rows, 8 partitions; ~0.48 s quiet on this
+    # host class) per session group; min-of-2 so the fresh JVM's plan
+    # compile on the first run never counts. Attribution-only, like
+    # the overhead axis: the RAW ratio is never adjusted by it.
+    def _calibrate_shuffle(s) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            (
+                s.range(1_000_000)
+                .selectExpr("id % 8192 AS k")
+                .repartition(8, "k")
+                .groupBy("k")
+                .count()
+                .selectExpr("sum(count) AS s")
+                .collect()
+            )
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     calibration_s = _calibrate(spark)
     calibration_overhead_s = _calibrate_overhead(spark)
+    calibration_shuffle_s = _calibrate_shuffle(spark)
 
     # Third calibration axis (r9 verdict item 3): the same two probes
     # PER SESSION GROUP, not just once at sweep start. The r9 driver
@@ -455,6 +493,7 @@ def main() -> None:
             "first_query": headline[0] if headline else None,
             "calibration_s": calibration_s,
             "overhead_s": calibration_overhead_s,
+            "shuffle_s": calibration_shuffle_s,
         }
     ]
 
@@ -535,6 +574,7 @@ def main() -> None:
                     "first_query": group[0],
                     "calibration_s": _calibrate(spark),
                     "overhead_s": _calibrate_overhead(spark),
+                    "shuffle_s": _calibrate_shuffle(spark),
                 }
             )
         for name in group:
@@ -612,7 +652,9 @@ def main() -> None:
         "warm_untimed_s": round(warm_untimed_s[0], 3),
         "calibration_s": calibration_s,
         "calibration_overhead_s": calibration_overhead_s,
+        "calibration_shuffle_s": calibration_shuffle_s,
         "calibration_ref_s": CALIBRATION_REF_S,
+        "calibration_shuffle_ref_s": SHUFFLE_REF_S,
         "n_common_with_baseline": len(common),
         "regressions": regressions,
         "group_axes": group_axes,
@@ -652,10 +694,12 @@ def main() -> None:
                 "warm_untimed_s": round(warm_untimed_s[0], 3),
                 "calibration_s": calibration_s,
                 "calibration_overhead_s": calibration_overhead_s,
+                "calibration_shuffle_s": calibration_shuffle_s,
                 "group_calibration_s": [
                     g["calibration_s"] for g in group_axes
                 ],
                 "group_overhead_s": [g["overhead_s"] for g in group_axes],
+                "group_shuffle_s": [g["shuffle_s"] for g in group_axes],
                 "queries": slowest,
                 "worst_vs_baseline": worst_ratio,
                 "regressions": regressions,
