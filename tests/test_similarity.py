@@ -321,6 +321,69 @@ def test_embedding_pairs_dup_branch_matches_allpairs(spark, sf_dir, tmp_path):
     assert len(blocked) > 0
 
 
+def test_adaptive_pairs_randomized_all_paths(spark):
+    """Seeded randomized corpora (duplicate mass, multiple labels,
+    near-duplicate noise) through every plan shape — the adaptive core
+    (census picks the branch), the single-tile fast path, and the
+    admission-blocked plan forced directly — against a NumPy
+    brute-force oracle. The threshold is re-chosen per corpus as the
+    midpoint of a wide gap in the similarity distribution so BLAS
+    blocking-order ULP differences can never flip membership."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for case in range(3):
+        n, d, k, nbase = 120, 8, 3, 30
+        base = rng.normal(size=(nbase, d))
+        rows = []
+        for vid in range(n):
+            v = base[rng.integers(0, nbase)]
+            if rng.random() < 0.5:  # exact duplicate mass
+                vec = v
+            else:
+                vec = v + rng.normal(scale=0.05, size=d)
+            rows.append(
+                (
+                    vid,
+                    int(rng.integers(0, k)),
+                    [float(x) for x in vec],
+                )
+            )
+        E = np.array([r[2] for r in rows])
+        U = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sims = (U @ U.T)[np.triu_indices(n, k=1)]
+        # pick t inside the widest gap of the mid-range sim values
+        s = np.unique(np.sort(sims))
+        mid = s[(s > 0.1) & (s < 0.95)]
+        gaps = np.diff(mid)
+        gi = int(np.argmax(gaps))
+        assert gaps[gi] > 1e-6
+        t = float((mid[gi] + mid[gi + 1]) / 2)
+        iu, ju = np.triu_indices(n, k=1)
+        expected = sorted(
+            (int(i), int(j))
+            for i, j, sv in zip(iu, ju, sims)
+            if sv >= t
+        )
+        df = spark.createDataFrame(
+            rows, "vec_id long, label long, e array<double>"
+        )
+        got = sim._embedding_pairs_adaptive(spark, df, t).collect()
+        assert [(r.d1, r.d2) for r in got] == expected, f"adaptive case {case}"
+        forced_small = (
+            sim._blocked_tile_pairs(spark, df, t, n_rows=n)
+            .orderBy("d1", "d2")
+            .collect()
+        )
+        assert [(r.d1, r.d2) for r in forced_small] == expected
+        forced_admission = (
+            sim._blocked_tile_pairs(spark, df, t)
+            .orderBy("d1", "d2")
+            .collect()
+        )
+        assert [(r.d1, r.d2) for r in forced_admission] == expected
+
+
 def test_arrow_topk_bitwise_matches_fold(spark, sf_dir):
     """brute_force_topk_arrow must reproduce the JVM fold scorer's
     ranking EXACTLY (same (q_id, vec_id, rnk) rows, same order) — the
