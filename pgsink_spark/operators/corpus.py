@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pgsink_spark.operators.relational import query, rnd
+from pgsink_spark.operators.relational import query, rnd, sorted_vocab_hapax
 from pgsink_spark.sources.fixtures import load_table
 
 SEG_WORDS = 10
@@ -639,39 +639,41 @@ def quality_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere. The three rank frames re-join on doc_id (same key →
     one exchange reused), and the top-20 cut is TakeOrdered.
     """
-    from pgsink_spark.operators.ranking import bucket_offsets, ordered_bucket
+    from pgsink_spark.operators.ranking import (
+        bucket_offsets,
+        multi_bucket_counts,
+        multi_ordered_buckets,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.lower("text"), " ")
-    sw = F.array_sort(w)
-    hapax = F.size(
-        F.filter(
-            sw,
-            lambda x, i: ~x.eqNullSafe(F.get(sw, i - 1))
-            & ~x.eqNullSafe(F.get(sw, i + 1)),
-        )
-    )
+    # vocab + hapax in ONE linear fold over the sorted array (r10: the
+    # neighbor-lambda formulation re-evaluated the captured sort per
+    # element — see relational.sorted_vocab_hapax)
+    vh = sorted_vocab_hapax(F.array_sort(w))
     base = docs.select(
         "doc_id",
         F.col("n_chars").alias("s_len"),
-        F.size(F.array_distinct(w)).cast("long").alias("s_vocab"),
-        hapax.cast("long").alias("s_hapax"),
+        vh["vocab"].cast("long").alias("s_vocab"),
+        vh["hapax"].cast("long").alias("s_hapax"),
     ).localCheckpoint(eager=True)
 
-    def global_rank(cname: str, rname: str) -> DataFrame:
-        # descending rank == ascending rank of the NEGATED signal
-        part = base.withColumn(
-            "bucket", ordered_bucket(base, -F.col(cname), BORDA_BUCKETS)
-        )
-        counts = {
-            r["bucket"]: r["cnt"]
-            for r in part.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-        off, _n = bucket_offsets(part, counts)
+    # r10: ONE min/max job + ONE bucket-census job for all three
+    # signals (was one of each per signal — 6 driver round-trips over
+    # the checkpointed base); identical boundaries and counts, so
+    # every rank is unchanged. Descending rank == ascending rank of
+    # the NEGATED signal.
+    signals = ["s_len", "s_vocab", "s_hapax"]
+    buckets = multi_ordered_buckets(
+        base, [-F.col(c) for c in signals], BORDA_BUCKETS
+    )
+    counts = multi_bucket_counts(base, buckets)
+
+    def global_rank(i: int, rname: str) -> DataFrame:
+        part = base.withColumn("bucket", buckets[i])
+        off, _n = bucket_offsets(part, counts[i])
         wloc = Window.partitionBy("bucket").orderBy(
-            F.col(cname).desc(), "doc_id"
+            F.col(signals[i]).desc(), "doc_id"
         )
         return part.select(
             "doc_id",
@@ -679,9 +681,9 @@ def quality_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     fused = (
-        global_rank("s_len", "r_len")
-        .join(global_rank("s_vocab", "r_vocab"), "doc_id")
-        .join(global_rank("s_hapax", "r_hapax"), "doc_id")
+        global_rank(0, "r_len")
+        .join(global_rank(1, "r_vocab"), "doc_id")
+        .join(global_rank(2, "r_hapax"), "doc_id")
         .select(
             "doc_id",
             "r_len",

@@ -1052,20 +1052,30 @@ def dedup_dupfrac_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
     ).where(F.size("w") >= n)
-    idx = ", ".join(f"w[i+{j}]" for j in range(n))
+    # r10: hashed gram keys — the exchange and the flag join move
+    # 8-byte ints instead of materialized 5-gram strings, and each
+    # token is hashed once instead of concatenated into 5 overlapping
+    # grams (guide §2.3; same hashing convention and collision
+    # argument as the Jaccard path, oracle-verified at all SFs)
+    slots = ", ".join(f"hw[i+{j}]" for j in range(n))
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, size(w)-{n}),"
-                f" i -> concat_ws(' ', {idx}))"
+                "transform(array(transform(w, t -> xxhash64(t))),"
+                f" hw -> transform(sequence(0, size(hw)-{n}),"
+                f" i -> xxhash64({slots})))[0]"
             )
         ).alias("g"),
     )
+    # r10: "seen in >1 distinct doc" == min(doc_id) != max(doc_id) —
+    # a plain two-long partial agg instead of countDistinct's
+    # Expand + two-phase distinct aggregation (guide §2.3: aggregate
+    # before you shuffle; identical dup set)
     dup = (
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("c"))
-        .where(F.col("c") > 1)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
         .select("g")
     )
     flagged = grams.join(dup.withColumn("is_dup", F.lit(1.0)), "g", "left")
@@ -1146,20 +1156,30 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
     ).where(F.size("w") >= n)
-    idx = ", ".join(f"w[i+{j}]" for j in range(n))
+    # r10: gram key = xxhash64 combine of per-token hashes (the
+    # doc_shingle_sets trick) instead of the materialized 5-gram
+    # STRING — the gram-keyed exchange and the dup-flag join now move
+    # 8-byte ints, not ~40-byte strings, and each token is hashed once
+    # instead of concatenated into 5 overlapping grams (guide §2.3:
+    # narrower shuffle keys). Dup semantics survive hashing exactly as
+    # in the Jaccard path (collision odds ≈ |grams|²/2⁶⁴; oracle
+    # equality verified at all three SFs).
+    slots = ", ".join(f"hw[i+{j}]" for j in range(n))
     grams = toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, size(w)-{n}),"
-                f" i -> concat_ws(' ', {idx}))"
+                "transform(array(transform(w, t -> xxhash64(t))),"
+                f" hw -> transform(sequence(0, size(hw)-{n}),"
+                f" i -> xxhash64({slots})))[0]"
             )
         ).alias("i", "g"),
     )
+    # r10: min != max replaces countDistinct > 1 (see dupfrac above)
     dup = (
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("c"))
-        .where(F.col("c") > 1)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
         .select("g")
     )
     pos = grams.join(dup, "g").select("doc_id", "i")
@@ -1491,48 +1511,47 @@ def _blocked_head_candidates(docs: DataFrame) -> DataFrame:
         F.row_number().over(W.partitionBy("blk").orderBy("h", "doc_id")),
     ).withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("blk")))
 
-    small = k2.where(F.col("cnt") <= LINKAGE_BLOCK_CAP)
-    a = small.select(
-        F.col("doc_id").alias("d1"), F.col("h").alias("h1"), "blk"
-    )
-    b = small.select(
-        F.col("doc_id").alias("d2"), F.col("h").alias("h2"), "blk"
-    )
-    pairs_small = (
-        a.join(b, "blk")
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "h1", "d2", "h2")
-    )
-
-    big = k2.where(F.col("cnt") > LINKAGE_BLOCK_CAP)
+    # r10 optimization: the previous small/big branch pair consumed k2
+    # twice — TWO full block-window passes plus a cnt² self-join for
+    # small blocks. One rank-explode covers BOTH regimes: a small
+    # block's "all pairs" is exactly the rank window widened to the
+    # whole block (hi = cnt), a hot block keeps the sorted-
+    # neighborhood cap (hi = r + W). Each unordered pair is emitted
+    # once (by its lower-rank member), identical to the old set; d1/d2
+    # normalize by doc_id and h1/h2 stay rank-associated, which the
+    # symmetric verify kernels (JW, Levenshtein) are insensitive to —
+    # the same freedom the old pairs_big already used.
     # r < cnt guard: F.sequence REVERSES when start > stop, so the
-    # block's last rank would otherwise emit a self-pair
-    probe = big.where(F.col("r") < F.col("cnt")).select(
+    # block's last rank would otherwise emit a self-pair.
+    probe = k2.where(F.col("r") < F.col("cnt")).select(
         "blk",
         "doc_id",
         "h",
         F.explode(
             F.sequence(
                 F.col("r") + 1,
-                F.least(
-                    F.col("r") + LINKAGE_SNM_WINDOW, F.col("cnt")
+                F.when(
+                    F.col("cnt") <= LINKAGE_BLOCK_CAP, F.col("cnt")
+                ).otherwise(
+                    F.least(
+                        F.col("r") + LINKAGE_SNM_WINDOW, F.col("cnt")
+                    )
                 ),
             )
         ).alias("r2"),
     )
-    match = big.select(
+    match = k2.select(
         "blk",
         F.col("r").alias("r2"),
         F.col("doc_id").alias("dj"),
         F.col("h").alias("hj"),
     )
-    pairs_big = probe.join(match, ["blk", "r2"]).select(
+    return probe.join(match, ["blk", "r2"]).select(
         F.least("doc_id", "dj").alias("d1"),
         F.col("h").alias("h1"),
         F.greatest("doc_id", "dj").alias("d2"),
         F.col("hj").alias("h2"),
     )
-    return pairs_small.unionByName(pairs_big)
 
 
 @query(
@@ -1896,12 +1915,33 @@ def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import pandas_udf
 
+    # r10 optimization (guide §4.2 — hand whole batches to a
+    # vectorized native library inside the UDF): the per-pair
+    # interpreted-Python kernel (_jaro_winkler_py, ~1k char ops per
+    # pair) is replaced by DuckDB's native jaro_winkler_similarity
+    # over the whole Arrow batch. DuckDB is the ORACLE engine for this
+    # query, and _jaro_winkler_py was written to be bit-identical to
+    # it (docstring above; test_jaro_winkler_kernel_matches_duckdb
+    # pins the parity), so the scores are identical by construction.
+    # threads=1
+    # keeps the embedded engine from oversubscribing executor cores,
+    # and the explicit idx ORDER BY pins output order to input order.
     @pandas_udf("double")
     def jw_udf(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_jaro_winkler_py(a, b) for a, b in zip(h1, h2)],
-            dtype="float64",
+        import duckdb  # noqa: PLC0415
+
+        con = duckdb.connect()
+        con.execute("PRAGMA threads=1")
+        batch = pd.DataFrame(
+            {"idx": range(len(h1)), "h1": h1.values, "h2": h2.values}
         )
+        con.register("batch", batch)
+        out = con.execute(
+            "SELECT jaro_winkler_similarity(h1, h2) AS jw"
+            " FROM batch ORDER BY idx"
+        ).fetchnumpy()["jw"]
+        con.close()
+        return pd.Series(out, dtype="float64")
 
     cand = _blocked_head_candidates(
         load_table(spark, sf_dir, "documents")
@@ -2415,35 +2455,44 @@ def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
         .localCheckpoint(eager=True)
     )
-    sigs = minhash_signatures(sets).persist()
+    sigs = minhash_signatures(sets)
     n_exact = exact.count()
+    # r10 optimization (guide §1.2 step 1 — don't build what you only
+    # probe): recall hits per config = |exact ∩ candidates|, and
+    # whether an EXACT pair is a candidate at (b, r) is a row-local
+    # predicate on its two signatures (∃ aligned band with all r
+    # components equal). So instead of materializing each config's
+    # full candidate set (4× explode + bucket self-join + distinct +
+    # semi-join count over the corpus), join the SMALL exact-pair
+    # frame to the signature table twice and fold all four configs'
+    # hit counts in ONE aggregate. Candidate-set membership is
+    # identical (the old bkey join matched xxhash64(band, comps...)
+    # equality = component equality modulo hash collisions; oracle
+    # equality re-verified at all three SFs), and monotonicity still
+    # follows from the aligned-prefix band construction.
+    s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("sig").alias("g1"))
+    s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("sig").alias("g2"))
+    pair_sigs = exact.join(s1, "d1").join(s2, "d2")
+    aggs = []
+    for b, r in LSH_CURVE_CONFIGS:
+        collide = F.lit(False)
+        for band in range(b):
+            band_eq = F.lit(True)
+            for j in range(r):
+                k = band * r + j
+                band_eq = band_eq & (
+                    F.col("g1")[k] == F.col("g2")[k]
+                )
+            collide = collide | band_eq
+        aggs.append(
+            F.sum(collide.cast("long")).alias(f"h{b}")
+        )
+    hit_row = pair_sigs.agg(*aggs).collect()[0] if n_exact else None
     rows = []
     prev_hits = -1
     monotone = True
     for b, r in LSH_CURVE_CONFIGS:
-        keys = sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.lit(band),
-                            *[F.col("sig")[band * r + j] for j in range(r)],
-                        )
-                        for band in range(b)
-                    ]
-                )
-            ).alias("bkey"),
-        )
-        a = keys.select(F.col("doc_id").alias("d1"), "bkey")
-        bb = keys.select(F.col("doc_id").alias("d2"), "bkey")
-        cand = (
-            a.join(bb, "bkey")
-            .where(F.col("d1") < F.col("d2"))
-            .select("d1", "d2")
-            .distinct()
-        )
-        hits = exact.join(cand, ["d1", "d2"], "left_semi").count()
+        hits = int(hit_row[f"h{b}"] or 0) if hit_row is not None else 0
         monotone = monotone and hits >= prev_hits
         prev_hits = hits
         floor_ok = (
@@ -2451,7 +2500,6 @@ def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             or 1_000_000 * hits // n_exact >= LSH_CURVE_FLOORS_PPM[b]
         )
         rows.append((b, r, n_exact, monotone, floor_ok))
-    sigs.unpersist()
     sets.unpersist()
     return spark.createDataFrame(
         rows,

@@ -349,6 +349,61 @@ def _register_curate_pack():
 pipeline_curate_pack = _register_curate_pack()
 
 
+def _cdc_chunk_stream(batches):
+    """mapInPandas kernel for chunk_cdc_rolling: per document, the
+    w=8 / mod-64 content-defined cut positions by a vectorized
+    sliding-window polynomial hash, then one md5 per chunk.
+
+    H_i (1-based char position i ≥ 8) = Σ_{j=0}^{7} 31^j · c_{i-j}
+    mod 65536, computed as windows · [31^7..31^0 mod 65536]; a cut
+    falls after every position with H_i % 64 == 0. Identical to the
+    previous JVM fold (which maintained H incrementally with the
+    31^8 ≡ 28417 removal term) and to the DuckDB oracle's Σ-form.
+    """
+    import hashlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from numpy.lib.stride_tricks import sliding_window_view  # noqa: PLC0415
+
+    # coefficient for window slot j (chars i-7..i) is 31^(7-j) mod 2^16
+    pow_mod = np.array(
+        [11487, 15169, 55455, 6017, 29791, 961, 31, 1], dtype=np.int64
+    )
+    for pdf in batches:
+        out_ids: list[int] = []
+        out_hs: list[str] = []
+        for doc_id, text in zip(
+            pdf["doc_id"].tolist(), pdf["text"].tolist()
+        ):
+            n = len(text)
+            codes = np.frombuffer(
+                text.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            if n >= 8:
+                h = (sliding_window_view(codes, 8) @ pow_mod) % 65536
+                cuts = np.nonzero(h % 64 == 0)[0] + 8  # 1-based ends
+            else:
+                cuts = ()
+            start = 1
+            for i in cuts:
+                out_ids.append(doc_id)
+                out_hs.append(
+                    hashlib.md5(
+                        text[start - 1 : i].encode("utf-8")
+                    ).hexdigest()
+                )
+                start = int(i) + 1
+            if start <= n:
+                out_ids.append(doc_id)
+                out_hs.append(
+                    hashlib.md5(
+                        text[start - 1 :].encode("utf-8")
+                    ).hexdigest()
+                )
+        yield pd.DataFrame({"doc_id": out_ids, "h": out_hs})
+
+
 @query(
     "chunk_cdc_rolling",
     """
@@ -418,68 +473,34 @@ def chunk_cdc_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.length("text") >= 8
     )
-    # ONE sequential aggregate pass per row emits the chunk-hash list
-    # directly: the accumulator carries (last-8 window, rolling hash,
-    # current chunk start, emitted hashes) and each character costs
-    # O(1) — H_i = (c_i + 31*H_{i-1} - c_{i-8}*31^8) mod 2^16, the
-    # standard modular-removal recurrence; on a boundary the chunk
-    # md5 is appended and the start advances. Emitting the final list
-    # from a single expression matters twice over: (a) a naive
-    # transform-over-positions with element_at random access gets its
-    # O(n) codes array INLINED by CollapseProject, turning the row
-    # into O(n^2*w) string scans (measured: minutes), and (b) any
-    # split of boundaries/spans across projections re-evaluates the
-    # whole pass per consumer. The repartition spreads rows across
-    # cores — the fixture is one parquet file, and a single 2.7M-step
-    # interpreted task would serialize the whole stage (at 100 TB the
-    # file count provides this parallelism for free).
-    _CHUNKS = (
-        "aggregate(sequence(1, length(text)), "
-        "named_struct("
-        "  'win', cast(array() as array<bigint>), "
-        "  'h', 0L, "
-        "  'start', 1, "
-        "  'hs', cast(array() as array<string>)), "
-        "(acc, i) -> "
-        "  named_struct("
-        "    'win', if(size(acc.win) == 8, "
-        "      concat(slice(acc.win, 2, 7), "
-        "             array(cast(ascii(substring(text, i, 1)) as bigint))), "
-        "      concat(acc.win, "
-        "             array(cast(ascii(substring(text, i, 1)) as bigint)))), "
-        "    'h', pmod(cast(ascii(substring(text, i, 1)) as bigint) "
-        "         + 31L * acc.h "
-        "         - if(size(acc.win) == 8, "
-        "              element_at(acc.win, 1) * 28417L, 0L), 65536L), "
-        "    'start', if(size(acc.win) >= 7 and "
-        "      pmod(pmod(cast(ascii(substring(text, i, 1)) as bigint) "
-        "           + 31L * acc.h "
-        "           - if(size(acc.win) == 8, "
-        "                element_at(acc.win, 1) * 28417L, 0L), 65536L), "
-        "           64L) = 0L, "
-        "      i + 1, acc.start), "
-        "    'hs', if(size(acc.win) >= 7 and "
-        "      pmod(pmod(cast(ascii(substring(text, i, 1)) as bigint) "
-        "           + 31L * acc.h "
-        "           - if(size(acc.win) == 8, "
-        "                element_at(acc.win, 1) * 28417L, 0L), 65536L), "
-        "           64L) = 0L, "
-        "      concat(acc.hs, "
-        "             array(md5(substring(text, acc.start, "
-        "                       i - acc.start + 1)))), "
-        "      acc.hs)), "
-        "acc -> if(acc.start <= length(text), "
-        "  concat(acc.hs, array(md5(substring(text, acc.start, "
-        "         length(text) - acc.start + 1)))), acc.hs))"
-    )
+    # r10 optimization (guide §4.2 — batch native kernels beat
+    # interpreted expression trees): the previous implementation ran
+    # the rolling-hash recurrence as ONE giant interpreted
+    # higher-order aggregate — per character it allocated a new
+    # 8-element window array (concat/slice) and re-scanned the string
+    # (substring(text, i, 1) is O(i) on UTF8String), ~2.5 s at sf0.1.
+    # The boundary rule only depends on the hash of the trailing
+    # 8-char window — H_i = Σ_{j=0..7} 31^j·c_{i-j} mod 2^16, the
+    # closed form of the add/remove recurrence (31^8 ≡ 28417) — so
+    # cuts are INDEPENDENT of chunk starts and the whole per-document
+    # pass vectorizes: one sliding-window dot product mod 65536 in
+    # NumPy (codepoints via utf-32-le, exactly both engines' ascii()),
+    # then md5 per resulting chunk. Same cuts, same hashes — the
+    # DuckDB oracle (list_transform Σ-form above) is literally this
+    # formula. The repartition spreads rows across cores — the fixture
+    # is one parquet file (at 100 TB the file count provides this
+    # parallelism for free).
     chunks = (
         docs.repartition(32)
-        .select("doc_id", F.explode(F.expr(_CHUNKS)).alias("h"))
+        .select("doc_id", "text")
+        .mapInPandas(_cdc_chunk_stream, "doc_id long, h string")
     )
+    # r10: "chunk seen in >1 distinct doc" == min(doc_id) != max —
+    # a two-long partial agg instead of the distinct aggregation
     dup = (
         chunks.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("cd"))
-        .where(F.col("cd") > 1)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
         .select("h")
     )
     return (

@@ -42,6 +42,64 @@ def ordered_bucket(df: DataFrame, key: Column, n_buckets: int) -> Column:
     ).cast("int")
 
 
+def multi_ordered_buckets(
+    df: DataFrame, keys: list[Column], n_buckets: int
+) -> list[Column]:
+    """``ordered_bucket`` for SEVERAL keys with ONE min/max job
+    (r10 optimization: the multi-signal rank consumers — Borda fusion,
+    RFM — previously paid one driver round-trip per signal). The
+    per-key boundary arithmetic is bit-identical to ordered_bucket, so
+    the produced bucket ids (and every downstream rank) are unchanged."""
+    aggs = []
+    for i, k in enumerate(keys):
+        aggs.append(F.min(k).cast("double").alias(f"mn{i}"))
+        aggs.append(F.max(k).cast("double").alias(f"mx{i}"))
+    stats = df.agg(*aggs).collect()[0]
+    cols: list[Column] = []
+    for i, k in enumerate(keys):
+        mn, mx = float(stats[f"mn{i}"]), float(stats[f"mx{i}"])
+        if mx <= mn:
+            cols.append(F.lit(0))
+            continue
+        width = (mx - mn) / n_buckets
+        cols.append(
+            F.least(
+                F.floor((k.cast("double") - F.lit(mn)) / F.lit(width)),
+                F.lit(n_buckets - 1),
+            ).cast("int")
+        )
+    return cols
+
+
+def multi_bucket_counts(
+    df: DataFrame, bucket_cols: list[Column]
+) -> list[dict[int, int]]:
+    """Per-bucket counts for SEVERAL bucket columns in ONE job: each
+    row contributes one (signal, bucket) struct per column via a
+    row-local explode, and a single (signal, bucket)-keyed partial agg
+    collects all census maps at once. Identical counts to running
+    groupBy('bucket') per column."""
+    ex = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("sig"), b.alias("bucket"))
+                for i, b in enumerate(bucket_cols)
+            ]
+        )
+    ).alias("sb")
+    rows = (
+        df.select(ex)
+        .select("sb.sig", "sb.bucket")
+        .groupBy("sig", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    out: list[dict[int, int]] = [{} for _ in bucket_cols]
+    for r in rows:
+        out[r["sig"]][r["bucket"]] = r["cnt"]
+    return out
+
+
 def bucket_offsets(
     bucketed: DataFrame, counts: dict[int, int]
 ) -> tuple[Column, int]:

@@ -3487,37 +3487,58 @@ def d74_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
+    # r10 optimization (guide §4.5 / §2.3): the previous
+    # groupBy("user_id").applyInPandas paid per-GROUP machinery — one
+    # pandas frame build + sort_values per user, 1500 groups at sf0.1
+    # (an EMPTY per-group fold alone measured 2.0 s of the query's
+    # 5.4 s). The fold is the same sequential per-user recurrence, but
+    # run as ONE mapInPandas pass over user-hash-partitioned,
+    # partition-sorted rows: Spark's JVM sort replaces 1500 pandas
+    # sorts, and per-user state (one float) is carried across Arrow
+    # batch boundaries — a user's rows are contiguous within its
+    # partition, so a (uid != prev) transition is exactly a group
+    # boundary. Arithmetic is the identical left-to-right Python float
+    # sequence (tolist() round-trips float64 bit-exactly), so the
+    # driver hash is unchanged.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .repartition(F.col("user_id"))
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select("user_id", "event_id", "value")
     )
 
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def fold_stream(batches):
         from decimal import ROUND_HALF_UP, Decimal
 
-        order = pdf.sort_values(["ts", "event_id"])
-        out_uid, out_eid, out_s = [], [], []
+        cur_uid = None
         s = 0.0
-        for uid, eid, v in zip(
-            order["user_id"], order["event_id"], order["value"]
-        ):
-            s = max(0.0, s + float(v) - CUSUM_K)
-            if s > CUSUM_H:
-                d = Decimal(repr(s)).quantize(
-                    Decimal("0.000001"), rounding=ROUND_HALF_UP
-                ).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
-                out_uid.append(int(uid))
-                out_eid.append(int(eid))
-                out_s.append(float(d))
-                s = 0.0  # reset after an alarm, matching the oracle
-        return pd.DataFrame(
-            {"user_id": out_uid, "event_id": out_eid, "s": out_s}
-        )
+        for pdf in batches:
+            out_uid, out_eid, out_s = [], [], []
+            for uid, eid, v in zip(
+                pdf["user_id"].tolist(),
+                pdf["event_id"].tolist(),
+                pdf["value"].tolist(),
+            ):
+                if uid != cur_uid:
+                    cur_uid = uid
+                    s = 0.0
+                s = max(0.0, s + v - CUSUM_K)
+                if s > CUSUM_H:
+                    d = Decimal(repr(s)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    ).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+                    out_uid.append(uid)
+                    out_eid.append(eid)
+                    out_s.append(float(d))
+                    s = 0.0  # reset after an alarm, matching the oracle
+            yield pd.DataFrame(
+                {"user_id": out_uid, "event_id": out_eid, "s": out_s}
+            )
 
-    return (
-        ev.groupBy("user_id")
-        .applyInPandas(fold, "user_id long, event_id long, s double")
-        .orderBy("user_id", "event_id")
-    )
+    return ev.mapInPandas(
+        fold_stream, "user_id long, event_id long, s double"
+    ).orderBy("user_id", "event_id")
 
 
 @query(
@@ -5142,6 +5163,58 @@ def d89_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def sorted_vocab_hapax(sorted_words: Column) -> Column:
+    """``struct(vocab, hapax)`` of a SORTED word array in ONE linear
+    fold (r10 optimization).
+
+    The previous neighbor formulation —
+    ``size(filter(sw, (x, i) -> x != get(sw, i-1) && x != get(sw, i+1)))``
+    with ``sw = array_sort(split(lower(text)))`` — captures the
+    *expression* ``sw`` inside the lambda, and Spark re-evaluates the
+    captured sort+split for every ``get`` call: O(words²·log words)
+    per document (measured 6.7 s vs 0.34 s for the sf0.1 corpus dims
+    pass, ~20×). A single ``aggregate`` references the array once and
+    carries (prev word, run length, vocab, hapax) through one pass: a
+    value different from ``prev`` closes the previous run
+    (vocab += 1, hapax += run==1); the finish lambda closes the last
+    run. Run-length semantics on the sorted array are exactly
+    "distinct count" and "count of words occurring once", so the
+    values are identical to the old formulation (verified value-equal
+    over every fixture document at all three SFs).
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("vocab"),
+        F.lit(0).cast("long").alias("hapax"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].eqNullSafe(x)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same, acc["vocab"])
+            .otherwise(acc["vocab"] + 1)
+            .alias("vocab"),
+            F.when(same, acc["hapax"])
+            .otherwise(acc["hapax"] + (acc["run"] == 1).cast("long"))
+            .alias("hapax"),
+        )
+
+    return F.aggregate(
+        sorted_words,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["vocab"].alias("vocab"),
+            (acc["hapax"] + (acc["run"] == 1).cast("long")).alias("hapax"),
+        ),
+    )
+
+
 @query(
     "d90_skyline_pareto",
     """
@@ -5195,23 +5268,15 @@ def d90_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.lower("text"), " ")
-    # hapax count, LINEAR in words (r6 verdict item 6 — the previous
-    # nested filter was O(words²) per row): on the SORTED array a word
-    # occurs exactly once iff it differs from both neighbors; F.get is
-    # 0-based and NULL out-of-bounds, so eqNullSafe handles the ends.
-    sw = F.array_sort(w)
-    hapax = F.size(
-        F.filter(
-            sw,
-            lambda x, i: ~x.eqNullSafe(F.get(sw, i - 1))
-            & ~x.eqNullSafe(F.get(sw, i + 1)),
-        )
-    )
+    # vocab + hapax in ONE linear fold over the sorted array (r10: the
+    # neighbor-lambda formulation re-evaluated the captured sort per
+    # element — see sorted_vocab_hapax)
+    vh = sorted_vocab_hapax(F.array_sort(w))
     dims = docs.select(
         "doc_id",
         F.col("n_chars").alias("d_len"),
-        F.size(F.array_distinct(w)).cast("long").alias("d_vocab"),
-        hapax.cast("long").alias("d_hapax"),
+        vh["vocab"].cast("long").alias("d_vocab"),
+        vh["hapax"].cast("long").alias("d_hapax"),
     )
     out_schema = "doc_id long, d_len long, d_vocab long, d_hapax long"
 
@@ -5375,7 +5440,11 @@ def d92_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     three rank frames re-join on the customer key and the segment
     census is a ≤64-group partial agg.
     """
-    from pgsink_spark.operators.ranking import bucket_offsets, ordered_bucket
+    from pgsink_spark.operators.ranking import (
+        bucket_offsets,
+        multi_bucket_counts,
+        multi_ordered_buckets,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     base = (
@@ -5393,19 +5462,20 @@ def d92_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    def global_rank(order_col: str, bucket_col: str, rname: str) -> DataFrame:
-        part = base.withColumn(
-            "bucket", ordered_bucket(base, -F.col(bucket_col), RFM_BUCKETS)
-        )
-        counts = {
-            r["bucket"]: r["cnt"]
-            for r in part.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-        off, _n = bucket_offsets(part, counts)
+    # r10: ONE min/max job + ONE bucket-census job for all three
+    # signals (was one of each per signal); identical boundary
+    # arithmetic → identical buckets, offsets, and ranks.
+    spec = [("rec", "rec_days"), ("freq", "freq"), ("mon", "mon")]
+    buckets = multi_ordered_buckets(
+        base, [-F.col(b) for _o, b in spec], RFM_BUCKETS
+    )
+    counts = multi_bucket_counts(base, buckets)
+
+    def global_rank(i: int, rname: str) -> DataFrame:
+        part = base.withColumn("bucket", buckets[i])
+        off, _n = bucket_offsets(part, counts[i])
         wloc = W.partitionBy("bucket").orderBy(
-            F.col(order_col).desc(), "c"
+            F.col(spec[i][0]).desc(), "c"
         )
         return part.select(
             "c", (F.row_number().over(wloc) + off).cast("long").alias(rname)
@@ -5413,9 +5483,9 @@ def d92_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nrow = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranks = (
-        global_rank("rec", "rec_days", "rr")
-        .join(global_rank("freq", "freq", "rf"), "c")
-        .join(global_rank("mon", "mon", "rm"), "c")
+        global_rank(0, "rr")
+        .join(global_rank(1, "rf"), "c")
+        .join(global_rank(2, "rm"), "c")
         .crossJoin(F.broadcast(nrow))
     )
     seg = (

@@ -2504,3 +2504,94 @@ def test_token_coverage_k_past_vocabulary(spark, sf_dir):
     ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
     cov10 = sum(cnt for _, cnt in ordered[:10])
     assert rows[10] == (cov10, total, 1_000_000 * cov10 // total)
+
+
+# ---------------------------------------------------------------------------
+# r10 optimization internals: the single-fold vocab/hapax kernel and the
+# mapInPandas CUSUM fold must be value-identical to the formulations they
+# replaced.
+
+
+def test_sorted_vocab_hapax_matches_naive_neighbor_form(spark, sf_dir):
+    """sorted_vocab_hapax (one linear aggregate) equals the old
+    neighbor-lambda formulation — filter(sw, (x,i) -> x != sw[i-1] &&
+    x != sw[i+1]) over the sorted array plus size(array_distinct) —
+    on edge cases (single word, all-equal, all-distinct, empty-string
+    tokens) and on a fixture sample."""
+    from pgsink_spark.operators.relational import sorted_vocab_hapax
+
+    edge = spark.createDataFrame(
+        [
+            (1, "one"),
+            (2, "a a a a"),
+            (3, "a b c d"),
+            (4, "b a b a c"),
+            (5, ""),  # split('') -> ['']: one empty-string token
+            (6, "  x  "),  # empty tokens around x
+        ],
+        "doc_id long, text string",
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(200)
+        .unionByName(edge)
+    )
+    w = F.split(F.lower("text"), " ")
+    sw = F.array_sort(w)
+    naive_hapax = F.size(
+        F.filter(
+            sw,
+            lambda x, i: ~x.eqNullSafe(F.get(sw, i - 1))
+            & ~x.eqNullSafe(F.get(sw, i + 1)),
+        )
+    )
+    vh = sorted_vocab_hapax(F.array_sort(w))
+    rows = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(w)).cast("long").alias("v0"),
+        naive_hapax.cast("long").alias("h0"),
+        vh["vocab"].cast("long").alias("v1"),
+        vh["hapax"].cast("long").alias("h1"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert (r.v0, r.h0) == (r.v1, r.h1), r
+
+
+def test_cusum_mapinpandas_fold_matches_pergroup_replay(spark, sf_dir):
+    """d74_cusum_changepoints (one mapInPandas pass with carried
+    per-user state) is float-bit-identical to the per-group
+    applyInPandas fold it replaced, replayed here in pure pandas."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pgsink_spark.operators.relational import (
+        CUSUM_H,
+        CUSUM_K,
+        QUERIES,
+    )
+
+    got = [
+        (r.user_id, r.event_id, r.s)
+        for r in QUERIES["d74_cusum_changepoints"](spark, sf_dir).collect()
+    ]
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+    )
+    expect = []
+    for uid, g in ev.groupby("user_id"):
+        order = g.sort_values(["ts", "event_id"])
+        s = 0.0
+        for eid, v in zip(order["event_id"], order["value"]):
+            s = max(0.0, s + float(v) - CUSUM_K)
+            if s > CUSUM_H:
+                d = Decimal(repr(s)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                ).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+                expect.append((int(uid), int(eid), float(d)))
+                s = 0.0
+    expect.sort()
+    assert got == expect  # exact float equality, not approx

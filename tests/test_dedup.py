@@ -687,3 +687,135 @@ def test_band_candidates_cap_rewires_generation(spark):
     assert got_uncapped == {
         (a, b) for a in members for b in members if a < b
     }
+
+
+def test_cdc_chunk_kernel_matches_sequential_recurrence(spark, sf_dir):
+    """_cdc_chunk_stream's vectorized sliding-window hash must produce
+    exactly the cuts/chunk-hashes of the sequential add/remove
+    recurrence it replaced (H_i = (c_i + 31·H_{i-1} − c_{i-8}·28417)
+    mod 2^16, cut when size(win) ≥ 7 and H % 64 == 0), replayed here
+    per document in pure Python."""
+    import hashlib
+
+    import pandas as pd
+
+    from pgsink_spark.operators.packing import _cdc_chunk_stream
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 8)
+        .select("doc_id", "text")
+        .limit(300)
+        .collect()
+    ]
+    assert docs
+
+    def replay(text: str) -> list[str]:
+        win: list[int] = []
+        h = 0
+        start = 1
+        out: list[str] = []
+        for i, ch in enumerate(text, start=1):
+            c = ord(ch)
+            removal = win[0] * 28417 if len(win) == 8 else 0
+            boundary_ok = len(win) >= 7
+            if len(win) == 8:
+                win = win[1:] + [c]
+            else:
+                win = win + [c]
+            h = (c + 31 * h - removal) % 65536
+            if boundary_ok and h % 64 == 0:
+                out.append(
+                    hashlib.md5(
+                        text[start - 1 : i].encode("utf-8")
+                    ).hexdigest()
+                )
+                start = i + 1
+        if start <= len(text):
+            out.append(
+                hashlib.md5(text[start - 1 :].encode("utf-8")).hexdigest()
+            )
+        return out
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    got: dict[int, list[str]] = {}
+    for out in _cdc_chunk_stream(iter([pdf])):
+        for doc_id, hh in zip(out["doc_id"], out["h"]):
+            got.setdefault(int(doc_id), []).append(hh)
+    for doc_id, text in docs:
+        assert got.get(doc_id, []) == replay(text), doc_id
+
+
+def test_lsh_band_curve_fused_hits_match_candidate_joins(spark, sf_dir):
+    """dedup_lsh_band_curve's one-aggregate hit fold must equal the
+    pre-r10 shape — per-config bucket-key self-join candidates
+    semi-joined against the exact pair set."""
+    from pgsink_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_CURVE_CONFIGS,
+        LSH_CURVE_FLOORS_PPM,
+        MAX_SHINGLE_FREQ,
+        _pair_jaccard,
+        dedup_lsh_band_curve,
+        doc_shingle_sets,
+        minhash_signatures,
+    )
+    from pgsink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = doc_shingle_sets(docs, 3)
+    exact = (
+        _pair_jaccard(sets, max_shingle_freq=MAX_SHINGLE_FREQ)
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    sigs = minhash_signatures(sets).localCheckpoint(eager=True)
+    n_exact = exact.count()
+    old_hits = []
+    for b, r in LSH_CURVE_CONFIGS:
+        keys = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(band),
+                            *[F.col("sig")[band * r + j] for j in range(r)],
+                        )
+                        for band in range(b)
+                    ]
+                )
+            ).alias("bkey"),
+        )
+        a = keys.select(F.col("doc_id").alias("d1"), "bkey")
+        bb = keys.select(F.col("doc_id").alias("d2"), "bkey")
+        cand = (
+            a.join(bb, "bkey")
+            .where(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+        )
+        old_hits.append(exact.join(cand, ["d1", "d2"], "left_semi").count())
+
+    got = {
+        r_["bands"]: (
+            r_["n_exact_pairs"],
+            r_["monotone_ok"],
+            r_["recall_floor_ok"],
+        )
+        for r_ in dedup_lsh_band_curve(spark, sf_dir).collect()
+    }
+    prev = -1
+    mono = True
+    for (b, r), h in zip(LSH_CURVE_CONFIGS, old_hits):
+        mono = mono and h >= prev
+        prev = h
+        assert got[b] == (
+            n_exact,
+            mono,
+            n_exact == 0
+            or 1_000_000 * h // n_exact >= LSH_CURVE_FLOORS_PPM[b],
+        ), (b, h, got[b])

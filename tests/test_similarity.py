@@ -400,3 +400,28 @@ def test_arrow_topk_bitwise_matches_fold(spark, sf_dir):
         sim.brute_force_topk_arrow(emb, q, k=7).orderBy("q_id", "rnk").collect()
     )
     assert arrow == fold
+
+
+def test_ivf_probe_curve_fused_hits_match_pernprobe_reruns(spark, sf_dir):
+    """ann_ivf_probe_curve's fused single-scoring-pass sweep must
+    produce the same per-nprobe recall hits as independently rerunning
+    ann_ivf_topk at each nprobe (the pre-r10 shape)."""
+    exact = sim._exact_top5(spark, sf_dir).select("q_id", "vec_id")
+    per_p = []
+    for p in sim.IVF_CURVE_PROBES:
+        ann = sim.ann_ivf_topk(spark, sf_dir, k=5, nprobe=p)
+        per_p.append(
+            exact.join(
+                ann.select("q_id", "vec_id"),
+                on=["q_id", "vec_id"],
+                how="left_semi",
+            ).count()
+        )
+    rows = {
+        r["nprobe"]: (r["monotone_ok"], r["floor_ok"])
+        for r in sim.ann_ivf_probe_curve(spark, sf_dir).collect()
+    }
+    prev = 0
+    for p, h in zip(sim.IVF_CURVE_PROBES, per_p):
+        assert rows[p] == (h >= prev, per_p[-1] >= sim.IVF_CURVE_FLOOR)
+        prev = h
