@@ -137,13 +137,29 @@ def _pfv_for(doc_id: int) -> tuple[bytes, int]:
     return encode_pfv([_png_for(doc_id * 31 + k)[0] for k in range(n)]), n
 
 
-def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+_KIND_MOD = {"image": 0, "audio": 1, "video": 2}
+
+
+def synthesize_media(
+    spark: SparkSession,
+    sf_dir: str,
+    kinds: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Deterministic media table derived from ``documents``: REAL PNG
     and WAV payloads (closed-form content, see module header) plus
-    digest-stub video bytes. Stands in for a binary-column ingest."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    digest-stub video bytes. Stands in for a binary-column ingest.
+
+    ``kinds`` prunes synthesis to the named media types (the kind is a
+    pure function of doc_id: ``doc_id % 3`` → image/audio/video), so a
+    single-type consumer never pays to ENCODE the other two types'
+    blobs only to filter them out — the video rows alone cost 2–8 PNG
+    encodes each. Rows emitted for a kind are bit-identical with or
+    without the pre-filter; consumers keep their own media_type
+    filter, which the pre-filter merely makes a no-op."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if kinds is not None:
+        mods = sorted(_KIND_MOD[k] for k in kinds)
+        docs = docs.where((F.col("doc_id") % 3).isin(mods))
 
     def _meta(fmt, w=None, h=None, dur=None, rate=None, frames=None):
         return {
@@ -154,7 +170,7 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 kind = doc_id % 3
                 if kind == 0:
@@ -487,7 +503,7 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the closed-form pixel pattern without touching any bytes."""
     return (
         decode_media(
-            synthesize_media(spark, sf_dir).where(
+            synthesize_media(spark, sf_dir, kinds=("image",)).where(
                 F.col("media_type") == "image"
             )
         )
@@ -512,7 +528,7 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wave has RMS exactly amp, which the oracle predicts from doc_id."""
     return (
         decode_media(
-            synthesize_media(spark, sf_dir).where(
+            synthesize_media(spark, sf_dir, kinds=("audio",)).where(
                 F.col("media_type") == "audio"
             )
         )
@@ -547,7 +563,7 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±amp square wave — full or partial — has RMS exactly amp, so the
     oracle enumerates windows and amplitudes relationally)."""
     return (
-        audio_windows(synthesize_media(spark, sf_dir))
+        audio_windows(synthesize_media(spark, sf_dir, kinds=("audio",)))
         .orderBy("media_id", "win_idx")
     )
 
@@ -581,7 +597,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: indices explode relationally (JVM sequence/explode); the
     blob column never shuffles — extraction + decode run where the
     video row lives and only (id, idx, h, px0) rows move."""
-    frames = sample_frames(synthesize_media(spark, sf_dir), every_n=2)
+    frames = sample_frames(
+        synthesize_media(spark, sf_dir, kinds=("video",)), every_n=2
+    )
 
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -698,7 +716,7 @@ def mm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_id-keyed aggregation. Frames never shuffle — the decode
     happens where the blob row lives and only (id, h, px0) rows move.
     """
-    media = synthesize_media(spark, sf_dir)
+    media = synthesize_media(spark, sf_dir, kinds=("video",))
     frames = sample_frames(media, every_n=1)
 
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -772,7 +790,9 @@ def mm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one media_id-keyed window for the lag — the only shuffle
     carries (id, idx, mean) triples, never pixels.
     """
-    frames = sample_frames(synthesize_media(spark, sf_dir), every_n=1)
+    frames = sample_frames(
+        synthesize_media(spark, sf_dir, kinds=("video",)), every_n=1
+    )
 
     def means(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1137,7 +1157,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("mean_px", T.DoubleType(), False),
         ]
     )
-    imgs = synthesize_media(spark, sf_dir).where(
+    imgs = synthesize_media(spark, sf_dir, kinds=("image",)).where(
         F.col("media_type") == "image"
     )
     return (
@@ -1202,7 +1222,7 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("rms", T.DoubleType(), False),
         ]
     )
-    wavs = synthesize_media(spark, sf_dir).where(
+    wavs = synthesize_media(spark, sf_dir, kinds=("audio",)).where(
         F.col("media_type") == "audio"
     )
     return (

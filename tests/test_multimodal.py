@@ -45,6 +45,23 @@ def test_media_table_schema(spark, sf_dir):
     assert codecs.is_png(pfv_frame(bytes(rows[2]["content"]), 0))
 
 
+def test_kinds_prefilter_rows_identical(spark, sf_dir):
+    """The ``kinds`` synthesis pre-filter (r10 optimization: skip
+    ENCODING the media types a single-type consumer throws away) must
+    emit bit-identical rows to post-filtering the full table."""
+    full = synthesize_media(spark, sf_dir)
+    for kind in ("image", "audio", "video"):
+        pre = {
+            (r["media_id"], bytes(r["content"]))
+            for r in synthesize_media(spark, sf_dir, kinds=(kind,)).collect()
+        }
+        post = {
+            (r["media_id"], bytes(r["content"]))
+            for r in full.where(F.col("media_type") == kind).collect()
+        }
+        assert pre == post and pre
+
+
 def test_decode_matches_closed_form(spark, sf_dir):
     """Spark decodes actual bytes; the expected numbers come from the
     closed-form content pattern — same prediction the oracle makes."""
