@@ -21,11 +21,30 @@ the brief mandates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgsink_spark.operators.relational import query
 from pgsink_spark.sources.fixtures import load_table
+
+# r10 optimization (guide §1.2 step 1 — fix the distributed algorithm
+# first): the iterative-graph loops (k-core peel, LPA rounds, BFS
+# frontier) pay 3-4 fixed-latency jobs PER ROUND (two broadcast builds
+# + the checkpoint materialization + the early-exit count) regardless
+# of data size. On a node-census-sized graph that fixed cost IS the
+# query. When the whole undirected neighbor list fits one bounded
+# task, the identical synchronous rounds run as ONE single-task NumPy
+# kernel (integer arithmetic, same election/tie order, same early
+# exit) — the same adaptive-gate pattern as similarity.py's
+# SMALL_TILE fast path: the gate steers cost only, never results.
+# Above the cap the per-round checkpointed loop — the 100 TB design —
+# is unchanged. The count that decides the gate materializes the
+# persisted nbr list, which round 0 of either path needs anyway.
+GRAPH_LOCAL_NBR_CAP = int(
+    os.environ.get("PGSINK_GRAPH_LOCAL_NBR_CAP", "1000000")
+)
 
 PR_SCALE = 1_000_000
 PR_ITERS = 5
@@ -454,6 +473,49 @@ def _kcore_oracle() -> str:
     """
 
 
+def _collect_nbr_batches(it):
+    """Concatenate a partition's (v, z) Arrow batches into two int64
+    arrays (single-task kernels receive the WHOLE coalesced list)."""
+    import numpy as np
+
+    vs, zs = [], []
+    for pdf in it:
+        if len(pdf):
+            vs.append(pdf["v"].to_numpy(dtype="int64"))
+            zs.append(pdf["z"].to_numpy(dtype="int64"))
+    if not vs:
+        return None, None
+    return np.concatenate(vs), np.concatenate(zs)
+
+
+def _kcore_local_kernel(it):
+    """Single-task replay of the k-core peel: the same KCORE_ITERS
+    synchronous rounds, same early exit (the alive set only shrinks,
+    so an unchanged count is an unchanged set), same final in-core
+    degree count — integer set arithmetic, bit-identical to the
+    checkpointed loop by construction (test-pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    v, z = _collect_nbr_batches(it)
+    if v is None:
+        return
+    alive = np.unique(v)
+    prev = -1
+    for _ in range(KCORE_ITERS):
+        keep = np.isin(v, alive) & np.isin(z, alive)
+        uniq, cnt = np.unique(v[keep], return_counts=True)
+        alive = uniq[cnt >= KCORE_K]
+        if alive.size == prev:
+            break
+        prev = alive.size
+    keep = np.isin(v, alive) & np.isin(z, alive)
+    uniq, cnt = np.unique(v[keep], return_counts=True)
+    yield pd.DataFrame(
+        {"doc_id": uniq, "deg": cnt.astype("int64")}
+    )
+
+
 @query("graph_kcore", _kcore_oracle())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 3-core of the SPARSE citation graph (quadratic + linear
@@ -494,6 +556,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v")
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         )
+
+    # Size gate (see GRAPH_LOCAL_NBR_CAP): below the cap the whole
+    # peel runs as one single-task kernel — the per-round fixed job
+    # cost would otherwise dominate a node-census-sized graph.
+    if nbr.count() <= GRAPH_LOCAL_NBR_CAP:
+        pre = (
+            nbr.coalesce(1)
+            .mapInPandas(_kcore_local_kernel, "doc_id long, deg long")
+            .orderBy("doc_id")
+        )
+        out = pre.localCheckpoint(eager=True)
+        nbr.unpersist()
+        out._plan_audit_df = pre
+        return out
 
     # The alive set references itself TWICE per round (both endpoints
     # must survive), so a lazy chain doubles the plan tree every round
@@ -583,6 +659,47 @@ def _lpa_oracle() -> str:
     """
 
 
+def _lpa_local_kernel(it):
+    """Single-task replay of the LPA_ITERS synchronous rounds: per
+    round, every node adopts the most frequent label among its
+    neighbors with smallest-label tie-break — the identical
+    min(struct(-cnt, lbl)) election as the checkpointed loop, as a
+    lexsort + run-length census (test-pinned equal)."""
+    import numpy as np
+    import pandas as pd
+
+    v, z = _collect_nbr_batches(it)
+    if v is None:
+        return
+    nodes = np.unique(v)
+    lbl = nodes.copy()
+    zi = np.searchsorted(nodes, z)
+    for _ in range(LPA_ITERS):
+        lz = lbl[zi]
+        # vote census: run-length encode the sorted (v, neighbor-label)
+        # pairs → one (uv, ul, cnt) row per distinct pair
+        order = np.lexsort((lz, v))
+        sv, sl = v[order], lz[order]
+        new_grp = np.empty(sv.size, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (sv[1:] != sv[:-1]) | (sl[1:] != sl[:-1])
+        gidx = np.flatnonzero(new_grp)
+        uv, ul = sv[gidx], sl[gidx]
+        cnt = np.diff(np.append(gidx, sv.size))
+        # election: per uv the max-cnt label, ties to the SMALLEST
+        # label — sort by (uv, -cnt, ul), take each uv's first row
+        order2 = np.lexsort((ul, -cnt, uv))
+        uv2 = uv[order2]
+        first = np.empty(uv2.size, dtype=bool)
+        first[0] = True
+        first[1:] = uv2[1:] != uv2[:-1]
+        # every node has >= 1 neighbor (nbr is symmetric), so the
+        # winner set is exactly `nodes`; searchsorted keeps the
+        # mapping explicit rather than positional
+        lbl = ul[order2][first][np.searchsorted(uv2[first], nodes)]
+    yield pd.DataFrame({"node": nodes, "lbl": lbl})
+
+
 def _lpa_labels(spark: SparkSession, sf_dir: str):
     """(persisted nbr list, final LPA label frame) after LPA_ITERS
     synchronous rounds — the loop shared by graph_label_propagation
@@ -594,6 +711,17 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
         .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("z")))
         .persist()
     )
+    # Size gate (see GRAPH_LOCAL_NBR_CAP): below the cap the rounds
+    # run as one single-task kernel instead of LPA_ITERS checkpointed
+    # join+census jobs. Checkpointed so both consumers (the community
+    # census and modularity's two label joins) reuse the one run.
+    if nbr.count() <= GRAPH_LOCAL_NBR_CAP:
+        labels = (
+            nbr.coalesce(1)
+            .mapInPandas(_lpa_local_kernel, "node long, lbl long")
+            .localCheckpoint(eager=True)
+        )
+        return nbr, labels
     labels = (
         nbr.select(F.col("v").alias("node"))
         .distinct()
@@ -708,6 +836,35 @@ def _bfs_oracle() -> str:
     """
 
 
+def _bfs_local_kernel(it):
+    """Single-task replay of the BFS_ROUNDS synchronous frontier
+    expansions: seeds = nodes ≡ 0 (mod BFS_SEED_MOD); each round's
+    frontier is the unvisited neighbors of the previous frontier.
+    Levels are a pure function of the edge set (a node's level is the
+    round that first reaches it) — identical to the checkpointed loop
+    by construction (test-pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    v, z = _collect_nbr_batches(it)
+    if v is None:
+        return
+    nodes = np.unique(v)
+    frontier = nodes[nodes % BFS_SEED_MOD == 0]
+    visited = frontier
+    dists = [np.zeros(frontier.size, dtype="int64")]
+    levels = [frontier]
+    for k in range(1, BFS_ROUNDS + 1):
+        cand = np.unique(z[np.isin(v, frontier)])
+        frontier = cand[~np.isin(cand, visited)]
+        visited = np.union1d(visited, frontier)
+        dists.append(np.full(frontier.size, k, dtype="int64"))
+        levels.append(frontier)
+    yield pd.DataFrame(
+        {"dist": np.concatenate(dists), "v": np.concatenate(levels)}
+    )
+
+
 @query("graph_bfs_distance", _bfs_oracle())
 def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS level census over the sparse citation graph:
@@ -736,29 +893,41 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("z")))
         .persist()
     )
-    frontier = (
-        nbr.select("v")
-        .where(F.col("v") % BFS_SEED_MOD == 0)
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    visited = frontier
-    levels = [frontier.select(F.lit(0).cast("long").alias("dist"), "v")]
-    for k in range(1, BFS_ROUNDS + 1):
+    # Size gate (see GRAPH_LOCAL_NBR_CAP): below the cap the frontier
+    # expansion runs as one single-task kernel instead of BFS_ROUNDS ×
+    # (join + anti-join + two checkpoints) jobs.
+    if nbr.count() <= GRAPH_LOCAL_NBR_CAP:
+        lv = nbr.coalesce(1).mapInPandas(
+            _bfs_local_kernel, "dist long, v long"
+        )
+    else:
         frontier = (
-            nbr.join(frontier, "v")
-            .select(F.col("z").alias("v"))
+            nbr.select("v")
+            .where(F.col("v") % BFS_SEED_MOD == 0)
             .distinct()
-            .join(visited, "v", "left_anti")
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
-        levels.append(
-            frontier.select(F.lit(k).cast("long").alias("dist"), "v")
-        )
-    lv = levels[0]
-    for frame in levels[1:]:
-        lv = lv.unionAll(frame)
+        visited = frontier
+        levels = [
+            frontier.select(F.lit(0).cast("long").alias("dist"), "v")
+        ]
+        for k in range(1, BFS_ROUNDS + 1):
+            frontier = (
+                nbr.join(frontier, "v")
+                .select(F.col("z").alias("v"))
+                .distinct()
+                .join(visited, "v", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionAll(frontier).localCheckpoint(
+                eager=True
+            )
+            levels.append(
+                frontier.select(F.lit(k).cast("long").alias("dist"), "v")
+            )
+        lv = levels[0]
+        for frame in levels[1:]:
+            lv = lv.unionAll(frame)
     pre = (
         lv.groupBy("dist")
         .agg(

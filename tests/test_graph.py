@@ -655,3 +655,30 @@ def test_hub_cap_active_both_engines_agree(spark, sf_dir):
     assert {(r["a"], r["b"]): r["n_common"] for r in shipped} != {
         k: v[0] for k, v in want.items()
     }
+
+
+def test_local_graph_kernels_match_distributed_loops(spark, sf_dir):
+    """The r10 size-gated single-task kernels (kcore peel, LPA rounds,
+    BFS levels) must emit exactly what the per-round checkpointed
+    loops emit on the same edge set — forcing the gate OFF replays the
+    distributed path, and the row sets must be identical."""
+    import pgsink_spark.operators.graph as G
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    orig = G.GRAPH_LOCAL_NBR_CAP
+    try:
+        G.GRAPH_LOCAL_NBR_CAP = 10**9  # kernel path
+        kcore_k = rows(G.graph_kcore(spark, sf_dir))
+        lpa_k = rows(G.graph_label_propagation(spark, sf_dir))
+        bfs_k = rows(G.graph_bfs_distance(spark, sf_dir))
+        mod_k = rows(G.graph_modularity(spark, sf_dir))
+        G.GRAPH_LOCAL_NBR_CAP = -1  # distributed path
+        assert kcore_k == rows(G.graph_kcore(spark, sf_dir))
+        assert lpa_k == rows(G.graph_label_propagation(spark, sf_dir))
+        assert bfs_k == rows(G.graph_bfs_distance(spark, sf_dir))
+        assert mod_k == rows(G.graph_modularity(spark, sf_dir))
+    finally:
+        G.GRAPH_LOCAL_NBR_CAP = orig
+    assert kcore_k and lpa_k and bfs_k and mod_k

@@ -36,6 +36,10 @@ def main() -> None:
 
     for name in names:
         df = qs[name](spark, sf_dir)
+        # queries that return an eagerly checkpointed frame stash the
+        # pre-checkpoint plan here (same hook gen_plans_md.py uses) —
+        # the checkpoint scan alone is evidence of nothing
+        df = getattr(df, "_plan_audit_df", df)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
