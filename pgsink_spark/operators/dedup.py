@@ -34,6 +34,8 @@ the exact-Jaccard result, which hashing does not change).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -155,6 +157,146 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SHINGLE_FREQ = 128
 
 
+# r10 optimization (guide §1.2 step 1): size gate for the single-task
+# pair kernel below. When the whole postings list fits one bounded
+# task, the inverted-index self-join + hot-set learn collapse to one
+# mapInPandas job with IDENTICAL cap semantics (candidates from cold
+# postings only, full-intersection numerators) and identical float64
+# arithmetic. Above the cap the exploded self-join — the 100 TB
+# design — is unchanged; the 100× probe (26M postings) exercises it.
+PAIR_LOCAL_POSTINGS_CAP = int(
+    os.environ.get("PGSINK_PAIR_LOCAL_POSTINGS_CAP", "1000000")
+)
+
+# bound on the candidate-pair expansion buffered per kernel chunk
+_PAIR_CHUNK_SLOTS = 4_000_000
+
+
+def _make_pair_jaccard_kernel(cap: int | None):
+    """Single-task replay of the inverted-index pair pass: same
+    candidate rule (≥1 shared shingle with doc-frequency ≤ cap), same
+    full-intersection ``inter`` (hot shingles included), same
+    ``jac = inter / (n1 + n2 - inter)`` float64 division — pinned
+    byte-identical to the distributed plan by the existing cap tests
+    plus test_pair_jaccard_local_kernel_matches_joins."""
+
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
+
+        ids: list[int] = []
+        arrs: list = []
+        for pdf in it:
+            for did, shg in zip(pdf["doc_id"], pdf["shingles"]):
+                ids.append(int(did))
+                arrs.append(np.asarray(shg, dtype=np.int64))
+        if not ids:
+            return
+        doc = np.asarray(ids, dtype=np.int64)
+        sizes = np.array([a.size for a in arrs], dtype=np.int64)
+        d = np.repeat(np.arange(doc.size), sizes)
+        svals = (
+            np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+        )
+        _, sinv, scnt = np.unique(
+            svals, return_inverse=True, return_counts=True
+        )
+        dfreq = scnt[sinv]
+        cold = (
+            dfreq <= cap
+            if cap is not None
+            else np.ones(dfreq.size, dtype=bool)
+        )
+        sc, dc = sinv[cold], d[cold]
+        # sort postings by (shingle, doc id): within a shingle group
+        # every expanded pair then satisfies id(d1) < id(d2), exactly
+        # the self-join's d1 < d2 filter
+        order = np.lexsort((doc[dc], sc))
+        sc, dc = sc[order], dc[order]
+        key_parts: list = []
+        cnt_parts: list = []
+        if sc.size:
+            new_grp = np.empty(sc.size, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = sc[1:] != sc[:-1]
+            gstart = np.flatnonzero(new_grp)
+            glen = np.diff(np.append(gstart, sc.size))
+            rank = np.arange(sc.size) - np.repeat(gstart, glen)
+            reps = np.repeat(glen, glen) - 1 - rank
+            # chunk the pair expansion so the buffered (left, right)
+            # arrays stay bounded regardless of shingle-frequency mix
+            cum = np.concatenate(([0], np.cumsum(reps)))
+            lo = 0
+            while lo < sc.size:
+                hi = int(
+                    np.searchsorted(
+                        cum, cum[lo] + _PAIR_CHUNK_SLOTS, side="right"
+                    )
+                )
+                hi = max(hi - 1, lo + 1)
+                r = reps[lo:hi]
+                total = int(cum[hi] - cum[lo])
+                if total:
+                    base = np.arange(lo, hi)
+                    left = np.repeat(base, r)
+                    off = np.concatenate(([0], np.cumsum(r)))
+                    right = (
+                        np.arange(total)
+                        - np.repeat(off[:-1], r)
+                        + left
+                        + 1
+                    )
+                    key = dc[left] * doc.size + dc[right]
+                    uk, kc = np.unique(key, return_counts=True)
+                    key_parts.append(uk)
+                    cnt_parts.append(kc)
+                lo = hi
+        if key_parts:
+            allk = np.concatenate(key_parts)
+            allc = np.concatenate(cnt_parts)
+            ukey, inv = np.unique(allk, return_inverse=True)
+            inter = np.zeros(ukey.size, dtype=np.int64)
+            np.add.at(inter, inv, allc)
+            p1 = (ukey // doc.size).astype(np.int64)
+            p2 = (ukey % doc.size).astype(np.int64)
+        else:
+            p1 = p2 = np.empty(0, np.int64)
+            inter = np.empty(0, np.int64)
+        if cap is not None and p1.size and (~cold).any():
+            # hot correction: |hot(d1) ∩ hot(d2)| per surviving pair —
+            # the same per-pair array_intersect the distributed plan
+            # joins in; hot endpoints are rare by construction
+            hot_by_doc: dict[int, set] = {}
+            for di, sv in zip(d[~cold].tolist(), svals[~cold].tolist()):
+                hot_by_doc.setdefault(di, set()).add(sv)
+            if hot_by_doc:
+                add = np.zeros(p1.size, dtype=np.int64)
+                for i in range(p1.size):
+                    a = hot_by_doc.get(int(p1[i]))
+                    if a:
+                        b = hot_by_doc.get(int(p2[i]))
+                        if b:
+                            add[i] = len(a & b)
+                inter = inter + add
+        n1 = sizes[p1]
+        n2 = sizes[p2]
+        jac = inter.astype(np.float64) / (
+            (n1 + n2 - inter).astype(np.float64)
+        )
+        yield pd.DataFrame(
+            {
+                "d1": doc[p1],
+                "d2": doc[p2],
+                "inter": inter,
+                "n1": n1.astype(np.int32),
+                "n2": n2.astype(np.int32),
+                "jac": jac,
+            }
+        )
+
+    return kernel
+
+
 def _pair_jaccard(
     sets: DataFrame, max_shingle_freq: int | None = None
 ) -> DataFrame:
@@ -171,7 +313,20 @@ def _pair_jaccard(
     only for pairs whose *every* common shingle is boilerplate-hot;
     it never distorts a reported similarity, and it adds no
     full-array shuffle over the uncapped plan.
+
+    Size gate (see PAIR_LOCAL_POSTINGS_CAP): below the cap the whole
+    pass runs as one single-task kernel — the gate's postings-sum
+    action replaces the hot-learn action the distributed path pays,
+    so the action count per consumer is unchanged.
     """
+    n_postings = sets.agg(
+        F.sum(F.size("shingles")).alias("np")
+    ).collect()[0]["np"]
+    if (n_postings or 0) <= PAIR_LOCAL_POSTINGS_CAP:
+        return sets.coalesce(1).mapInPandas(
+            _make_pair_jaccard_kernel(max_shingle_freq),
+            "d1 long, d2 long, inter long, n1 int, n2 int, jac double",
+        )
     sh = sets.select("doc_id", F.explode("shingles").alias("s"))
     if max_shingle_freq is not None:
         # ADAPTIVE hot-set learning. The hot-shingle count aggregate is

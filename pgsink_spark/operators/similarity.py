@@ -16,6 +16,7 @@ Arrow + NumPy beats codegen (see ``cosine_topk_pandas``).
 
 from __future__ import annotations
 
+import os
 from math import sqrt as math_sqrt
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1589,6 +1590,65 @@ def _kcenter_oracle() -> str:
     """
 
 
+# r10 optimization (guide §1.2 step 1): below this many vectors the
+# greedy traversal runs as ONE single-task kernel instead of
+# KCENTER_K driver-round-trip actions (seed collect + per-round
+# TakeOrdered collects). Same strict left-fold float64 arithmetic
+# (np.cumsum is sequential, matching the JVM fold), same argmax/tie
+# order, same decimal quantize — pinned by
+# test_kcenter_local_kernel_matches_driver_loop. Above the cap the
+# per-round broadcast/linear-pass loop — the 100 TB design — is
+# unchanged.
+KCENTER_LOCAL_VEC_CAP = int(
+    os.environ.get("PGSINK_KCENTER_LOCAL_VEC_CAP", "100000")
+)
+
+
+def _kcenter_local_kernel(it):
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    ids_parts, vec_parts = [], []
+    for pdf in it:
+        if len(pdf):
+            ids_parts.append(pdf["vec_id"].to_numpy(dtype="int64"))
+            vec_parts.extend(
+                np.asarray(x, dtype=np.float64) for x in pdf["v"]
+            )
+    if not ids_parts:
+        return
+    ids = np.concatenate(ids_parts)
+    V = np.stack(vec_parts)
+    si = int(np.argmin(ids))
+    ranks = [0]
+    pick_ids = [int(ids[si])]
+    d2s = [0.0]
+    sq = (V - V[si]) ** 2
+    md = np.cumsum(sq, axis=1)[:, -1]
+    for k in range(1, KCENTER_K):
+        cand = np.flatnonzero(md == md.max())
+        ci = int(cand[np.argmin(ids[cand])])
+        d6 = decimal.Decimal(float(md[ci])).quantize(
+            decimal.Decimal("0.000001"),
+            rounding=decimal.ROUND_HALF_UP,
+        )
+        ranks.append(k)
+        pick_ids.append(int(ids[ci]))
+        d2s.append(float(d6))
+        sq = (V - V[ci]) ** 2
+        nd = np.cumsum(sq, axis=1)[:, -1]
+        md = np.minimum(md, nd)
+    yield pd.DataFrame(
+        {
+            "rank": np.asarray(ranks, dtype=np.int32),
+            "vec_id": np.asarray(pick_ids, dtype=np.int64),
+            "d2": np.asarray(d2s, dtype=np.float64),
+        }
+    )
+
+
 @query("diversity_kcenter", _kcenter_oracle())
 def diversity_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center (farthest-point traversal) diversity sampling
@@ -1610,6 +1670,23 @@ def diversity_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).persist()
+
+    # Size gate (see KCENTER_LOCAL_VEC_CAP): one kernel action instead
+    # of KCENTER_K driver round-trips; the count materializes the
+    # persist, which the seed collect of the loop path pays anyway.
+    if e.count() <= KCENTER_LOCAL_VEC_CAP:
+        rows = (
+            e.coalesce(1)
+            .mapInPandas(
+                _kcenter_local_kernel, "rank int, vec_id long, d2 double"
+            )
+            .collect()
+        )
+        e.unpersist()
+        return spark.createDataFrame(
+            [(r["rank"], r["vec_id"], float(r["d2"])) for r in rows],
+            "rank int, vec_id bigint, d2 double",
+        )
 
     seed = e.orderBy("vec_id").limit(1).collect()[0]
     picks = [(0, seed["vec_id"], 0.0)]

@@ -819,3 +819,52 @@ def test_lsh_band_curve_fused_hits_match_candidate_joins(spark, sf_dir):
             n_exact == 0
             or 1_000_000 * h // n_exact >= LSH_CURVE_FLOORS_PPM[b],
         ), (b, h, got[b])
+
+
+def test_pair_jaccard_local_kernel_matches_joins(spark, sf_dir):
+    """The r10 size-gated single-task pair kernel must emit exactly
+    what the exploded self-join plan emits — capped and uncapped, on
+    both the synthetic hot-shingle corpus and the real fixture."""
+    import pgsink_spark.operators.dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    synth = _sets(
+        spark,
+        [
+            (
+                i,
+                ("alpha beta gamma " if i < 2 else f"u{i}a u{i}b u{i}c ")
+                + "terms of service apply",
+            )
+            for i in range(30)
+        ],
+    )
+    cases = [
+        # (sets, cap, pairs_must_exist) — at cap=1 every shared
+        # shingle in the synth corpus is hot, so empty IS the right
+        # answer on both paths
+        (doc_shingle_sets(docs, 3), MAX_SHINGLE_FREQ, True),
+        (doc_shingle_sets(docs, 3), None, True),
+        (synth, 10, True),
+        (synth, 1, False),
+        (synth, None, True),
+    ]
+    orig = D.PAIR_LOCAL_POSTINGS_CAP
+    try:
+        for sets, cap, must_exist in cases:
+            sets = sets.persist()
+            D.PAIR_LOCAL_POSTINGS_CAP = 10**12  # kernel
+            kern = {
+                (r["d1"], r["d2"]): (r["inter"], r["n1"], r["n2"], r["jac"])
+                for r in _pair_jaccard(sets, max_shingle_freq=cap).collect()
+            }
+            D.PAIR_LOCAL_POSTINGS_CAP = -1  # distributed
+            dist = {
+                (r["d1"], r["d2"]): (r["inter"], r["n1"], r["n2"], r["jac"])
+                for r in _pair_jaccard(sets, max_shingle_freq=cap).collect()
+            }
+            assert kern == dist
+            assert kern or not must_exist
+            sets.unpersist()
+    finally:
+        D.PAIR_LOCAL_POSTINGS_CAP = orig

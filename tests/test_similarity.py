@@ -425,3 +425,21 @@ def test_ivf_probe_curve_fused_hits_match_pernprobe_reruns(spark, sf_dir):
     for p, h in zip(sim.IVF_CURVE_PROBES, per_p):
         assert rows[p] == (h >= prev, per_p[-1] >= sim.IVF_CURVE_FLOOR)
         prev = h
+
+
+def test_kcenter_local_kernel_matches_driver_loop(spark, sf_dir):
+    """The r10 single-task k-center kernel must emit exactly what the
+    KCENTER_K driver-round-trip loop emits: same picks, same tie
+    order, same quantized d2 floats."""
+    import pgsink_spark.operators.similarity as S
+
+    orig = S.KCENTER_LOCAL_VEC_CAP
+    try:
+        S.KCENTER_LOCAL_VEC_CAP = 10**9
+        kern = [tuple(r) for r in S.diversity_kcenter(spark, sf_dir).collect()]
+        S.KCENTER_LOCAL_VEC_CAP = -1
+        loop = [tuple(r) for r in S.diversity_kcenter(spark, sf_dir).collect()]
+    finally:
+        S.KCENTER_LOCAL_VEC_CAP = orig
+    assert kern == loop
+    assert len(kern) == S.KCENTER_K
