@@ -824,6 +824,57 @@ _EXACT_JACCARD_SQL = (
 )
 
 
+# r10 optimization (guide §1.2 step 1): below this many edge rows the
+# whole min-label propagation collapses to ONE single-task union-find
+# kernel. The output contract — every endpoint node labeled with the
+# minimum node id reachable from it — is the unique fixed point of the
+# distributed loop, so any correct CC algorithm produces identical
+# rows; test_cc_local_kernel_matches_distributed_loop forces both
+# branches and compares. Above the cap the per-round checkpointed
+# loop — the 100 TB design — is unchanged (the 100× probe's replica-
+# squared pair mass exercises it).
+CC_LOCAL_EDGE_CAP = int(
+    os.environ.get("PGSINK_CC_LOCAL_EDGE_CAP", "1000000")
+)
+
+
+def _cc_local_kernel(it):
+    import numpy as np
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in it:
+        for a, b in zip(pdf["d1"], pdf["d2"]):
+            a, b = int(a), int(b)
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the root = component min
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    if not parent:
+        return
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    comp = np.fromiter(
+        (find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes)
+    )
+    yield pd.DataFrame({"node": nodes, "component": comp})
+
+
 def connected_components(
     edges: DataFrame, max_iters: int = 20
 ) -> DataFrame:
@@ -843,7 +894,17 @@ def connected_components(
 
     ``edges`` is (d1, d2), undirected (one row per pair is enough —
     both directions are added here).
+
+    Size gate (see CC_LOCAL_EDGE_CAP): below the cap the loop runs as
+    one single-task union-find kernel; the gate's count() is served by
+    the caller's checkpoint of the pair frame (every consumer
+    checkpoints pairs) — the sym-checkpoint action of the loop path
+    paid the same materialization.
     """
+    if edges.count() <= CC_LOCAL_EDGE_CAP:
+        return edges.select("d1", "d2").coalesce(1).mapInPandas(
+            _cc_local_kernel, "node long, component long"
+        )
     sym = edges.select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     ).union(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
@@ -2168,7 +2229,13 @@ def mdm_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the corpus. Singleton docs never enter the CC loop or
     the output.
     """
-    pairs = dedup_jaro_winkler(spark, sf_dir).select("d1", "d2")
+    # checkpoint so the CC gate's count() and the CC pass both read
+    # the materialized pair set instead of re-running the JW pipeline
+    pairs = (
+        dedup_jaro_winkler(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
     comp = connected_components(pairs)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"

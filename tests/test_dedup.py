@@ -868,3 +868,44 @@ def test_pair_jaccard_local_kernel_matches_joins(spark, sf_dir):
             sets.unpersist()
     finally:
         D.PAIR_LOCAL_POSTINGS_CAP = orig
+
+
+def test_cc_local_kernel_matches_distributed_loop(spark, sf_dir):
+    """The r10 size-gated union-find kernel must emit exactly the
+    min-label fixpoint the distributed propagation loop emits — on the
+    real fixture pair graph and on a synthetic chain+forest whose
+    diameter forces several propagation rounds."""
+    import pgsink_spark.operators.dedup as D
+
+    fixture = (
+        D._lsh_verified_pairs(
+            D.doc_shingle_sets(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"), 3
+            ),
+            bucket_cap=D.LSH_BUCKET_CAP,
+        )
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    # chain 0-1-...-9 (diameter 9), triangle {20,21,22}, isolated edge
+    synth = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)]
+        + [(20, 21), (21, 22), (20, 22), (30, 31)],
+        "d1 long, d2 long",
+    ).localCheckpoint(eager=True)
+    orig = D.CC_LOCAL_EDGE_CAP
+    try:
+        for edges in (fixture, synth):
+            D.CC_LOCAL_EDGE_CAP = 10**12  # kernel
+            kern = {
+                (r["node"], r["component"])
+                for r in D.connected_components(edges).collect()
+            }
+            D.CC_LOCAL_EDGE_CAP = -1  # distributed loop
+            dist = {
+                (r["node"], r["component"])
+                for r in D.connected_components(edges).collect()
+            }
+            assert kern == dist and kern
+    finally:
+        D.CC_LOCAL_EDGE_CAP = orig
