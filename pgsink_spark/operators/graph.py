@@ -659,18 +659,12 @@ def _lpa_oracle() -> str:
     """
 
 
-def _lpa_local_kernel(it):
-    """Single-task replay of the LPA_ITERS synchronous rounds: per
-    round, every node adopts the most frequent label among its
-    neighbors with smallest-label tie-break — the identical
-    min(struct(-cnt, lbl)) election as the checkpointed loop, as a
-    lexsort + run-length census (test-pinned equal)."""
+def _lpa_core(v, z):
+    """The LPA_ITERS synchronous rounds over a full (v, z) neighbor
+    array — shared by the label kernel and the modularity kernel.
+    Returns (nodes, lbl, zi) with zi = index of each z in nodes."""
     import numpy as np
-    import pandas as pd
 
-    v, z = _collect_nbr_batches(it)
-    if v is None:
-        return
     nodes = np.unique(v)
     lbl = nodes.copy()
     zi = np.searchsorted(nodes, z)
@@ -697,20 +691,80 @@ def _lpa_local_kernel(it):
         # winner set is exactly `nodes`; searchsorted keeps the
         # mapping explicit rather than positional
         lbl = ul[order2][first][np.searchsorted(uv2[first], nodes)]
+    return nodes, lbl, zi
+
+
+def _lpa_local_kernel(it):
+    """Single-task replay of the LPA_ITERS synchronous rounds: per
+    round, every node adopts the most frequent label among its
+    neighbors with smallest-label tie-break — the identical
+    min(struct(-cnt, lbl)) election as the checkpointed loop, as a
+    lexsort + run-length census (test-pinned equal)."""
+    import pandas as pd
+
+    v, z = _collect_nbr_batches(it)
+    if v is None:
+        return
+    nodes, lbl, _zi = _lpa_core(v, z)
     yield pd.DataFrame({"node": nodes, "lbl": lbl})
 
 
-def _lpa_labels(spark: SparkSession, sf_dir: str):
-    """(persisted nbr list, final LPA label frame) after LPA_ITERS
-    synchronous rounds — the loop shared by graph_label_propagation
-    and graph_modularity. Caller unpersists nbr."""
+def _modularity_local_kernel(it):
+    """LPA labels + the Newman modularity census in ONE single-task
+    pass (r10 optimization, guide §1.2 step 1): d_c / e2_c / m2 are
+    exact int64 run-length counts over the same in-memory neighbor
+    list the label replay already holds, so the two label joins and
+    the community aggregation of the distributed branch collapse into
+    this kernel. Same integer arithmetic as the join+agg plan —
+    q_num = Σ_c (m2·e2_c − d_c²), q_den = m2² — pinned equal by
+    test_local_graph_kernels_match_distributed_loops (which forces
+    both branches of graph_modularity and compares rows)."""
+    import numpy as np
+    import pandas as pd
+
+    v, z = _collect_nbr_batches(it)
+    if v is None:
+        return
+    nodes, lbl, zi = _lpa_core(v, z)
+    vi = np.searchsorted(nodes, v)
+    cv = lbl[vi]
+    cz = lbl[zi]
+    m2 = np.int64(v.size)
+    ulab, inv = np.unique(cv, return_inverse=True)
+    d_c = np.bincount(inv).astype(np.int64)
+    e2_c = np.bincount(
+        inv[cv == cz], minlength=ulab.size
+    ).astype(np.int64)
+    q_num = int(np.sum(m2 * e2_c - d_c * d_c))
+    yield pd.DataFrame(
+        {
+            "n_communities": [np.int64(ulab.size)],
+            "m_edges": [np.int64(m2 // 2)],
+            "q_num": [np.int64(q_num)],
+            "q_den": [np.int64(m2 * m2)],
+        }
+    )
+
+
+def _lpa_nbr(spark: SparkSession, sf_dir: str):
+    """The persisted symmetric neighbor list both LPA consumers share.
+    Caller unpersists."""
     _docs, raw = _citation_raw(spark, sf_dir, densify=False)
     edges = _canonical_edges(raw)
-    nbr = (
+    return (
         edges.select(F.col("a").alias("v"), F.col("b").alias("z"))
         .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("z")))
         .persist()
     )
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str, nbr=None):
+    """(persisted nbr list, final LPA label frame) after LPA_ITERS
+    synchronous rounds — the loop shared by graph_label_propagation
+    and graph_modularity. Caller unpersists nbr (which may be passed
+    in pre-built to avoid a second persisted copy)."""
+    if nbr is None:
+        nbr = _lpa_nbr(spark, sf_dir)
     # Size gate (see GRAPH_LOCAL_NBR_CAP): below the cap the rounds
     # run as one single-task kernel instead of LPA_ITERS checkpointed
     # join+census jobs. Checkpointed so both consumers (the community
@@ -985,7 +1039,21 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg and a 1-row fold. Nothing is ever keyed on less than
     a node or community id.
     """
-    nbr, labels = _lpa_labels(spark, sf_dir)
+    # Size gate (see GRAPH_LOCAL_NBR_CAP): below the cap the label
+    # replay AND the community census run in ONE kernel job — the two
+    # label joins and the label-keyed agg of the distributed branch
+    # operate on the same in-memory arrays the replay already holds.
+    nbr = _lpa_nbr(spark, sf_dir)
+    if nbr.count() <= GRAPH_LOCAL_NBR_CAP:
+        pre = nbr.coalesce(1).mapInPandas(
+            _modularity_local_kernel,
+            "n_communities long, m_edges long, q_num long, q_den long",
+        )
+        out = pre.localCheckpoint(eager=True)
+        nbr.unpersist()
+        out._plan_audit_df = pre
+        return out
+    _nbr, labels = _lpa_labels(spark, sf_dir, nbr=nbr)
     lab_v = labels.select(F.col("node").alias("v"), F.col("lbl").alias("cv"))
     lab_z = labels.select(F.col("node").alias("z"), F.col("lbl").alias("cz"))
     j = nbr.join(lab_v, "v").join(lab_z, "z")
