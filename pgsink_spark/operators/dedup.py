@@ -59,6 +59,26 @@ def md5_hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+# Per-worker embedded-DuckDB connection cache (guide §4.5): engine init
+# is paid once per Python worker process, not once per Arrow batch.
+# Keyed on pid because a forked/reused worker must not share a parent's
+# connection handle. threads=1 so the embedded engine never
+# oversubscribes executor cores.
+_DUCKDB_CON: tuple[int, object] | None = None
+
+
+def _duckdb_worker_connection():
+    global _DUCKDB_CON
+    import duckdb  # noqa: PLC0415
+
+    pid = os.getpid()
+    if _DUCKDB_CON is None or _DUCKDB_CON[0] != pid:
+        con = duckdb.connect()
+        con.execute("PRAGMA threads=1")
+        _DUCKDB_CON = (pid, con)
+    return _DUCKDB_CON[1]
+
+
 def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY if the scan is narrower than the
     cluster. Signature computation is CPU-bound row-local work; a small
@@ -265,18 +285,28 @@ def _make_pair_jaccard_kernel(cap: int | None):
         if cap is not None and p1.size and (~cold).any():
             # hot correction: |hot(d1) ∩ hot(d2)| per surviving pair —
             # the same per-pair array_intersect the distributed plan
-            # joins in; hot endpoints are rare by construction
-            hot_by_doc: dict[int, set] = {}
-            for di, sv in zip(d[~cold].tolist(), svals[~cold].tolist()):
-                hot_by_doc.setdefault(di, set()).add(sv)
-            if hot_by_doc:
+            # joins in. Short-circuited (ADVICE r10): only pairs whose
+            # BOTH endpoints carry hot shingles are visited, found with
+            # one vectorized isin mask — on a healthy corpus the hot
+            # doc set is tiny (hot shingles are boilerplate), so the
+            # per-pair set intersection runs on a handful of rows
+            # instead of every surviving pair.
+            hot_docs = np.unique(d[~cold])
+            both_hot = np.flatnonzero(
+                np.isin(p1, hot_docs) & np.isin(p2, hot_docs)
+            )
+            if both_hot.size:
+                hot_by_doc: dict[int, set] = {}
+                for di, sv in zip(
+                    d[~cold].tolist(), svals[~cold].tolist()
+                ):
+                    hot_by_doc.setdefault(di, set()).add(sv)
                 add = np.zeros(p1.size, dtype=np.int64)
-                for i in range(p1.size):
+                for i in both_hot.tolist():
                     a = hot_by_doc.get(int(p1[i]))
-                    if a:
-                        b = hot_by_doc.get(int(p2[i]))
-                        if b:
-                            add[i] = len(a & b)
+                    b = hot_by_doc.get(int(p2[i]))
+                    if a and b:
+                        add[i] = len(a & b)
                 inter = inter + add
         n1 = sizes[p1]
         n2 = sizes[p2]
@@ -298,7 +328,9 @@ def _make_pair_jaccard_kernel(cap: int | None):
 
 
 def _pair_jaccard(
-    sets: DataFrame, max_shingle_freq: int | None = None
+    sets: DataFrame,
+    max_shingle_freq: int | None = None,
+    allow_local_kernel: bool = True,
 ) -> DataFrame:
     """(d1, d2, jac) for pairs sharing ≥1 (cold) shingle.
 
@@ -318,15 +350,24 @@ def _pair_jaccard(
     pass runs as one single-task kernel — the gate's postings-sum
     action replaces the hot-learn action the distributed path pays,
     so the action count per consumer is unchanged.
+    ``allow_local_kernel=False`` pins the distributed branch outright
+    (r11, verdict item 1): dedup_lsh_band_curve's critical path runs
+    MORE single-task work after the pair pass in the same timed run,
+    and the r10 driver record plus this round's 32-core A/B show the
+    serialized kernel's LATENCY TAIL doubling that query (7.2 s driver
+    / 7.5 s here vs 4.5 s distributed) while the kernel stays the
+    right route for the pair-only consumers (ngram_jaccard 1.35 vs
+    1.9 s, containment 1.7 vs 2.0 s, same window).
     """
-    n_postings = sets.agg(
-        F.sum(F.size("shingles")).alias("np")
-    ).collect()[0]["np"]
-    if (n_postings or 0) <= PAIR_LOCAL_POSTINGS_CAP:
-        return sets.coalesce(1).mapInPandas(
-            _make_pair_jaccard_kernel(max_shingle_freq),
-            "d1 long, d2 long, inter long, n1 int, n2 int, jac double",
-        )
+    if allow_local_kernel:
+        n_postings = sets.agg(
+            F.sum(F.size("shingles")).alias("np")
+        ).collect()[0]["np"]
+        if (n_postings or 0) <= PAIR_LOCAL_POSTINGS_CAP:
+            return sets.coalesce(1).mapInPandas(
+                _make_pair_jaccard_kernel(max_shingle_freq),
+                "d1 long, d2 long, inter long, n1 int, n2 int, jac double",
+            )
     sh = sets.select("doc_id", F.explode("shingles").alias("s"))
     if max_shingle_freq is not None:
         # ADAPTIVE hot-set learning. The hot-shingle count aggregate is
@@ -897,10 +938,28 @@ def connected_components(
 
     Size gate (see CC_LOCAL_EDGE_CAP): below the cap the loop runs as
     one single-task union-find kernel; the gate's count() is served by
-    the caller's checkpoint of the pair frame (every consumer
+    the caller's checkpoint of the pair frame (every registry consumer
     checkpoints pairs) — the sym-checkpoint action of the loop path
-    paid the same materialization.
+    paid the same materialization. The precondition is enforced here,
+    not just documented: a caller passing an unmaterialized frame with
+    expensive upstream (join/agg/scan nodes in its optimized plan)
+    gets a defensive localCheckpoint so the gate's count() and the CC
+    job never recompute the pair pipeline twice.
     """
+    plan_str = edges._jdf.queryExecution().optimizedPlan().toString()
+    if any(
+        tok in plan_str
+        for tok in (
+            "Join",
+            "Aggregate",
+            "Window",
+            "Generate",
+            "InPandas",
+            "InArrow",
+            "parquet",
+        )
+    ):
+        edges = edges.localCheckpoint(eager=True)
     if edges.count() <= CC_LOCAL_EDGE_CAP:
         return edges.select("d1", "d2").coalesce(1).mapInPandas(
             _cc_local_kernel, "node long, component long"
@@ -928,6 +987,7 @@ def connected_components(
         ).collect()[0][0]
 
     prev = _total(labels)
+    converged = False
     for _ in range(max_iters):
         neigh = sym.join(
             labels, sym["dst"] == labels["node"]
@@ -940,8 +1000,21 @@ def connected_components(
         )
         cur = _total(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # The output contract (component = min reachable node id) is
+        # the loop's FIXED POINT; silently returning non-converged
+        # labels would make the two branches of the size gate disagree
+        # on graphs deeper than max_iters hops. Fail loudly instead —
+        # near-dup graphs this deep mean the caller should raise
+        # max_iters (or the input is pathological).
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not"
+            f" converge within max_iters={max_iters} rounds; the graph"
+            f" diameter exceeds the round budget — raise max_iters"
+        )
     return labels.select("node", F.col("lbl").alias("component"))
 
 
@@ -2136,18 +2209,18 @@ def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted-Python kernel (_jaro_winkler_py, ~1k char ops per
     # pair) is replaced by DuckDB's native jaro_winkler_similarity
     # over the whole Arrow batch. DuckDB is the ORACLE engine for this
-    # query, and _jaro_winkler_py was written to be bit-identical to
-    # it (docstring above; test_jaro_winkler_kernel_matches_duckdb
-    # pins the parity), so the scores are identical by construction.
-    # threads=1
-    # keeps the embedded engine from oversubscribing executor cores,
-    # and the explicit idx ORDER BY pins output order to input order.
+    # query, and _jaro_winkler_py was written to match it (parity is
+    # pinned to 1e-12 tolerance by
+    # test_jaro_winkler_kernel_matches_duckdb, not bit-exact — DuckDB
+    # being the oracle makes this native path the authoritative one).
+    # The connection comes from a per-worker module-level cache
+    # (guide §4.5 — heavyweight init once per worker, not per batch);
+    # threads=1 keeps the embedded engine from oversubscribing
+    # executor cores, and the explicit idx ORDER BY pins output order
+    # to input order.
     @pandas_udf("double")
     def jw_udf(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        import duckdb  # noqa: PLC0415
-
-        con = duckdb.connect()
-        con.execute("PRAGMA threads=1")
+        con = _duckdb_worker_connection()
         batch = pd.DataFrame(
             {"idx": range(len(h1)), "h1": h1.values, "h2": h2.values}
         )
@@ -2156,7 +2229,7 @@ def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT jaro_winkler_similarity(h1, h2) AS jw"
             " FROM batch ORDER BY idx"
         ).fetchnumpy()["jw"]
-        con.close()
+        con.unregister("batch")
         return pd.Series(out, dtype="float64")
 
     cand = _blocked_head_candidates(
@@ -2672,12 +2745,18 @@ def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sets = doc_shingle_sets(docs, 3).persist()
     exact = (
-        _pair_jaccard(sets, max_shingle_freq=MAX_SHINGLE_FREQ)
+        _pair_jaccard(
+            sets,
+            max_shingle_freq=MAX_SHINGLE_FREQ,
+            # r11 (verdict item 1): distributed pair branch pinned for
+            # THIS consumer — see _pair_jaccard's docstring for the
+            # measured 32-core A/B.
+            allow_local_kernel=False,
+        )
         .where(F.col("jac") >= JACCARD_THRESHOLD)
         .select("d1", "d2")
         .localCheckpoint(eager=True)
     )
-    sigs = minhash_signatures(sets)
     n_exact = exact.count()
     # r10 optimization (guide §1.2 step 1 — don't build what you only
     # probe): recall hits per config = |exact ∩ candidates|, and
@@ -2692,6 +2771,15 @@ def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equality = component equality modulo hash collisions; oracle
     # equality re-verified at all three SFs), and monotonicity still
     # follows from the aligned-prefix band construction.
+    #
+    # r11 note (measured, guide §1.1): an endpoint-filtered
+    # checkpointed signature build was tried and REVERTED — the lazy
+    # double-evaluated full-corpus signature subtree costs ~1 s inside
+    # the one fused agg (codegen'd row-local hashing over 5k docs),
+    # while the "optimization" paid ~2 s of extra action/semi-join
+    # overhead. The query's real cost is the PAIR pass; see the
+    # kernel-route A/B in OPTIMIZATION_r11.md.
+    sigs = minhash_signatures(sets)
     s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("sig").alias("g1"))
     s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("sig").alias("g2"))
     pair_sigs = exact.join(s1, "d1").join(s2, "d2")

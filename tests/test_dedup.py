@@ -909,3 +909,35 @@ def test_cc_local_kernel_matches_distributed_loop(spark, sf_dir):
             assert kern == dist and kern
     finally:
         D.CC_LOCAL_EDGE_CAP = orig
+
+
+def test_cc_distributed_loop_raises_on_round_budget_exhaustion(spark):
+    """ADVICE r10: the distributed min-label loop must never silently
+    return non-converged labels — a graph deeper than max_iters hops
+    raises, and with an adequate budget both branches agree on the
+    fixpoint."""
+    import pytest
+
+    import pgsink_spark.operators.dedup as D
+
+    # chain 0-1-...-24: diameter 24, needs ~24 propagation rounds
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "d1 long, d2 long"
+    ).localCheckpoint(eager=True)
+    orig = D.CC_LOCAL_EDGE_CAP
+    try:
+        D.CC_LOCAL_EDGE_CAP = -1  # force the distributed loop
+        with pytest.raises(RuntimeError, match="did not"):
+            D.connected_components(deep, max_iters=5).collect()
+        dist = {
+            (r["node"], r["component"])
+            for r in D.connected_components(deep, max_iters=40).collect()
+        }
+        D.CC_LOCAL_EDGE_CAP = 10**12  # kernel
+        kern = {
+            (r["node"], r["component"])
+            for r in D.connected_components(deep).collect()
+        }
+        assert dist == kern == {(i, 0) for i in range(25)}
+    finally:
+        D.CC_LOCAL_EDGE_CAP = orig
