@@ -30,6 +30,44 @@ from pgsink_spark.streaming.stateful import session_tracker
 
 _RUN = itertools.count()
 
+# Scale rule for the stateful-streaming plane (guide §2.2 — size
+# shuffle partitions from data volume, not from a constant): the state
+# store creates ONE instance per shuffle partition per stateful
+# operator, and every micro-batch commits EVERY instance (delta file +
+# snapshot bookkeeping) whether or not it holds data. With the session
+# default (partitions = cores), a 2 MB fixture pays 32 state commits
+# per batch per operator at local[32] — pure fixed cost, and the
+# round-10 driver record shows the inversion (stream_* ran FASTER at 8
+# cores than at 32). The rule below derives the partition count from
+# the staged input bytes at the guide's ~64 MB-per-partition advisory
+# (AQE's advisoryPartitionSizeInBytes default — AQE itself is disabled
+# for stateful streaming, so this is the streaming-side equivalent):
+# 2 MB → 1 partition locally; 100 TB → ~1.6M capped by the env knob at
+# 200k (a real cluster's max state-store instances; operators with
+# larger state per key should lower the target). Parameterised, not
+# fixture-tuned: PGSINK_STREAM_TARGET_PARTITION_BYTES / _MAX_PARTITIONS.
+_STREAM_TARGET_PARTITION_BYTES = int(
+    os.environ.get("PGSINK_STREAM_TARGET_PARTITION_BYTES", str(64 * 1024**2))
+)
+_STREAM_MAX_PARTITIONS = int(
+    os.environ.get("PGSINK_STREAM_MAX_PARTITIONS", "200000")
+)
+
+
+def _stream_shuffle_partitions(
+    staged_bytes: int, compute_floor: int = 1
+) -> int:
+    """Volume rule, with a compute floor for PYTHON-stateful queries:
+    an ``applyInPandasWithState`` operator pays a pandas call per GROUP
+    per batch — compute that needs task slots, not fewer state
+    commits — so those queries floor the partition count at the
+    session's default parallelism (measured r11: stream_funnel ran
+    2.0 s at 32 partitions and 7.7 s at 1; the JVM-stateful family
+    shows the opposite sign, stream_interval_join_outer 10.4 s at 32
+    vs 2.8 s at 1)."""
+    parts = -(-max(staged_bytes, 1) // _STREAM_TARGET_PARTITION_BYTES)
+    return max(compute_floor, min(parts, _STREAM_MAX_PARTITIONS))
+
 _EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp_ntz, user_id bigint,"
     " event_type string, value double, props string"
@@ -50,6 +88,7 @@ def _run_availablenow(
         ("events.parquet", "events.parquet"),
     ),
     output_mode: str | None = None,
+    python_stateful: bool = False,
 ) -> DataFrame:
     """Shared availableNow plumbing for every stream_* registry query:
     stage the fixture file(s) into a fresh /tmp source directory, read
@@ -66,14 +105,20 @@ def _run_availablenow(
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
     os.makedirs(src)
+    staged_bytes = 0
     for s, d in stage:
         p = f"{sf_dir}/{s}"
         # fixture dirs ship single parquet files; scale-probe replicas
         # ship Spark-written directories — stage either shape
         if os.path.isdir(p):
             shutil.copytree(p, f"{src}/{d}")
+            for root, _dirs, files in os.walk(f"{src}/{d}"):
+                staged_bytes += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
         else:
             shutil.copy(p, f"{src}/{d}")
+            staged_bytes += os.path.getsize(f"{src}/{d}")
     # recursive + glob: single-file fixtures stage flat, but scale-probe
     # replicas are Spark-WRITTEN DIRECTORIES (part files + _SUCCESS) —
     # without these options the file stream source silently lists ZERO
@@ -85,17 +130,34 @@ def _run_availablenow(
         .parquet(src)
     )
     name = f"{prefix}_{h}_{os.getpid()}_{run}"
-    writer = (
-        build(raw)
-        .writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
+    # data-volume-derived shuffle/state partitioning for THIS streaming
+    # query only (see _stream_shuffle_partitions); the session default
+    # is restored right after the drain so batch queries are untouched.
+    # The state-store partition count is fixed per checkpoint at first
+    # start, and every run here starts a fresh checkpoint, so the rule
+    # re-derives cleanly per run.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    floor = (
+        spark.sparkContext.defaultParallelism if python_stateful else 1
     )
-    if output_mode:
-        writer = writer.outputMode(output_mode)
-    q = writer.start()
-    q.awaitTermination()
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_shuffle_partitions(staged_bytes, floor)),
+    )
+    try:
+        writer = (
+            build(raw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+        )
+        if output_mode:
+            writer = writer.outputMode(output_mode)
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # staging contract: the stream must have ingested at least the rows
     # staged (the nested-dir regression above produced 0-input runs
     # that looked like fast queries — this turns that into a loud error)
@@ -165,6 +227,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "sess",
         lambda raw: session_tracker(_ts_cast(raw).select("user_id", "ts")),
+        python_stateful=True,
     )
     return (
         out
@@ -237,6 +300,7 @@ def stream_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda raw: anomaly_detector(
             _ts_cast(raw).select("user_id", "ts", "value")
         ),
+        python_stateful=True,
     )
     return (
         out
@@ -398,6 +462,7 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda raw: attribution_tracker(
             _ts_cast(raw).select("event_id", "user_id", "ts", "event_type")
         ),
+        python_stateful=True,
     )
     return (
         out
@@ -445,6 +510,7 @@ def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda raw: rolling_zscore_detector(
             _ts_cast(raw).select("event_id", "user_id", "ts", "value")
         ),
+        python_stateful=True,
     )
     return (
         out
@@ -499,6 +565,7 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda raw: cusum_detector(
             _ts_cast(raw).select("event_id", "user_id", "ts", "value")
         ),
+        python_stateful=True,
     )
     return (
         out
@@ -544,6 +611,7 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id", "user_id", "event_type", "ts", "value"
             )
         ),
+        python_stateful=True,
     )
     return (
         out
@@ -660,6 +728,7 @@ def stream_sample_evictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda raw: reservoir_evictions(raw.select("source", "doc_id")),
         schema=_DOCS_SCHEMA,
         stage=(("documents.parquet", "documents.parquet"),),
+        python_stateful=True,
     )
     return out.select("source", "doc_id").orderBy("source", "doc_id")
 
@@ -766,6 +835,7 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda raw: funnel_tracker(
             _ts_cast(raw).select("event_id", "ts", "user_id", "event_type")
         ),
+        python_stateful=True,
     )
     return out.orderBy("user_id")
 
@@ -839,6 +909,7 @@ def stream_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         schema=_DOCS_SCHEMA,
         stage=(("documents.parquet", "documents.parquet"),),
+        python_stateful=True,
     )
     return (
         out.groupBy("doc_id")
@@ -892,6 +963,7 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda raw: window_topk_tracker(
             _ts_cast(raw).select("event_id", "ts", "event_type", "value")
         ),
+        python_stateful=True,
     )
     return out.orderBy("event_type", "window_start", "rank")
 

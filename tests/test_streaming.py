@@ -408,3 +408,27 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
     assert [(r["user_id"], r["click_id"], r["purchase_id"]) for r in got] == [
         (r["user_id"], r["click_id"], r["purchase_id"]) for r in want
     ]
+
+
+def test_stream_shuffle_partitions_volume_rule():
+    """r11 scale rule: streaming shuffle/state partitions derive from
+    staged bytes (~64 MB advisory), floor 1, cap 200k; Python-stateful
+    queries floor at the session's parallelism instead."""
+    from pgsink_spark.operators.streaming_q import (
+        _STREAM_MAX_PARTITIONS,
+        _STREAM_TARGET_PARTITION_BYTES,
+        _stream_shuffle_partitions,
+    )
+
+    t = _STREAM_TARGET_PARTITION_BYTES
+    assert _stream_shuffle_partitions(0) == 1
+    assert _stream_shuffle_partitions(2 * 1024**2) == 1
+    assert _stream_shuffle_partitions(t) == 1
+    assert _stream_shuffle_partitions(t + 1) == 2
+    assert _stream_shuffle_partitions(10 * t) == 10
+    assert (
+        _stream_shuffle_partitions(10**15) == _STREAM_MAX_PARTITIONS
+    )
+    # compute floor for applyInPandasWithState queries
+    assert _stream_shuffle_partitions(2 * 1024**2, compute_floor=32) == 32
+    assert _stream_shuffle_partitions(100 * t, compute_floor=32) == 100
