@@ -6718,13 +6718,31 @@ def cdc_cross_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_asof = li.join(
         l_delkeys, li["l_orderkey"] == l_delkeys["delk"], "left_anti"
     ).select("l_orderkey")
-    orphans = l_asof.join(
-        o_asof, l_asof["l_orderkey"] == o_asof["o_orderkey"], "left_anti"
+    # r11 (guide §5/§1.2 — fewer actions, never recompute a subtree):
+    # the old shape ran THREE count() actions, and the orphan count's
+    # plan re-evaluated BOTH asof reconstructions (the orders window +
+    # the lineitem anti-join) a second time. Checkpoint the small
+    # surviving-order key set once (it is both the n_orders census and
+    # the orphan probe's build side), then fold n_lineitems and
+    # n_orphans in ONE aggregate over a single pass of the surviving
+    # lineitems: 3 actions → 2 jobs, each subtree evaluated once.
+    o_keys = o_asof.localCheckpoint(eager=True)
+    n_o = o_keys.count()
+    l_stats = (
+        l_asof.join(
+            o_keys.select(F.col("o_orderkey").alias("ok")),
+            l_asof["l_orderkey"] == F.col("ok"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_l"),
+            F.sum(F.when(F.col("ok").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orph"),
+        )
+        .collect()[0]
     )
-    n_o = o_asof.count()
-    n_l = l_asof.count()
-    n_orph = orphans.count()
     return spark.createDataFrame(
-        [(n_o, n_l, n_orph)],
+        [(n_o, int(l_stats["n_l"]), int(l_stats["n_orph"]))],
         "n_orders long, n_lineitems long, n_orphans long",
     )
