@@ -98,6 +98,71 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # fixture never exercises; windowing it keeps never-checked at ZERO).
 # Growth freeze holds (1 of ≤5 new registrations this round).
 # Rotation ledger: VERIFICATION.md.
+# Round 11 keeps the steady-state stalest-50 rotation (optimization
+# round — zero new registrations, growth freeze holds): the window is
+# exactly the 50 stalest green rows by (round, window-position) over
+# CORRECTNESS_r01..r10 — the 17 r4-vintage rows whose last driver
+# green is round 4 (d3_outer_join_agg, which gave its r10 slot to
+# dedup_embedding_dup_branch, plus d4_range_join … d19_udf_parity, as
+# the r10 ledger promised), then the oldest 33 r5-vintage rows in
+# their round-5 window order (a5b_keyset_composite … b8_array_agg).
+# After this round no green row is older than round 5. Rotation
+# ledger: VERIFICATION.md.
+_ROUND11_PRIORITY = [
+    # ---- r4-vintage stale rows, round-4 window order (17) ----
+    "d3_outer_join_agg",
+    "d4_range_join",
+    "d5_tpch_q1",
+    "d6_count_distinct",
+    "d7_rollup",
+    "d8_rank_topk",
+    "d9_lag_lead",
+    "d10_running_sum",
+    "d11_topk_order",
+    "d12_intersect",
+    "d13_string_fns",
+    "d14_date_trunc",
+    "d15_array_fns",
+    "d16_json_fns",
+    "d17_tumbling_window",
+    "d18_distinct_dedup",
+    "d19_udf_parity",
+    # ---- oldest 33 r5-vintage stale rows, round-5 window order ----
+    "a5b_keyset_composite",
+    "dedup_duplicate_spans",
+    "mm_phash_neardup",
+    "text_pmi_pairs",
+    "graph_pagerank",
+    "graph_triangles",
+    "dedup_incremental_probe",
+    "mine_hard_negatives",
+    "graph_linkpred",
+    "text_bpe_pairs",
+    "d69_rolling_zscore",
+    "privacy_k_anonymity",
+    "corpus_mixture_reweight",
+    "ann_pq_recall",
+    "d70_ohlc_resample",
+    "d71_attribution",
+    "d72_mad_outliers",
+    "stream_attribution",
+    "stream_rolling_zscore",
+    "eval_langid_metrics",
+    "eval_score_auc",
+    "eval_calibration",
+    "text_bigram_perplexity",
+    "text_subword_encode",
+    "export_webdataset",
+    "privacy_dp_counts",
+    "d74_cusum_changepoints",
+    "text_keyword_chi2",
+    "stream_cusum",
+    "mm_phash_clusters",
+    "d21_text_group",
+    "d23_session_gap",
+    "b8_array_agg",
+]
+
 _ROUND10_PRIORITY = [
     # ---- never driver-checked: the round-9 audits (2) ----
     "dedup_cluster_cap_audit",
@@ -722,8 +787,11 @@ def _registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries["text_fingerprint"] = _text.text_fingerprint
 
     ordered: dict[str, QueryFn] = {}
-    for name in _ROUND10_PRIORITY:
+    for name in _ROUND11_PRIORITY:
         ordered[name] = queries[name]
+    for name in _ROUND10_PRIORITY:
+        if name not in ordered:
+            ordered[name] = queries[name]
     for name in _ROUND9_PRIORITY:
         if name not in ordered:
             ordered[name] = queries[name]
