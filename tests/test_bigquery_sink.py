@@ -223,6 +223,7 @@ def test_bq_schema_array_and_binary_types():
     assert by["seen"]["type"] == "TIMESTAMP"
 
 
+@pytest.mark.slow
 def test_cli_stream_capture_to_bigquery(spark, tmp_path, fake):
     """Full CDC e2e through the CLI: pgoutput capture → DSv2 stream →
     typed cast → BigQuery REST sink on the fake. The relation message

@@ -4,6 +4,7 @@ equivalence with the read-time compaction view."""
 
 from __future__ import annotations
 
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -37,6 +38,7 @@ def _batch(spark, rows):
     return spark.createDataFrame(data, envelope_schema(PAYLOAD))
 
 
+@pytest.mark.slow
 def test_incremental_merge_upsert_delete_latearrival(spark, tmp_path):
     tbl = KeyedCompactedTable(
         spark, str(tmp_path / "compacted"), ["id"], n_buckets=8

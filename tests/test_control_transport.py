@@ -5,6 +5,7 @@ complete → assert the emitted NDJSON modifications.
 
 from __future__ import annotations
 
+import pytest
 import json
 import os
 import urllib.request
@@ -391,6 +392,7 @@ def test_cli_run_one_tick(tmp_path, spark, capsys):
     ).count() == 1
 
 
+@pytest.mark.slow
 def test_cli_stream_bounded_batches(tmp_path, spark, capsys):
     """--max-commits 1: the backlog drains fully, one commit per
     micro-batch (epoch ledger shows multiple epochs)."""

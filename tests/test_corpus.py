@@ -7,6 +7,7 @@ invariants the oracle alone doesn't show.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pgsink_spark.operators import corpus
@@ -1357,6 +1358,7 @@ def test_cdc_gap_audit_matches_python_replay(spark, sf_dir):
     assert got, "synthetic holes must produce gaps"
 
 
+@pytest.mark.slow
 def test_ivf_probe_curve_hits_are_really_monotone(spark, sf_dir):
     """Recompute the per-nprobe hit counts independently and check the
     gate's booleans against them (the gate must not be vacuous)."""

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
 import pgsink_spark.operators.curation  # noqa: F401 — registers pipeline_curation
 from pgsink_spark.operators.relational import QUERIES
 from pgsink_spark.sources.fixtures import load_table
@@ -84,6 +85,7 @@ def test_foreachbatch_availablenow_stream(spark, tmp_path):
     assert cur.curated().count() == accepted
 
 
+@pytest.mark.slow
 def test_curator_fed_by_cdc_source(spark, tmp_path):
     """Flagship integration: documents arrive as CDC INSERT envelopes
     through the DSv2 source, the typed cast projects them back to rows,

@@ -5,6 +5,7 @@ similarity distortion.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pgsink_spark.operators.dedup import (
@@ -19,6 +20,7 @@ def _sets(spark, rows):
     return doc_shingle_sets(docs, 3)
 
 
+@pytest.mark.slow
 def test_hot_shingle_candidates_are_bounded(spark):
     """One ultra-frequent boilerplate shingle shared by every doc:
     uncapped candidate generation is O(n²); the capped path drops the
@@ -748,6 +750,7 @@ def test_cdc_chunk_kernel_matches_sequential_recurrence(spark, sf_dir):
         assert got.get(doc_id, []) == replay(text), doc_id
 
 
+@pytest.mark.slow
 def test_lsh_band_curve_fused_hits_match_candidate_joins(spark, sf_dir):
     """dedup_lsh_band_curve's one-aggregate hit fold must equal the
     pre-r10 shape — per-config bucket-key self-join candidates
@@ -821,6 +824,7 @@ def test_lsh_band_curve_fused_hits_match_candidate_joins(spark, sf_dir):
         ), (b, h, got[b])
 
 
+@pytest.mark.slow
 def test_pair_jaccard_local_kernel_matches_joins(spark, sf_dir):
     """The r10 size-gated single-task pair kernel must emit exactly
     what the exploded self-join plan emits — capped and uncapped, on
@@ -870,6 +874,7 @@ def test_pair_jaccard_local_kernel_matches_joins(spark, sf_dir):
         D.PAIR_LOCAL_POSTINGS_CAP = orig
 
 
+@pytest.mark.slow
 def test_cc_local_kernel_matches_distributed_loop(spark, sf_dir):
     """The r10 size-gated union-find kernel must emit exactly the
     min-label fixpoint the distributed propagation loop emits — on the
@@ -911,6 +916,7 @@ def test_cc_local_kernel_matches_distributed_loop(spark, sf_dir):
         D.CC_LOCAL_EDGE_CAP = orig
 
 
+@pytest.mark.slow
 def test_cc_distributed_loop_raises_on_round_budget_exhaustion(spark):
     """ADVICE r10: the distributed min-label loop must never silently
     return non-converged labels — a graph deeper than max_iters hops

@@ -4,6 +4,7 @@ tandem (both sides computing the same wrong thing)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pgsink_spark.operators.graph import (
@@ -657,6 +658,7 @@ def test_hub_cap_active_both_engines_agree(spark, sf_dir):
     }
 
 
+@pytest.mark.slow
 def test_local_graph_kernels_match_distributed_loops(spark, sf_dir):
     """The r10 size-gated single-task kernels (kcore peel, LPA rounds,
     BFS levels) must emit exactly what the per-round checkpointed

@@ -487,6 +487,7 @@ def test_row_value_gt_matches_tuple_semantics(spark):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_importer_composite_key_resumes(spark, sf_dir, store):
     """End-to-end composite-PK import: stop mid-way, resume from the
     persisted JSON-array cursor, finish with exact row total."""
@@ -512,6 +513,7 @@ def test_importer_composite_key_resumes(spark, sf_dir, store):
     assert r1.rows + r2.rows == total
 
 
+@pytest.mark.slow
 def test_row_value_gt_property(spark):
     """Hypothesis: for random arity-1..3 integer tuples, the expanded
     OR/AND predicate selects exactly the rows whose key tuple compares

@@ -4,6 +4,7 @@ deletes, and group disappearance."""
 
 from __future__ import annotations
 
+import pytest
 import datetime
 
 from pyspark.sql import functions as F
@@ -151,6 +152,7 @@ def test_foreachbatch_availablenow_stream(spark, tmp_path):
     assert _state(agg) == {"a": (9, 1, 9.0)}
 
 
+@pytest.mark.slow
 def test_minmax_hybrid_maintenance(spark, tmp_path):
     """MIN/MAX maintenance: inserts fold in monotonically with NO base
     read; only a retraction that ties a stored extremum triggers a

@@ -6,6 +6,7 @@ batches."""
 
 from __future__ import annotations
 
+import pytest
 import datetime
 
 from pyspark.sql import types as T
@@ -62,6 +63,7 @@ def _got(view):
     }
 
 
+@pytest.mark.slow
 def test_view_tracks_recompute(spark, tmp_path):
     view = IncrementalJoinView(
         spark, str(tmp_path / "ivm"), ORDERS, CUSTOMERS, "cust_id"
@@ -131,6 +133,7 @@ def test_view_tracks_recompute(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_empty_batches_noop(spark, tmp_path):
     view = IncrementalJoinView(
         spark, str(tmp_path / "ivm2"), ORDERS, CUSTOMERS, "cust_id"
@@ -144,6 +147,7 @@ def test_empty_batches_noop(spark, tmp_path):
     assert _got(view) == before
 
 
+@pytest.mark.slow
 def test_replayed_epoch_is_skipped(spark, tmp_path):
     """foreachBatch is at-least-once: re-delivering a committed epoch
     must not double-apply the Z-set deltas (exactly-once via the
@@ -168,6 +172,7 @@ def test_replayed_epoch_is_skipped(spark, tmp_path):
     assert len(_got(view)) == 2
 
 
+@pytest.mark.slow
 def test_independent_per_side_streams(spark, tmp_path):
     """The two sides may be fed by two INDEPENDENT streaming queries,
     each with its own batch-id sequence starting at 0. Per-channel
@@ -202,6 +207,7 @@ def test_independent_per_side_streams(spark, tmp_path):
     assert _got(view) == {(2, 200, 9, "b", 2)}
 
 
+@pytest.mark.slow
 def test_state_dirs_are_garbage_collected(spark, tmp_path):
     import os
 

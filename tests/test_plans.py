@@ -1282,6 +1282,7 @@ GLOBAL_WINDOW_WHITELIST = {
 
 
 @pytest.mark.audit
+@pytest.mark.slow
 def test_global_window_whitelist_is_exact(spark):
     """Walk every registered query's optimized logical plan; the set of
     queries containing a no-partition Window must EQUAL the whitelist

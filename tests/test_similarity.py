@@ -4,6 +4,7 @@ brute force, and the pandas-UDF scorer's parity with the fold scorer.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pgsink_spark.operators import similarity as sim
@@ -78,6 +79,7 @@ def test_lsh_buckets_partition_corpus(spark, sf_dir):
     assert {(r.vec_id, r.b) for r in rows} == again
 
 
+@pytest.mark.slow
 def test_blocked_embedding_dedup_is_exact(spark, sf_dir):
     """Triangle-inequality cell blocking must reproduce the all-pairs
     result exactly — recall is guaranteed by the bound, not probability
@@ -88,6 +90,7 @@ def test_blocked_embedding_dedup_is_exact(spark, sf_dir):
     assert len(blocked) > 0
 
 
+@pytest.mark.slow
 def test_admission_blocked_path_is_exact(spark, sf_dir):
     """The triangle-admission BLOCKED plan (the >SMALL_TILE_MAX_ROWS
     scale route) must reproduce the all-pairs result exactly. Called
@@ -229,6 +232,7 @@ def test_multiprobe_full_radius_equals_bruteforce(spark, sf_dir):
     assert full == exact
 
 
+@pytest.mark.slow
 def test_recall_gates_pass_and_are_deterministic(spark, sf_dir):
     """The three ANN recall gates emit (n_queries=5, recall_ok=True) at
     every fixture SF (floors are >=2x under measured hits), twice in a
@@ -245,6 +249,7 @@ def test_recall_gates_pass_and_are_deterministic(spark, sf_dir):
             assert rows[0]["recall_ok"] is True
 
 
+@pytest.mark.slow
 def test_pq_recall_gate_and_encode_shape(spark, sf_dir):
     """The PQ gate passes (floor >=2x under measured hits) and the
     two-stage path is deterministic; a full-corpus re-rank (rerank >>
@@ -300,6 +305,7 @@ def test_quant_int8_exact_on_grid(spark):
     assert out.mean_abs_err == 0.0
 
 
+@pytest.mark.slow
 def test_embedding_pairs_dup_branch_matches_allpairs(spark, sf_dir, tmp_path):
     """The census-gated plan-level collapse branch (dup_ratio > 0.25)
     must emit exactly the all-pairs result on a duplicate-heavy corpus
@@ -321,6 +327,7 @@ def test_embedding_pairs_dup_branch_matches_allpairs(spark, sf_dir, tmp_path):
     assert len(blocked) > 0
 
 
+@pytest.mark.slow
 def test_adaptive_pairs_randomized_all_paths(spark):
     """Seeded randomized corpora (duplicate mass, multiple labels,
     near-duplicate noise) through every plan shape — the adaptive core
@@ -402,6 +409,7 @@ def test_arrow_topk_bitwise_matches_fold(spark, sf_dir):
     assert arrow == fold
 
 
+@pytest.mark.slow
 def test_ivf_probe_curve_fused_hits_match_pernprobe_reruns(spark, sf_dir):
     """ann_ivf_probe_curve's fused single-scoring-pass sweep must
     produce the same per-nprobe recall hits as independently rerunning

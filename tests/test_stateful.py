@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pgsink_spark.sources.fixtures import load_table
@@ -191,6 +192,7 @@ def test_stream_scd2_equals_batch_history(spark, sf_dir):
     assert stream == batch
 
 
+@pytest.mark.slow
 def test_scd2_tracker_carries_open_version_across_batches(spark, tmp_path):
     """The open version must survive a micro-batch boundary: an event in
     batch 2 closes a version opened in batch 1 (interval spans batches)."""
@@ -244,6 +246,7 @@ def test_scd2_tracker_carries_open_version_across_batches(spark, tmp_path):
     assert row["valid_to"] == pd.Timestamp("2024-01-01 01:00:00")
 
 
+@pytest.mark.slow
 def test_reservoir_evictions_across_batches(spark, tmp_path):
     """A doc inside the frontier after batch 1 must be emitted later if
     batch 2 displaces it, and the union of emissions across batches
@@ -292,6 +295,7 @@ def test_reservoir_evictions_across_batches(spark, tmp_path):
     assert sorted(d for _, d in captured) == sorted(expected)
 
 
+@pytest.mark.slow
 def test_funnel_tracker_cursor_survives_batches(spark, tmp_path):
     """signup in batch 1, view in batch 2, purchase in batch 3 — the
     cursor crosses two micro-batch boundaries and emits exactly once;
@@ -348,6 +352,7 @@ def test_funnel_tracker_cursor_survives_batches(spark, tmp_path):
     assert row.funnel_s == 300
 
 
+@pytest.mark.slow
 def test_band_prober_running_min_across_batches(spark, tmp_path):
     """A batch-2 doc sharing a band with a batch-1 doc must report the
     batch-1 doc as dup_of — the index state survives the boundary."""
@@ -394,6 +399,7 @@ def test_band_prober_running_min_across_batches(spark, tmp_path):
     assert {(r.doc_id, r.dup_of) for r in captured} == {(12, 10), (5, None)}
 
 
+@pytest.mark.slow
 def test_window_topk_state_carries_and_emits_once(spark, tmp_path):
     """Day-1 events split across two micro-batches: the K-slot state
     must carry batch 1's leaders into batch 2, emit the day-1 ranking
@@ -450,6 +456,7 @@ def test_window_topk_state_carries_and_emits_once(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_window_topk_late_row_for_closed_window_is_dropped(
     spark, tmp_path
 ):
