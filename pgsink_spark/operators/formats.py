@@ -222,15 +222,23 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     out = f"/tmp/pgsink_fmt_xml_{h}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # r11 (guide §6 — file layout determines reader parallelism):
+        # the natural write emitted ONE xml file (37 MB at sf0.1), and
+        # a single xml file parses as a single task. Stage at a
+        # size-derived file count instead: xml inflates this schema's
+        # parquet ~14× (measured 2.6 MB → 37 MB), target ~8 MB per
+        # xml file, capped — all filesystem metadata, no extra jobs.
+        src_bytes = os.path.getsize(os.path.join(sf_dir, "orders.parquet"))
+        n_files = max(1, min(src_bytes * 14 // (8 << 20), 64))
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_custkey",
             "o_orderstatus",
             "o_orderdate",
             "o_totalprice",
-        ).write.mode("overwrite").format("xml").option(
-            "rowTag", "order"
-        ).save(out)
+        ).repartition(int(n_files)).write.mode("overwrite").format(
+            "xml"
+        ).option("rowTag", "order").save(out)
     raw = (
         spark.read.schema(
             "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
@@ -240,13 +248,19 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "order")
         .load(out)
     )
-    return raw.select(
+    # r11 (guide §2.4): the global sort's range partitioner SAMPLES its
+    # input first, so sorting straight over the xml scan parses every
+    # file twice. Materialize the parsed rows once (localCheckpoint),
+    # then sample+sort over the in-memory rows — one xml parse total.
+    parsed = raw.select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
         "o_orderdate",
         rnd(dec("o_totalprice"), 2).alias("tp"),
-    ).orderBy("o_orderkey")
+    ).localCheckpoint(eager=True)
+    out_df = parsed.orderBy("o_orderkey")
+    return out_df
 
 
 @query(
