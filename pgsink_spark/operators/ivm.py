@@ -156,14 +156,6 @@ def ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = IncrementalAgg(spark, path, ["o_orderpriority"], "tp")
     k = F.col("o_orderkey")
-    agg.apply_batch(
-        to_envelope(orders.where(k % 2 == 1), "public", "orders",
-                    lsn=F.lit(1))
-    )
-    agg.apply_batch(
-        to_envelope(orders.where(k % 2 == 0), "public", "orders",
-                    lsn=F.lit(2))
-    )
     base = [F.col("o_orderkey"), F.col("o_orderpriority"), F.col("tp")]
     plus = [
         F.col("o_orderkey"),
@@ -172,10 +164,17 @@ def ivm_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,4)")
         .alias("tp"),
     ]
-    agg.apply_batch(
-        _change_env(orders.where(k % 10 == 5), base, plus).unionByName(
-            _change_env(orders.where(k % 100 == 7), base, None)
-        )
+    # same three-batch history via apply_batches (r11, guide §2.6)
+    agg.apply_batches(
+        [
+            to_envelope(orders.where(k % 2 == 1), "public", "orders",
+                        lsn=F.lit(1)),
+            to_envelope(orders.where(k % 2 == 0), "public", "orders",
+                        lsn=F.lit(2)),
+            _change_env(orders.where(k % 10 == 5), base, plus).unionByName(
+                _change_env(orders.where(k % 100 == 7), base, None)
+            ),
+        ]
     )
     return (
         agg.read()
@@ -306,14 +305,6 @@ def ivm_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, ["o_orderpriority"], "o_custkey"
     )
     k = F.col("o_orderkey")
-    view.apply_batch(
-        to_envelope(orders.where(k % 2 == 1), "public", "orders",
-                    lsn=F.lit(1))
-    )
-    view.apply_batch(
-        to_envelope(orders.where(k % 2 == 0), "public", "orders",
-                    lsn=F.lit(2))
-    )
     base = [F.col("o_orderkey"), F.col("o_orderpriority"),
             F.col("o_custkey")]
     moved = [
@@ -321,10 +312,18 @@ def ivm_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"),
         (F.col("o_custkey") + F.lit(10_000_000)).alias("o_custkey"),
     ]
-    view.apply_batch(
-        _change_env(orders.where(k % 10 == 5), base, moved).unionByName(
-            _change_env(orders.where(k % 100 == 7), base, None)
-        )
+    # same three-batch history via apply_batches (r11, guide §2.6:
+    # the support-table delta jobs overlap; merges stay sequential)
+    view.apply_batches(
+        [
+            to_envelope(orders.where(k % 2 == 1), "public", "orders",
+                        lsn=F.lit(1)),
+            to_envelope(orders.where(k % 2 == 0), "public", "orders",
+                        lsn=F.lit(2)),
+            _change_env(orders.where(k % 10 == 5), base, moved).unionByName(
+                _change_env(orders.where(k % 100 == 7), base, None)
+            ),
+        ]
     )
     return view.read().orderBy("o_orderpriority")
 
@@ -375,14 +374,6 @@ def ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = IncrementalAgg(spark, path, ["o_custkey"], "tp")
     k = F.col("o_orderkey")
-    agg.apply_batch(
-        to_envelope(orders.where(k % 2 == 1), "public", "orders",
-                    lsn=F.lit(1))
-    )
-    agg.apply_batch(
-        to_envelope(orders.where(k % 2 == 0), "public", "orders",
-                    lsn=F.lit(2))
-    )
     base = [F.col("o_orderkey"), F.col("o_custkey"), F.col("tp")]
     plus = [
         F.col("o_orderkey"),
@@ -391,10 +382,19 @@ def ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,4)")
         .alias("tp"),
     ]
-    agg.apply_batch(
-        _change_env(orders.where(k % 10 == 5), base, plus).unionByName(
-            _change_env(orders.where(k % 100 == 7), base, None)
-        )
+    # same three-batch history, replayed through apply_batches so the
+    # state-independent delta jobs overlap (r11, guide §2.6); merge
+    # order and every state epoch are unchanged
+    agg.apply_batches(
+        [
+            to_envelope(orders.where(k % 2 == 1), "public", "orders",
+                        lsn=F.lit(1)),
+            to_envelope(orders.where(k % 2 == 0), "public", "orders",
+                        lsn=F.lit(2)),
+            _change_env(orders.where(k % 10 == 5), base, plus).unionByName(
+                _change_env(orders.where(k % 100 == 7), base, None)
+            ),
+        ]
     )
     return (
         agg.read()

@@ -115,9 +115,60 @@ class IncrementalAgg:
         last = man["epoch"] if man else -1
         if _epoch_id is not None and _epoch_id <= last:
             return 0
-        epoch = _epoch_id if _epoch_id is not None else last + 1
         deltas = self._deltas(env).localCheckpoint(eager=True)
-        touched = deltas.count()
+        return self._merge_deltas(deltas, _epoch_id)
+
+    def apply_batches(self, envs: list[DataFrame]) -> list[int]:
+        """Replay several envelope batches IN ORDER. State evolution is
+        identical to sequential ``apply_batch`` calls — merges run
+        strictly sequentially, each against the state its predecessor
+        published — but the per-batch DELTA aggregations depend only on
+        their own batch (never on state), so ALL of them run as ONE
+        fused job (each batch keeps its own groupBy; the aggregated
+        per-batch results union under a batch tag before the single
+        materialization — guide §1.2/§2.6: one job instead of one
+        delta job per batch). Each merge then reads its batch's slice
+        of the checkpointed union."""
+        if not envs:
+            return []
+        tagged = None
+        for i, env in enumerate(envs):
+            d = self._deltas(env).withColumn("_b", F.lit(i))
+            tagged = d if tagged is None else tagged.unionByName(d)
+        all_deltas = tagged.localCheckpoint(eager=True)
+        # every batch's touched-group count in ONE job (each merge
+        # otherwise pays its own count action against the checkpoint)
+        cnts = {
+            r["_b"]: r["n"]
+            for r in all_deltas.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return [
+            self._merge_deltas(
+                all_deltas.where(F.col("_b") == i).drop("_b"),
+                touched=int(cnts.get(i, 0)),
+            )
+            for i in range(len(envs))
+        ]
+
+    def _merge_deltas(
+        self,
+        deltas: DataFrame,
+        _epoch_id: int | None = None,
+        touched: int | None = None,
+    ) -> int:
+        """Merge ONE batch's checkpointed delta frame into the state
+        (the tail of apply_batch, factored out so apply_batches can
+        precompute deltas). Epoch/skip semantics unchanged; ``touched``
+        skips the count action when the caller already knows it."""
+        man = self._manifest()
+        last = man["epoch"] if man else -1
+        if _epoch_id is not None and _epoch_id <= last:
+            return 0
+        epoch = _epoch_id if _epoch_id is not None else last + 1
+        if touched is None:
+            touched = deltas.count()
         if not touched:
             return 0
         if self._exists():
@@ -351,6 +402,9 @@ class IncrementalDistinct:
 
     def apply_batch(self, env: DataFrame, _epoch_id: int | None = None) -> int:
         return self._inner.apply_batch(env, _epoch_id)
+
+    def apply_batches(self, envs: list[DataFrame]) -> list[int]:
+        return self._inner.apply_batches(envs)
 
     def read(self) -> DataFrame:
         """(group_cols..., distinct_cnt) — one keyed pass over the

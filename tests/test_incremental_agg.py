@@ -259,3 +259,27 @@ def test_minmax_bootstrap_with_before_images(spark, tmp_path):
     got = {r["k"]: (r["agg_min"], r["agg_max"]) for r in mm.read().collect()}
     assert got == {"a": (5, 5), "b": (7, 7), "d": (4, 4)}
     assert mm.recomputes == 3  # a, b, c — d stayed on the no-read path
+
+
+def test_apply_batches_matches_sequential_apply_batch(spark, tmp_path):
+    """apply_batches (concurrent delta jobs, sequential merges) must
+    leave state identical to the same history replayed one
+    apply_batch at a time — including an empty middle batch and a
+    final update/delete batch that prunes a group."""
+    history = [
+        [(10, None, ("a", 5)), (11, None, ("a", 7)), (12, None, ("b", 10))],
+        [],
+        [
+            (20, ("a", 5), ("a", 9)),       # in-group update
+            (21, ("b", 10), None),          # delete prunes group b
+            (22, None, ("c", 3)),           # new group
+        ],
+    ]
+    seq = IncrementalAgg(spark, str(tmp_path / "seq"), ["k"], "amount")
+    for rows in history:
+        seq.apply_batch(_batch(spark, rows))
+    par = IncrementalAgg(spark, str(tmp_path / "par"), ["k"], "amount")
+    touched = par.apply_batches([_batch(spark, rows) for rows in history])
+    assert _state(par) == _state(seq) == {"a": (16, 2, 8.0), "c": (3, 1, 3.0)}
+    # the empty batch reports zero touched groups and publishes no epoch
+    assert touched[1] == 0
