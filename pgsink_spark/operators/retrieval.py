@@ -954,16 +954,27 @@ def retrieval_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape stays a pruned scan + top-k either way.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    n_occ = F.size(
-        F.expr(
-            "filter(sequence(1, size(split(lower(text), ' ')) - 1), "
-            f"i -> split(lower(text), ' ')[i - 1] = '{PHRASE_W1}' "
-            f"AND split(lower(text), ' ')[i] = '{PHRASE_W2}')"
-        )
+    # r11 (guide §1.2 step 2 — same O(n²) class as the r10 hapax fix):
+    # the old positional filter captured the EXPRESSION
+    # `split(lower(text), ' ')` and indexed it twice per position, and
+    # each `split(...)[i]` re-evaluates the captured split — O(n) per
+    # element, O(n²) per document. One linear aggregate fold carrying
+    # (prev token, count) visits each token once and counts the same
+    # adjacent (w[i-1], w[i]) matches; docs with <2 tokens fold to 0
+    # and are dropped by the existing n_occurrences > 0 cut, so the
+    # old `size(w) >= 2` pre-filter (one more full split per row) is
+    # subsumed.
+    n_occ = F.expr(
+        "aggregate(split(lower(text), ' '), "
+        "named_struct('prev', CAST(NULL AS STRING), "
+        "             'cnt', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct('prev', x, 'cnt', acc.cnt + "
+        f"IF(acc.prev = '{PHRASE_W1}' AND x = '{PHRASE_W2}', "
+        "CAST(1 AS BIGINT), CAST(0 AS BIGINT))), "
+        "acc -> acc.cnt)"
     )
     return (
-        docs.where(F.size(w) >= 2)
+        docs
         .select("doc_id", n_occ.cast("long").alias("n_occurrences"))
         .where(F.col("n_occurrences") > 0)
         .orderBy(F.desc("n_occurrences"), "doc_id")

@@ -1894,7 +1894,6 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "vec_id")
     )
-    n_pairs = exact.count()
 
     cb = cand.withColumn("bucket", lsh_bucket(F.col("c_emb"), 4))
     qb = cb.where(F.col("vec_id") < 5).select(
@@ -1916,10 +1915,26 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
         .distinct()
     )
-    hits = exact.join(
-        lsh_pairs, on=["q_id", "vec_id"], how="left_semi"
-    ).count()
+    # r11 (guide §1.2 step 1 — fewer actions, no recomputed subtree):
+    # the old shape ran TWO actions — exact.count(), then a semi-join
+    # count whose plan re-evaluated the whole brute-force cosine pass
+    # a second time. One left join against the (distinct, so
+    # fanout-free) LSH pair set folds both: count(*) = |exact| and
+    # count(marker) = |exact ∩ lsh| in a single aggregate, each
+    # subtree evaluated once.
+    stats = (
+        exact.join(
+            lsh_pairs.withColumn("m", F.lit(1)),
+            on=["q_id", "vec_id"],
+            how="left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count("m").cast("long").alias("hits"),
+        )
+        .collect()[0]
+    )
     return spark.createDataFrame(
-        [(5, n_pairs, hits >= RANGE_LSH_FLOOR)],
+        [(5, int(stats["n_pairs"]), int(stats["hits"]) >= RANGE_LSH_FLOOR)],
         "n_queries long, n_pairs long, lsh_hits_ok boolean",
     )
