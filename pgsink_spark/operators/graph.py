@@ -333,6 +333,81 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RA_SCALE = 1_000_000
 
+# Wedge budget for the linkpred single-task kernel: the kernel (like
+# the distributed wedge join) materializes Σ_z d_z·(d_z−1)/2 candidate
+# pairs, so the nbr-row cap alone does not bound its memory — one
+# 100k-degree hub inside a sub-cap edge list would still mean 5e9
+# pairs. The gate therefore checks BOTH the nbr census and the exact
+# wedge count (computed in the same one-row aggregate).
+LINKPRED_LOCAL_WEDGE_CAP = int(
+    os.environ.get("PGSINK_LINKPRED_LOCAL_WEDGE_CAP", "10000000")
+)
+
+
+def _linkpred_local_kernel(it):
+    """Single-task replay of the RA link-prediction pass: the same
+    wedge enumeration (all u<w neighbor pairs per hinge z), the same
+    anti-join against the undirected edge set, the same scaled-integer
+    RA terms (RA_SCALE div deg), and the same top-20 total order
+    (ra_scaled DESC, src, dst) — integer arithmetic end-to-end, so the
+    rows are bit-identical to the distributed plan by construction
+    (test-pinned). Node ids fit 32 bits (_EDGE_DOC_ID_MAX < 2³¹), so a
+    (u<<32)|w key is collision-free for the pair census."""
+    import numpy as np
+    import pandas as pd
+
+    v, z = _collect_nbr_batches(it)
+    if v is None:
+        return
+    # degree per hinge node: nbr is symmetric, so appearances-as-z ==
+    # degree; np.unique returns hinges sorted, counts aligned
+    order = np.lexsort((v, z))
+    vs, zs = v[order], z[order]
+    zu, c = np.unique(zs, return_counts=True)
+    term_by_g = RA_SCALE // c  # int64 — exact `div` semantics
+    # vectorized all-pairs-within-group: element at sorted position p
+    # with local index l in a group of size d is the u of (d-1-l)
+    # pairs; its w's are the next (d-1-l) sorted positions. vs is
+    # ascending within each group and per-hinge neighbors are distinct
+    # (edges are canonical), so u < w holds strictly.
+    starts = np.cumsum(c) - c
+    local = np.arange(vs.size, dtype=np.int64) - np.repeat(starts, c)
+    reps = np.repeat(c, c) - 1 - local
+    u_idx = np.repeat(np.arange(vs.size, dtype=np.int64), reps)
+    run_starts = np.cumsum(reps) - reps
+    w_idx = u_idx + 1 + (
+        np.arange(int(reps.sum()), dtype=np.int64)
+        - np.repeat(run_starts, reps)
+    )
+    ginv = np.repeat(np.arange(zu.size, dtype=np.int64), c)
+    u, w = vs[u_idx], vs[w_idx]
+    t = term_by_g[ginv[u_idx]]
+    key = (u.astype(np.uint64) << np.uint64(32)) | w.astype(np.uint64)
+    emask = v < z
+    ekey = (v[emask].astype(np.uint64) << np.uint64(32)) | z[
+        emask
+    ].astype(np.uint64)
+    keep = ~np.isin(key, ekey)
+    key, t = key[keep], t[keep]
+    if key.size == 0:
+        return
+    uk, inv = np.unique(key, return_inverse=True)
+    cn = np.bincount(inv).astype(np.int64)
+    ra = np.zeros(uk.size, dtype=np.int64)
+    np.add.at(ra, inv, t)
+    su = (uk >> np.uint64(32)).astype(np.int64)
+    sw = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    top = np.lexsort((sw, su, -ra))[:20]
+    yield pd.DataFrame(
+        {
+            "src": su[top],
+            "dst": sw[top],
+            "cn": cn[top],
+            "ra_scaled": ra[top],
+        }
+    )
+
+
 _LINKPRED_ORACLE = f"""
     WITH docs AS (SELECT doc_id FROM documents),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
@@ -396,6 +471,36 @@ def graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbr = edges.select(F.col("a").alias("v"), F.col("b").alias("z")).unionAll(
         edges.select(F.col("b").alias("v"), F.col("a").alias("z"))
     )
+    # Size gate (see GRAPH_LOCAL_NBR_CAP / LINKPRED_LOCAL_WEDGE_CAP):
+    # ONE small aggregate over the persisted edge list yields both the
+    # nbr census and the exact wedge count Σ d·(d−1)/2 — the kernel's
+    # true cost driver (r11; guide §1.2 step 1). Below both caps the
+    # wedge join + anti-join + RA fold run as one single-task NumPy
+    # kernel; above either cap the distributed plan below is unchanged.
+    gate = (
+        nbr.groupBy("z")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum("d").alias("n_nbr"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedge"),
+        )
+        .collect()[0]
+    )
+    if (gate["n_nbr"] or 0) <= GRAPH_LOCAL_NBR_CAP and (
+        gate["n_wedge"] or 0
+    ) <= LINKPRED_LOCAL_WEDGE_CAP:
+        pre = (
+            nbr.coalesce(1)
+            .mapInPandas(
+                _linkpred_local_kernel,
+                "src long, dst long, cn long, ra_scaled long",
+            )
+            .orderBy(F.desc("ra_scaled"), "src", "dst")
+        )
+        out = pre.localCheckpoint(eager=True)
+        edges.unpersist()
+        out._plan_audit_df = pre
+        return out
     deg = nbr.groupBy(F.col("z").alias("zv")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )

@@ -676,11 +676,13 @@ def test_local_graph_kernels_match_distributed_loops(spark, sf_dir):
         lpa_k = rows(G.graph_label_propagation(spark, sf_dir))
         bfs_k = rows(G.graph_bfs_distance(spark, sf_dir))
         mod_k = rows(G.graph_modularity(spark, sf_dir))
+        lp_k = rows(G.graph_linkpred(spark, sf_dir))
         G.GRAPH_LOCAL_NBR_CAP = -1  # distributed path
         assert kcore_k == rows(G.graph_kcore(spark, sf_dir))
         assert lpa_k == rows(G.graph_label_propagation(spark, sf_dir))
         assert bfs_k == rows(G.graph_bfs_distance(spark, sf_dir))
         assert mod_k == rows(G.graph_modularity(spark, sf_dir))
+        assert lp_k == rows(G.graph_linkpred(spark, sf_dir))
     finally:
         G.GRAPH_LOCAL_NBR_CAP = orig
-    assert kcore_k and lpa_k and bfs_k and mod_k
+    assert kcore_k and lpa_k and bfs_k and mod_k and lp_k
