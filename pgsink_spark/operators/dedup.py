@@ -192,13 +192,26 @@ PAIR_LOCAL_POSTINGS_CAP = int(
 _PAIR_CHUNK_SLOTS = 4_000_000
 
 
-def _make_pair_jaccard_kernel(cap: int | None):
+def _make_pair_jaccard_kernel(
+    cap: int | None, emit: tuple[str, float] | None = None
+):
     """Single-task replay of the inverted-index pair pass: same
     candidate rule (≥1 shared shingle with doc-frequency ≤ cap), same
     full-intersection ``inter`` (hot shingles included), same
     ``jac = inter / (n1 + n2 - inter)`` float64 division — pinned
     byte-identical to the distributed plan by the existing cap tests
-    plus test_pair_jaccard_local_kernel_matches_joins."""
+    plus test_pair_jaccard_local_kernel_matches_joins.
+
+    ``emit`` pushes the CONSUMER's own similarity cut inside the kernel
+    (r11, guide §4.1 — pass only the rows the query keeps over the
+    Arrow boundary): the unfiltered pass emits every candidate pair
+    (1.13M rows at sf0.1) only for the consumer to keep a few hundred.
+    ``("jac", t)`` keeps jac ≥ t; ``("containment", t)`` keeps
+    max(inter/n1, inter/n2) ≥ t. Both evaluate the identical float64
+    arithmetic the consumer's Spark-side filter applies to the emitted
+    columns, so the filtered output is exactly the consumer's
+    post-filter row set — the Spark filter stays in place downstream
+    and becomes a no-op."""
 
     def kernel(it):
         import numpy as np
@@ -313,6 +326,18 @@ def _make_pair_jaccard_kernel(cap: int | None):
         jac = inter.astype(np.float64) / (
             (n1 + n2 - inter).astype(np.float64)
         )
+        if emit is not None and p1.size:
+            kind, thr = emit
+            if kind == "jac":
+                keep_m = jac >= thr
+            else:  # "containment": either direction passes the cut
+                fi = inter.astype(np.float64)
+                keep_m = (fi / n1.astype(np.float64) >= thr) | (
+                    fi / n2.astype(np.float64) >= thr
+                )
+            p1, p2 = p1[keep_m], p2[keep_m]
+            inter, jac = inter[keep_m], jac[keep_m]
+            n1, n2 = n1[keep_m], n2[keep_m]
         yield pd.DataFrame(
             {
                 "d1": doc[p1],
@@ -331,6 +356,7 @@ def _pair_jaccard(
     sets: DataFrame,
     max_shingle_freq: int | None = None,
     allow_local_kernel: bool = True,
+    kernel_emit: tuple[str, float] | None = None,
 ) -> DataFrame:
     """(d1, d2, jac) for pairs sharing ≥1 (cold) shingle.
 
@@ -350,6 +376,11 @@ def _pair_jaccard(
     pass runs as one single-task kernel — the gate's postings-sum
     action replaces the hot-learn action the distributed path pays,
     so the action count per consumer is unchanged.
+    ``kernel_emit`` forwards the consumer's similarity cut to the
+    KERNEL BRANCH ONLY (see _make_pair_jaccard_kernel): the consumer
+    must still apply the identical filter on the returned frame, which
+    keeps the distributed branch's contract unchanged (it always emits
+    every candidate pair).
     ``allow_local_kernel=False`` pins the distributed branch outright
     (r11, verdict item 1): dedup_lsh_band_curve's critical path runs
     MORE single-task work after the pair pass in the same timed run,
@@ -365,7 +396,9 @@ def _pair_jaccard(
         ).collect()[0]["np"]
         if (n_postings or 0) <= PAIR_LOCAL_POSTINGS_CAP:
             return sets.coalesce(1).mapInPandas(
-                _make_pair_jaccard_kernel(max_shingle_freq),
+                _make_pair_jaccard_kernel(
+                    max_shingle_freq, emit=kernel_emit
+                ),
                 "d1 long, d2 long, inter long, n1 int, n2 int, jac double",
             )
     sh = sets.select("doc_id", F.explode("shingles").alias("s"))
@@ -493,7 +526,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-heavy shingling runs once, then truncate lineage and release.
     sets = doc_shingle_sets(docs, 3).persist()
     pre = (
-        _pair_jaccard(sets, max_shingle_freq=MAX_SHINGLE_FREQ)
+        _pair_jaccard(
+            sets,
+            max_shingle_freq=MAX_SHINGLE_FREQ,
+            kernel_emit=("jac", JACCARD_THRESHOLD),
+        )
         .where(F.col("jac") >= JACCARD_THRESHOLD)
         .select("d1", "d2")
         .orderBy("d1", "d2")
@@ -2021,7 +2058,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (tiny) pair set so the inverted-index candidate pass runs
     # once, not once per branch (Spark does not dedupe common subplans)
     pj = _pair_jaccard(
-        sets, max_shingle_freq=MAX_SHINGLE_FREQ
+        sets,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+        kernel_emit=("containment", CONTAINMENT_THRESHOLD),
     ).localCheckpoint(eager=True)
     fwd = pj.select(
         F.col("d1").alias("src"),

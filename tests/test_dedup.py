@@ -874,6 +874,53 @@ def test_pair_jaccard_local_kernel_matches_joins(spark, sf_dir):
         D.PAIR_LOCAL_POSTINGS_CAP = orig
 
 
+def test_pair_kernel_emit_filter_matches_consumer_predicate(spark, sf_dir):
+    """The r11 kernel_emit push-down must emit exactly the rows the
+    consumer's own Spark-side filter would keep from the unfiltered
+    kernel output — for both the jac and the (directional) containment
+    cut."""
+    import pgsink_spark.operators.dedup as D
+
+    sets = doc_shingle_sets(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 3
+    ).persist()
+    orig = D.PAIR_LOCAL_POSTINGS_CAP
+    try:
+        D.PAIR_LOCAL_POSTINGS_CAP = 10**12  # kernel branch
+        full = _pair_jaccard(sets, max_shingle_freq=MAX_SHINGLE_FREQ)
+        rows = full.collect()
+        jac_want = sorted(
+            tuple(r) for r in rows if r["jac"] >= D.JACCARD_THRESHOLD
+        )
+        ct_want = sorted(
+            tuple(r)
+            for r in rows
+            if r["inter"] / r["n1"] >= D.CONTAINMENT_THRESHOLD
+            or r["inter"] / r["n2"] >= D.CONTAINMENT_THRESHOLD
+        )
+        jac_got = sorted(
+            tuple(r)
+            for r in _pair_jaccard(
+                sets,
+                max_shingle_freq=MAX_SHINGLE_FREQ,
+                kernel_emit=("jac", D.JACCARD_THRESHOLD),
+            ).collect()
+        )
+        ct_got = sorted(
+            tuple(r)
+            for r in _pair_jaccard(
+                sets,
+                max_shingle_freq=MAX_SHINGLE_FREQ,
+                kernel_emit=("containment", D.CONTAINMENT_THRESHOLD),
+            ).collect()
+        )
+        assert jac_got == jac_want and jac_want
+        assert ct_got == ct_want and ct_want
+    finally:
+        D.PAIR_LOCAL_POSTINGS_CAP = orig
+        sets.unpersist()
+
+
 @pytest.mark.slow
 def test_cc_local_kernel_matches_distributed_loop(spark, sf_dir):
     """The r10 size-gated union-find kernel must emit exactly the
