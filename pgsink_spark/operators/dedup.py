@@ -769,10 +769,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def simhash_col() -> Column:
-    """The 60-bit TF-weighted simhash as a pure row-local Column —
-    usable on batch AND streaming frames (no repartition, no action).
-    See simhash_fingerprints for the algorithm and Catalyst notes."""
+def _simhash_sql() -> str:
+    """The 60-bit TF-weighted simhash as a raw SQL expression over
+    `text` (shared by simhash_col and the let-bound chunk generator)."""
     hs_expr = (
         "transform(w, t -> cast(conv(substring(md5(t), 1, 15), 16, 10)"
         " as bigint))"
@@ -789,8 +788,45 @@ def simhash_col() -> Column:
         " (acc, b) -> acc +"
         " IF(2 * o[b] > size(w), shiftleft(1L, b), 0L)))[0]"
     )
+    return f"transform(array(split(lower(text), \' \')), w -> {fold_expr})[0]"
+
+
+def simhash_col() -> Column:
+    """The 60-bit TF-weighted simhash as a pure row-local Column —
+    usable on batch AND streaming frames (no repartition, no action).
+    See simhash_fingerprints for the algorithm and Catalyst notes."""
+    return F.expr(_simhash_sql())
+
+
+def simhash_chunk_rows_col(with_fp: bool = True) -> Column:
+    """Explode-ready (simhash, ck) chunk rows with the fingerprint
+    LET-BOUND so it evaluates ONCE per document (r11, guide §4 —
+    expression-level fix, same projection-collapse hazard the
+    simhash_col docstring describes one level up): the previous
+    formulation kept `simhash` as a column AND exploded an array of 6
+    shift expressions over it, and projection collapse inlined the
+    whole per-token fold into every one of those uses — the simhash
+    fold ran up to 7× per document (measured: 0.62 s plain vs 2.0 s
+    under the explode at sf0.1). Here one generator child computes the
+    fold once (the ``transform(array(expr), sh -> ...)`` let-idiom)
+    and emits the 6 struct(simhash, ck) elements from the bound value.
+
+    ``with_fp=False`` drops the fingerprint from the emitted struct
+    for consumers that only key on the chunk."""
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    chunk = (
+        f"(shiftright(sh, j * {SIMHASH_CHUNK_BITS}) & {mask}L)"
+        f" + cast(j AS BIGINT) * {mask + 1}L"
+    )
+    struct = (
+        f"named_struct('simhash', sh, 'ck', {chunk})"
+        if with_fp
+        else f"named_struct('ck', {chunk})"
+    )
     return F.expr(
-        f"transform(array(split(lower(text), ' ')), w -> {fold_expr})[0]"
+        f"transform(array({_simhash_sql()}), sh ->"
+        f" transform(sequence(0, {SIMHASH_CHUNKS - 1}),"
+        f" j -> {struct}))[0]"
     )
 
 
@@ -799,19 +835,23 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     frequency is the per-bit vote weight (distinct-token simhash
     degenerates when documents share a small vocabulary).
 
-    Entirely row-local: one `transform` hashes the token array, one
-    array `aggregate` accumulates the 60 per-bit one-counts, and the
-    fingerprint folds out of that — no explode, no groupBy, no join.
     TF weighting falls out for free: each occurrence votes ±1 per bit,
     so summing over the raw token array equals summing c·(±1) over
     distinct tokens. The per-bit signed sum is s_b = 2·ones_b − n,
     hence bit b is set iff 2·ones_b > n.
 
+    Entirely row-local: one `transform` hashes the token array, one
+    array `aggregate` accumulates the 60 per-bit one-counts, and the
+    fingerprint folds out of that — no explode, no groupBy, no join.
+
     Catalyst note: intermediates are bound as lambda variables via the
     ``transform(array(<expr>), x -> ...)[0]`` let-idiom rather than
     chained projections — projection collapse would otherwise inline
     the token-hash/one-count arrays into every one of their 60 uses and
-    recompute them 60×.
+    recompute them 60×. (An Arrow mapInPandas twin was measured in r11
+    and NOT adopted: warm, the Column form matches it — the real cost
+    this round fixed was the CHUNK consumers re-evaluating this
+    expression under their explode; see simhash_chunk_rows_col.)
     """
     return widen(docs).select("doc_id", simhash_col().alias("simhash"))
 
@@ -838,22 +878,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     population low.)
     """
     docs = load_table(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(docs)
-    mask = (1 << SIMHASH_CHUNK_BITS) - 1
-    chunks = fp.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.expr(
-                        f"(shiftright(simhash, {j * SIMHASH_CHUNK_BITS})"
-                        f" & {mask}L) + {j * (mask + 1)}L"
-                    )
-                    for j in range(SIMHASH_CHUNKS)
-                ]
-            )
-        ).alias("ck"),
+    # r11: the chunk rows come from ONE let-bound generator (see
+    # simhash_chunk_rows_col) — keeping `simhash` as a column next to
+    # an explode over shift expressions made projection collapse
+    # re-evaluate the per-token fold up to 7× per doc (×2 again across
+    # the self-join's two branches).
+    chunks = (
+        widen(docs)
+        .select("doc_id", F.explode(simhash_chunk_rows_col()).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.simhash").alias("simhash"),
+            F.col("e.ck").alias("ck"),
+        )
     )
     a = chunks.select(
         F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "ck"

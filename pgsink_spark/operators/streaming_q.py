@@ -875,30 +875,32 @@ def stream_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, so the oracle — min earlier doc over the same
     band equi-join — pins the stream output exactly.
     """
-    from pgsink_spark.operators.dedup import (
-        SIMHASH_CHUNK_BITS,
-        SIMHASH_CHUNKS,
-        simhash_col,
-    )
+    from pgsink_spark.operators.dedup import simhash_chunk_rows_col
     from pgsink_spark.streaming.stateful import band_neardup_prober
 
-    mask = (1 << SIMHASH_CHUNK_BITS) - 1
-
     def build(raw: DataFrame) -> DataFrame:
-        fp = raw.select("doc_id", simhash_col().alias("simhash"))
-        chunks = fp.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.expr(
-                            f"(shiftright(simhash, {j * SIMHASH_CHUNK_BITS})"
-                            f" & {mask}L) + {j * (mask + 1)}L"
-                        )
-                        for j in range(SIMHASH_CHUNKS)
-                    ]
-                )
-            ).alias("ck"),
+        # r11 (guide §2.2): the staged micro-batch arrives as ONE file
+        # split, so the CPU-heavy per-token simhash fold ran on one of
+        # 32 cores (~2 s serial at sf0.1 — measured: the identical
+        # batch compute drops 1.37 → 0.65 s once fanned out). Fan the
+        # text rows across the session's cores BEFORE the fold — the
+        # stateful groupBy re-shuffles to ck keys right after, so this
+        # adds one tiny text-row exchange only when the source is
+        # narrower than the cluster (same rationale as dedup.widen; at
+        # real scale the source already yields ≥ cores splits and the
+        # repartition is sized by the same count). The chunk rows come
+        # from one let-bound generator (simhash evaluated once per
+        # doc; see simhash_chunk_rows_col).
+        fanout = raw.sparkSession.sparkContext.defaultParallelism
+        chunks = (
+            raw.repartition(fanout)
+            .select(
+                "doc_id",
+                F.explode(simhash_chunk_rows_col(with_fp=False)).alias(
+                    "e"
+                ),
+            )
+            .select("doc_id", F.col("e.ck").alias("ck"))
         )
         return band_neardup_prober(chunks)
 
