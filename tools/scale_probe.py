@@ -49,6 +49,18 @@ PROBES = [
     "dedup_incremental_probe",
     "mine_hard_negatives",
     "graph_linkpred",
+    # the r10/r11 size-gated single-task kernel families: at probe
+    # factors above the gates these run the DISTRIBUTED branches, so
+    # the probe is the standing rot-check the r10 verdict asked for
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_bfs_distance",
+    "graph_modularity",
+    "dedup_ngram_jaccard",
+    "dedup_cluster",
+    "mdm_survivorship",
+    "mm_phash_clusters",
+    "diversity_kcenter",
     "text_bpe_pairs",
     "d69_rolling_zscore",
     "privacy_k_anonymity",
