@@ -973,24 +973,26 @@ def test_cc_distributed_loop_raises_on_round_budget_exhaustion(spark):
 
     import pgsink_spark.operators.dedup as D
 
-    # chain 0-1-...-24: diameter 24, needs ~24 propagation rounds
+    # chain 0-1-...-99: diameter 99. With pointer jumping (r11) the
+    # reach roughly doubles per round, so 2 rounds cover ≲ 8 hops
+    # (still raises) while 10 rounds cover ~2¹⁰ (converges).
     deep = spark.createDataFrame(
-        [(i, i + 1) for i in range(24)], "d1 long, d2 long"
+        [(i, i + 1) for i in range(99)], "d1 long, d2 long"
     ).localCheckpoint(eager=True)
     orig = D.CC_LOCAL_EDGE_CAP
     try:
         D.CC_LOCAL_EDGE_CAP = -1  # force the distributed loop
         with pytest.raises(RuntimeError, match="did not"):
-            D.connected_components(deep, max_iters=5).collect()
+            D.connected_components(deep, max_iters=2).collect()
         dist = {
             (r["node"], r["component"])
-            for r in D.connected_components(deep, max_iters=40).collect()
+            for r in D.connected_components(deep, max_iters=10).collect()
         }
         D.CC_LOCAL_EDGE_CAP = 10**12  # kernel
         kern = {
             (r["node"], r["component"])
             for r in D.connected_components(deep).collect()
         }
-        assert dist == kern == {(i, 0) for i in range(25)}
+        assert dist == kern == {(i, 0) for i in range(100)}
     finally:
         D.CC_LOCAL_EDGE_CAP = orig
