@@ -2840,14 +2840,18 @@ def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_shingle_freq=MAX_SHINGLE_FREQ,
             # r11 (verdict item 1): distributed pair branch pinned for
             # THIS consumer — see _pair_jaccard's docstring for the
-            # measured 32-core A/B.
+            # measured 32-core A/B. Re-tested late in r11 with the
+            # kernel_emit cut (which removes the 1.13M-row Arrow tail
+            # that caused the original regression): 3 interleaved
+            # pairs measured statistically equal raw and slightly
+            # WORSE calibrated (2.97 vs 2.55 avg), so the pin — the
+            # route the driver record validates at 3.2-3.6 s — stays.
             allow_local_kernel=False,
         )
         .where(F.col("jac") >= JACCARD_THRESHOLD)
         .select("d1", "d2")
         .localCheckpoint(eager=True)
     )
-    n_exact = exact.count()
     # r10 optimization (guide §1.2 step 1 — don't build what you only
     # probe): recall hits per config = |exact ∩ candidates|, and
     # whether an EXACT pair is a candidate at (b, r) is a row-local
@@ -2887,12 +2891,21 @@ def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.sum(collide.cast("long")).alias(f"h{b}")
         )
-    hit_row = pair_sigs.agg(*aggs).collect()[0] if n_exact else None
+    # r11 (guide §1.2 step 1): n_exact rides the same aggregate —
+    # every exact pair joins exactly one signature row per endpoint
+    # (signatures cover every doc in `sets`), so count(pair_sigs) ==
+    # count(exact) and the separate count() action disappears (2
+    # driver actions → 1; the n_exact_pairs column stays
+    # oracle-pinned at all three SFs).
+    hit_row = pair_sigs.agg(
+        F.count(F.lit(1)).alias("n_exact"), *aggs
+    ).collect()[0]
+    n_exact = int(hit_row["n_exact"])
     rows = []
     prev_hits = -1
     monotone = True
     for b, r in LSH_CURVE_CONFIGS:
-        hits = int(hit_row[f"h{b}"] or 0) if hit_row is not None else 0
+        hits = int(hit_row[f"h{b}"] or 0) if n_exact else 0
         monotone = monotone and hits >= prev_hits
         prev_hits = hits
         floor_ok = (
