@@ -1727,32 +1727,10 @@ IVF_CURVE_PROBES = (1, 2, 4, 8)
 IVF_CURVE_FLOOR = 3  # hits floor at the largest nprobe (= ann_ivf_recall's)
 
 
-@query(
-    "ann_ivf_probe_curve",
-    f"""
-    SELECT CAST(u.nprobe AS BIGINT) AS nprobe,
-           TRUE AS monotone_ok,
-           TRUE AS floor_ok
-    FROM UNNEST([{", ".join(str(p) for p in IVF_CURVE_PROBES)}])
-      AS u(nprobe)
-    ORDER BY nprobe
-    """,
-)
-def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-vs-nprobe CURVE gate for the IVF path — the capacity-
-    planning read behind ann_ivf_recall's single point: recall@5 hits
-    are measured at nprobe ∈ {IVF_CURVE_PROBES} and the gate asserts
-    the two properties a correct probe router MUST satisfy:
-    (1) MONOTONE hits — more probes can only grow the candidate set,
-    so hits are nondecreasing in nprobe (a routing bug that drops the
-    true cell breaks this); (2) the largest-nprobe hits meet the
-    ann_ivf_recall floor. Both reduce to booleans, so the driver hash
-    pins them even though absolute recall is float-adjacent.
-
-    Scale shape: |probes| reruns of the IVF search, each a centroid
-    broadcast + per-cell top-k; hit counting joins ≤ |Q|·k-row frames
-    (control-plane at any corpus size).
-    """
+def _ivf_curve_hits(spark: SparkSession, sf_dir: str) -> list:
+    """Per-nprobe recall@5 hit counts for ann_ivf_probe_curve —
+    factored out so tests can pin the exact counts (not just the
+    emitted booleans) against independent per-nprobe reruns."""
     # r10 optimization (guide §1.2 step 1 — don't recompute what a
     # sweep can share): the four nprobe points previously each rebuilt
     # the centroid table (posexplode + two exchanges) and re-scored
@@ -1801,30 +1779,74 @@ def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prnk",
             cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
         )
-        .persist()
     )
-    w5 = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    top5 = [
-        scored.where(F.col("prnk") <= p)
-        .withColumn("rnk", F.row_number().over(w5))
-        .where(F.col("rnk") <= 5)
-        .select(F.lit(p).alias("nprobe"), "q_id", "vec_id")
-        for p in IVF_CURVE_PROBES
-    ]
-    union = top5[0]
-    for t in top5[1:]:
-        union = union.unionByName(t)
-    # one action for all four hit counts (each (nprobe, q_id, vec_id)
-    # is unique, so the inner join count == the per-p left-semi count)
-    counts = {
-        r["nprobe"]: r["cnt"]
-        for r in union.join(exact, on=["q_id", "vec_id"], how="left_semi")
-        .groupBy("nprobe")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    hits = [int(counts.get(p, 0)) for p in IVF_CURVE_PROBES]
-    scored.unpersist()
+    # r11 (guide §1.2/§2.4 — one pass instead of four): "top-5 among
+    # rows with prnk ≤ p" for ALL four p's falls out of ONE window:
+    # over the (cos DESC, vec_id) total order per q_id, the running
+    # count of prnk ≤ p rows IS the row's rank within the nprobe=p
+    # candidate subset (every (q_id, vec_id) appears once — a vector
+    # lives in exactly one cell). The previous shape persisted the
+    # scored frame and ran 4 window branches + union + semi-join +
+    # groupBy; now: one left join against the 25-row exact set, one
+    # window node (4 running sums share the same spec), one aggregate
+    # — same hit counts, one action, no persist.
+    w5 = (
+        W.partitionBy("q_id")
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = scored.join(
+        F.broadcast(exact.withColumn("m", F.lit(1))),
+        on=["q_id", "vec_id"],
+        how="left",
+    )
+    for p in IVF_CURVE_PROBES:
+        marked = marked.withColumn(
+            f"r{p}",
+            F.sum((F.col("prnk") <= p).cast("long")).over(w5),
+        )
+    hit_row = marked.agg(
+        *[
+            F.sum(
+                (
+                    (F.col("prnk") <= p)
+                    & (F.col(f"r{p}") <= 5)
+                    & F.col("m").isNotNull()
+                ).cast("long")
+            ).alias(f"h{p}")
+            for p in IVF_CURVE_PROBES
+        ]
+    ).collect()[0]
+    return [int(hit_row[f"h{p}"] or 0) for p in IVF_CURVE_PROBES]
+
+
+@query(
+    "ann_ivf_probe_curve",
+    f"""
+    SELECT CAST(u.nprobe AS BIGINT) AS nprobe,
+           TRUE AS monotone_ok,
+           TRUE AS floor_ok
+    FROM UNNEST([{", ".join(str(p) for p in IVF_CURVE_PROBES)}])
+      AS u(nprobe)
+    ORDER BY nprobe
+    """,
+)
+def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe CURVE gate for the IVF path — the capacity-
+    planning read behind ann_ivf_recall's single point: recall@5 hits
+    are measured at nprobe ∈ {IVF_CURVE_PROBES} and the gate asserts
+    the two properties a correct probe router MUST satisfy:
+    (1) MONOTONE hits — more probes can only grow the candidate set,
+    so hits are nondecreasing in nprobe (a routing bug that drops the
+    true cell breaks this); (2) the largest-nprobe hits meet the
+    ann_ivf_recall floor. Both reduce to booleans, so the driver hash
+    pins them even though absolute recall is float-adjacent.
+
+    Scale shape: one scoring pass at max(nprobe), one window, one
+    aggregate (see _ivf_curve_hits); hit counting joins ≤ |Q|·k-row
+    frames (control-plane at any corpus size).
+    """
+    hits = _ivf_curve_hits(spark, sf_dir)
     rows = [
         (
             int(p),

@@ -425,6 +425,10 @@ def test_ivf_probe_curve_fused_hits_match_pernprobe_reruns(spark, sf_dir):
                 how="left_semi",
             ).count()
         )
+    # r11: the fused sweep's hit counts themselves (one window + one
+    # aggregate — see _ivf_curve_hits) must equal the rerun counts,
+    # not just round-trip through the emitted booleans
+    assert sim._ivf_curve_hits(spark, sf_dir) == per_p
     rows = {
         r["nprobe"]: (r["monotone_ok"], r["floor_ok"])
         for r in sim.ann_ivf_probe_curve(spark, sf_dir).collect()
